@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline
+  * operators (dedup, language-ID, quality scoring, fingerprinting).
+  *
+  * Everything here is built from Catalyst higher-order functions and
+  * built-ins — no UDFs — so the expressions stay inside Catalyst
+  * (prunable, pushable, and serializable into any plan shape), and the
+  * same logic is expressible 1:1 in the DuckDB oracle SQL.
+  *
+  * Two hash families are provided for MinHash:
+  *  - `md5` based (portable: identical in DuckDB, used by the
+  *    oracle-checked queries);
+  *  - `xxhash64` based (the 100 TB scale path: 8-byte hashes, no hex
+  *    string materialization, ~10× cheaper than md5).
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct tokens in sorted order (a canonical token set). */
+  def tokenSet(text: Column): Column =
+    array_sort(array_distinct(tokens(text)))
+
+  /** Word 3-shingles; documents with <3 tokens collapse to one shingle
+    * of the whole token stream.
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ",
+          element_at(toks, i),
+          element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** One MinHash value (md5 family, seeded): the minimum md5 hex digest
+    * of `"<seed> " + shingle`. String-min over fixed-width hex equals
+    * numeric min over the 128-bit hashes.
+    */
+  def minhashMd5(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, t => md5(concat(lit(s"$seed "), t))))
+
+  /** LSH band hashes (md5 family): `nBands` values, each the md5 of the
+    * concatenated `rowsPerBand` MinHashes of that band.
+    */
+  def bandsMd5(shingles: Column, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r =>
+          minhashMd5(shingles, b * rowsPerBand + r)): _*))
+    }: _*)
+
+  /** One MinHash value (xxhash64 family, seeded) — the scale path. */
+  def minhashXx(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, t => xxhash64(lit(seed), t)))
+
+  /** LSH band hashes (xxhash64 family). */
+  def bandsXx(shingles: Column, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      xxhash64(
+        (0 until rowsPerBand).map(r =>
+          minhashXx(shingles, b * rowsPerBand + r)): _*)
+    }: _*)
+
+  /** 64-bit SimHash over a token array column named by `toksCol`.
+    *
+    * Classic scheme: per bit position, sum +1/-1 over token hashes,
+    * then take the sign bit. Expressed as nested `aggregate`/`zip_with`
+    * higher-order functions (single pass over tokens, 64 counters).
+    */
+  def simhash64(toksCol: String): Column = expr(
+    s"""aggregate(
+          aggregate($toksCol,
+            array_repeat(cast(0 as bigint), 64),
+            (acc, t) -> zip_with(acc,
+              transform(sequence(0, 63),
+                i -> if((shiftright(xxhash64(t), i) & 1) = 1,
+                        cast(1 as bigint), cast(-1 as bigint))),
+              (a, b) -> a + b)),
+          named_struct('i', 0, 'h', cast(0 as bigint)),
+          (s, c) -> named_struct(
+            'i', s.i + 1,
+            'h', s.h + if(c >= 0, shiftleft(cast(1 as bigint), s.i),
+                          cast(0 as bigint))),
+          s -> s.h)""")
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------------
+  // Shared DuckDB oracle SQL fragments (kept next to the Spark
+  // implementations above so the two stay in lockstep).
+  // ------------------------------------------------------------------
+
+  /** DuckDB: tokens CTE body over `documents`. */
+  val sqlToks: String =
+    """SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> len(x) > 0) AS tl
+       FROM documents"""
+
+  /** DuckDB: 3-shingles from the `tl` token list. */
+  val sqlShingles: String =
+    """SELECT doc_id,
+         CASE WHEN len(tl) >= 3
+           THEN list_transform(range(1, len(tl) - 1),
+                               i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+           ELSE [array_to_string(tl, ' ')] END AS sl
+       FROM toks"""
+
+  /** DuckDB: 8×4 md5 LSH bands from the `sl` shingle list, as a list of
+    * {i, h} structs.
+    */
+  val sqlBands: String =
+    """SELECT doc_id,
+         list_transform(range(0, 8), b -> {
+           'i': b,
+           'h': md5(array_to_string(
+                  list_transform(range(0, 4), r ->
+                    list_aggregate(
+                      list_transform(sl, t ->
+                        md5(CAST(b*4 + r AS VARCHAR) || ' ' || t)),
+                      'min')),
+                  '|'))}) AS bands
+       FROM sh"""
+}

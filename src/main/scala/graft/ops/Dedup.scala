@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables:
+  * exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket
+  * join), SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one shuffle on the content hash (never on the
+  *    content itself — the hash is 16 bytes, the document is KBs);
+  *  - MinHash/LSH turns the O(n²) pair problem into an equi-join on
+  *    (band_id, band_hash), i.e. a plain shuffle join whose fan-out is
+  *    bounded by bucket size; candidate verification touches only
+  *    bucket-mates;
+  *  - SimHash emits one 8-byte signature per doc; near-dup = small
+  *    Hamming distance, again joinable via bit-prefix bucketing;
+  *  - embedding near-dup blocks on a coarse key (here `label`; at
+  *    scale an IVF/LSH bucket) before any pairwise cosine.
+  *
+  * The md5 hash family is used where a DuckDB oracle checks the result
+  * bit-for-bit; xxhash64 variants are the cheaper scale path (same
+  * algorithm, 8-byte hashes) — see TextFunctions.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** doc_id → 8 (band_id, band_hash) rows, md5 family.
+    *
+    * Scale-critical shape: explode shingles to rows, compute all 32
+    * seeded hashes in ONE whole-stage-codegen projection (no
+    * higher-order functions in the hot path), then groupBy(doc_id)
+    * with 32 MIN aggregates — partial aggregation combines map-side,
+    * so the shuffle carries one 32-column signature per doc, never
+    * the shingles. (A first cut used nested transform/array_min HOFs:
+    * interpreted, ~60× slower.)
+    */
+  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
+    val nHashes = 32
+    val rowsPerBand = 4
+    val sh = docs(s, dir)
+      .withColumn("sl", shingles3(tokens(col("text"))))
+      .select(col("doc_id"), explode(col("sl")).as("t"))
+    val hashed = sh.select(
+      col("doc_id") +:
+        (0 until nHashes).map(i =>
+          md5(concat(lit(s"$i "), col("t"))).as(s"h$i")): _*)
+    val sig = hashed.groupBy("doc_id")
+      .agg(
+        min(col("h0")).as("m0"),
+        (1 until nHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val bands = array((0 until nHashes / rowsPerBand).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+    }: _*)
+    sig.select(col("doc_id"),
+      posexplode(bands).as(Seq("band_id", "band_hash")))
+  }
+
+  private val sqlBandsCte =
+    s"""WITH toks AS ($sqlToks),
+        sh AS ($sqlShingles),
+        sig AS ($sqlBands),
+        bands AS (
+          SELECT doc_id, CAST(u.i AS INT) AS band_id, u.h AS band_hash
+          FROM sig, unnest(bands) AS s(u))"""
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "d01_exact_dedup",
+      (s, dir) =>
+        // Exact dedup: group on a 128-bit content hash, keep the
+        // smallest doc_id as survivor. Shuffles 16-byte keys, not
+        // documents.
+        docs(s, dir)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(
+            count(lit(1)).as("n_copies"),
+            min(col("doc_id")).as("keeper"))
+          .orderBy("content_hash"),
+      Some("""
+        SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+          MIN(doc_id) AS keeper
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY content_hash""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d02_minhash_lsh_bands",
+      (s, dir) => bandsDf(s, dir).orderBy("doc_id", "band_id"),
+      Some(s"""
+        $sqlBandsCte
+        SELECT doc_id, band_id, band_hash FROM bands
+        ORDER BY doc_id, band_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d03_lsh_candidate_pairs",
+      (s, dir) => {
+        // LSH candidate generation + exact shingle-Jaccard verify.
+        // The self-join is an equi-join on (band_id, band_hash): at
+        // scale each bucket holds only near-duplicates, so the pair
+        // fan-out stays tiny.
+        val b = bandsDf(s, dir)
+        val pairs = b.as("a")
+          .join(b.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sh = docs(s, dir)
+          .withColumn("sl",
+            array_distinct(shingles3(tokens(col("text")))))
+          .select("doc_id", "sl")
+        pairs
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("sa.sl"), col("sb.sl")))
+              .cast("double") /
+              size(array_union(col("sa.sl"), col("sb.sl")))
+                .cast("double")).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        $sqlBandsCte,
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+        shd AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len(tl) >= 3
+              THEN list_transform(range(1, len(tl) - 1),
+                     i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+              ELSE [array_to_string(tl, ' ')] END) AS sl
+          FROM toks)
+        SELECT doc_a, doc_b,
+          CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE) /
+          CAST(len(sa.sl) + len(sb.sl)
+               - len(list_intersect(sa.sl, sb.sl)) AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN shd sa ON doc_a = sa.doc_id
+        JOIN shd sb ON doc_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE) /
+              CAST(len(sa.sl) + len(sb.sl)
+                   - len(list_intersect(sa.sl, sb.sl)) AS DOUBLE) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d04_simhash",
+      (s, dir) =>
+        // 64-bit SimHash per document (xxhash64 token hashes — no
+        // portable SQL equivalent, so this entry is rows-only checked;
+        // the algorithm itself is pinned by DedupSpec).
+        docs(s, dir)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), simhash64("toks").as("simhash"))
+          .orderBy("doc_id")),
+    // ----------------------------------------------------------------
+    Q(
+      "d05_minhash_bands_fast",
+      (s, dir) => {
+        // xxhash64 MinHash/LSH — the 100 TB path (8-byte hashes, no
+        // hex strings), same explode→codegen-projection→min-agg shape
+        // as d02. Rows-only checked.
+        val nHashes = 32
+        val rowsPerBand = 4
+        val sh = docs(s, dir)
+          .withColumn("sl", shingles3(tokens(col("text"))))
+          .select(col("doc_id"), explode(col("sl")).as("t"))
+        val hashed = sh.select(
+          col("doc_id") +:
+            (0 until nHashes).map(i =>
+              xxhash64(lit(i), col("t")).as(s"h$i")): _*)
+        val sig = hashed.groupBy("doc_id")
+          .agg(
+            min(col("h0")).as("m0"),
+            (1 until nHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+        val bands = array((0 until nHashes / rowsPerBand).map { b =>
+          xxhash64((0 until rowsPerBand)
+            .map(r => col(s"m${b * rowsPerBand + r}")): _*)
+        }: _*)
+        sig.select(col("doc_id"),
+          posexplode(bands).as(Seq("band_id", "band_hash")))
+          .orderBy("doc_id", "band_id")
+      }),
+    // ----------------------------------------------------------------
+    Q(
+      "d06_embedding_neardup",
+      (s, dir) => {
+        // Embedding-cosine near-dup with label blocking: pairwise
+        // cosine only inside a block. Floats are cast to double
+        // element-wise BEFORE any arithmetic and the dot product is a
+        // sequential fold — bit-identical to the DuckDB oracle.
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val dot = (a: String, b: String) =>
+          aggregate(zip_with(col(a), col(b), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x)
+        e.as("a")
+          .join(e.as("b"),
+            col("a.label") === col("b.label") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            col("a.label").as("label"),
+            (dot("a.v", "b.v") /
+              (sqrt(dot("a.v", "a.v")) * sqrt(dot("b.v", "b.v"))))
+              .as("cosine"))
+          .filter(col("cosine") > 0.25)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+          list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x * x)))) > 0.25
+        ORDER BY vec_a, vec_b"""))
+  )
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed
+  * metadata, with decode/feature-extract stubs.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic fake (`FakeDecoder`) — but the
+  * Spark-side plumbing is real: binary columns, metadata structs,
+  * fixed-shape feature vectors, and a `mapPartitions` batch boundary
+  * shaped exactly like a model-inference / codec call would be at
+  * 100 TB (per-partition batching, no driver involvement, schema
+  * declared up front).
+  */
+object Multimodal {
+
+  /** Input row for the decode stage: key + opaque payload. */
+  final case class Blob(doc_id: Long, payload: Array[Byte])
+
+  /** Output row: key + "decoded" metadata + fixed-shape features. */
+  final case class Decoded(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Int,
+      features: Array[Float])
+
+  /** STUB: stands in for an image/audio decoder + feature extractor.
+    * Deterministic in the payload bytes so tests and reruns agree.
+    * A real deployment swaps only this function (e.g. JNI codec or
+    * ONNX session held per partition); the surrounding plumbing is
+    * unchanged.
+    */
+  def fakeDecode(b: Blob): Decoded = {
+    val n = b.payload.length
+    val h = b.payload.foldLeft(17L)((acc, x) => acc * 31 + x)
+    val feats = Array.tabulate(8) { i =>
+      // hash-derived pseudo-features in [-1, 1)
+      (((h >>> (i * 8)) & 0xffL).toFloat / 128f) - 1f
+    }
+    Decoded(b.doc_id, 16 + (h & 0xf).toInt * 16, 16 + ((h >> 4) & 0xf).toInt * 16,
+      n, feats)
+  }
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "m01_binary_metadata",
+      (s, dir) =>
+        // Binary-column metadata pass: treat text bytes as an opaque
+        // payload; length + content digest are computed without ever
+        // interpreting the payload (the pattern for raw image/audio
+        // columns at scale — metadata flows in columns, payload stays
+        // opaque).
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .select(
+            col("doc_id"),
+            octet_length(col("payload")).as("n_bytes"),
+            md5(col("payload")).as("digest"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+          md5(text) AS digest
+        FROM documents ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m02_decode_features",
+      (s, dir) => {
+        // Decode/feature-extract over a binary column via typed
+        // mapPartitions (the batch boundary a real codec/model call
+        // needs). Rows-only checked: the stub decoder has no SQL
+        // equivalent.
+        val spark = s
+        import spark.implicits._
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .as[Blob]
+          .mapPartitions(_.map(fakeDecode))
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_bytes"), element_at(col("features"), 1).as("feat0"))
+          .orderBy("doc_id")
+      })
+  )
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d).
+  *
+  *  - s01: brute-force cosine top-k — the correctness baseline, fully
+  *    oracle-checked against DuckDB. O(|Q|·N) dot products as one
+  *    broadcast join; the double-cast + sequential-fold dot product is
+  *    bit-identical across engines.
+  *  - s02: random-hyperplane LSH bucketing — the scale path for
+  *    candidate generation: 16 sign bits → one int bucket; ANN search
+  *    becomes an equi-join on bucket. Hyperplanes are derived
+  *    deterministically from xxhash64 so every executor (and every
+  *    run) agrees without shipping a model.
+  *  - s03: IVF-style search — probe the nearest coarse centroid
+  *    (here: per-label mean vectors, computed distributively via
+  *    posexplode + groupBy), then brute-force only within that cell.
+  *    At 100 TB this prunes the candidate set by ~|cells|×.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "s01_cosine_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        // Query side is tiny → broadcast; one pass over the corpus,
+        // then a per-query top-k window (shuffle on qid only).
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        e.join(broadcast(queries), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.qid, e.vec_id,
+            ROUND(
+              list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cos_sim
+          FROM e JOIN q ON e.vec_id <> q.qid)
+        SELECT qid, vec_id, cos_sim, rnk FROM (
+          SELECT qid, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s02_lsh_buckets",
+      (s, dir) =>
+        // 16 deterministic pseudo-random hyperplanes; weight for
+        // (plane b, dim j) is ±1 from xxhash64(b*64+j). Bucket = the
+        // 16 sign bits packed into an int. Rows-only checked (no
+        // portable 64-bit hash in the oracle).
+        emb(s, dir)
+          .withColumn("bucket", expr(
+            """aggregate(sequence(0, 15), 0,
+                 (acc, b) -> acc + shiftleft(if(
+                   aggregate(sequence(1, 64), cast(0.0 as double),
+                     (d, j) -> d + element_at(v, j) *
+                       if(pmod(xxhash64(b * 64 + j), 2) = 0, 1.0d, -1.0d))
+                   >= 0.0d, 1, 0), b))"""))
+          .select("vec_id", "label", "bucket")
+          .orderBy("vec_id")),
+    // ----------------------------------------------------------------
+    Q(
+      "s03_ivf_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        // Coarse centroids: per-label per-dimension mean, computed
+        // distributively (posexplode → groupBy(label, dim) → rebuild
+        // vector with array_agg sorted by dim).
+        val centroids = e
+          .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("label", "dim")
+          .agg(avg(col("x")).as("cx"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
+            .as("pairs"))
+          .select(col("label").as("c_label"),
+            transform(col("pairs"), p => p.getField("cx")).as("cv"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        // Probe: nearest centroid per query (tiny cross join).
+        val probe = queries.crossJoin(broadcast(centroids))
+          .select(col("qid"), col("qv"), col("c_label"),
+            cosine(col("qv"), col("cv")).as("c_sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("c_sim").desc, col("c_label"))))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("qv"), col("c_label").as("probe_label"))
+        // Search only the probed cell — the IVF pruning step.
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        e.join(broadcast(probe),
+          col("label") === col("probe_label") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("probe_label"), col("vec_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy("qid", "rnk")
+      })
+  )
+}

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents`: language ID (marker-word
+  * heuristic), quality scoring, token counting, fingerprinting, and
+  * n-gram profiling.
+  *
+  * All built from Catalyst higher-order functions — each is a single
+  * scan with a narrow projection (only `text` + keys are read), so at
+  * 100 TB these run at parquet-scan speed with full column pruning.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // Marker words per language for the n-gram-free language-ID
+  // heuristic. Small fixed sets keep the oracle SQL identical.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "que"),
+    "zh" -> Seq("的", "是", "不", "了"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "t01_language_id",
+      (s, dir) => {
+        val withCounts = docs(s, dir)
+          .withColumn("toks", tokens(col("text")))
+          .select(
+            Seq(col("doc_id"), col("lang")) ++
+              markers.map { case (l, ws) =>
+                markerCount(col("toks"), ws).as(s"n_$l")
+              }: _*)
+        // argmax with a fixed preference order (en>de>fr>es>zh) as the
+        // deterministic tie-break — mirrored exactly in the oracle.
+        val langs = markers.map(_._1)
+        val pred = langs.init.zipWithIndex.foldRight(
+          lit(langs.last): Column) { case ((l, i), els) =>
+          val beats = langs.drop(i + 1)
+            .map(o => col(s"n_$l") >= col(s"n_$o")).reduce(_ && _)
+          when(beats, lit(l)).otherwise(els)
+        }
+        withCounts.withColumn("pred_lang", pred).orderBy("doc_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(tl, x -> x IN ('the','and','of','to'))) AS INT) AS n_en,
+            CAST(len(list_filter(tl, x -> x IN ('der','die','und','nicht'))) AS INT) AS n_de,
+            CAST(len(list_filter(tl, x -> x IN ('le','la','et','les'))) AS INT) AS n_fr,
+            CAST(len(list_filter(tl, x -> x IN ('el','los','y','que'))) AS INT) AS n_es,
+            CAST(len(list_filter(tl, x -> x IN ('的','是','不','了'))) AS INT) AS n_zh
+          FROM (SELECT doc_id, lang,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> len(x) > 0) AS tl
+                FROM documents))
+        SELECT doc_id, lang, n_en, n_de, n_fr, n_es, n_zh,
+          CASE
+            WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN 'en'
+            WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN 'de'
+            WHEN n_fr >= n_es AND n_fr >= n_zh THEN 'fr'
+            WHEN n_es >= n_zh THEN 'es'
+            ELSE 'zh' END AS pred_lang
+        FROM c ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t02_quality_score",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("toks", tokens(col("text")))
+          .select(
+            col("doc_id"),
+            length(col("text")).as("n_chars"),
+            size(col("toks")).as("n_tokens"),
+            markerCount(col("toks"), stopwords).as("n_stop"),
+            size(filter(split(lower(col("text")), ""),
+              c => !c.rlike("[a-z0-9 ]") && length(c) > 0)).as("n_punct"))
+          .withColumn("stop_ratio",
+            col("n_stop").cast("double") / col("n_tokens"))
+          .withColumn("avg_token_len",
+            (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+              col("n_tokens"))
+          .withColumn("quality",
+            col("stop_ratio") * 0.3 +
+              least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.4 +
+              (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3)
+          .orderBy("doc_id"),
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+            CAST(LENGTH(text) AS INT) AS n_chars,
+            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0)) AS INT) AS n_tokens,
+            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+              x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS INT) AS n_stop,
+            CAST(len(list_filter(string_split(lower(text), ''),
+              x -> NOT regexp_matches(x, '[a-z0-9 ]') AND len(x) > 0)) AS INT) AS n_punct
+          FROM documents)
+        SELECT doc_id, n_chars, n_tokens, n_stop, n_punct,
+          CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+          CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+          (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+            + LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.4
+            + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
+        FROM c ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t03_token_count",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            size(tokens(col("text"))).as("ws_tokens"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0))).as("bpe_ish_tokens"),
+            length(col("text")).as("n_chars"))
+          .withColumn("chars_per_token",
+            col("n_chars").cast("double") / col("ws_tokens"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0)) AS INT) AS ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens,
+          CAST(LENGTH(text) AS INT) AS n_chars,
+          CAST(LENGTH(text) AS DOUBLE) /
+            len(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS chars_per_token
+        FROM documents ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t04_fingerprint",
+      (s, dir) =>
+        // Canonical-token-set fingerprint (case/order/duplicate
+        // insensitive) — the classic "fingerprint clustering" dedup
+        // key.
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            md5(concat_ws(" ", tokenSet(col("text")))).as("fingerprint"),
+            size(tokenSet(col("text"))).as("n_distinct_tokens"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+          md5(array_to_string(
+            list_sort(list_distinct(
+              list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> len(x) > 0))), ' ')) AS fingerprint,
+          CAST(len(list_distinct(
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0))) AS INT) AS n_distinct_tokens
+        FROM documents ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t05_bigram_profile",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("toks", tokens(col("text")))
+          .select(explode(
+            when(size(col("toks")) >= 2,
+              transform(sequence(lit(1), size(col("toks")) - 1), i =>
+                concat(element_at(col("toks"), i), lit(" "),
+                  element_at(col("toks"), i + 1))))
+              .otherwise(array().cast("array<string>"))).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20),
+      Some("""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0) AS tl
+          FROM documents),
+        b AS (
+          SELECT unnest(CASE WHEN len(tl) >= 2
+            THEN list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i+1])
+            ELSE CAST([] AS VARCHAR[]) END) AS bigram
+          FROM toks)
+        SELECT bigram, COUNT(*) AS n
+        FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20"""))
+  )
+}
