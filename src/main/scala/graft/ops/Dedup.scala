@@ -41,10 +41,10 @@ object Dedup {
     * the shingles. (A first cut used nested transform/array_min HOFs:
     * interpreted, ~60× slower.)
     */
-  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
+  def minhashBands(documents: DataFrame): DataFrame = {
     val nHashes = 32
     val rowsPerBand = 4
-    val sh = docs(s, dir)
+    val sh = documents
       .withColumn("sl", shingles3(tokens(col("text"))))
       .select(col("doc_id"), explode(col("sl")).as("t"))
     val hashed = sh.select(
@@ -62,6 +62,38 @@ object Dedup {
     sig.select(col("doc_id"),
       posexplode(bands).as(Seq("band_id", "band_hash")))
   }
+
+  /** LSH candidate pairs (shared band) verified by exact shingle-set
+    * Jaccard ≥ `minJaccard`.
+    */
+  def lshCandidatePairs(documents: DataFrame, minJaccard: Double): DataFrame = {
+    val b = minhashBands(documents)
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = documents
+      .withColumn("sl", array_distinct(shingles3(tokens(col("text")))))
+      .select("doc_id", "sl")
+    pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sl"), col("sb.sl")))
+          .cast("double") /
+          size(array_union(col("sa.sl"), col("sb.sl")))
+            .cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** doc_id → 64-bit SimHash. */
+  def simhashes(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), simhash64("toks").as("simhash"))
 
   private val sqlBandsCte =
     s"""WITH toks AS ($sqlToks),
@@ -94,7 +126,7 @@ object Dedup {
     // ----------------------------------------------------------------
     Q(
       "d02_minhash_lsh_bands",
-      (s, dir) => bandsDf(s, dir).orderBy("doc_id", "band_id"),
+      (s, dir) => minhashBands(docs(s, dir)).orderBy("doc_id", "band_id"),
       Some(s"""
         $sqlBandsCte
         SELECT doc_id, band_id, band_hash FROM bands
@@ -102,34 +134,13 @@ object Dedup {
     // ----------------------------------------------------------------
     Q(
       "d03_lsh_candidate_pairs",
-      (s, dir) => {
+      (s, dir) =>
         // LSH candidate generation + exact shingle-Jaccard verify.
         // The self-join is an equi-join on (band_id, band_hash): at
         // scale each bucket holds only near-duplicates, so the pair
         // fan-out stays tiny.
-        val b = bandsDf(s, dir)
-        val pairs = b.as("a")
-          .join(b.as("b"),
-            col("a.band_id") === col("b.band_id") &&
-              col("a.band_hash") === col("b.band_hash") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val sh = docs(s, dir)
-          .withColumn("sl",
-            array_distinct(shingles3(tokens(col("text")))))
-          .select("doc_id", "sl")
-        pairs
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (size(array_intersect(col("sa.sl"), col("sb.sl")))
-              .cast("double") /
-              size(array_union(col("sa.sl"), col("sb.sl")))
-                .cast("double")).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy("doc_a", "doc_b")
-      },
+        lshCandidatePairs(docs(s, dir), minJaccard = 0.5)
+          .orderBy("doc_a", "doc_b"),
       Some(s"""
         $sqlBandsCte,
         pairs AS (
@@ -162,10 +173,7 @@ object Dedup {
         // 64-bit SimHash per document (xxhash64 token hashes — no
         // portable SQL equivalent, so this entry is rows-only checked;
         // the algorithm itself is pinned by DedupSpec).
-        docs(s, dir)
-          .withColumn("toks", tokens(col("text")))
-          .select(col("doc_id"), simhash64("toks").as("simhash"))
-          .orderBy("doc_id")),
+        simhashes(docs(s, dir)).orderBy("doc_id")),
     // ----------------------------------------------------------------
     Q(
       "d05_minhash_bands_fast",

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.D.{dbl, m}
+
+/** Structured Streaming over the `events` table.
+  *
+  * The reference is pure batch (SURVEY.md §1.3); the stream
+  * capability is the north-star extension. Spark's unified API means
+  * the windowed-aggregation TRANSFORMATION is one function used by
+  * both the batch query surface (q22) and the real streaming path
+  * here — the only difference is readStream + watermark + trigger.
+  *
+  * Scale: file-source streaming shards by file; watermark bounds
+  * state (1h windows + 1h lateness ⇒ ≤2h of open windows per key);
+  * `mapGroupsWithState` state lives in the state store, partitioned
+  * by key — the same code runs on a 1000-executor cluster with
+  * checkpointing to durable storage.
+  */
+object EventStream {
+
+  /** Raw parquet schema of events under nanosAsLong (ts: INT64 nanos). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** ns→µs repair, same floor rule as Tables.load. */
+  def repairTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Shared transformation: hourly tumbling windows per event_type.
+    * Works identically on a batch DataFrame or a streaming one.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dbl(sum(m(col("value")))).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** File-source stream over the events parquet. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // File stream sources want a directory; select just the events
+    // file out of the sf dir via glob filter.
+    repairTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
+  /** Run the hourly aggregation as a REAL streaming query (AvailableNow
+    * trigger, complete mode, memory sink) and return the final result.
+    * Complete mode emits every window, so the result equals the batch
+    * run bit-for-bit — which is exactly what the DuckDB oracle checks.
+    */
+  def runHourly(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = hourlyCounts(readStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("hour", "event_type")
+  }
+
+  // ------------------------------------------------------------------
+  // Custom state: running per-user counts via mapGroupsWithState.
+  // ------------------------------------------------------------------
+
+  final case class Ev(event_id: Long, user_id: Long, us: Long)
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  /** Arbitrary stateful streaming: per-user running event counts.
+    * State (one Long per user) lives in the state store and survives
+    * across micro-batches — see EventStreamSpec for the two-batch
+    * accumulation proof.
+    */
+  def runningCounts(ds: Dataset[Ev]): Dataset[UserCount] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          UserCount(user, n)
+      }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.etl
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Conformance tests pinning the reference's observable semantics
+  * (SURVEY.md §5 items 1–2): null rules, renames, empty-list
+  * defaults, skip-subtrees, entity unescaping, gzip input, parquet
+  * round-trip.
+  */
+class DiscogsReleasesSpec extends SparkSpec {
+
+  private lazy val tmpDir = Files.createTempDirectory("discogs-spec").toFile
+
+  /** Gzip the checked-in fixture into a temp .xml.gz (exercises the
+    * reference's S1 gzip source path).
+    */
+  private lazy val gzPath: String = {
+    val src = getClass.getResourceAsStream("/releases_fixture.xml")
+    val dst = new File(tmpDir, "releases.xml.gz")
+    val out = new GZIPOutputStream(new FileOutputStream(dst))
+    try out.write(src.readAllBytes())
+    finally { out.close(); src.close() }
+    dst.getAbsolutePath
+  }
+
+  private lazy val result = {
+    val outDir = new File(tmpDir, "out").getAbsolutePath
+    DiscogsReleases.run(spark, gzPath, outDir)
+    spark.read.parquet(outDir)
+  }
+
+  private lazy val byId: Map[Int, Row] =
+    result.collect().map(r => r.getInt(0) -> r).toMap
+
+  test("all releases parsed from gzipped XML") {
+    assert(byId.keySet == Set(1, 2, 3))
+  }
+
+  test("output schema matches the reference's column order and names") {
+    assert(result.columns.toSeq == Seq("id", "status", "title", "artists",
+      "genres", "styles", "labels", "is_main_release", "master_id"))
+  }
+
+  test("attribute projection: id cast to int, status preserved") {
+    assert(byId(1).getAs[String]("status") == "Accepted")
+    assert(byId(2).getAs[String]("status") == "Draft")
+    assert(byId(3).getAs[String]("status") == "Deleted")
+  }
+
+  test("entity unescaping in title and genres (&amp; -> &)") {
+    assert(byId(1).getAs[String]("title") == "First & Best")
+    assert(byId(1).getAs[scala.collection.Seq[String]]("genres") .toSeq == Seq("Rock & Roll", "Pop"))
+  }
+
+  test("anv/join: null when element empty, text otherwise (main.rs:718-741)") {
+    val a1 = byId(1).getAs[scala.collection.Seq[Row]]("artists")
+    assert(a1.size == 1)
+    assert(a1.head.getAs[String]("anv") == null) // <anv></anv> ⇒ null
+    assert(a1.head.getAs[String]("join") == "feat.")
+
+    val a2 = byId(2).getAs[scala.collection.Seq[Row]]("artists")
+    assert(a2.map(_.getAs[String]("name")) == Seq("Beta", "Gamma"))
+    assert(a2(0).getAs[String]("anv") == "B")
+    assert(a2(0).getAs[String]("join") == null)
+    assert(a2(1).getAs[String]("anv") == null)
+    assert(a2(1).getAs[String]("join") == "&") // entity in join text
+  }
+
+  test("labels: catno attr renamed to cat_no (main.rs:649-653)") {
+    val l1 = byId(1).getAs[scala.collection.Seq[Row]]("labels")
+    assert(l1.map(r => (r.getAs[String]("id"), r.getAs[String]("cat_no"),
+      r.getAs[String]("name"))) == Seq(("5", "C-001", "LabelOne")))
+    val l3 = byId(3).getAs[scala.collection.Seq[Row]]("labels")
+    assert(l3.map(_.getAs[String]("cat_no")) == Seq("C-002", "C-003"))
+  }
+
+  test("master_id/is_main_release null iff element absent (main.rs:557-560)") {
+    assert(byId(1).getAs[Boolean]("is_main_release") == true)
+    assert(byId(1).getAs[Int]("master_id") == 99)
+    assert(byId(2).isNullAt(byId(2).fieldIndex("is_main_release")))
+    assert(byId(2).isNullAt(byId(2).fieldIndex("master_id")))
+    assert(byId(3).getAs[Boolean]("is_main_release") == false)
+    assert(byId(3).getAs[Int]("master_id") == 100)
+  }
+
+  test("absent/empty list containers become empty lists, not nulls") {
+    assert(byId(3).getAs[scala.collection.Seq[Row]]("artists") == Seq.empty)
+    assert(byId(3).getAs[scala.collection.Seq[String]]("genres") == Seq.empty)
+    assert(byId(2).getAs[scala.collection.Seq[String]]("styles") == Seq.empty)
+    assert(byId(2).getAs[scala.collection.Seq[Row]]("labels") == Seq.empty)
+  }
+
+  test("skip-subtrees (images/country/notes/tracklist) never materialize") {
+    // They are absent from the schema — and their presence in the
+    // fixture must not break FAILFAST parsing.
+    assert(!result.columns.contains("images"))
+    assert(!result.columns.contains("country"))
+  }
+
+  test("validate passes on conforming data") {
+    DiscogsReleases.validate(result)
+  }
+}

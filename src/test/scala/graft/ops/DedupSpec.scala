@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Proves the near-dup machinery actually catches near-duplicates —
+  * the testdata documents are all distinct, so the oracle-checked
+  * query entries only pin determinism; these synthetic fixtures pin
+  * detection.
+  */
+class DedupSpec extends SparkSpec {
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+  // one token changed out of 60 → shingle-Jaccard ≈ 0.95
+  private val nearDup = base.replace("tok30", "changed")
+  private val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+
+  private lazy val docsDf = {
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+  }
+
+  test("LSH candidate pairs find the near-duplicate and only it") {
+    val pairs = Dedup.lshCandidatePairs(docsDf, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("shingle jaccard of the near-dup pair is high") {
+    val j = Dedup.lshCandidatePairs(docsDf, minJaccard = 0.5)
+      .collect().head.getDouble(2)
+    assert(j > 0.8, s"jaccard $j")
+  }
+
+  test("simhash: near-dups are close in Hamming space, unrelated far") {
+    val sh = Dedup.simhashes(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < 12,
+      s"near-dup hamming ${ham(sh(1L), sh(2L))}")
+    assert(ham(sh(1L), sh(3L)) > 16,
+      s"unrelated hamming ${ham(sh(1L), sh(3L))}")
+  }
+
+  test("minhash bands: identical docs share all bands") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dups = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(dups).collect()
+      .groupBy(_.getInt(1)).values
+    assert(bands.forall(rows =>
+      rows.map(_.getString(2)).distinct.size == 1))
+  }
+
+  test("shingles3: sliding 3-grams, short docs collapse to one shingle") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(TextFunctions.shingles3(TextFunctions.tokens(col("text")))
+        .as("sl"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) == List("a b c", "b c d"))
+    assert(out(1) == List("a b"))
+  }
+}

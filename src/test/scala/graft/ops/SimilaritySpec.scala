@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force cosine top-k ranks the aligned vector first") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(
+      (0L, 0, Seq(1f, 0f, 0f, 0f)),
+      (1L, 0, Seq(0.9f, 0.1f, 0f, 0f)), // nearly aligned with 0
+      (2L, 0, Seq(0f, 1f, 0f, 0f)), // orthogonal
+      (3L, 0, Seq(-1f, 0f, 0f, 0f))) // opposite
+      .toDF("vec_id", "label", "embedding")
+    df.createOrReplaceTempView("tiny_emb")
+
+    import org.apache.spark.sql.functions._
+    val e = df.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("qv"), col("v")).as("cos"))
+      .orderBy(col("cos").desc)
+      .collect()
+    assert(scored.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(scored.head.getDouble(2) > 0.99)
+    assert(math.abs(scored(1).getDouble(2)) < 1e-12) // orthogonal ⇒ 0
+    assert(scored(2).getDouble(2) < -0.99) // opposite ⇒ -1
+  }
+
+  test("s01/s03 run end-to-end on the testdata and return k rows per query") {
+    val s01 = SparkEntry_queries("s01_cosine_topk")
+    assert(s01.groupBy("qid").count().collect().forall(_.getLong(1) == 5))
+    val s03 = SparkEntry_queries("s03_ivf_topk")
+    assert(s03.select("qid").distinct().count() == 5)
+  }
+
+  private def SparkEntry_queries(name: String) =
+    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+}
