@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -31,6 +31,43 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** (doc_id, shingle) rows — the shared head of every MinHash
+    * pipeline.
+    *
+    * Two hard-won performance rules are encoded here:
+    *  - repartition first: document corpora often arrive as few large
+    *    files; the hash stage is CPU-bound, so fan it out to the
+    *    cluster's parallelism instead of inheriting scan partitioning
+    *    (one 580 KB file = one task = one core otherwise). The
+    *    explicit count keeps AQE from coalescing the tiny exchange
+    *    back to one partition.
+    *  - explode a cheap INDEX sequence, not the shingle-string array:
+    *    exploding `shingles3(toks)` inlines the string-building
+    *    higher-order function into the Generate, where it is
+    *    re-evaluated per OUTPUT row (~10 s for 240k shingles);
+    *    exploding `sequence(...)` and building each shingle as a plain
+    *    post-explode projection is whole-stage-codegen'd (~1 s).
+    * Semantics are identical to explode(shingles3(toks)).
+    */
+  def shingleRows(documents: DataFrame): DataFrame = {
+    val toks = col("toks")
+    documents
+      .repartition(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), toks,
+        explode(sequence(lit(1), greatest(size(toks) - 2, lit(1))))
+          .as("i"))
+      .select(col("doc_id"),
+        when(size(toks) >= 3,
+          concat_ws(" ",
+            element_at(toks, col("i")),
+            element_at(toks, col("i") + 1),
+            element_at(toks, col("i") + 2)))
+          .otherwise(array_join(toks, " ")).as("t"))
+  }
+
   /** doc_id → 8 (band_id, band_hash) rows, md5 family.
     *
     * Scale-critical shape: explode shingles to rows, compute all 32
@@ -44,9 +81,7 @@ object Dedup {
   def minhashBands(documents: DataFrame): DataFrame = {
     val nHashes = 32
     val rowsPerBand = 4
-    val sh = documents
-      .withColumn("sl", shingles3(tokens(col("text"))))
-      .select(col("doc_id"), explode(col("sl")).as("t"))
+    val sh = shingleRows(documents)
     val hashed = sh.select(
       col("doc_id") +:
         (0 until nHashes).map(i =>
@@ -75,9 +110,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = documents
-      .withColumn("sl", array_distinct(shingles3(tokens(col("text")))))
-      .select("doc_id", "sl")
+    // Distinct shingle sets via the fast exploded path + collect_set
+    // (same content as array_distinct(shingles3(toks)), but built by
+    // the codegen'd shingleRows pipeline instead of interpreted HOFs).
+    val sh = shingleRows(documents)
+      .groupBy("doc_id").agg(collect_set(col("t")).as("sl"))
     pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -92,6 +129,7 @@ object Dedup {
   /** doc_id → 64-bit SimHash. */
   def simhashes(documents: DataFrame): DataFrame =
     documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), simhash64("toks").as("simhash"))
 
@@ -183,9 +221,7 @@ object Dedup {
         // as d02. Rows-only checked.
         val nHashes = 32
         val rowsPerBand = 4
-        val sh = docs(s, dir)
-          .withColumn("sl", shingles3(tokens(col("text"))))
-          .select(col("doc_id"), explode(col("sl")).as("t"))
+        val sh = shingleRows(docs(s, dir))
         val hashed = sh.select(
           col("doc_id") +:
             (0 until nHashes).map(i =>
@@ -208,14 +244,17 @@ object Dedup {
       (s, dir) => {
         // Embedding-cosine near-dup with label blocking: pairwise
         // cosine only inside a block. Floats are cast to double
-        // element-wise BEFORE any arithmetic and the dot product is a
-        // sequential fold — bit-identical to the DuckDB oracle.
+        // element-wise BEFORE any arithmetic; the native DotProduct
+        // expression sums in index order — bit-identical to the DuckDB
+        // oracle. Norms are precomputed per vector (N rows) instead of
+        // per pair (N²/blocks rows).
+        graft.functions.VectorExpressions.register(s)
+        val dot = (a: Column, b: Column) =>
+          graft.functions.VectorExpressions.dot(a, b)
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
-        val dot = (a: String, b: String) =>
-          aggregate(zip_with(col(a), col(b), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x)
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
         e.as("a")
           .join(e.as("b"),
             col("a.label") === col("b.label") &&
@@ -224,8 +263,7 @@ object Dedup {
             col("a.vec_id").as("vec_a"),
             col("b.vec_id").as("vec_b"),
             col("a.label").as("label"),
-            (dot("a.v", "b.v") /
-              (sqrt(dot("a.v", "a.v")) * sqrt(dot("b.v", "b.v"))))
+            (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
               .as("cosine"))
           .filter(col("cosine") > 0.25)
           .orderBy("vec_a", "vec_b")

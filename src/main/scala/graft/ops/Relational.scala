@@ -492,9 +492,15 @@ object Relational {
     Q(
       "q21_events_json",
       (s, dir) =>
+        // Schema'd from_json beats get_json_object (one parse, typed
+        // extraction); repartition fans the CPU-bound parse out of the
+        // single-file scan partition.
         t(s, dir)("events")
+          .repartition(s.sparkContext.defaultParallelism, col("event_id"))
           .withColumn("k",
-            get_json_object(col("props"), "$.k").cast("int"))
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").cast("int"))
           .groupBy("event_type")
           .agg(
             count(lit(1)).as("n"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorExpressions
 
 /** Similarity search over the `embeddings` table (Array[Float], 64-d).
   *
@@ -24,14 +25,17 @@ import graft.Tables
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+  }
 
-  /** Sequential-fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen dot product (index-order sum — bit-identical to
+    * the HOF fold and the DuckDB oracle; see DotProduct).
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -41,16 +45,21 @@ object Similarity {
     Q(
       "s01_cosine_topk",
       (s, dir) => {
-        val e = emb(s, dir)
+        // Norms precomputed per side: N + |Q| sqrt-folds instead of
+        // 2·N·|Q| (the product sqrt(na)*sqrt(nb) is preserved exactly,
+        // so the oracle's inline formula yields identical doubles).
+        val e = emb(s, dir).withColumn("nrm", sqrt(dot(col("v"), col("v"))))
         val queries = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("v").as("qv"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
         // Query side is tiny → broadcast; one pass over the corpus,
         // then a per-query top-k window (shuffle on qid only).
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
         e.join(broadcast(queries), col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+            round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+              .as("cos_sim"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .orderBy("qid", "rnk")
@@ -77,21 +86,37 @@ object Similarity {
     // ----------------------------------------------------------------
     Q(
       "s02_lsh_buckets",
-      (s, dir) =>
+      (s, dir) => {
         // 16 deterministic pseudo-random hyperplanes; weight for
-        // (plane b, dim j) is ±1 from xxhash64(b*64+j). Bucket = the
-        // 16 sign bits packed into an int. Rows-only checked (no
-        // portable 64-bit hash in the oracle).
-        emb(s, dir)
-          .withColumn("bucket", expr(
-            """aggregate(sequence(0, 15), 0,
-                 (acc, b) -> acc + shiftleft(if(
-                   aggregate(sequence(1, 64), cast(0.0 as double),
-                     (d, j) -> d + element_at(v, j) *
-                       if(pmod(xxhash64(b * 64 + j), 2) = 0, 1.0d, -1.0d))
-                   >= 0.0d, 1, 0), b))"""))
+        // (plane b, dim j) is ±1 from the parity of xxhash64(b*64+j).
+        // Bucket = the 16 sign bits packed into an int. Rows-only
+        // checked (no portable 64-bit hash in the oracle).
+        //
+        // Shape: explode dims → broadcast-join the 1024-row plane
+        // table → partial-agg per (vec, plane) → pack bits. All
+        // codegen (a first cut as nested HOF folds was interpreted and
+        // ~8× slower). Projections sum exact DECIMALs so the sign bit
+        // is reproducible under any aggregation order.
+        val e = emb(s, dir)
+        val dims = e.select(col("vec_id"), col("label"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("label"),
+            (col("pos") + 1).cast("int").as("j"),
+            col("x").cast("decimal(28,12)").as("xd"))
+        val planes = s.range(16).select(col("id").cast("int").as("b"))
+          .crossJoin(s.range(1, 65).select(col("id").cast("int").as("j")))
+          .select(col("b"), col("j"),
+            when(pmod(xxhash64(col("b") * 64 + col("j")), lit(2)) === 0, 1)
+              .otherwise(-1).as("w"))
+        dims.join(broadcast(planes), "j")
+          .groupBy("vec_id", "label", "b")
+          .agg(sum(col("xd") * col("w")).as("d"))
+          .groupBy("vec_id", "label")
+          .agg(sum(when(col("d") >= 0, expr("shiftleft(1, b)")).otherwise(0))
+            .cast("int").as("bucket"))
           .select("vec_id", "label", "bucket")
-          .orderBy("vec_id")),
+          .orderBy("vec_id")
+      }),
     // ----------------------------------------------------------------
     Q(
       "s03_ivf_topk",

@@ -7,6 +7,7 @@ class SimilaritySpec extends SparkSpec {
   test("brute-force cosine top-k ranks the aligned vector first") {
     val sparkS = spark
     import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
     val df = Seq(
       (0L, 0, Seq(1f, 0f, 0f, 0f)),
       (1L, 0, Seq(0.9f, 0.1f, 0f, 0f)), // nearly aligned with 0
