@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import D.{dbl, m}
+
+/** Second tranche of relational operators: temporal joins (as-of,
+  * range), sketches, cube.
+  *
+  * As-of join is deliberately NOT an inequality join: the naive
+  * `l.ts >= r.ts` join explodes to O(n·m) pairs then filters — a
+  * BroadcastNestedLoopJoin at best. The scalable Spark-first shape is
+  * union + keyed window with IGNORE NULLS last_value: ONE shuffle on
+  * the key, linear state, works at any skew. Range joins against a
+  * SMALL interval dimension do use the inequality join — with the dim
+  * broadcast that's a per-row interval probe, which is exactly right.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Generic as-of join via union+window: for each left row, the
+    * latest right row with `rightTime` <= `leftTime`, per key. Returns
+    * the left rows with `asof_<valueCol>` appended.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCol: String): DataFrame = {
+    val vType = right.schema(valueCol).dataType
+    val l = left.select(
+      (left.columns.map(col) :+
+        lit(1).as("_side") :+
+        lit(null).cast(vType).as("_v")): _*)
+    // Right rows carry their own event time in the left's time slot;
+    // every other non-key left column rides along as null.
+    val r = right.select(
+      (left.columns.map {
+        case c if c == leftTime => col(rightTime).as(c)
+        case c if c == key => col(key)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ lit(0).as("_side") :+ col(valueCol).cast(vType).as("_v")): _*)
+    // Right rows sort before left rows at the same timestamp
+    // (_side 0 < 1): an exactly-simultaneous right row IS visible to
+    // the left row — the usual as-of convention.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(leftTime), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(s"asof_$valueCol", last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_v")
+  }
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q25_asof_join",
+      (s, dir) => {
+        // For each purchase event: the user's most recent view event
+        // at-or-before it. Union+window as-of (one shuffle on
+        // user_id).
+        val ev = t(s, dir)("events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "us")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"),
+            col("us").as("view_us"))
+        asofJoin(purchases, views, key = "user_id",
+          leftTime = "us", rightTime = "view_us", valueCol = "view_us")
+          .select(col("user_id"), col("event_id"),
+            col("us").as("purchase_us"),
+            // -1 sentinel for "no prior view": a nullable int column
+            // degrades to float64 in arrow/pandas layers, breaking
+            // value-hash comparison.
+            coalesce(col("asof_view_us"), lit(-1L)).as("asof_view_us"))
+          .orderBy("user_id", "purchase_us", "event_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        u AS (
+          SELECT user_id, event_id, us, 1 AS side, NULL::BIGINT AS v
+          FROM ev WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, NULL, us, 0 AS side, us AS v
+          FROM ev WHERE event_type = 'view'),
+        w AS (
+          SELECT user_id, event_id, us, side,
+            LAST_VALUE(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY us, side
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_us
+          FROM u)
+        SELECT user_id, event_id, us AS purchase_us,
+          COALESCE(asof_view_us, -1) AS asof_view_us
+        FROM w WHERE side = 1
+        ORDER BY user_id, purchase_us, event_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q26_range_join",
+      (s, dir) => {
+        val sparkS = s
+        import sparkS.implicits._
+        // Interval-dimension range join: the dim is tiny → broadcast;
+        // the inequality join becomes a per-row interval probe.
+        val eras = Seq(
+          ("early", "1995-01-01", "1997-01-01"),
+          ("mid", "1997-01-01", "1999-01-01"),
+          ("late", "1999-01-01", "2002-01-01"))
+          .toDF("era", "start_d", "end_d")
+          .select(col("era"),
+            col("start_d").cast("timestamp").as("start_ts"),
+            col("end_d").cast("timestamp").as("end_ts"))
+        val o = t(s, dir)("orders")
+        o.join(broadcast(eras),
+          o("o_orderdate") >= eras("start_ts") &&
+            o("o_orderdate") < eras("end_ts"))
+          .groupBy("era")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dbl(sum(m(col("o_totalprice")))).as("sum_price"))
+          .orderBy("era")
+      },
+      Some("""
+        WITH eras(era, start_ts, end_ts) AS (VALUES
+          ('early', TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01'),
+          ('mid',   TIMESTAMP '1997-01-01', TIMESTAMP '1999-01-01'),
+          ('late',  TIMESTAMP '1999-01-01', TIMESTAMP '2002-01-01'))
+        SELECT era, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders JOIN eras
+          ON o_orderdate >= start_ts AND o_orderdate < end_ts
+        GROUP BY era
+        ORDER BY era""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q27_approx_distinct",
+      (s, dir) =>
+        // HLL++ sketch vs exact. Cross-engine sketch values differ by
+        // design → rows-only checked; ApproxSpec pins the error bound.
+        t(s, dir)("lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .withColumn("rel_err",
+            abs(col("approx_parts") - col("exact_parts")).cast("double") /
+              col("exact_parts"))
+          .orderBy("l_returnflag")),
+    // ----------------------------------------------------------------
+    Q(
+      "q28_cube_orders",
+      (s, dir) => {
+        val o = t(s, dir)("orders")
+        o.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dbl(sum(m(col("o_totalprice")))).as("sum_price"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n_orders"), col("sum_price"))
+          .orderBy("status", "priority")
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          COALESCE(o_orderpriority, 'ALL') AS priority,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority"""))
+  )
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Sources/sinks beyond parquet (SURVEY §2.2 row 1-2) and the
+  * at-scale join strategies: salted skew joins and bucketed
+  * shuffle-free joins.
+  */
+class JoinsAndSourcesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toFile
+
+  test("csv round-trip preserves documents") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = s"$tmp/docs_csv"
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").csv(p)
+    val back = spark.read.option("header", "true")
+      .schema(docs.schema).csv(p)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum(md5(col("text")).substr(1, 4).isNotNull.cast("int")))
+      .head().getLong(0) == docs.count())
+  }
+
+  test("json round-trip preserves values exactly") {
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val p = s"$tmp/orders_json"
+    o.write.mode("overwrite").json(p)
+    val back = spark.read.schema(o.schema).json(p)
+    assert(back.exceptAll(o).isEmpty && o.exceptAll(back).isEmpty)
+  }
+
+  test("orc round-trip preserves values exactly") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val p = s"$tmp/lineitem_orc"
+    li.write.mode("overwrite").orc(p)
+    val back = spark.read.orc(p)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
+  test("partitionBy writes hive-style directories and prunes on read") {
+    val o = Tables.load(spark, dir, "orders")
+    val p = s"$tmp/orders_part"
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+    val dirs = new java.io.File(p).listFiles().map(_.getName)
+      .filter(_.startsWith("o_orderstatus=")).sorted
+    assert(dirs.toSeq == Seq("o_orderstatus=F", "o_orderstatus=O",
+      "o_orderstatus=P"))
+    // Partition pruning: the filtered scan must read only one
+    // partition directory.
+    val plan = spark.read.parquet(p)
+      .filter(col("o_orderstatus") === "O")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      plan)
+  }
+
+  test("salted join equals plain join (skew-spread, deterministic)") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val su = Tables.load(spark, dir, "supplier")
+    val plain = li.join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    val salted = Joins.saltedJoin(
+      li.withColumnRenamed("l_suppkey", "s_suppkey"), su,
+      key = "s_suppkey", buckets = 8,
+      saltSource = struct(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("s_name").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    // Clean slate: drop catalog entries AND their managed locations
+    // (a crashed prior run can leave the directory behind).
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    // Disable broadcast so the planner must consider a shuffle join —
+    // then bucketing makes it shuffle-free (at 100 TB neither side
+    // broadcasts anyway; this is the co-located big-big join path).
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed").join(
+        spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == li.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Physical-plan audits: the properties that make these queries
+  * scale — filter pushdown, column pruning, broadcast dims, map-side
+  * partial aggregation — asserted on the actual executed plans so a
+  * regression (e.g. a projection that breaks pushdown) fails loudly.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    // (toString elides long field lists, so assert on stable prefixes.)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // Pruned read schema: starts with exactly the projected columns,
+    // i.e. no extra lineitem columns are materialized.
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double"), p)
+  }
+
+  test("q03: dimension join is a broadcast, not a shuffle") {
+    val p = plan("q03_revenue_by_segment")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q05: star join broadcasts every dimension") {
+    val p = plan("q05_nation_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$p")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("d02: minhash partial MIN runs before the shuffle") {
+    val p = plan("d02_minhash_lsh_bands")
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q09: top-k per group shuffles once on the partition key") {
+    val p = plan("q09_topk_per_customer")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project hot path") {
+    // codegen'd stages render as "*(n) Op" in the plan string
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("*(1) Filter"), p)
+  }
+}
