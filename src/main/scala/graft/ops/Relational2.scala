@@ -141,6 +141,50 @@ object Relational2 {
         ORDER BY era""")),
     // ----------------------------------------------------------------
     Q(
+      "q29_session_window",
+      (s, dir) => {
+        // Spark's native session_window operator (30-min gap). The
+        // oracle reconstructs sessions relationally: a gap >= 30 min
+        // starts a new island (Spark's session end bound is
+        // exclusive), then groups by island.
+        val ev = t(s, dir)("events")
+        ev.groupBy(
+          session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            dbl(sum(m(col("value")))).as("sum_value"))
+          .select(col("user_id"),
+            col("sw.start").as("session_start"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, value,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+          FROM events),
+        g AS (
+          SELECT user_id, mts, value, us,
+            CASE WHEN us - LAG(us) OVER w >= 1800000000 OR
+                      LAG(us) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS brk
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sid AS (
+          SELECT user_id, mts, value,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY us, brk DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_id
+          FROM g)
+        SELECT user_id, MIN(mts) AS session_start,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM sid
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start""")),
+    // ----------------------------------------------------------------
+    Q(
       "q27_approx_distinct",
       (s, dir) =>
         // HLL++ sketch vs exact. Cross-engine sketch values differ by
@@ -154,6 +198,52 @@ object Relational2 {
             abs(col("approx_parts") - col("exact_parts")).cast("double") /
               col("exact_parts"))
           .orderBy("l_returnflag")),
+    // ----------------------------------------------------------------
+    Q(
+      "q30_grouping_sets",
+      (s, dir) => {
+        // Explicit GROUPING SETS through the SQL surface (the
+        // engine's spark.sql entry point — SURVEY §2.2 scalar/SQL
+        // row). Set list: by status, by priority, grand total.
+        t(s, dir)("orders").createOrReplaceTempView("orders_gs")
+        s.sql("""
+          SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+            COALESCE(o_orderpriority, 'ALL') AS priority,
+            COUNT(*) AS n_orders
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY status, priority""")
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          COALESCE(o_orderpriority, 'ALL') AS priority,
+          COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q31_pivot_events",
+      (s, dir) =>
+        // pivot with an explicit value list (deterministic columns; an
+        // inferred list would shuffle-scan once to discover values).
+        t(s, dir)("events")
+          .groupBy("user_id")
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some("""
+        SELECT user_id,
+          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
     // ----------------------------------------------------------------
     Q(
       "q28_cube_orders",
