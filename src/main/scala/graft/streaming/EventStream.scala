@@ -85,6 +85,7 @@ object EventStream {
 
   final case class Ev(event_id: Long, user_id: Long, us: Long)
   final case class UserCount(user_id: Long, n_events: Long)
+  final case class Session(user_id: Long, n_events: Long, closed: Boolean)
 
   /** Arbitrary stateful streaming: per-user running event counts.
     * State (one Long per user) lives in the state store and survives
@@ -99,6 +100,36 @@ object EventStream {
           val n = state.getOption.getOrElse(0L) + evs.size
           state.update(n)
           UserCount(user, n)
+      }
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: a session
+    * closes after 30 min (event time) without activity; closed
+    * sessions are emitted, the open one is carried in state. State per
+    * key is one (lastSeen, count) pair — bounded, store-partitioned.
+    */
+  def sessionize(ds: Dataset[Ev]): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          // Within a micro-batch events may arrive unordered: sort.
+          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
+          var (last, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            if (n > 0 && e.us - last >= gapUs) {
+              closed += Session(user, n, closed = true)
+              n = 0
+            }
+            n += 1
+            last = e.us
+          }
+          state.update((last, n))
+          closed.result().iterator
       }
   }
 }

@@ -22,6 +22,19 @@ class GraftExtensionsSpec extends SparkSpec {
         "graft_dot(array(cast(id as double), 2.0d), array(3.0d, 4.0d)) AS v")
       assert(df.agg(org.apache.spark.sql.functions.sum("v"))
         .head().getDouble(0) == 3.0 * (999 * 1000 / 2) + 8.0 * 1000)
+
+      // Optimizer rule: the composable HOF dot-product pattern is
+      // rewritten to the native expression. (Source must be
+      // non-foldable or the whole projection constant-folds away
+      // before the plan can be inspected.)
+      val hof = s2.range(1)
+        .selectExpr("array(cast(id as double) + 1.0d, 2.0d) AS a",
+          "array(3.0d, 4.0d) AS b")
+        .selectExpr(
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS d")
+      assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        hof.queryExecution.optimizedPlan.toString)
+      assert(hof.head().getDouble(0) == 11.0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

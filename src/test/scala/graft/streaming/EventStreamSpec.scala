@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class EventStreamSpec extends SparkSpec {
@@ -45,6 +47,63 @@ class EventStreamSpec extends SparkSpec {
       .collect().groupBy(_.getLong(0))
       .map { case (u, rows) => u -> rows.map(_.getLong(1)).max }
     assert(latest == Map(100L -> 3L, 200L -> 1L))
+    q.stop()
+  }
+
+  test("flatMapGroupsWithState closes sessions across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val halfHourUs = 30L * 60 * 1000000
+
+    val input = MemoryStream[Ev]
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // Batch 1: two events 1 min apart — one open session, nothing out.
+    input.addData(Ev(1, 7, 0), Ev(2, 7, 60L * 1000000))
+    q.processAllAvailable()
+    assert(spark.table("sessions_test").count() == 0)
+
+    // Batch 2: an event 40 min later closes the first session (2
+    // events) and opens a new one.
+    input.addData(Ev(3, 7, 60L * 1000000 + halfHourUs + 600L * 1000000))
+    q.processAllAvailable()
+    val out = spark.table("sessions_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((7L, 2L, true)))
+
+    // Batch 3: another gap closes the second session (1 event).
+    input.addData(Ev(4, 7, 2 * (halfHourUs + 3600L * 1000000)))
+    q.processAllAvailable()
+    assert(spark.table("sessions_test").count() == 2)
+    q.stop()
+  }
+
+  test("streaming dedup with dropDuplicatesWithinWatermark") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    // dedup on event_id within a 1-hour event-time watermark: state
+    // for old keys is dropped once the watermark passes (bounded
+    // memory — the scale requirement for streaming dedup)
+    val q = input.toDS()
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(Ev(1, 7, 1000000), Ev(1, 7, 1000000), Ev(2, 7, 2000000))
+    q.processAllAvailable()
+    input.addData(Ev(2, 7, 2000000), Ev(3, 7, 3000000))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_test").collect()
+      .map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
     q.stop()
   }
 }
