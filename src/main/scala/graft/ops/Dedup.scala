@@ -103,12 +103,21 @@ object Dedup {
     */
   def lshCandidatePairs(documents: DataFrame, minJaccard: Double): DataFrame = {
     val b = minhashBands(documents)
-    val pairs = b.as("a")
-      .join(b.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidate pairs per bucket via groupBy + in-bucket expansion:
+    // one shuffle on (band_id, band_hash), versus a self-join's two
+    // exchanges + broadcast build. Buckets are tiny by construction
+    // (only near-dups collide on a full band), so the quadratic
+    // expansion is bounded; sort_array gives doc_a < doc_b for free.
+    val buckets = b.groupBy("band_id", "band_hash")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1), i ->
+             transform(sequence(0, i - 1), j ->
+               struct(ds[j] AS doc_a, ds[i] AS doc_b))))"""))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     // Distinct shingle sets via the fast exploded path + collect_set
     // (same content as array_distinct(shingles3(toks)), but built by

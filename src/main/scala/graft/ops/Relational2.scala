@@ -246,6 +246,42 @@ object Relational2 {
         ORDER BY user_id""")),
     // ----------------------------------------------------------------
     Q(
+      "q32_median_by_type",
+      (s, dir) => {
+        // Exact median by row-position selection (portable across
+        // engines, unlike percentile interpolation internals): pick
+        // the middle one or two ordered rows per group and average
+        // them — (a+b)/2 on two identical doubles is identical IEEE.
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        t(s, dir)("events")
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1))
+            .over(Window.partitionBy(col("event_type"))))
+          .filter(col("rn") === expr("(cnt + 1) div 2") ||
+            col("rn") === expr("(cnt + 2) div 2"))
+          .groupBy("event_type")
+          .agg((sum(col("value")) / count(lit(1))).as("median_value"),
+            max(col("cnt")).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM events)
+        SELECT event_type,
+          SUM(value) / COUNT(*) AS median_value,
+          MAX(cnt) AS n
+        FROM r
+        WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        GROUP BY event_type
+        ORDER BY event_type""")),
+    // ----------------------------------------------------------------
+    Q(
       "q28_cube_orders",
       (s, dir) => {
         val o = t(s, dir)("orders")
