@@ -115,19 +115,29 @@ object TextFunctions {
            ELSE [array_to_string(tl, ' ')] END AS sl
        FROM toks"""
 
-  /** DuckDB: 8×4 md5 LSH bands from the `sl` shingle list, as a list of
-    * {i, h} structs.
+  /** DuckDB: per-shingle Carter-Wegman base hashes [a, b] from two md5
+    * hex prefixes (mirrors Dedup.minhashBands' `based` step).
+    */
+  val sqlBaseHashes: String =
+    """SELECT doc_id,
+         list_transform(sl, t -> [
+           CAST('0x' || substr(md5('a ' || t), 1, 7) AS BIGINT),
+           CAST('0x' || substr(md5('b ' || t), 1, 7) AS BIGINT)]) AS hs
+       FROM sh"""
+
+  /** DuckDB: 8×4 LSH bands from the `hs` base-hash pairs, as a list of
+    * {i, h} structs: minhash_i = min (a + i*b) % 268435399.
     */
   val sqlBands: String =
     """SELECT doc_id,
-         list_transform(range(0, 8), b -> {
-           'i': b,
+         list_transform(range(0, 8), band -> {
+           'i': band,
            'h': md5(array_to_string(
                   list_transform(range(0, 4), r ->
-                    list_aggregate(
-                      list_transform(sl, t ->
-                        md5(CAST(b*4 + r AS VARCHAR) || ' ' || t)),
-                      'min')),
+                    CAST(list_aggregate(
+                      list_transform(hs, p ->
+                        (p[1] + (band*4 + r) * p[2]) % 268435399),
+                      'min') AS VARCHAR)),
                   '|'))}) AS bands
-       FROM sh"""
+       FROM hb"""
 }

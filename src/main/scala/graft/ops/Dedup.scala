@@ -78,21 +78,39 @@ object Dedup {
     * the shingles. (A first cut used nested transform/array_min HOFs:
     * interpreted, ~60× slower.)
     */
+  /** Carter-Wegman modulus for the seeded minhash family (prime just
+    * under 2^28, so `a + 31*b` stays far below 2^63).
+    */
+  val MinhashMod = 268435399L
+
   def minhashBands(documents: DataFrame): DataFrame = {
     val nHashes = 32
     val rowsPerBand = 4
     val sh = shingleRows(documents)
-    val hashed = sh.select(
+    // 2 md5s per shingle + 32 arithmetic derivations
+    // h_i = (a + i*b) mod p  (a 2-universal family), instead of 32
+    // md5s: ~6× less digest work, and every step — hex-prefix → int,
+    // (a + i*b) % p, decimal-string rendering — is reproducible in the
+    // DuckDB oracle. Base hashes materialize as attributes FIRST so
+    // the md5 is evaluated twice per shingle, not 2×32 times.
+    val hex15 = (seed: String) =>
+      conv(substring(md5(concat(lit(seed), col("t"))), 1, 7), 16, 10)
+        .cast("long")
+    val based = sh.select(col("doc_id"),
+      hex15("a ").as("ha"), hex15("b ").as("hb"))
+    val hashed = based.select(
       col("doc_id") +:
         (0 until nHashes).map(i =>
-          md5(concat(lit(s"$i "), col("t"))).as(s"h$i")): _*)
+          ((col("ha") + lit(i.toLong) * col("hb")) % MinhashMod)
+            .as(s"h$i")): _*)
     val sig = hashed.groupBy("doc_id")
       .agg(
         min(col("h0")).as("m0"),
         (1 until nHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
     val bands = array((0 until nHashes / rowsPerBand).map { b =>
       md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+        (0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}").cast("string")): _*))
     }: _*)
     sig.select(col("doc_id"),
       posexplode(bands).as(Seq("band_id", "band_hash")))
@@ -145,6 +163,7 @@ object Dedup {
   private val sqlBandsCte =
     s"""WITH toks AS ($sqlToks),
         sh AS ($sqlShingles),
+        hb AS ($sqlBaseHashes),
         sig AS ($sqlBands),
         bands AS (
           SELECT doc_id, CAST(u.i AS INT) AS band_id, u.h AS band_hash

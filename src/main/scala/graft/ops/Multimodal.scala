@@ -72,6 +72,37 @@ object Multimodal {
         FROM documents ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(
+      "m03_frame_sample",
+      (s, dir) =>
+        // Frame-sampling plumbing over an opaque payload: cut the
+        // payload into fixed 64-char frames at stride 192 (≙ every 3rd
+        // frame of a video track), digest each sampled frame, emit a
+        // per-payload digest + frame count. The chunk/stride/sample
+        // arithmetic is the real pattern; only the payload is text
+        // standing in for codec output.
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("""transform(
+                      sequence(0, (length(text) - 1) div 192),
+                      i -> md5(substring(text, i*192 + 1, 64)))""")
+              .as("frame_digests"))
+          .select(col("doc_id"),
+            size(col("frame_digests")).as("n_frames"),
+            md5(concat_ws("", col("frame_digests"))).as("sample_digest"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+            list_transform(range(0, (length(text) - 1) // 192 + 1),
+                           i -> md5(substr(text, CAST(i*192 + 1 AS INT), 64)))
+              AS frame_digests
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(frame_digests) AS INT) AS n_frames,
+          md5(array_to_string(frame_digests, '')) AS sample_digest
+        FROM f ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
       "m02_decode_features",
       (s, dir) => {
         // Decode/feature-extract over a binary column via typed

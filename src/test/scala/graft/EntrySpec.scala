@@ -20,4 +20,15 @@ class EntrySpec extends SparkSpec {
     val covered = SparkEntry.oracleSql.size.toDouble / SparkEntry.queries.size
     assert(covered > 0.8, s"oracle coverage $covered")
   }
+
+  test("every query executes at sf0.001 and returns a readable result") {
+    val failures = SparkEntry.registry.flatMap { q =>
+      try {
+        q.run(spark, "/root/testdata/sf0.001").write
+          .format("noop").mode("overwrite").save()
+        None
+      } catch { case e: Throwable => Some(q.name -> e.getMessage) }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }

@@ -106,4 +106,22 @@ class DiscogsReleasesSpec extends SparkSpec {
   test("validate passes on conforming data") {
     DiscogsReleases.validate(result)
   }
+
+  test("malformed content fails loudly (FAILFAST ≈ the reference's panics)") {
+    // is_main_release="maybe" — the reference panics (main.rs:826-836);
+    // our declared BooleanType + FAILFAST raises instead of nulling.
+    val bad = new File(tmpDir, "bad.xml")
+    Files.writeString(bad.toPath,
+      """<releases>
+        |<release id="9" status="Accepted"><title>T</title><artists></artists><genres></genres><styles></styles><labels></labels><master_id is_main_release="maybe">7</master_id></release>
+        |</releases>""".stripMargin)
+    val e = intercept[Exception] {
+      DiscogsReleases.transformReleases(
+        DiscogsReleases.read(spark, bad.getAbsolutePath)).collect()
+    }
+    assert(e.getMessage.contains("Malformed") ||
+      e.toString.contains("FAILFAST") ||
+      Option(e.getCause).exists(_.toString.contains("Malformed")),
+      e.toString)
+  }
 }
