@@ -282,6 +282,79 @@ object Relational2 {
         ORDER BY event_type""")),
     // ----------------------------------------------------------------
     Q(
+      "q33_stats_moments",
+      (s, dir) => {
+        // Sample variance/stddev/correlation from exact decimal power
+        // sums (n·Σx² − (Σx)²) — order-independent and cross-engine
+        // exact, unlike built-in STDDEV/CORR whose streaming update
+        // formulas differ between engines. Doubles appear only after
+        // the sums are final.
+        val ev = t(s, dir)("events")
+          .withColumn("k",
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").cast("int"))
+        // Values are bounded (value<=~330, k<=~99), so the power sums
+        // fit comfortably in down-cast widths; SUM results must be
+        // narrowed before multiplication or decimal width caps (38)
+        // behave differently per engine.
+        val v6 = (c: org.apache.spark.sql.Column) => c.cast("decimal(6,2)")
+        val g = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n0"),
+          sum(v6(col("value"))).as("sx0"),
+          sum(v6(col("value")) * v6(col("value"))).as("sx20"),
+          sum(v6(col("k"))).as("sy0"),
+          sum(v6(col("k")) * v6(col("k"))).as("sy20"),
+          sum(v6(col("value")) * v6(col("k"))).as("sxy0"))
+          .select(col("event_type"),
+            col("n0").as("n"),
+            col("n0").cast("decimal(10,0)").as("nd"),
+            col("sx0").cast("decimal(16,2)").as("sx"),
+            col("sx20").cast("decimal(18,4)").as("sx2"),
+            col("sy0").cast("decimal(16,2)").as("sy"),
+            col("sy20").cast("decimal(18,4)").as("sy2"),
+            col("sxy0").cast("decimal(18,4)").as("sxy"))
+        g.select(
+          col("event_type"), col("n"),
+          (dbl(col("nd") * col("sx2") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))).as("var_value"),
+          sqrt(dbl(col("nd") * col("sx2") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))).as("stddev_value"),
+          (dbl(col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(dbl(col("nd") * col("sx2") - col("sx") * col("sx"))) *
+              sqrt(dbl(col("nd") * col("sy2") - col("sy") * col("sy")))))
+            .as("corr_value_k"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH g0 AS (
+          SELECT event_type, COUNT(*) AS n,
+            SUM(CAST(value AS DECIMAL(6,2))) AS sx0,
+            SUM(CAST(value AS DECIMAL(6,2)) * CAST(value AS DECIMAL(6,2))) AS sx20,
+            SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(6,2))) AS sy0,
+            SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(6,2))
+                * CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(6,2))) AS sy20,
+            SUM(CAST(value AS DECIMAL(6,2))
+                * CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(6,2))) AS sxy0
+          FROM events GROUP BY event_type),
+        g AS (
+          SELECT event_type, n,
+            CAST(n AS DECIMAL(10,0)) AS nd,
+            CAST(sx0 AS DECIMAL(16,2)) AS sx,
+            CAST(sx20 AS DECIMAL(18,4)) AS sx2,
+            CAST(sy0 AS DECIMAL(16,2)) AS sy,
+            CAST(sy20 AS DECIMAL(18,4)) AS sy2,
+            CAST(sxy0 AS DECIMAL(18,4)) AS sxy
+          FROM g0)
+        SELECT event_type, n,
+          CAST(nd * sx2 - sx * sx AS DOUBLE) / (n * (n - 1)) AS var_value,
+          sqrt(CAST(nd * sx2 - sx * sx AS DOUBLE) / (n * (n - 1))) AS stddev_value,
+          CAST(nd * sxy - sx * sy AS DOUBLE) /
+            (sqrt(CAST(nd * sx2 - sx * sx AS DOUBLE)) *
+             sqrt(CAST(nd * sy2 - sy * sy AS DOUBLE))) AS corr_value_k
+        FROM g ORDER BY event_type""")),
+    // ----------------------------------------------------------------
+    Q(
       "q28_cube_orders",
       (s, dir) => {
         val o = t(s, dir)("orders")
