@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing facade (SURVEY §7 step 4): one object that makes a
+  * SparkSession "the engine" — testdata tables registered as views,
+  * native functions installed, the query catalog and the Discogs ETL
+  * reachable by name.
+  *
+  * {{{
+  * val engine = new Engine(spark, "/root/testdata/sf0.01")
+  * engine.sql("SELECT count(*) FROM lineitem")
+  * engine.query("q01_pricing_summary")
+  * engine.convertReleases("dump.xml.gz", "out/")
+  * }}}
+  */
+class Engine(val spark: SparkSession, dir: String) {
+
+  Tables.registerAll(spark, dir)
+  functions.VectorExpressions.register(spark)
+
+  /** Ad-hoc SQL over the registered tables. */
+  def sql(q: String): DataFrame = spark.sql(q)
+
+  def table(name: String): DataFrame = spark.table(name)
+
+  /** Run a catalog query by name (see `queryNames`). */
+  def query(name: String): DataFrame = {
+    require(SparkEntry.queries.contains(name),
+      s"unknown query '$name'; known: ${queryNames.mkString(", ")}")
+    SparkEntry.queries(name)(spark, dir)
+  }
+
+  def queryNames: Seq[String] = SparkEntry.registry.map(_.name)
+
+  /** The reference pipeline: gzipped releases XML → snappy parquet. */
+  def convertReleases(inputXmlGz: String, outputDir: String): Unit =
+    etl.DiscogsReleases.run(spark, inputXmlGz, outputDir)
+}

@@ -355,6 +355,37 @@ object Relational2 {
         FROM g ORDER BY event_type""")),
     // ----------------------------------------------------------------
     Q(
+      "q34_topk_aggregator",
+      (s, dir) => {
+        // Same semantics as q09 but via the typed TopKAggregator UDAF:
+        // bounded per-group buffers combine map-side, so the shuffle
+        // carries <=k rows per group per task and nothing is globally
+        // sorted (the window form sorts every group).
+        val sparkS = s
+        import sparkS.implicits._
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+          .as[(Long, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(new graft.functions.TopKAggregator(3).toColumn)
+          .flatMap { case (cust, items) =>
+            items.zipWithIndex.map { case ((price, okey), i) =>
+              (cust, okey, price, i + 1)
+            }
+          }
+          .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3
+        ORDER BY o_custkey, rn""")),
+    // ----------------------------------------------------------------
+    Q(
       "q28_cube_orders",
       (s, dir) => {
         val o = t(s, dir)("orders")
