@@ -386,6 +386,59 @@ object Relational2 {
         ORDER BY o_custkey, rn""")),
     // ----------------------------------------------------------------
     Q(
+      "q35_left_outer_join",
+      (s, dir) => {
+        val c = t(s, dir)("customer")
+        val o = t(s, dir)("orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy("c_custkey", "c_name")
+          .agg(
+            count(col("o_orderkey")).as("n_orders_1995"),
+            dbl(coalesce(sum(m(col("o_totalprice"))),
+              lit(0).cast(D.money))).as("sum_price_1995"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+          COUNT(o_orderkey) AS n_orders_1995,
+          CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))),
+                        CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS sum_price_1995
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey
+         AND o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q36_full_outer_join",
+      (s, dir) => {
+        val cn = t(s, dir)("customer").groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_customers"))
+        val sn = t(s, dir)("supplier").groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"))
+        cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey"))
+              .as("nationkey"),
+            coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+            coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+          .orderBy("nationkey")
+      },
+      Some("""
+        WITH cn AS (SELECT c_nationkey, COUNT(*) AS n_customers
+                    FROM customer GROUP BY c_nationkey),
+        sn AS (SELECT s_nationkey, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+        SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+          COALESCE(n_customers, 0) AS n_customers,
+          COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey
+        ORDER BY nationkey""")),
+    // ----------------------------------------------------------------
+    Q(
       "q28_cube_orders",
       (s, dir) => {
         val o = t(s, dir)("orders")
