@@ -39,7 +39,26 @@ class DiscogsReleasesSpec extends SparkSpec {
     result.collect().map(r => r.getInt(0) -> r).toMap
 
   test("all releases parsed from gzipped XML") {
-    assert(byId.keySet == Set(1, 2, 3))
+    assert(byId.keySet == Set(1, 2, 3, 4))
+  }
+
+  test("FIXTURES A.1 canonical release: every populated column + all skip-subtrees") {
+    val r = byId(4)
+    assert(r.getAs[String]("status") == "Accepted")
+    assert(r.getAs[String]("title") == "Stockholm")
+    val a = r.getAs[scala.collection.Seq[Row]]("artists")
+    assert(a.map(x => (x.getAs[String]("id"), x.getAs[String]("name"),
+      x.getAs[String]("anv"), x.getAs[String]("join"))) ==
+      Seq(("1", "Persuader", "P.", "&")))
+    assert(r.getAs[scala.collection.Seq[String]]("genres").toSeq ==
+      Seq("Electronic"))
+    assert(r.getAs[scala.collection.Seq[String]]("styles").toSeq ==
+      Seq("Deep House"))
+    val l = r.getAs[scala.collection.Seq[Row]]("labels")
+    assert(l.map(x => (x.getAs[String]("id"), x.getAs[String]("cat_no"),
+      x.getAs[String]("name"))) == Seq(("5", "SK032", "Svek")))
+    assert(r.getAs[Boolean]("is_main_release") == true)
+    assert(r.getAs[Int]("master_id") == 575)
   }
 
   test("output schema matches the reference's column order and names") {
