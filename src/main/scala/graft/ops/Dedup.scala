@@ -137,11 +137,16 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    // Distinct shingle sets via the fast exploded path + collect_set
-    // (same content as array_distinct(shingles3(toks)), but built by
-    // the codegen'd shingleRows pipeline instead of interpreted HOFs).
+    // Distinct shingle sets via the fast exploded path + collect_set,
+    // with each shingle replaced by a 16-hex-char md5 prefix: set
+    // semantics are preserved (collision odds ~2^-64·|A|·|B|, and the
+    // DuckDB oracle applies the identical hashing so the compare stays
+    // exact), while the per-pair arrays shipped through the verify
+    // join shrink ~3×. On dup-heavy corpora the verify join dominates
+    // d03 — see ScaleSmoke.
     val sh = shingleRows(documents)
-      .groupBy("doc_id").agg(collect_set(col("t")).as("sl"))
+      .groupBy("doc_id")
+      .agg(collect_set(substring(md5(col("t")), 1, 16)).as("sl"))
     pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -216,10 +221,12 @@ object Dedup {
            AND a.doc_id < b.doc_id),
         shd AS (
           SELECT doc_id,
-            list_distinct(CASE WHEN len(tl) >= 3
-              THEN list_transform(range(1, len(tl) - 1),
-                     i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
-              ELSE [array_to_string(tl, ' ')] END) AS sl
+            list_distinct(list_transform(
+              CASE WHEN len(tl) >= 3
+                THEN list_transform(range(1, len(tl) - 1),
+                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+                ELSE [array_to_string(tl, ' ')] END,
+              t -> substr(md5(t), 1, 16))) AS sl
           FROM toks)
         SELECT doc_a, doc_b,
           CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE) /
@@ -266,6 +273,36 @@ object Dedup {
           posexplode(bands).as(Seq("band_id", "band_hash")))
           .orderBy("doc_id", "band_id")
       }),
+    // ----------------------------------------------------------------
+    Q(
+      "d07_lsh_dedup_keepers",
+      (s, dir) => {
+        // Cluster-level LSH dedup — the operation a dup-heavy corpus
+        // actually needs (d03's pair enumeration is quadratic in
+        // cluster size; electing one keeper per cluster is linear).
+        // One hop of min-propagation over bucket membership: keeper =
+        // min(doc_id) across all of a doc's bucket-mates. (Full
+        // transitive closure would iterate to a fixpoint; one hop
+        // already collapses every same-bucket cluster.)
+        val b = minhashBands(docs(s, dir))
+        val bucketMin = b.groupBy("band_id", "band_hash")
+          .agg(min(col("doc_id")).as("bucket_min"))
+        b.join(bucketMin, Seq("band_id", "band_hash"))
+          .groupBy("doc_id")
+          .agg(min(col("bucket_min")).as("keeper"))
+          .withColumn("is_kept", (col("keeper") === col("doc_id")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        $sqlBandsCte,
+        bm AS (
+          SELECT band_id, band_hash, MIN(doc_id) AS bucket_min
+          FROM bands GROUP BY band_id, band_hash)
+        SELECT b.doc_id, MIN(bm.bucket_min) AS keeper,
+          CAST(MIN(bm.bucket_min) = b.doc_id AS INT) AS is_kept
+        FROM bands b JOIN bm USING (band_id, band_hash)
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id""")),
     // ----------------------------------------------------------------
     Q(
       "d06_embedding_neardup",
