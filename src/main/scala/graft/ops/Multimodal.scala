@@ -115,7 +115,10 @@ object Multimodal {
           .select(col("doc_id"),
             encode(col("text"), "UTF-8").as("payload"))
           .as[Blob]
-          .mapPartitions(_.map(fakeDecode))
+          // Batch boundary shaped like real inference: the decoder
+          // sees fixed-size batches (a codec/ONNX session would be
+          // opened once per partition, fed 64 payloads at a time).
+          .mapPartitions(_.grouped(64).flatMap(batch => batch.map(fakeDecode)))
           .toDF()
           .select(col("doc_id"), col("width"), col("height"),
             col("n_bytes"), element_at(col("features"), 1).as("feat0"))

@@ -439,6 +439,34 @@ object Relational2 {
         ORDER BY nationkey""")),
     // ----------------------------------------------------------------
     Q(
+      "q37_correlated_subquery",
+      (s, dir) => {
+        // Correlated scalar subqueries through the SQL surface —
+        // Catalyst decorrelates both into aggregates + joins (no
+        // per-row re-execution). The above-own-average predicate is
+        // FP-free: price*cnt > sum over exact decimals.
+        t(s, dir)("orders").createOrReplaceTempView("orders_cs")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders_cs o
+          WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+                (SELECT COUNT(*) FROM orders_cs i
+                 WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                 FROM orders_cs i WHERE i.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+              (SELECT COUNT(*) FROM orders i
+               WHERE i.o_custkey = o.o_custkey)
+            > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+               FROM orders i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")),
+    // ----------------------------------------------------------------
+    Q(
       "q28_cube_orders",
       (s, dir) => {
         val o = t(s, dir)("orders")

@@ -103,6 +103,26 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: purchases enriched with any view by
+    * the same user in the preceding hour. Both sides are watermarked,
+    * and the join condition bounds event-time distance, so each side's
+    * buffered state is evicted once the watermark passes — the
+    * requirement for an unbounded stream-stream join.
+    */
+  def purchasesWithRecentViews(
+      purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+    val v = views
+      .withColumnRenamed("ts", "view_ts")
+      .withColumnRenamed("user_id", "view_user")
+      .withColumnRenamed("event_id", "view_event_id")
+      .withWatermark("view_ts", "1 hour")
+    p.join(v,
+      col("user_id") === col("view_user") &&
+        col("view_ts") <= col("ts") &&
+        col("view_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: a session
     * closes after 30 min (event time) without activity; closed
     * sessions are emitted, the open one is carried in state. State per

@@ -81,6 +81,37 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join matches purchases to recent views") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000000
+
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val toTs = (ds: org.apache.spark.sql.Dataset[Ev]) =>
+      ds.withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = purchasesWithRecentViews(toTs(pIn.toDS()), toTs(vIn.toDS()))
+      .select(col("event_id"), col("view_event_id"))
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // view at t=30min; purchases at t=60min (within 1h) and t=10h (not)
+    vIn.addData(Ev(100, 7, hourUs / 2))
+    pIn.addData(Ev(1, 7, hourUs), Ev(2, 7, 10 * hourUs))
+    q.processAllAvailable()
+    // advance both watermarks so joined results flush in append mode
+    vIn.addData(Ev(101, 7, 20 * hourUs))
+    pIn.addData(Ev(3, 7, 20 * hourUs))
+    q.processAllAvailable()
+
+    val pairs = spark.table("ssjoin_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 100L)), pairs) // within the hour
+    assert(!pairs.contains((2L, 100L)), pairs) // 9.5h later — excluded
+    q.stop()
+  }
+
   test("streaming dedup with dropDuplicatesWithinWatermark") {
     val sparkS = spark
     import sparkS.implicits._
