@@ -94,6 +94,30 @@ object TextFunctions {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** 60-bit SimHash from md5-derived token hashes — the
+    * oracle-portable variant: token hash = first 15 md5 hex digits as
+    * a 60-bit integer, reproducible in DuckDB via
+    * `CAST('0x'||substr(md5(t),1,15) AS BIGINT)`. Same single-pass
+    * counter scheme as [[simhash64]].
+    */
+  def simhash60Md5(toksCol: String): Column = expr(
+    s"""aggregate(
+          aggregate(
+            transform($toksCol,
+              t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+            array_repeat(cast(0 as bigint), 60),
+            (acc, h) -> zip_with(acc,
+              transform(sequence(0, 59),
+                i -> if((shiftright(h, i) & 1) = 1,
+                        cast(1 as bigint), cast(-1 as bigint))),
+              (a, c) -> a + c)),
+          named_struct('i', 0, 'h', cast(0 as bigint)),
+          (s, c) -> named_struct(
+            'i', s.i + 1,
+            'h', s.h + if(c >= 0, shiftleft(cast(1 as bigint), s.i),
+                          cast(0 as bigint))),
+          s -> s.h)""")
+
   // ------------------------------------------------------------------
   // Shared DuckDB oracle SQL fragments (kept next to the Spark
   // implementations above so the two stay in lockstep).

@@ -243,10 +243,33 @@ object Dedup {
     Q(
       "d04_simhash",
       (s, dir) =>
-        // 64-bit SimHash per document (xxhash64 token hashes — no
-        // portable SQL equivalent, so this entry is rows-only checked;
-        // the algorithm itself is pinned by DedupSpec).
-        simhashes(docs(s, dir)).orderBy("doc_id")),
+        // 60-bit SimHash per document, md5-derived token hashes —
+        // oracle-checked bit-for-bit against DuckDB. (The xxhash64
+        // variant, `simhashes`, is the cheaper scale path, pinned by
+        // DedupSpec.)
+        docs(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), simhash60Md5("toks").as("simhash"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents),
+        hs AS (
+          SELECT doc_id,
+            list_transform(tl,
+              t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS bases
+          FROM toks)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), i ->
+            CASE WHEN list_sum(list_transform(bases, h ->
+                   CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS simhash
+        FROM hs ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(
       "d05_minhash_bands_fast",

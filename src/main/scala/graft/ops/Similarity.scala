@@ -88,9 +88,9 @@ object Similarity {
       "s02_lsh_buckets",
       (s, dir) => {
         // 16 deterministic pseudo-random hyperplanes; weight for
-        // (plane b, dim j) is ±1 from the parity of xxhash64(b*64+j).
-        // Bucket = the 16 sign bits packed into an int. Rows-only
-        // checked (no portable 64-bit hash in the oracle).
+        // (plane b, dim j) is ±1 from the parity of a portable md5
+        // digit, so the DuckDB oracle reproduces the buckets exactly.
+        // Bucket = the 16 sign bits packed into an int.
         //
         // Shape: explode dims → broadcast-join the 1024-row plane
         // table → partial-agg per (vec, plane) → pack bits. All
@@ -106,7 +106,9 @@ object Similarity {
         val planes = s.range(16).select(col("id").cast("int").as("b"))
           .crossJoin(s.range(1, 65).select(col("id").cast("int").as("j")))
           .select(col("b"), col("j"),
-            when(pmod(xxhash64(col("b") * 64 + col("j")), lit(2)) === 0, 1)
+            when(
+              (conv(substring(md5(concat_ws(",", col("b"), col("j"))), 1, 1),
+                16, 10).cast("int") % 2) === 0, 1)
               .otherwise(-1).as("w"))
         dims.join(broadcast(planes), "j")
           .groupBy("vec_id", "label", "b")
@@ -116,7 +118,32 @@ object Similarity {
             .cast("int").as("bucket"))
           .select("vec_id", "label", "bucket")
           .orderBy("vec_id")
-      }),
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT vec_id, label, CAST(u.i AS INT) AS j,
+            CAST(u.x AS DECIMAL(28,12)) AS xd
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        planes AS (
+          SELECT CAST(b.range AS INT) AS b, CAST(j.range AS INT) AS j,
+            CASE WHEN CAST('0x' || substr(md5(CAST(b.range AS VARCHAR) || ','
+                   || CAST(j.range AS VARCHAR)), 1, 1) AS INT) % 2 = 0
+                 THEN 1 ELSE -1 END AS w
+          FROM range(0, 16) b, range(1, 65) j),
+        proj AS (
+          SELECT vec_id, label, b, SUM(xd * w) AS d
+          FROM dims JOIN planes USING (j)
+          GROUP BY vec_id, label, b)
+        SELECT vec_id, label,
+          CAST(SUM(CASE WHEN d >= 0 THEN (1 << b) ELSE 0 END) AS INT) AS bucket
+        FROM proj
+        GROUP BY vec_id, label
+        ORDER BY vec_id""")),
     // ----------------------------------------------------------------
     Q(
       "s03_ivf_topk",
@@ -125,10 +152,14 @@ object Similarity {
         // Coarse centroids: per-label per-dimension mean, computed
         // distributively (posexplode → groupBy(label, dim) → rebuild
         // vector with array_agg sorted by dim).
+        // Exact-decimal mean per (label, dim): order-independent and
+        // engine-independent, so the centroid doubles (and everything
+        // ranked from them) hash-match the DuckDB oracle.
         val centroids = e
           .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy("label", "dim")
-          .agg(avg(col("x")).as("cx"))
+          .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("cx"))
           .groupBy("label")
           .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
             .as("pairs"))
@@ -155,6 +186,45 @@ object Similarity {
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .orderBy("qid", "rnk")
-      })
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM dims GROUP BY label, dim)
+          GROUP BY label),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        probe AS (
+          SELECT qid, qv, label AS probe_label FROM (
+            SELECT q.qid, q.qv, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn = 1),
+        scored AS (
+          SELECT p.qid, p.probe_label, e.vec_id,
+            ROUND(list_sum(list_transform(list_zip(p.qv, e.v), pr -> pr[1]*pr[2])) /
+              (sqrt(list_sum(list_transform(p.qv, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos_sim
+          FROM e JOIN probe p
+            ON e.label = p.probe_label AND e.vec_id <> p.qid)
+        SELECT qid, probe_label, vec_id, cos_sim, rnk FROM (
+          SELECT qid, probe_label, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk"""))
   )
 }
