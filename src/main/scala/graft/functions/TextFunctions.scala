@@ -39,35 +39,6 @@ object TextFunctions {
           element_at(toks, i + 2))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** One MinHash value (md5 family, seeded): the minimum md5 hex digest
-    * of `"<seed> " + shingle`. String-min over fixed-width hex equals
-    * numeric min over the 128-bit hashes.
-    */
-  def minhashMd5(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, t => md5(concat(lit(s"$seed "), t))))
-
-  /** LSH band hashes (md5 family): `nBands` values, each the md5 of the
-    * concatenated `rowsPerBand` MinHashes of that band.
-    */
-  def bandsMd5(shingles: Column, nBands: Int, rowsPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      md5(concat_ws("|",
-        (0 until rowsPerBand).map(r =>
-          minhashMd5(shingles, b * rowsPerBand + r)): _*))
-    }: _*)
-
-  /** One MinHash value (xxhash64 family, seeded) — the scale path. */
-  def minhashXx(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, t => xxhash64(lit(seed), t)))
-
-  /** LSH band hashes (xxhash64 family). */
-  def bandsXx(shingles: Column, nBands: Int, rowsPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      xxhash64(
-        (0 until rowsPerBand).map(r =>
-          minhashXx(shingles, b * rowsPerBand + r)): _*)
-    }: _*)
-
   /** 64-bit SimHash over a token array column named by `toksCol`.
     *
     * Classic scheme: per bit position, sum +1/-1 over token hashes,

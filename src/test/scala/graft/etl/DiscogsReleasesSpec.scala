@@ -39,7 +39,18 @@ class DiscogsReleasesSpec extends SparkSpec {
     result.collect().map(r => r.getInt(0) -> r).toMap
 
   test("all releases parsed from gzipped XML") {
-    assert(byId.keySet == Set(1, 2, 3, 4))
+    assert(byId.keySet == Set(1, 2, 3, 4, 5))
+  }
+
+  test("self-closed containers and unicode/entity text") {
+    // <labels/> (self-closed, main.rs:518-520 empty-tag skip) ⇒ empty list
+    assert(byId(2).getAs[scala.collection.Seq[Row]]("labels") == Seq.empty)
+    val r5 = byId(5)
+    assert(r5.getAs[String]("title") == "日本 <3 æøå >&<")
+    assert(r5.getAs[scala.collection.Seq[Row]]("artists") == Seq.empty)
+    assert(r5.getAs[scala.collection.Seq[String]]("genres").toSeq ==
+      Seq("Électronique"))
+    assert(r5.getAs[scala.collection.Seq[String]]("styles") == Seq.empty)
   }
 
   test("FIXTURES A.1 canonical release: every populated column + all skip-subtrees") {

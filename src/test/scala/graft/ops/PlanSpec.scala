@@ -46,6 +46,9 @@ class PlanSpec extends SparkSpec {
   test("d02: minhash partial MIN runs before the shuffle") {
     val p = plan("d02_minhash_lsh_bands")
     assert(p.contains("partial_min"), p)
+    // Column pruning survives the repartition: the documents scan
+    // reads only (doc_id, text), not lang/source/n_chars.
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
   test("q09: top-k per group shuffles once on the partition key") {
