@@ -94,12 +94,15 @@ object TextFunctions {
   // implementations above so the two stay in lockstep).
   // ------------------------------------------------------------------
 
-  /** DuckDB: tokens CTE body over `documents`. */
+  /** DuckDB: tokens CTE body over `documents` (null text excluded —
+    * mirrors Dedup.shingleRows).
+    */
   val sqlToks: String =
     """SELECT doc_id, lang,
          list_filter(string_split_regex(lower(text), '\s+'),
                      x -> len(x) > 0) AS tl
-       FROM documents"""
+       FROM documents
+       WHERE text IS NOT NULL"""
 
   /** DuckDB: 3-shingles from the `tl` token list. */
   val sqlShingles: String =

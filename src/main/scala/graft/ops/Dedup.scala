@@ -52,6 +52,11 @@ object Dedup {
   def shingleRows(documents: DataFrame): DataFrame = {
     val toks = col("toks")
     documents
+      // Null text has no content identity: without this filter every
+      // null-text doc hashes to the SAME (empty) band signature, they
+      // all pair with each other, and their empty shingle sets divide
+      // by zero in the Jaccard verify (found by NullInputSpec).
+      .filter(col("text").isNotNull)
       .repartition(
         documents.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
@@ -151,10 +156,13 @@ object Dedup {
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.sl"), col("sb.sl")))
-          .cast("double") /
-          size(array_union(col("sa.sl"), col("sb.sl")))
-            .cast("double")).as("jaccard"))
+        // union can only be empty for content-free pairs; treat their
+        // similarity as 0 rather than dividing by zero (ANSI mode).
+        when(size(array_union(col("sa.sl"), col("sb.sl"))) > 0,
+          size(array_intersect(col("sa.sl"), col("sb.sl")))
+            .cast("double") /
+            size(array_union(col("sa.sl"), col("sb.sl"))).cast("double"))
+          .otherwise(lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -114,6 +114,8 @@ object Multimodal {
         Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             encode(col("text"), "UTF-8").as("payload"))
+          // undecodable (null) payloads are skipped, not crashed on
+          .filter(col("payload").isNotNull)
           .as[Blob]
           // Batch boundary shaped like real inference: the decoder
           // sees fixed-size batches (a codec/ONNX session would be
