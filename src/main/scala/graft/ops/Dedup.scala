@@ -166,6 +166,47 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Transitive LSH dedup closure: connected components over the
+    * doc↔bucket bipartite graph via iterative min-label propagation
+    * (doc label ← min over its buckets of the bucket's min member
+    * label), run to fixpoint.
+    *
+    * This is the full-strength version of d07's one-hop keeper
+    * election: chains A~B~C collapse to one keeper even when A and C
+    * share no bucket. Iterative DataFrame algorithms need
+    * `localCheckpoint()` per round — without it the join lineage grows
+    * superlinearly and the driver re-optimizes an ever-deeper plan.
+    * Convergence in O(cluster diameter) rounds; dedup clusters are
+    * shallow, so `maxIter` ~10 is generous.
+    */
+  def connectedKeepers(documents: DataFrame, maxIter: Int = 10): DataFrame = {
+    val member = minhashBands(documents)
+      .select("doc_id", "band_id", "band_hash")
+    var labels = documents.select(col("doc_id"),
+      col("doc_id").as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val bucketMin = member.join(labels, "doc_id")
+        .groupBy("band_id", "band_hash")
+        .agg(min(col("label")).as("bl"))
+      val cand = member.join(bucketMin, Seq("band_id", "band_hash"))
+        .groupBy("doc_id")
+        .agg(min(col("bl")).as("cand"))
+      val updated = labels.join(cand, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("cand"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("label", "old"),
+        "doc_id").filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("keeper"),
+      (col("label") === col("doc_id")).cast("int").as("is_kept"))
+  }
+
   /** doc_id → 64-bit SimHash. */
   def simhashes(documents: DataFrame): DataFrame =
     documents
@@ -334,6 +375,13 @@ object Dedup {
         FROM bands b JOIN bm USING (band_id, band_hash)
         GROUP BY b.doc_id
         ORDER BY b.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d08_lsh_connected_keepers",
+      (s, dir) =>
+        // Fixpoint dedup closure (rows-only: iterative — not
+        // single-query SQL; transitivity is pinned by DedupSpec).
+        connectedKeepers(docs(s, dir)).orderBy("doc_id")),
     // ----------------------------------------------------------------
     Q(
       "d06_embedding_neardup",

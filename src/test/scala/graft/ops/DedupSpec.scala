@@ -56,6 +56,22 @@ class DedupSpec extends SparkSpec {
       rows.map(_.getString(2)).distinct.size == 1))
   }
 
+  test("connected keepers: variant chains collapse to one keeper") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // A family of 1-token variants of one base text (pairwise near-dup
+    // via shared bands) + one unrelated doc.
+    val family = (0 until 4).map { i =>
+      (10L + i, base.replace(s"tok${10 + i * 7}", s"mut$i"))
+    }
+    val df = (family :+ ((99L, unrelated))).toDF("doc_id", "text")
+    val keepers = Dedup.connectedKeepers(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(family.map(_._1).map(keepers).toSet == Set(10L),
+      s"family keepers: $keepers")
+    assert(keepers(99L) == 99L)
+  }
+
   test("shingles3: sliding 3-grams, short docs collapse to one shingle") {
     val sparkS = spark
     import sparkS.implicits._
