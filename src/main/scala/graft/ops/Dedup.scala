@@ -180,8 +180,12 @@ object Dedup {
     * shallow, so `maxIter` ~10 is generous.
     */
   def connectedKeepers(documents: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Materialize the membership table once — it is joined 2× per
+    // round, and without the checkpoint the whole minhash pipeline
+    // would lazily recompute on every join.
     val member = minhashBands(documents)
       .select("doc_id", "band_id", "band_hash")
+      .localCheckpoint()
     var labels = documents.select(col("doc_id"),
       col("doc_id").as("label"))
     var converged = false
