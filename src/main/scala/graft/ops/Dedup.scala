@@ -22,9 +22,9 @@ import graft.functions.TextFunctions._
   *  - embedding near-dup blocks on a coarse key (here `label`; at
   *    scale an IVF/LSH bucket) before any pairwise cosine.
   *
-  * The md5 hash family is used where a DuckDB oracle checks the result
-  * bit-for-bit; xxhash64 variants are the cheaper scale path (same
-  * algorithm, 8-byte hashes) — see TextFunctions.
+  * md5-derived hash families are used wherever a DuckDB oracle checks
+  * the result bit-for-bit; xxhash64 variants (d05, simhashes) are the
+  * cheaper scale path — same algorithms, 8-byte hashes.
   */
 object Dedup {
 
@@ -73,36 +73,38 @@ object Dedup {
           .otherwise(array_join(toks, " ")).as("t"))
   }
 
-  /** doc_id → 8 (band_id, band_hash) rows, md5 family.
-    *
-    * Scale-critical shape: explode shingles to rows, compute all 32
-    * seeded hashes in ONE whole-stage-codegen projection (no
-    * higher-order functions in the hot path), then groupBy(doc_id)
-    * with 32 MIN aggregates — partial aggregation combines map-side,
-    * so the shuffle carries one 32-column signature per doc, never
-    * the shingles. (A first cut used nested transform/array_min HOFs:
-    * interpreted, ~60× slower.)
-    */
   /** Carter-Wegman modulus for the seeded minhash family (prime just
     * under 2^28, so `a + 31*b` stays far below 2^63).
     */
   val MinhashMod = 268435399L
 
+  /** doc_id → 8 (band_id, band_hash) rows.
+    *
+    * Scale-critical shape: explode shingles to rows, derive all 32
+    * minhash inputs in whole-stage-codegen projections (no
+    * higher-order functions in the hot path), then groupBy(doc_id)
+    * with 32 MIN aggregates — partial aggregation combines map-side,
+    * so the shuffle carries one 32-column signature per doc, never
+    * the shingles. (A first cut used nested transform/array_min HOFs:
+    * interpreted, ~60× slower.)
+    *
+    * Hashing: 2 md5s per shingle + 32 arithmetic derivations
+    * h_i = (a + i*b) mod p (a 2-universal family) instead of 32 md5s —
+    * ~6× less digest work, and every step (hex-prefix → int,
+    * (a + i*b) % p, decimal-string rendering) reproduces exactly in
+    * the DuckDB oracle.
+    */
   def minhashBands(documents: DataFrame): DataFrame = {
     val nHashes = 32
     val rowsPerBand = 4
     val sh = shingleRows(documents)
-    // 2 md5s per shingle + 32 arithmetic derivations
-    // h_i = (a + i*b) mod p  (a 2-universal family), instead of 32
-    // md5s: ~6× less digest work, and every step — hex-prefix → int,
-    // (a + i*b) % p, decimal-string rendering — is reproducible in the
-    // DuckDB oracle. Base hashes materialize as attributes FIRST so
-    // the md5 is evaluated twice per shingle, not 2×32 times.
-    val hex15 = (seed: String) =>
+    // Base hashes materialize as attributes FIRST so each md5 is
+    // evaluated once per shingle, not once per derived hash.
+    val hex7 = (seed: String) =>
       conv(substring(md5(concat(lit(seed), col("t"))), 1, 7), 16, 10)
         .cast("long")
     val based = sh.select(col("doc_id"),
-      hex15("a ").as("ha"), hex15("b ").as("hb"))
+      hex7("a ").as("ha"), hex7("b ").as("hb"))
     val hashed = based.select(
       col("doc_id") +:
         (0 until nHashes).map(i =>

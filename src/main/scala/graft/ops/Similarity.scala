@@ -16,8 +16,8 @@ import graft.functions.VectorExpressions
   *  - s02: random-hyperplane LSH bucketing — the scale path for
   *    candidate generation: 16 sign bits → one int bucket; ANN search
   *    becomes an equi-join on bucket. Hyperplanes are derived
-  *    deterministically from xxhash64 so every executor (and every
-  *    run) agrees without shipping a model.
+  *    deterministically from md5-digit parity so every executor (and
+  *    the DuckDB oracle) agrees without shipping a model.
   *  - s03: IVF-style search — probe the nearest coarse centroid
   *    (here: per-label mean vectors, computed distributively via
   *    posexplode + groupBy), then brute-force only within that cell.
