@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -44,7 +44,69 @@ object Pipeline {
               .as("avg_tokens"))
           .orderBy("source")
       },
+      sqlP01),
+    // ----------------------------------------------------------------
+    Q(
+      "p02_crossmodal_topk",
+      (s, dir) => {
+        // Cross-modal composition: text-side quality gate, join the
+        // embedding by id, similarity-rank the survivors against a
+        // query vector. One declarative plan across both modalities;
+        // the doc table never ships its text past the gate (projection
+        // pruning), the embedding side shuffles only gated ids.
+        graft.functions.VectorExpressions.register(s)
+        val dot = (a: Column, b: Column) =>
+          graft.functions.VectorExpressions.dot(a, b)
+        val gated = Tables.load(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .filter(size(col("toks")) >= 40)
+          .select("doc_id")
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"),
+            x => x.cast("double")).as("v"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos_sim").desc, col("doc_id"))
+        e.join(gated, e("vec_id") === gated("doc_id"))
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("doc_id"),
+            round(dot(col("qv"), col("v")) /
+              (sqrt(dot(col("qv"), col("qv"))) *
+                sqrt(dot(col("v"), col("v")))), 6).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .orderBy("rnk")
+      },
       Some("""
+        WITH gated AS (
+          SELECT doc_id FROM documents
+          WHERE text IS NOT NULL
+            AND len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> len(x) > 0)) >= 40),
+        e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        scored AS (
+          SELECT g.doc_id,
+            ROUND(list_sum(list_transform(list_zip(qv.qv, e.v), p -> p[1]*p[2])) /
+              (sqrt(list_sum(list_transform(qv.qv, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos_sim
+          FROM e JOIN gated g ON e.vec_id = g.doc_id
+          CROSS JOIN qv
+          WHERE e.vec_id <> 0)
+        SELECT doc_id, cos_sim, rnk FROM (
+          SELECT doc_id, cos_sim,
+            ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 10
+        ORDER BY rnk"""))
+  )
+
+  private def sqlP01: Option[String] = Some("""
         WITH scored AS (
           SELECT doc_id, source, tl,
             len(tl) AS n_tokens,
@@ -70,6 +132,5 @@ object Pipeline {
           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
         FROM kept
         GROUP BY source
-        ORDER BY source"""))
-  )
+        ORDER BY source""")
 }

@@ -467,6 +467,34 @@ object Relational2 {
         ORDER BY o_orderkey""")),
     // ----------------------------------------------------------------
     Q(
+      "q38_range_window",
+      (s, dir) => {
+        // Time-RANGE window frame (vs q10's ROWS frame): per user, the
+        // rolling 1-hour event-value sum. The frame is defined on
+        // epoch-µs longs so the range arithmetic is integral and
+        // identical in both engines; ties (same µs) enter the frame
+        // together, and the decimal sum is order-independent.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        t(s, dir)("events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("rolling_hour_sum",
+            dbl(sum(m(col("value"))).over(w)))
+          .orderBy("user_id", "us", "event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, us, value,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+            PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS rolling_hour_sum
+        FROM (SELECT event_id, user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+              FROM events)
+        ORDER BY user_id, us, event_id""")),
+    // ----------------------------------------------------------------
+    Q(
       "q28_cube_orders",
       (s, dir) => {
         val o = t(s, dir)("orders")
