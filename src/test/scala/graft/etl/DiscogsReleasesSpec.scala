@@ -137,6 +137,20 @@ class DiscogsReleasesSpec extends SparkSpec {
     DiscogsReleases.validate(result)
   }
 
+  test("converted parquet is immediately queryable through the engine") {
+    result.createOrReplaceTempView("releases")
+    val counts = spark.sql(
+      """SELECT status, COUNT(*) AS n,
+           SUM(size(artists)) AS n_artists,
+           SUM(CASE WHEN master_id IS NULL THEN 1 ELSE 0 END) AS n_no_master
+         FROM releases GROUP BY status ORDER BY status""")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(counts("Accepted") == ((3L, 2L, 1L))) // ids 1, 4, 5
+    assert(counts("Draft") == ((1L, 2L, 1L)))
+    assert(counts("Deleted") == ((1L, 0L, 0L)))
+  }
+
   test("malformed content fails loudly (FAILFAST ≈ the reference's panics)") {
     // is_main_release="maybe" — the reference panics (main.rs:826-836);
     // our declared BooleanType + FAILFAST raises instead of nulling.

@@ -73,6 +73,13 @@ class ReleaseRoundTripSpec extends SparkSpec {
     r.master.foreach { case (main, mid) =>
       sb ++= s"""<master_id is_main_release="$main">$mid</master_id>"""
     }
+    // skip-subtrees: must be pruned regardless of placement/content
+    if (r.id % 2 == 0)
+      sb ++= "<images><image/></images><country>XX</country>" +
+        s"<notes>noise ${r.id}</notes><formats><format name=\"CD\"/></formats>"
+    if (r.id % 3 == 0)
+      sb ++= "<tracklist><track><position>1</position></track></tracklist>" +
+        "<extraartists><artist><id>1</id><role>x</role></artist></extraartists>"
     sb ++= "</release>"
     sb.toString
   }
