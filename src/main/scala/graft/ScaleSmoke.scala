@@ -57,6 +57,16 @@ object ScaleSmoke {
     time(s"simhash ×$factor")(
       ops.Dedup.simhashes(docsN)
         .write.format("noop").mode("overwrite").save())
+    // Keeper election stays linear where pair enumeration is
+    // quadratic in cluster size — the op to reach for on dup-heavy
+    // corpora.
+    time(s"keepers 1-hop ×$factor")(
+      graft.SparkEntry.queries("d07_lsh_dedup_keepers")
+        .apply(spark, "/root/testdata/sf0.1")
+        .write.format("noop").mode("overwrite").save())
+    time(s"keepers closure ×$factor")(
+      ops.Dedup.connectedKeepers(docsN)
+        .write.format("noop").mode("overwrite").save())
     docsN.unpersist()
     spark.stop()
   }
