@@ -29,6 +29,27 @@ object Multimodal {
       n_bytes: Int,
       features: Array[Float])
 
+  /** Resized variant: key + target dims + scale factor. */
+  final case class Resized(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      out_width: Int,
+      out_height: Int,
+      scale: Double)
+
+  /** STUB resize: aspect-preserving thumbnail arithmetic on the
+    * decoded dimensions (the real op would hand pixel buffers to a
+    * codec; the dimension math and row shape are the engine-side
+    * contract).
+    */
+  def fakeResize(d: Decoded, maxSide: Int = 64): Resized = {
+    val s = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
+    Resized(d.doc_id, d.width, d.height,
+      math.max(1, math.round(d.width * s).toInt),
+      math.max(1, math.round(d.height * s).toInt), s)
+  }
+
   /** STUB: stands in for an image/audio decoder + feature extractor.
     * Deterministic in the payload bytes so tests and reruns agree.
     * A real deployment swaps only this function (e.g. JNI codec or
@@ -101,6 +122,24 @@ object Multimodal {
           CAST(len(frame_digests) AS INT) AS n_frames,
           md5(array_to_string(frame_digests, '')) AS sample_digest
         FROM f ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m04_resize_thumbnails",
+      (s, dir) => {
+        // decode → resize chained in one typed pipeline (rows-only:
+        // dims derive from the stub decoder's payload hash).
+        val spark = s
+        import spark.implicits._
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .filter(col("payload").isNotNull)
+          .as[Blob]
+          .mapPartitions(_.grouped(64).flatMap(_.map(b =>
+            fakeResize(fakeDecode(b)))))
+          .toDF()
+          .orderBy("doc_id")
+      }),
     // ----------------------------------------------------------------
     Q(
       "m02_decode_features",

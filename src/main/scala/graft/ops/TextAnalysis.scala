@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -165,6 +166,61 @@ object TextAnalysis {
             list_filter(string_split_regex(lower(text), '\s+'),
                         x -> len(x) > 0))) AS INT) AS n_distinct_tokens
         FROM documents ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t06_winnowing_fingerprint",
+      (s, dir) => {
+        // Rolling-hash document fingerprinting (MOSS-style winnowing):
+        // hash every 5-char gram, keep the window-of-8 minima — a
+        // position-robust fingerprint set for near-dup detection.
+        // Gram hashes are md5-prefix ints, so the whole pipeline
+        // reproduces in the oracle. Shape mirrors shingleRows: explode
+        // positions, hash in a codegen projection, window per doc.
+        val k = 5
+        val w = 8
+        val grams = docs(s, dir)
+          .filter(col("text").isNotNull)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), lower(col("text")).as("txt"))
+          .select(col("doc_id"),
+            posexplode(sequence(lit(1),
+              greatest(length(col("txt")) - (k - 1), lit(1))))
+              .as(Seq("p0", "pos")),
+            col("txt"))
+          .select(col("doc_id"), col("pos"),
+            conv(substring(md5(expr(s"substring(txt, pos, $k)")), 1, 7),
+              16, 10).cast("long").as("h"))
+        val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, w - 1)
+        grams
+          .withColumn("minh", min(col("h")).over(win))
+          .groupBy("doc_id")
+          .agg(
+            countDistinct(col("minh")).as("n_fingerprints"),
+            md5(concat_ws(",",
+              transform(array_sort(collect_set(col("minh"))),
+                x => x.cast("string")))).as("fp_digest"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH grams AS (
+          SELECT doc_id, CAST(u AS INT) AS pos,
+            CAST('0x' || substr(md5(substr(lower(text), CAST(u AS INT), 5)),
+                                1, 7) AS BIGINT) AS h
+          FROM documents,
+            unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS s(u)
+          WHERE text IS NOT NULL),
+        mins AS (
+          SELECT doc_id,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS minh
+          FROM grams)
+        SELECT doc_id,
+          COUNT(DISTINCT minh) AS n_fingerprints,
+          md5(array_to_string(list_sort(list(DISTINCT minh)), ',')) AS fp_digest
+        FROM mins
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(
       "t05_bigram_profile",
