@@ -252,10 +252,13 @@ object Relational {
     Q(
       "q10_running_totals",
       (s, dir) => {
-        // Unique ordering tuple (shipdate, orderkey, linenumber) keeps
-        // the running sum cross-engine deterministic.
+        // Ordering tuple: the testdata reuses (orderkey, linenumber)
+        // pairs at larger SFs, so quantity joins the tie-break — any
+        // remaining ties are then identical in every output column and
+        // their mutual order is unobservable.
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
         t(s, dir)("lineitem")
           .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
             "l_quantity")
@@ -270,12 +273,12 @@ object Relational {
           ROW_NUMBER() OVER w AS rn,
           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER
             (PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
           LAG(l_quantity, 1) OVER w AS prev_qty
         FROM lineitem
         WINDOW w AS (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber)""")),
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)""")),
     // ----------------------------------------------------------------
     Q(
       "q11_rank_parts",

@@ -314,15 +314,18 @@ object Relational2 {
             col("sy0").cast("decimal(16,2)").as("sy"),
             col("sy20").cast("decimal(18,4)").as("sy2"),
             col("sxy0").cast("decimal(18,4)").as("sxy"))
+        // Final round(.,6): the exact decimal moments exceed a
+        // double's 53-bit mantissa at larger SFs, and the two engines'
+        // wide-decimal→double conversions can then differ by 1 ulp.
         g.select(
           col("event_type"), col("n"),
-          (dbl(col("nd") * col("sx2") - col("sx") * col("sx")) /
-            (col("n") * (col("n") - 1))).as("var_value"),
-          sqrt(dbl(col("nd") * col("sx2") - col("sx") * col("sx")) /
-            (col("n") * (col("n") - 1))).as("stddev_value"),
-          (dbl(col("nd") * col("sxy") - col("sx") * col("sy")) /
+          round(dbl(col("nd") * col("sx2") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1)), 6).as("var_value"),
+          round(sqrt(dbl(col("nd") * col("sx2") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))), 6).as("stddev_value"),
+          round(dbl(col("nd") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(dbl(col("nd") * col("sx2") - col("sx") * col("sx"))) *
-              sqrt(dbl(col("nd") * col("sy2") - col("sy") * col("sy")))))
+              sqrt(dbl(col("nd") * col("sy2") - col("sy") * col("sy")))), 6)
             .as("corr_value_k"))
           .orderBy("event_type")
       },
@@ -347,11 +350,11 @@ object Relational2 {
             CAST(sxy0 AS DECIMAL(18,4)) AS sxy
           FROM g0)
         SELECT event_type, n,
-          CAST(nd * sx2 - sx * sx AS DOUBLE) / (n * (n - 1)) AS var_value,
-          sqrt(CAST(nd * sx2 - sx * sx AS DOUBLE) / (n * (n - 1))) AS stddev_value,
-          CAST(nd * sxy - sx * sy AS DOUBLE) /
+          ROUND(CAST(nd * sx2 - sx * sx AS DOUBLE) / (n * (n - 1)), 6) AS var_value,
+          ROUND(sqrt(CAST(nd * sx2 - sx * sx AS DOUBLE) / (n * (n - 1))), 6) AS stddev_value,
+          ROUND(CAST(nd * sxy - sx * sy AS DOUBLE) /
             (sqrt(CAST(nd * sx2 - sx * sx AS DOUBLE)) *
-             sqrt(CAST(nd * sy2 - sy * sy AS DOUBLE))) AS corr_value_k
+             sqrt(CAST(nd * sy2 - sy * sy AS DOUBLE))), 6) AS corr_value_k
         FROM g ORDER BY event_type""")),
     // ----------------------------------------------------------------
     Q(
