@@ -44,6 +44,15 @@ class JoinsAndSourcesSpec extends SparkSpec {
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
 
+  test("text source reads raw lines") {
+    val docs = Tables.load(spark, dir, "documents").select("text")
+    val p = s"$tmp/docs_text"
+    docs.write.mode("overwrite").text(p)
+    val lines = spark.read.text(p)
+    assert(lines.count() == docs.count())
+    assert(lines.columns.toSeq == Seq("value"))
+  }
+
   test("partitionBy writes hive-style directories and prunes on read") {
     val o = Tables.load(spark, dir, "orders")
     val p = s"$tmp/orders_part"
