@@ -498,6 +498,139 @@ object Relational2 {
         ORDER BY user_id, us, event_id""")),
     // ----------------------------------------------------------------
     Q(
+      "q39_window_functions",
+      (s, dir) => {
+        // The rest of the window-function library: first/nth value,
+        // percent_rank, cume_dist, ntile. Ordering is unique
+        // (totalprice desc, orderkey) so ntile is deterministic.
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir)("orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("best_order",
+            first(col("o_orderkey")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("second_best",
+            nth_value(col("o_orderkey"), 2).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("second_best",
+            coalesce(col("second_best"), lit(-1L)))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          FIRST_VALUE(o_orderkey) OVER wf AS best_order,
+          COALESCE(NTH_VALUE(o_orderkey, 2) OVER wf, -1) AS second_best,
+          ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+          ROUND(CUME_DIST() OVER w, 6) AS cd,
+          NTILE(4) OVER w AS quartile
+        FROM orders
+        WINDOW
+          w AS (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey),
+          wf AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q40_bag_set_ops",
+      (s, dir) => {
+        // Bag (multiset) semantics: INTERSECT ALL / EXCEPT ALL keep
+        // multiplicities, unlike q13's distinct set ops.
+        val c = t(s, dir)("customer").select(col("c_nationkey").as("k"))
+        val su = t(s, dir)("supplier").select(col("s_nationkey").as("k"))
+        c.intersectAll(su).groupBy("k").agg(count(lit(1)).as("n_inter"))
+          .join(
+            c.exceptAll(su).groupBy("k").agg(count(lit(1)).as("n_except")),
+            Seq("k"), "full_outer")
+          .select(col("k"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            coalesce(col("n_except"), lit(0L)).as("n_except"))
+          .orderBy("k")
+      },
+      Some("""
+        WITH i AS (
+          SELECT k, COUNT(*) AS n_inter FROM (
+            SELECT c_nationkey AS k FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey AS k FROM supplier)
+          GROUP BY k),
+        e AS (
+          SELECT k, COUNT(*) AS n_except FROM (
+            SELECT c_nationkey AS k FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey AS k FROM supplier)
+          GROUP BY k)
+        SELECT COALESCE(i.k, e.k) AS k,
+          COALESCE(n_inter, 0) AS n_inter,
+          COALESCE(n_except, 0) AS n_except
+        FROM i FULL OUTER JOIN e ON i.k = e.k
+        ORDER BY k""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q41_array_functions",
+      (s, dir) => {
+        // Array-function tour over tokenized documents; arrays leave
+        // the query as joined strings so the value compare is
+        // type-stable across arrow/pandas layers.
+        val d = Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .withColumn("toks",
+            graft.functions.TextFunctions.tokens(col("text")))
+        d.select(
+          col("doc_id"),
+          concat_ws(",", slice(col("toks"), 1, 3)).as("first3"),
+          concat_ws(",", slice(col("toks"), -2, 2)).as("last2"),
+          array_position(col("toks"), "the").cast("int").as("first_the"),
+          arrays_overlap(col("toks"),
+            array(lit("spark"), lit("query"))).cast("int").as("mentions"),
+          size(array_remove(col("toks"), "the")).as("n_without_the"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+          array_to_string(tl[1:3], ',') AS first3,
+          array_to_string(tl[-2:], ',') AS last2,
+          CAST(COALESCE(list_position(tl, 'the'), 0) AS INT) AS first_the,
+          CAST(len(list_intersect(tl, ['spark', 'query'])) > 0 AS INT) AS mentions,
+          CAST(len(list_filter(tl, x -> x <> 'the')) AS INT) AS n_without_the
+        FROM d ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q42_date_functions",
+      (s, dir) =>
+        t(s, dir)("orders")
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("odate"))
+          .select(
+            col("o_orderkey"), col("odate"),
+            date_add(col("odate"), 30).as("plus30"),
+            last_day(col("odate")).as("month_end"),
+            datediff(col("odate"), lit("1970-01-01").cast("date"))
+              .cast("int").as("epoch_days"),
+            (year(col("odate")) * 100 + month(col("odate")))
+              .cast("int").as("yyyymm"))
+          .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, odate,
+          odate + INTERVAL 30 DAY AS plus30,
+          last_day(odate) AS month_end,
+          CAST(odate - DATE '1970-01-01' AS INT) AS epoch_days,
+          CAST(YEAR(odate) * 100 + MONTH(odate) AS INT) AS yyyymm
+        FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate
+              FROM orders)
+        ORDER BY o_orderkey""")),
+    // ----------------------------------------------------------------
+    Q(
       "q28_cube_orders",
       (s, dir) => {
         val o = t(s, dir)("orders")
