@@ -56,6 +56,32 @@ class DedupSpec extends SparkSpec {
       rows.map(_.getString(2)).distinct.size == 1))
   }
 
+  test("LSH recall/precision across several planted families") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 5 independent base texts, 3 near-dup variants each (one token
+    // changed per variant), plus 5 unrelated docs.
+    val rows = (0 until 5).flatMap { f =>
+      val fam = (1 to 60).map(i => s"f${f}tok$i").mkString(" ")
+      (0 until 3).map { v =>
+        (f * 10L + v,
+          if (v == 0) fam else fam.replace(s"f${f}tok${20 + v}", s"x$v"))
+      }
+    } ++ (0 until 5).map(i =>
+      (900L + i, (1 to 60).map(j => s"lone${i}w$j").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(df, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: every within-family pair found
+    val expected = (0 until 5).flatMap { f =>
+      val ids = (0 until 3).map(f * 10L + _)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
+    // precision: no cross-family or lone-doc pairs
+    assert(pairs == expected, s"spurious: ${pairs -- expected}")
+  }
+
   test("connected keepers: variant chains collapse to one keeper") {
     val sparkS = spark
     import sparkS.implicits._
