@@ -103,6 +103,33 @@ object DiscogsReleases {
     require(n == 0, s"$n release rows violate the reference's invariants")
   }
 
+  /** Strict unknown-content check — the dataset-level equivalent of
+    * the reference's panic on unknown attributes/elements
+    * (`main.rs:496-500`, `549-554`, `750-753`). The declarative read
+    * silently prunes undeclared fields, so strict mode re-infers the
+    * schema from the data and fails on any top-level field that is
+    * neither declared nor a known skip-subtree. Costs one extra scan;
+    * opt-in, exactly like the reference's always-on strictness is a
+    * design choice.
+    */
+  def validateNoUnknownContent(spark: SparkSession, input: String): Unit = {
+    val inferred = spark.read
+      .format("xml")
+      .option("rowTag", "release")
+      .option("attributePrefix", "_")
+      .option("valueTag", "_VALUE")
+      .load(input)
+      .schema.fieldNames.toSet
+    val declared = ReleaseSchema.xmlSchema.fieldNames.toSet
+    val skipSubtrees = Set( // main.rs:758-917 + per-release extras
+      "images", "extraartists", "formats", "country", "data_quality",
+      "tracklist", "videos", "released", "companies", "notes",
+      "identifiers")
+    val unknown = inferred -- declared -- skipSubtrees
+    require(unknown.isEmpty,
+      s"unknown release content (reference would panic): ${unknown.mkString(", ")}")
+  }
+
   def run(spark: SparkSession, input: String, output: String): Unit = {
     val out = transformReleases(read(spark, input))
     out.write

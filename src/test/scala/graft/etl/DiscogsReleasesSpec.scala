@@ -151,6 +151,22 @@ class DiscogsReleasesSpec extends SparkSpec {
     assert(counts("Deleted") == ((1L, 0L, 0L)))
   }
 
+  test("strict mode detects unknown content (main.rs:496-500, 549-554)") {
+    // The conforming fixture passes…
+    DiscogsReleases.validateNoUnknownContent(spark, gzPath)
+    // …and a release with an undeclared element or attribute fails.
+    val bad = new File(tmpDir, "unknown.xml")
+    Files.writeString(bad.toPath,
+      """<releases>
+        |<release id="8" status="Accepted" foo="x"><title>T</title><artists></artists><genres></genres><styles></styles><labels></labels><bogus>?</bogus></release>
+        |</releases>""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      DiscogsReleases.validateNoUnknownContent(spark, bad.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("bogus") || e.getMessage.contains("_foo"),
+      e.getMessage)
+  }
+
   test("malformed content fails loudly (FAILFAST ≈ the reference's panics)") {
     // is_main_release="maybe" — the reference panics (main.rs:826-836);
     // our declared BooleanType + FAILFAST raises instead of nulling.
