@@ -56,6 +56,15 @@ object Multimodal {
     * ONNX session held per partition); the surrounding plumbing is
     * unchanged.
     */
+  /** Batch decode — THE inference-shaped entry point: the whole batch
+    * is handed over in one call (a real implementation would stack the
+    * payloads into one tensor / feed the codec a buffer list and get
+    * the batch's outputs back in order). `fakeDecode` is the
+    * per-element stand-in it maps over.
+    */
+  def fakeDecodeBatch(batch: Seq[Blob]): Seq[Decoded] =
+    batch.map(fakeDecode)
+
   def fakeDecode(b: Blob): Decoded = {
     val n = b.payload.length
     val h = b.payload.foldLeft(17L)((acc, x) => acc * 31 + x)
@@ -135,8 +144,8 @@ object Multimodal {
             encode(col("text"), "UTF-8").as("payload"))
           .filter(col("payload").isNotNull)
           .as[Blob]
-          .mapPartitions(_.grouped(64).flatMap(_.map(b =>
-            fakeResize(fakeDecode(b)))))
+          .mapPartitions(_.grouped(64).flatMap(batch =>
+            fakeDecodeBatch(batch).map(b => fakeResize(b))))
           .toDF()
           .orderBy("doc_id")
       }),
@@ -158,8 +167,9 @@ object Multimodal {
           .as[Blob]
           // Batch boundary shaped like real inference: the decoder
           // sees fixed-size batches (a codec/ONNX session would be
-          // opened once per partition, fed 64 payloads at a time).
-          .mapPartitions(_.grouped(64).flatMap(batch => batch.map(fakeDecode)))
+          // opened once per partition, fed 64 payloads at a time) —
+          // the BATCH is what crosses the call boundary, not elements.
+          .mapPartitions(_.grouped(64).flatMap(batch => fakeDecodeBatch(batch)))
           .toDF()
           .select(col("doc_id"), col("width"), col("height"),
             col("n_bytes"), element_at(col("features"), 1).as("feat0"))

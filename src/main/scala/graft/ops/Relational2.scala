@@ -188,7 +188,8 @@ object Relational2 {
       "q27_approx_distinct",
       (s, dir) =>
         // HLL++ sketch vs exact. Cross-engine sketch values differ by
-        // design → rows-only checked; ApproxSpec pins the error bound.
+        // design → rows-only checked; ApproxSpec asserts
+        // rel_err <= 0.06 (3× the requested 2% rsd) at sf0.01.
         t(s, dir)("lineitem")
           .groupBy("l_returnflag")
           .agg(

@@ -15,12 +15,16 @@ import graft.functions.DotProduct
   * into the native codegen `DotProduct(a, b)` (~100× faster per row —
   * HOFs evaluate interpreted with a per-row array allocation).
   *
-  * Semantics caveat (why this is gated to non-nullable double
-  * elements): zip_with pads the shorter array with nulls, so the HOF
-  * form returns NULL on length mismatch while DotProduct truncates to
-  * the shorter length. For equal-length arrays of non-nullable
-  * doubles — the embedding-column case — the two are bit-identical
-  * (same index-order accumulation).
+  * Semantics: zip_with pads the shorter array with nulls, so the HOF
+  * form returns NULL on length mismatch while bare DotProduct would
+  * truncate to the shorter length. The rewrite therefore guards the
+  * replacement with a length check — `If(size(a) = size(b),
+  * DotProduct(a, b), NULL)` — so ragged inputs yield the same NULL
+  * the HOF form yields (a bare DotProduct here would be a silent
+  * wrong answer for any user query matching the pattern). For
+  * equal-length arrays of non-nullable doubles — the embedding-column
+  * case — the two are bit-identical (same index-order accumulation)
+  * and the guard folds to a cheap pair of cached array-length reads.
   *
   * Injected by [[graft.GraftExtensions]]; written as a
   * `Rule[LogicalPlan]` over `transformAllExpressions`, the (c)-tier
@@ -55,6 +59,10 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             acc.exprId == aacc.exprId && v.exprId == av.exprId &&
             isIdentityFinish(finish) &&
             nonNullDoubleArray(a) && nonNullDoubleArray(b) =>
-        DotProduct(a, b)
+        // NULL-if-ragged guard preserves the HOF form's semantics; a
+        // null `a`/`b` also lands in the else branch (size(null) is
+        // null → predicate not true), again matching the HOF form.
+        If(EqualTo(Size(a), Size(b)), DotProduct(a, b),
+          Literal(null, DoubleType))
     }
 }

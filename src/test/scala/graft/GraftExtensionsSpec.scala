@@ -35,6 +35,19 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot"),
         hof.queryExecution.optimizedPlan.toString)
       assert(hof.head().getDouble(0) == 11.0)
+
+      // Ragged arrays: zip_with pads with nulls so the HOF form is
+      // NULL — the rewrite must preserve that (guarded by a length
+      // check), not return DotProduct's truncated partial sum.
+      val ragged = s2.range(1)
+        .selectExpr("array(cast(id as double) + 1.0d, 2.0d) AS a",
+          "array(3.0d) AS b")
+        .selectExpr(
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS d")
+      assert(ragged.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        ragged.queryExecution.optimizedPlan.toString)
+      assert(ragged.head().isNullAt(0),
+        "ragged-array dot product must be NULL (HOF semantics)")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
