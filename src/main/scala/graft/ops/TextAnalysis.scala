@@ -170,53 +170,48 @@ object TextAnalysis {
     Q(
       "t06_winnowing_fingerprint",
       (s, dir) => {
-        // Rolling-hash document fingerprinting (MOSS-style winnowing):
-        // hash every 5-char gram, keep the window-of-8 minima — a
-        // position-robust fingerprint set for near-dup detection.
-        // Gram hashes are md5-prefix ints, so the whole pipeline
-        // reproduces in the oracle. Shape mirrors shingleRows: explode
-        // positions, hash in a codegen projection, window per doc.
-        val k = 5
-        val w = 8
-        val grams = docs(s, dir)
+        // Document fingerprinting (MOSS-style winnowing): hash every
+        // 5-byte gram of the lowercased UTF-8 text, keep the
+        // window-of-8 minima — a position-robust fingerprint set for
+        // near-dup detection. The whole per-document computation runs
+        // inside ONE native O(n) expression (WinnowFingerprints): no
+        // explode, no shuffle, no window exec — the operator is a
+        // plain projection at parquet-scan speed. (The first cut as an
+        // explode→md5→window pipeline paid per-GRAM row overhead:
+        // 36.7 s at sf0.1 for ~1.5 MB of text; this shape is ~50×
+        // cheaper and is what survives 100 TB.) The CW-mixed byte-gram
+        // hash reproduces bit-for-bit in the DuckDB oracle via
+        // hex-slice arithmetic — see WinnowFingerprints' contract.
+        graft.functions.Winnow.register(s)
+        val fps = graft.functions.Winnow.fingerprints(
+          encode(lower(col("text")), "UTF-8"))
+        docs(s, dir)
           .filter(col("text").isNotNull)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .select(col("doc_id"), lower(col("text")).as("txt"))
+          .select(col("doc_id"), fps.as("fps"))
           .select(col("doc_id"),
-            posexplode(sequence(lit(1),
-              greatest(length(col("txt")) - (k - 1), lit(1))))
-              .as(Seq("p0", "pos")),
-            col("txt"))
-          .select(col("doc_id"), col("pos"),
-            conv(substring(md5(expr(s"substring(txt, pos, $k)")), 1, 7),
-              16, 10).cast("long").as("h"))
-        val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(0, w - 1)
-        grams
-          .withColumn("minh", min(col("h")).over(win))
-          .groupBy("doc_id")
-          .agg(
-            countDistinct(col("minh")).as("n_fingerprints"),
-            md5(concat_ws(",",
-              transform(array_sort(collect_set(col("minh"))),
-                x => x.cast("string")))).as("fp_digest"))
+            size(col("fps")).as("n_fingerprints"),
+            md5(concat_ws(",", transform(col("fps"), x => x.cast("string"))))
+              .as("fp_digest"))
           .orderBy("doc_id")
       },
       Some("""
-        WITH grams AS (
+        WITH b AS (
+          SELECT doc_id, hex(encode(lower(text))) AS hx,
+            greatest(octet_length(encode(lower(text))) - 4, 1) AS m
+          FROM documents WHERE text IS NOT NULL),
+        grams AS (
           SELECT doc_id, CAST(u AS INT) AS pos,
-            CAST('0x' || substr(md5(substr(lower(text), CAST(u AS INT), 5)),
-                                1, 7) AS BIGINT) AS h
-          FROM documents,
-            unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS s(u)
-          WHERE text IS NOT NULL),
+            ((COALESCE(TRY_CAST('0x' ||
+                 substr(hx, (CAST(u AS INT) - 1) * 2 + 1, 10) AS BIGINT), 0)
+              % 268435399) * 123457 + 987631) % 268435399 AS h
+          FROM b, unnest(range(1, m + 1)) AS s(u)),
         mins AS (
           SELECT doc_id,
             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS minh
           FROM grams)
         SELECT doc_id,
-          COUNT(DISTINCT minh) AS n_fingerprints,
+          CAST(COUNT(DISTINCT minh) AS INT) AS n_fingerprints,
           md5(array_to_string(list_sort(list(DISTINCT minh)), ',')) AS fp_digest
         FROM mins
         GROUP BY doc_id
