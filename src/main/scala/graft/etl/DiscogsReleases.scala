@@ -103,14 +103,85 @@ object DiscogsReleases {
     require(n == 0, s"$n release rows violate the reference's invariants")
   }
 
+  /** Per-element strictness spec for [[validateNoUnknownContent]]:
+    * which children/attributes an element may carry (`children`),
+    * which subtrees are read-and-discarded like the reference does
+    * (`skip`), and whether unknown attributes are silently ignored
+    * (`allowAnyAttrs` — the reference does this ONLY for `<label>`,
+    * `main.rs:662`).
+    */
+  private final case class Strict(
+      children: Map[String, Strict] = Map.empty,
+      skip: Set[String] = Set.empty,
+      allowAnyAttrs: Boolean = false)
+
+  /** The reference's grammar as a strictness tree: panics on unknown
+    * release attributes (`main.rs:496-500`), unknown release children
+    * (`549-554`), unknown artist children (`750-753`) and unknown
+    * master_id attributes (`826-836`); discards `role`/`tracks` inside
+    * artists (`742-749`) and the nine release-level skip-subtrees
+    * (`758-917`); ignores unknown label attributes (`662`).
+    */
+  private val releaseStrict: Strict = Strict(
+    children = Map(
+      "_id" -> Strict(),
+      "_status" -> Strict(),
+      "title" -> Strict(),
+      "artists" -> Strict(children = Map("artist" -> Strict(
+        children = Map("id" -> Strict(), "name" -> Strict(),
+          "anv" -> Strict(), "join" -> Strict()),
+        skip = Set("role", "tracks")))),
+      "genres" -> Strict(children = Map("genre" -> Strict())),
+      "styles" -> Strict(children = Map("style" -> Strict())),
+      "labels" -> Strict(children = Map("label" -> Strict(allowAnyAttrs = true))),
+      "master_id" -> Strict(children = Map("_is_main_release" -> Strict()))),
+    skip = Set( // main.rs:758-917 + per-release extras
+      "images", "extraartists", "formats", "country", "data_quality",
+      "tracklist", "videos", "released", "companies", "notes",
+      "identifiers"))
+
+  /** Unwrap arrays: repeated children infer as array<struct>, single
+    * occurrences as struct — strictness cares only about the element
+    * shape.
+    */
+  private def elementType(t: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    t match {
+      case org.apache.spark.sql.types.ArrayType(e, _) => elementType(e)
+      case other => other
+    }
+
+  /** All undeclared field paths in an inferred schema subtree.
+    * Non-struct inferred types are leaves (plain text content — no
+    * unknown structure inside); `_VALUE` is the XML source's text
+    * carrier, allowed anywhere.
+    */
+  private def unknownPaths(
+      t: org.apache.spark.sql.types.DataType,
+      spec: Strict,
+      path: String): Seq[String] =
+    elementType(t) match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.toSeq.flatMap { f =>
+          val p = if (path.isEmpty) f.name else s"$path.${f.name}"
+          if (f.name == "_VALUE" || spec.skip.contains(f.name)) Nil
+          else if (spec.allowAnyAttrs && f.name.startsWith("_")) Nil
+          else spec.children.get(f.name) match {
+            case Some(child) => unknownPaths(f.dataType, child, p)
+            case None => Seq(p)
+          }
+        }
+      case _ => Nil
+    }
+
   /** Strict unknown-content check — the dataset-level equivalent of
-    * the reference's panic on unknown attributes/elements
-    * (`main.rs:496-500`, `549-554`, `750-753`). The declarative read
-    * silently prunes undeclared fields, so strict mode re-infers the
-    * schema from the data and fails on any top-level field that is
-    * neither declared nor a known skip-subtree. Costs one extra scan;
-    * opt-in, exactly like the reference's always-on strictness is a
-    * design choice.
+    * the reference's panics on unknown attributes/elements at EVERY
+    * level of the grammar (see [[releaseStrict]] for the file:line
+    * map). The declarative read silently prunes undeclared fields, so
+    * strict mode re-infers the full nested schema from the data and
+    * diffs it recursively against the declared+skip tree — unknown
+    * content inside `<artist>`, `<master_id>` etc. is caught, not just
+    * top-level. Costs one extra scan; opt-in, exactly like the
+    * reference's always-on strictness is a design choice.
     */
   def validateNoUnknownContent(spark: SparkSession, input: String): Unit = {
     val inferred = spark.read
@@ -119,13 +190,8 @@ object DiscogsReleases {
       .option("attributePrefix", "_")
       .option("valueTag", "_VALUE")
       .load(input)
-      .schema.fieldNames.toSet
-    val declared = ReleaseSchema.xmlSchema.fieldNames.toSet
-    val skipSubtrees = Set( // main.rs:758-917 + per-release extras
-      "images", "extraartists", "formats", "country", "data_quality",
-      "tracklist", "videos", "released", "companies", "notes",
-      "identifiers")
-    val unknown = inferred -- declared -- skipSubtrees
+      .schema
+    val unknown = unknownPaths(inferred, releaseStrict, "")
     require(unknown.isEmpty,
       s"unknown release content (reference would panic): ${unknown.mkString(", ")}")
   }

@@ -167,6 +167,41 @@ class DiscogsReleasesSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("strict mode detects NESTED unknown content (main.rs:750-753, 826-836)") {
+    // Unknown <artist> child — the reference panics (main.rs:750-753);
+    // role/tracks stay read-and-discarded (main.rs:742-749).
+    val badArtist = new File(tmpDir, "unknown_artist_child.xml")
+    Files.writeString(badArtist.toPath,
+      """<releases>
+        |<release id="8" status="Accepted"><title>T</title><artists><artist><id>1</id><name>N</name><role></role><bogus>?</bogus></artist></artists><genres></genres><styles></styles><labels></labels></release>
+        |</releases>""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      DiscogsReleases.validateNoUnknownContent(spark, badArtist.getAbsolutePath)
+    }
+    assert(e1.getMessage.contains("artists.artist.bogus"), e1.getMessage)
+
+    // Unknown master_id attribute — the reference's attribute loop has
+    // no other arm (main.rs:826-836).
+    val badMaster = new File(tmpDir, "unknown_master_attr.xml")
+    Files.writeString(badMaster.toPath,
+      """<releases>
+        |<release id="9" status="Accepted"><title>T</title><artists></artists><genres></genres><styles></styles><labels></labels><master_id is_main_release="true" weird="1">7</master_id></release>
+        |</releases>""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      DiscogsReleases.validateNoUnknownContent(spark, badMaster.getAbsolutePath)
+    }
+    assert(e2.getMessage.contains("master_id._weird"), e2.getMessage)
+
+    // Unknown LABEL attribute is the one place the reference is
+    // lenient (main.rs:662: ignored) — strict mode must accept it.
+    val okLabel = new File(tmpDir, "unknown_label_attr.xml")
+    Files.writeString(okLabel.toPath,
+      """<releases>
+        |<release id="10" status="Accepted"><title>T</title><artists></artists><genres></genres><styles></styles><labels><label id="5" catno="C" name="L" extra="x"/></labels></release>
+        |</releases>""".stripMargin)
+    DiscogsReleases.validateNoUnknownContent(spark, okLabel.getAbsolutePath)
+  }
+
   test("malformed content fails loudly (FAILFAST ≈ the reference's panics)") {
     // is_main_release="maybe" — the reference panics (main.rs:826-836);
     // our declared BooleanType + FAILFAST raises instead of nulling.
