@@ -196,9 +196,19 @@ object DiscogsReleases {
       s"unknown release content (reference would panic): ${unknown.mkString(", ")}")
   }
 
-  def run(spark: SparkSession, input: String, output: String): Unit = {
+  /** Convert `input` XML to a snappy-parquet directory at `output`.
+    *
+    * `singleFile = true` coalesces to one task so the directory holds
+    * exactly one data file — byte-level output parity with the
+    * reference, which writes a single `releases.parquet`
+    * (`main.rs:223-226`). Default is false: a directory of files is
+    * the scalable shape (one file per task), and everything downstream
+    * reads directories.
+    */
+  def run(spark: SparkSession, input: String, output: String,
+      singleFile: Boolean = false): Unit = {
     val out = transformReleases(read(spark, input))
-    out.write
+    (if (singleFile) out.coalesce(1) else out).write
       .mode("overwrite")
       .option("compression", "snappy") // the reference's WriterProperties (main.rs:219-221)
       .parquet(output)

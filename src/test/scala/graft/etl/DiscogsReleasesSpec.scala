@@ -137,6 +137,41 @@ class DiscogsReleasesSpec extends SparkSpec {
     DiscogsReleases.validate(result)
   }
 
+  test("status column is dictionary-encoded in the parquet footer (S16)") {
+    // The reference pre-seeds an Int8 status dictionary
+    // (main.rs:228-238); Spark's parquet writer dictionary-encodes
+    // low-cardinality string columns automatically — assert it
+    // actually did, from the file footer.
+    import scala.jdk.CollectionConverters._
+    byId // force the conversion
+    val part = new File(tmpDir, "out").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val statusEncodings = reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == "status")
+        .flatMap(_.getEncodings.asScala)
+        .toSet
+      assert(statusEncodings.exists(e =>
+        e == org.apache.parquet.column.Encoding.RLE_DICTIONARY ||
+          e == org.apache.parquet.column.Encoding.PLAIN_DICTIONARY),
+        s"status encodings: $statusEncodings")
+    } finally reader.close()
+  }
+
+  test("singleFile output writes exactly one data file (S17, main.rs:223-226)") {
+    val outDir = new File(tmpDir, "out_single")
+    DiscogsReleases.run(spark, gzPath, outDir.getAbsolutePath, singleFile = true)
+    val parts = outDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.length == 1, parts.map(_.getName).mkString(", "))
+    assert(spark.read.parquet(outDir.getAbsolutePath).count() == 5)
+  }
+
   test("converted parquet is immediately queryable through the engine") {
     result.createOrReplaceTempView("releases")
     val counts = spark.sql(
