@@ -19,8 +19,10 @@ import graft.functions.TextFunctions._
   *    bucket-mates;
   *  - SimHash emits one 8-byte signature per doc; near-dup = small
   *    Hamming distance, again joinable via bit-prefix bucketing;
-  *  - embedding near-dup blocks on a coarse key (here `label`; at
-  *    scale an IVF/LSH bucket) before any pairwise cosine.
+  *  - embedding near-dup blocks on a coarse key before any pairwise
+  *    cosine: `label` in d06 (oracle baseline) and hyperplane LSH
+  *    bands in d09 (the scale path — blocks stay similarity-local
+  *    instead of growing with the corpus).
   *
   * md5-derived hash families are used wherever a DuckDB oracle checks
   * the result bit-for-bit; xxhash64 variants (d05, simhashes) are the
@@ -211,6 +213,45 @@ object Dedup {
     }
     labels.select(col("doc_id"), col("label").as("keeper"),
       (col("label") === col("doc_id")).cast("int").as("is_kept"))
+  }
+
+  /** Embedding-cosine near-dup with LSH-bucket blocking — the 100 TB
+    * path d06's label blocking concedes to in its own comment: label
+    * blocks grow with the corpus (all-pairs within a block is
+    * quadratic in block size), while hyperplane buckets stay
+    * similarity-local. Two bands of 8 hyperplanes each (the same
+    * banding trade-off as MinHash d02: a near-dup pair is a candidate
+    * if EITHER band's 8 sign bits all agree — band count tunes
+    * recall, band width tunes precision). Candidate generation is an
+    * equi-join on (band_id, bucket); the pairwise cosine only ever
+    * runs on bucket-mates.
+    *
+    * Input: (vec_id, label, v: array<double>). Output: (vec_a, vec_b,
+    * cosine) for candidate pairs with cosine > `minCosine`.
+    */
+  def embeddingNearDupByBucket(e: DataFrame, minCosine: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(e.sparkSession)
+    val withNorm = e
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorExpressions.dot(col("v"), col("v"))))
+    val bands = Similarity.planeProjections(e)
+      .groupBy(col("vec_id"), expr("b div 8").as("band_id"))
+      .agg(sum(when(col("d") >= 0, expr("shiftleft(1, b % 8)")).otherwise(0))
+        .cast("int").as("bucket"))
+    val pairs = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(withNorm.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(withNorm.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (graft.functions.VectorExpressions.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") > minCosine)
   }
 
   /** doc_id → 64-bit SimHash. */
@@ -431,6 +472,63 @@ object Dedup {
         WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
                sqrt(list_sum(list_transform(b.v, x -> x * x)))) > 0.25
+        ORDER BY vec_a, vec_b""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d09_embedding_neardup_lsh",
+      (s, dir) => {
+        // d06's scale variant: block on hyperplane LSH bands instead
+        // of label (candidate pairs drop ~10× at sf0.01: 1201
+        // bucket-mate pairs vs 12344 label-mate pairs). Fully
+        // oracle-checked — the md5-parity planes and exact-decimal
+        // projections reproduce bit-for-bit in DuckDB.
+        graft.functions.VectorExpressions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        embeddingNearDupByBucket(e, minCosine = 0.25)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT vec_id, label, CAST(u.i AS INT) AS j,
+            CAST(u.x AS DECIMAL(28,12)) AS xd
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        planes AS (
+          SELECT CAST(b.range AS INT) AS b, CAST(j.range AS INT) AS j,
+            CASE WHEN CAST('0x' || substr(md5(CAST(b.range AS VARCHAR) || ','
+                   || CAST(j.range AS VARCHAR)), 1, 1) AS INT) % 2 = 0
+                 THEN 1 ELSE -1 END AS w
+          FROM range(0, 16) b, range(1, 65) j),
+        proj AS (
+          SELECT vec_id, label, b, SUM(xd * w) AS d
+          FROM dims JOIN planes USING (j)
+          GROUP BY vec_id, label, b),
+        bands AS (
+          SELECT vec_id, b // 8 AS band_id,
+            CAST(SUM(CASE WHEN d >= 0 THEN (1 << (b % 8)) ELSE 0 END) AS INT)
+              AS bucket
+          FROM proj GROUP BY vec_id, b // 8),
+        pairs AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.bucket = y.bucket
+           AND x.vec_id < y.vec_id)
+        SELECT vec_a, vec_b,
+          list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(ea.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cosine
+        FROM pairs
+        JOIN e ea ON vec_a = ea.vec_id
+        JOIN e eb ON vec_b = eb.vec_id
+        WHERE list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(ea.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(eb.v, x -> x * x)))) > 0.25
         ORDER BY vec_a, vec_b"""))
   )
 }

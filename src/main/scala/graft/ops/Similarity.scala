@@ -40,6 +40,39 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Signed projections of each vector onto 16 deterministic
+    * pseudo-random hyperplanes: (vec_id, label, b, d) with b the plane
+    * index and d the exact-decimal projection. Weight for (plane b,
+    * dim j) is ±1 from the parity of a portable md5 digit, so every
+    * executor AND the DuckDB oracle reproduce the planes without
+    * shipping a model. Shared by s02 (16-bit buckets) and d09 (banded
+    * near-dup blocking).
+    *
+    * Shape: explode dims → broadcast-join the 1024-row plane table →
+    * partial-agg per (vec, plane). All codegen (a first cut as nested
+    * HOF folds was interpreted and ~8× slower). Projections sum exact
+    * DECIMALs so the sign bit is reproducible under any aggregation
+    * order.
+    */
+  def planeProjections(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    val dims = e.select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") + 1).cast("int").as("j"),
+        col("x").cast("decimal(28,12)").as("xd"))
+    val planes = s.range(16).select(col("id").cast("int").as("b"))
+      .crossJoin(s.range(1, 65).select(col("id").cast("int").as("j")))
+      .select(col("b"), col("j"),
+        when(
+          (conv(substring(md5(concat_ws(",", col("b"), col("j"))), 1, 1),
+            16, 10).cast("int") % 2) === 0, 1)
+          .otherwise(-1).as("w"))
+    dims.join(broadcast(planes), "j")
+      .groupBy("vec_id", "label", "b")
+      .agg(sum(col("xd") * col("w")).as("d"))
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -87,32 +120,9 @@ object Similarity {
     Q(
       "s02_lsh_buckets",
       (s, dir) => {
-        // 16 deterministic pseudo-random hyperplanes; weight for
-        // (plane b, dim j) is ±1 from the parity of a portable md5
-        // digit, so the DuckDB oracle reproduces the buckets exactly.
-        // Bucket = the 16 sign bits packed into an int.
-        //
-        // Shape: explode dims → broadcast-join the 1024-row plane
-        // table → partial-agg per (vec, plane) → pack bits. All
-        // codegen (a first cut as nested HOF folds was interpreted and
-        // ~8× slower). Projections sum exact DECIMALs so the sign bit
-        // is reproducible under any aggregation order.
-        val e = emb(s, dir)
-        val dims = e.select(col("vec_id"), col("label"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-          .select(col("vec_id"), col("label"),
-            (col("pos") + 1).cast("int").as("j"),
-            col("x").cast("decimal(28,12)").as("xd"))
-        val planes = s.range(16).select(col("id").cast("int").as("b"))
-          .crossJoin(s.range(1, 65).select(col("id").cast("int").as("j")))
-          .select(col("b"), col("j"),
-            when(
-              (conv(substring(md5(concat_ws(",", col("b"), col("j"))), 1, 1),
-                16, 10).cast("int") % 2) === 0, 1)
-              .otherwise(-1).as("w"))
-        dims.join(broadcast(planes), "j")
-          .groupBy("vec_id", "label", "b")
-          .agg(sum(col("xd") * col("w")).as("d"))
+        // Bucket = the 16 sign bits of planeProjections packed into
+        // one int.
+        planeProjections(emb(s, dir))
           .groupBy("vec_id", "label")
           .agg(sum(when(col("d") >= 0, expr("shiftleft(1, b)")).otherwise(0))
             .cast("int").as("bucket"))

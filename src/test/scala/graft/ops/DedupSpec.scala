@@ -98,6 +98,41 @@ class DedupSpec extends SparkSpec {
     assert(keepers(99L) == 99L)
   }
 
+  test("embedding near-dup: LSH-bucket blocking has identical recall to all-pairs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Planted corpus: 40 random base vectors, 10 of which get a
+    // near-identical copy (relative perturbation 1e-3 → cosine
+    // ≈ 0.9999995). Seeded → fully deterministic.
+    val rnd = new scala.util.Random(42)
+    val bases = (0 until 40).map(_ => Array.fill(64)(rnd.nextGaussian()))
+    val dups = (0 until 10).map { i =>
+      (100L + i, bases(i).map(x => x + rnd.nextGaussian() * 1e-3 * math.abs(x)))
+    }
+    val rows = bases.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong % 5, v.toSeq)
+    } ++ dups.map { case (id, v) => (id, (id - 100) % 5, v.toSeq) }
+    val e = rows.toDF("vec_id", "label", "v")
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // Ground truth: brute-force all-pairs near-dups at 0.99.
+    val all = rows.map { case (id, _, v) => id -> v.toArray }
+    val truth = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.99
+    } yield (ia, ib)).toSet
+    assert(truth.size == 10, s"expected the 10 planted pairs, got $truth")
+
+    // Bucket blocking must find every one of them (identical recall
+    // to quadratic all-pairs), with zero spurious high-cos pairs.
+    val found = Dedup.embeddingNearDupByBucket(e, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"missing: ${truth -- found}, extra: ${found -- truth}")
+  }
+
   test("shingles3: sliding 3-grams, short docs collapse to one shingle") {
     val sparkS = spark
     import sparkS.implicits._
