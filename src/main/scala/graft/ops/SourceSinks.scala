@@ -1,0 +1,118 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Oracle-checked round trips through the non-parquet sources/sinks
+  * (SURVEY §2.2 "sources/sinks beyond parquet"): each query WRITES a
+  * projection through the format under test, READS it back with an
+  * explicit schema, and aggregates — the DuckDB oracle computes the
+  * same aggregate straight from the parquet table, so the hash matches
+  * iff the round trip is value-lossless. (The format-specific
+  * machinery — headers, JSON field mapping, ORC stripes — is what's
+  * being exercised; the aggregate just makes the comparison small.)
+  *
+  * Money columns are cast to DECIMAL(12,2) BEFORE writing: text
+  * formats round-trip decimals exactly by construction, with no
+  * dependence on double-repr shortest-printing.
+  *
+  * Scale note: these deliberately write a FILTERED projection (the
+  * pattern of a format-conversion job's verification pass, not a full
+  * re-materialization); the temp dir is per-invocation and task
+  * parallelism follows the upstream partitioning.
+  */
+object SourceSinks {
+
+  private def tmp(prefix: String): File = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q43_csv_roundtrip",
+      (s, dir) => {
+        val path = new File(tmp("graft_q43"), "lineitem_csv").getAbsolutePath
+        t(s, dir)("lineitem")
+          .filter(col("l_quantity") < 10)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity").cast("decimal(12,2)").as("qty"))
+          .write.mode("overwrite").option("header", "true").csv(path)
+        s.read
+          .schema("l_orderkey BIGINT, l_returnflag STRING, qty DECIMAL(12,2)")
+          .option("header", "true")
+          .csv(path)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty")).cast("double").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_quantity < 10
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q44_json_roundtrip",
+      (s, dir) => {
+        val path = new File(tmp("graft_q44"), "orders_json").getAbsolutePath
+        t(s, dir)("orders")
+          .filter(col("o_totalprice") > 200000)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(12,2)").as("price"))
+          .write.mode("overwrite").json(path)
+        s.read
+          .schema("o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2)")
+          .json(path)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            max(col("price")).cast("double").as("max_price"),
+            sum(col("price")).cast("double").as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_totalprice > 200000
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q45_orc_roundtrip",
+      (s, dir) => {
+        val path = new File(tmp("graft_q45"), "part_orc").getAbsolutePath
+        t(s, dir)("part")
+          .filter(col("p_size") < 20)
+          .select(col("p_partkey"), col("p_brand"),
+            col("p_retailprice").cast("decimal(12,2)").as("price"))
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path) // ORC is self-describing — schema from stripes
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum(col("price")).cast("double").as("sum_price"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        SELECT p_brand, COUNT(*) AS n,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM part
+        WHERE p_size < 20
+        GROUP BY p_brand
+        ORDER BY p_brand"""))
+  )
+}
