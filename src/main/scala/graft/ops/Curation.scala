@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators — the sampling/splitting/packing steps a
+  * training-data pipeline runs after cleaning and dedup:
+  *
+  *  - c01: deterministic hash-Bernoulli sampling. Sampling by a
+  *    content-stable hash (not rand()) is reproducible across reruns,
+  *    engines and repartitionings, composes with incremental ingest
+  *    (a doc's fate never changes as the corpus grows), and needs no
+  *    RNG state — the only sampling that auditable 100 TB pipelines
+  *    use. Pure codegen projection + filter, no shuffle.
+  *  - c02: 3-way train/val/test split from the same hash family —
+  *    split assignment is a pure function of doc_id, so train/test
+  *    leakage can be audited by re-hashing.
+  *  - c03: per-source quota (top-N by length) — caps any one source's
+  *    contribution to the mix; one window per source partition.
+  *  - c04: sequence packing — assign docs to fixed-token-budget bins
+  *    (the batch-construction step before training). Streaming-greedy
+  *    semantics: docs in deterministic order, bin = floor(tokens-
+  *    before-this-doc / capacity); one running-sum window per source
+  *    partition, everything else codegen.
+  *
+  * All four are oracle-checked bit-for-bit (md5-prefix hash family and
+  * integer token arithmetic reproduce exactly in DuckDB).
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Portable uniform bucket in [0, 100): md5-prefix → int → mod.
+    * Same construction as the minhash base hashes (Dedup) — the whole
+    * family reproduces in DuckDB via `CAST('0x' || substr(md5(x),1,7)
+    * AS BIGINT)`.
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "c01_hash_sample",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            hashBucket(col("doc_id")).as("bucket"))
+          .filter(col("bucket") < 10) // 10% sample
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, source,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+            % 100 AS bucket
+        FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+            % 100 < 10
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c02_train_split",
+      (s, dir) =>
+        // 80/10/10 split; per-split doc and char totals (the numbers a
+        // data card reports).
+        docs(s, dir)
+          .select(col("source"), col("n_chars"),
+            when(hashBucket(col("doc_id")) < 80, "train")
+              .when(hashBucket(col("doc_id")) < 90, "val")
+              .otherwise("test").as("split"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("split"),
+      Some("""
+        SELECT CASE
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                 AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                 AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+        ORDER BY split""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c03_source_quota",
+      (s, dir) => {
+        // Cap each source at its 5 longest docs (unique tie-break on
+        // doc_id — window-order rule, see D's scaladoc).
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        docs(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy("source", "rnk")
+      },
+      Some("""
+        SELECT source, doc_id, n_chars, rnk FROM (
+          SELECT source, doc_id, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM documents)
+        WHERE rnk <= 5
+        ORDER BY source, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c04_sequence_packing",
+      (s, dir) => {
+        // Pack docs into 4096-token bins per source: running token
+        // total in deterministic doc_id order; a doc's bin is the
+        // budget-quotient of the tokens packed before it. Output is
+        // the per-bin manifest (what a batch loader consumes).
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .withColumn("n_tokens", size(tokens(col("text"))))
+          .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+          .withColumn("bin_id", expr("(cum - n_tokens) div 4096"))
+          .groupBy("source", "bin_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("bin_tokens"))
+          .orderBy("source", "bin_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, doc_id,
+            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0)) AS INT) AS n_tokens
+          FROM documents),
+        packed AS (
+          SELECT source, n_tokens,
+            CAST((SUM(CAST(n_tokens AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // 4096 AS BIGINT) AS bin_id
+          FROM tok)
+        SELECT source, bin_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        FROM packed
+        GROUP BY source, bin_id
+        ORDER BY source, bin_id"""))
+  )
+}
