@@ -57,6 +57,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
   }
 
+  test("t06: winnowing is a pure projection — no window exec, no generate, no pre-sort shuffle") {
+    val p = plan("t06_winnowing_fingerprint")
+    assert(p.contains("graft_winnow"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Generate"), p)
+    // Only the final global orderBy may exchange (rangepartitioning);
+    // the fingerprint computation itself must not shuffle.
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("c01: hash sampling is scan->filter->project, nothing else") {
+    val p = plan("c01_hash_sample")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // Sampling predicate evaluated in the scan stage; only
+    // (doc_id, source) ever read.
+    assert(p.contains("Filter "), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen'd stages render as "*(n) Op" in the plan string
     val p = plan("q02_filter_pushdown")
