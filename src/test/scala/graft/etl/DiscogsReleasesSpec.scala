@@ -164,6 +164,22 @@ class DiscogsReleasesSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("rechunk splits one gz dump into parallel-ingestable chunks, conversion unchanged") {
+    val chunksDir = new File(tmpDir, "chunks").getAbsolutePath
+    DiscogsReleases.rechunk(spark, gzPath, chunksDir, n = 3)
+    val chunkFiles = new File(chunksDir).listFiles()
+      .filter(_.getName.endsWith(".txt.gz"))
+    assert(chunkFiles.length == 3, chunkFiles.map(_.getName).mkString(", "))
+    // Converting the chunk DIRECTORY (3 tasks instead of 1) yields the
+    // same releases as converting the original single dump.
+    val outDir = new File(tmpDir, "out_chunks").getAbsolutePath
+    DiscogsReleases.run(spark, chunksDir, outDir)
+    val rows = spark.read.parquet(outDir)
+    assert(rows.count() == 5)
+    assert(rows.select("id").collect().map(_.getInt(0)).toSet == Set(1, 2, 3, 4, 5))
+    DiscogsReleases.validate(rows)
+  }
+
   test("singleFile output writes exactly one data file (S17, main.rs:223-226)") {
     val outDir = new File(tmpDir, "out_single")
     DiscogsReleases.run(spark, gzPath, outDir.getAbsolutePath, singleFile = true)
