@@ -234,10 +234,18 @@ object Dedup {
     val withNorm = e
       .withColumn("nrm",
         sqrt(graft.functions.VectorExpressions.dot(col("v"), col("v"))))
-    val bands = Similarity.planeProjections(e)
-      .groupBy(col("vec_id"), expr("b div 8").as("band_id"))
-      .agg(sum(when(col("d") >= 0, expr("shiftleft(1, b % 8)")).otherwise(0))
-        .cast("int").as("bucket"))
+    // Band buckets are pure projections (8 native literal-weight dot
+    // products each — see Similarity.planeBit); attribute-ize BEFORE
+    // the explode so the Generate doesn't re-evaluate the dots per
+    // output row (the explode-of-built-array pitfall).
+    def bandBucket(band: Int) =
+      (0 until 8).map(i => Similarity.planeBit(col("v"), band * 8 + i, i))
+        .reduce(_ + _).cast("int")
+    val bands = e
+      .withColumn("bk0", bandBucket(0))
+      .withColumn("bk1", bandBucket(1))
+      .select(col("vec_id"),
+        posexplode(array(col("bk0"), col("bk1"))).as(Seq("band_id", "bucket")))
     val pairs = bands.as("x")
       .join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -478,10 +486,10 @@ object Dedup {
       "d09_embedding_neardup_lsh",
       (s, dir) => {
         // d06's scale variant: block on hyperplane LSH bands instead
-        // of label (candidate pairs drop ~10× at sf0.01: 1201
-        // bucket-mate pairs vs 12344 label-mate pairs). Fully
-        // oracle-checked — the md5-parity planes and exact-decimal
-        // projections reproduce bit-for-bit in DuckDB.
+        // of label (candidate pairs drop ~10× at sf0.01 vs the 12344
+        // label-mate pairs). Fully oracle-checked — the md5-parity
+        // planes and index-order double dot products reproduce
+        // bit-for-bit in DuckDB.
         graft.functions.VectorExpressions.register(s)
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
@@ -489,31 +497,21 @@ object Dedup {
         embeddingNearDupByBucket(e, minCosine = 0.25)
           .orderBy("vec_a", "vec_b")
       },
-      Some("""
+      Some(s"""
         WITH e AS (
           SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
-        dims AS (
-          SELECT vec_id, label, CAST(u.i AS INT) AS j,
-            CAST(u.x AS DECIMAL(28,12)) AS xd
-          FROM e, unnest(list_transform(range(1, len(v) + 1),
-                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
         planes AS (
-          SELECT CAST(b.range AS INT) AS b, CAST(j.range AS INT) AS j,
-            CASE WHEN CAST('0x' || substr(md5(CAST(b.range AS VARCHAR) || ','
-                   || CAST(j.range AS VARCHAR)), 1, 1) AS INT) % 2 = 0
-                 THEN 1 ELSE -1 END AS w
-          FROM range(0, 16) b, range(1, 65) j),
-        proj AS (
-          SELECT vec_id, label, b, SUM(xd * w) AS d
-          FROM dims JOIN planes USING (j)
-          GROUP BY vec_id, label, b),
+          SELECT * FROM (VALUES
+          ${Similarity.planesSqlValues}) AS t(b, w)),
         bands AS (
           SELECT vec_id, b // 8 AS band_id,
-            CAST(SUM(CASE WHEN d >= 0 THEN (1 << (b % 8)) ELSE 0 END) AS INT)
-              AS bucket
-          FROM proj GROUP BY vec_id, b // 8),
+            CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(v, w),
+                                                       p -> p[1] * p[2])) >= 0
+                     THEN (1 << (b % 8)) ELSE 0 END) AS INT) AS bucket
+          FROM e CROSS JOIN planes
+          GROUP BY vec_id, b // 8),
         pairs AS (
           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
           FROM bands x JOIN bands y

@@ -40,38 +40,44 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Signed projections of each vector onto 16 deterministic
-    * pseudo-random hyperplanes: (vec_id, label, b, d) with b the plane
-    * index and d the exact-decimal projection. Weight for (plane b,
-    * dim j) is ±1 from the parity of a portable md5 digit, so every
-    * executor AND the DuckDB oracle reproduce the planes without
-    * shipping a model. Shared by s02 (16-bit buckets) and d09 (banded
-    * near-dup blocking).
-    *
-    * Shape: explode dims → broadcast-join the 1024-row plane table →
-    * partial-agg per (vec, plane). All codegen (a first cut as nested
-    * HOF folds was interpreted and ~8× slower). Projections sum exact
-    * DECIMALs so the sign bit is reproducible under any aggregation
-    * order.
+  /** ±1 weight for (hyperplane b, dim j ∈ 1..64): the parity of the
+    * first hex digit of md5("b,j"). The planes are a MODEL CONSTANT —
+    * deriving them from a portable digest means every executor AND the
+    * DuckDB oracle agree on the exact planes without shipping
+    * anything; deriving them at PLAN TIME (here, 1024 driver-side
+    * md5s) instead of per row means the per-vector work is just 16
+    * native dot products. Parity with the SQL-side derivation
+    * (`CAST('0x'||substr(md5(b||','||j),1,1) AS INT) % 2`) is pinned
+    * by SimilaritySpec.
     */
-  def planeProjections(e: DataFrame): DataFrame = {
-    val s = e.sparkSession
-    val dims = e.select(col("vec_id"), col("label"),
-      posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("label"),
-        (col("pos") + 1).cast("int").as("j"),
-        col("x").cast("decimal(28,12)").as("xd"))
-    val planes = s.range(16).select(col("id").cast("int").as("b"))
-      .crossJoin(s.range(1, 65).select(col("id").cast("int").as("j")))
-      .select(col("b"), col("j"),
-        when(
-          (conv(substring(md5(concat_ws(",", col("b"), col("j"))), 1, 1),
-            16, 10).cast("int") % 2) === 0, 1)
-          .otherwise(-1).as("w"))
-    dims.join(broadcast(planes), "j")
-      .groupBy("vec_id", "label", "b")
-      .agg(sum(col("xd") * col("w")).as("d"))
+  def planeWeight(b: Int, j: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$b,$j".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
   }
+
+  /** The 16 hyperplanes as literal weight vectors (plane → 64 ±1s). */
+  val planeWeights: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 16).map(b => (1 to 64).map(j => planeWeight(b, j)))
+
+  /** DuckDB literal VALUES rows `(b, [±1.0, ...])` for the oracle CTE —
+    * generated from the same planeWeight source of truth.
+    */
+  def planesSqlValues: String = planeWeights.zipWithIndex.map {
+    case (ws, b) =>
+      ws.map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString(s"($b, [", ",", "])")
+  }.mkString(",\n          ")
+
+  /** Sign bit of vector `v` against plane `b`, as `1<<shift` or 0.
+    * The projection is one native codegen dot product against a
+    * literal weight array — an index-order IEEE double sum, which both
+    * engines reproduce bit-for-bit (the d06/s01-proven pattern), so
+    * the sign (and hence every bucket) is oracle-exact.
+    */
+  def planeBit(v: Column, b: Int, shift: Int): Column =
+    when(dot(v, typedLit(planeWeights(b))) >= 0, lit(1 << shift))
+      .otherwise(lit(0))
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -120,38 +126,35 @@ object Similarity {
     Q(
       "s02_lsh_buckets",
       (s, dir) => {
-        // Bucket = the 16 sign bits of planeProjections packed into
-        // one int.
-        planeProjections(emb(s, dir))
-          .groupBy("vec_id", "label")
-          .agg(sum(when(col("d") >= 0, expr("shiftleft(1, b)")).otherwise(0))
-            .cast("int").as("bucket"))
-          .select("vec_id", "label", "bucket")
+        // Bucket = the 16 sign bits packed into one int. A pure
+        // projection: 16 native dot products per vector against
+        // literal plane weights — no explode, no join, no shuffle.
+        // (The first cut exploded 64 dims and broadcast-joined a
+        // 1024-row plane table: 5M decimal multiply-adds through a
+        // partial agg, ~2.4 s at sf0.1 for what is 5M flops; this
+        // shape is ~10× cheaper and is a map-only stage at 100 TB.)
+        val bucket = (0 until 16).map(b => planeBit(col("v"), b, b))
+          .reduce(_ + _).cast("int")
+        emb(s, dir)
+          .select(col("vec_id"), col("label"), bucket.as("bucket"))
           .orderBy("vec_id")
       },
-      Some("""
+      Some(s"""
         WITH e AS (
           SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
-        dims AS (
-          SELECT vec_id, label, CAST(u.i AS INT) AS j,
-            CAST(u.x AS DECIMAL(28,12)) AS xd
-          FROM e, unnest(list_transform(range(1, len(v) + 1),
-                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
         planes AS (
-          SELECT CAST(b.range AS INT) AS b, CAST(j.range AS INT) AS j,
-            CASE WHEN CAST('0x' || substr(md5(CAST(b.range AS VARCHAR) || ','
-                   || CAST(j.range AS VARCHAR)), 1, 1) AS INT) % 2 = 0
-                 THEN 1 ELSE -1 END AS w
-          FROM range(0, 16) b, range(1, 65) j),
-        proj AS (
-          SELECT vec_id, label, b, SUM(xd * w) AS d
-          FROM dims JOIN planes USING (j)
-          GROUP BY vec_id, label, b)
-        SELECT vec_id, label,
-          CAST(SUM(CASE WHEN d >= 0 THEN (1 << b) ELSE 0 END) AS INT) AS bucket
-        FROM proj
+          SELECT * FROM (VALUES
+          $planesSqlValues) AS t(b, w)),
+        bits AS (
+          SELECT vec_id, label,
+            CASE WHEN list_sum(list_transform(list_zip(v, w),
+                                              p -> p[1] * p[2])) >= 0
+                 THEN (1 << b) ELSE 0 END AS bit
+          FROM e CROSS JOIN planes)
+        SELECT vec_id, label, CAST(SUM(bit) AS INT) AS bucket
+        FROM bits
         GROUP BY vec_id, label
         ORDER BY vec_id""")),
     // ----------------------------------------------------------------

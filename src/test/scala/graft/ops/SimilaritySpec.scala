@@ -41,4 +41,21 @@ class SimilaritySpec extends SparkSpec {
 
   private def SparkEntry_queries(name: String) =
     graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+
+  test("planeWeight matches the portable SQL md5-parity derivation") {
+    // The oracle side derives each ±1 weight as
+    //   CASE WHEN CAST('0x'||substr(md5(b||','||j),1,1) AS INT) % 2 = 0
+    // — evaluate that exact expression in Spark SQL for every (b, j)
+    // and compare with the driver-side derivation the literal plane
+    // arrays are built from.
+    import org.apache.spark.sql.functions._
+    val sqlSide = spark.range(16).select(col("id").cast("int").as("b"))
+      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("j")))
+      .select(col("b"), col("j"),
+        when((conv(substring(md5(concat_ws(",", col("b"), col("j"))), 1, 1),
+          16, 10).cast("int") % 2) === 0, 1.0).otherwise(-1.0).as("w"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (b <- 0 until 16; j <- 1 to 64)
+      assert(sqlSide((b, j)) == Similarity.planeWeight(b, j), s"(b=$b, j=$j)")
+  }
 }
