@@ -48,6 +48,13 @@ class GraftExtensionsSpec extends SparkSpec {
         ragged.queryExecution.optimizedPlan.toString)
       assert(ragged.head().isNullAt(0),
         "ragged-array dot product must be NULL (HOF semantics)")
+
+      // graft_winnow is injected too: fingerprints of a short string,
+      // computed through plain SQL.
+      val fp = s2.sql(
+        "SELECT graft_winnow(encode('hello world hello', 'UTF-8')) AS f")
+        .head().getSeq[Long](0)
+      assert(fp.nonEmpty && fp == fp.sorted && fp.distinct == fp, fp.toString)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
