@@ -18,6 +18,7 @@ class Engine(val spark: SparkSession, dir: String) {
 
   Tables.registerAll(spark, dir)
   functions.VectorExpressions.register(spark)
+  functions.Winnow.register(spark)
 
   /** Ad-hoc SQL over the registered tables. */
   def sql(q: String): DataFrame = spark.sql(q)
@@ -33,7 +34,14 @@ class Engine(val spark: SparkSession, dir: String) {
 
   def queryNames: Seq[String] = SparkEntry.registry.map(_.name)
 
-  /** The reference pipeline: gzipped releases XML → snappy parquet. */
-  def convertReleases(inputXmlGz: String, outputDir: String): Unit =
-    etl.DiscogsReleases.run(spark, inputXmlGz, outputDir)
+  /** The reference pipeline: gzipped releases XML → snappy parquet.
+    * `singleFile=true` for the reference's exact one-file output.
+    */
+  def convertReleases(inputXmlGz: String, outputDir: String,
+      singleFile: Boolean = false): Unit =
+    etl.DiscogsReleases.run(spark, inputXmlGz, outputDir, singleFile)
+
+  /** Split one non-splittable dump into n parallel-ingestable chunks. */
+  def rechunkReleases(inputXmlGz: String, chunksDir: String, n: Int): Unit =
+    etl.DiscogsReleases.rechunk(spark, inputXmlGz, chunksDir, n)
 }
