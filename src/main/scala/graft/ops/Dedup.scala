@@ -96,10 +96,16 @@ object Dedup {
     * (a + i*b) % p, decimal-string rendering) reproduces exactly in
     * the DuckDB oracle.
     */
-  def minhashBands(documents: DataFrame): DataFrame = {
+  def minhashBands(documents: DataFrame): DataFrame =
+    minhashBandsFrom(shingleRows(documents))
+
+  /** Same, from precomputed (doc_id, t) shingle rows — lets callers
+    * that ALSO need the shingles (d03's exact-Jaccard verify) compute
+    * them once.
+    */
+  def minhashBandsFrom(sh: DataFrame): DataFrame = {
     val nHashes = 32
     val rowsPerBand = 4
-    val sh = shingleRows(documents)
     // Base hashes materialize as attributes FIRST so each md5 is
     // evaluated once per shingle, not once per derived hash.
     val hex7 = (seed: String) =>
@@ -129,7 +135,12 @@ object Dedup {
     * Jaccard ≥ `minJaccard`.
     */
   def lshCandidatePairs(documents: DataFrame, minJaccard: Double): DataFrame = {
-    val b = minhashBands(documents)
+    // The shingle rows feed BOTH the banding and the verify sets —
+    // materialize them once (at 100 TB the double tokenize+scan is 2×
+    // the job's IO; locally it was ~20% of d03). Same pattern as
+    // connectedKeepers' membership table.
+    val sh0 = shingleRows(documents).localCheckpoint()
+    val b = minhashBandsFrom(sh0)
     // Candidate pairs per bucket via groupBy + in-bucket expansion:
     // one shuffle on (band_id, band_hash), versus a self-join's two
     // exchanges + broadcast build. Buckets are tiny by construction
@@ -153,7 +164,7 @@ object Dedup {
     // exact), while the per-pair arrays shipped through the verify
     // join shrink ~3×. On dup-heavy corpora the verify join dominates
     // d03 — see ScaleSmoke.
-    val sh = shingleRows(documents)
+    val sh = sh0
       .groupBy("doc_id")
       .agg(collect_set(substring(md5(col("t")), 1, 16)).as("sl"))
     pairs
