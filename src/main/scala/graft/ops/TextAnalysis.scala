@@ -218,6 +218,39 @@ object TextAnalysis {
         ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(
+      "t07_term_scrub",
+      (s, dir) => {
+        // Denylist scrubbing — the redaction step of a cleaning
+        // pipeline (PII/blocked-term removal), shaped exactly like
+        // production: one codegen regexp pass per doc, emit the
+        // redacted payload digest + hit count so downstream stages and
+        // audits join on doc_id. (The synthetic corpus has no
+        // emails/digits, so the denylist here is a word list; the
+        // operator is the same.)
+        val pat = "\\b(the|and|of|to)\\b"
+        docs(s, dir)
+          .select(col("doc_id"),
+            size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+              .as("n_hits"),
+            md5(regexp_replace(lower(col("text")), pat, "[REDACTED]"))
+              .as("scrubbed_digest"),
+            length(regexp_replace(lower(col("text")), pat, "[REDACTED]"))
+              .as("scrubbed_len"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to)\b'))
+            AS INT) AS n_hits,
+          md5(regexp_replace(lower(text), '\b(the|and|of|to)\b',
+                             '[REDACTED]', 'g')) AS scrubbed_digest,
+          CAST(LENGTH(regexp_replace(lower(text), '\b(the|and|of|to)\b',
+                                     '[REDACTED]', 'g')) AS INT)
+            AS scrubbed_len
+        FROM documents
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
       "t05_bigram_profile",
       (s, dir) =>
         docs(s, dir)
