@@ -652,6 +652,48 @@ object Relational2 {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        ORDER BY status, priority"""))
+        ORDER BY status, priority""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q46_map_functions",
+      (s, dir) => {
+        // Map-typed column functions: build a per-user event_type→count
+        // map (map_from_entries over sorted entries), probe it
+        // (try_element_at — ANSI-safe on missing keys), and walk it
+        // (map_entries). The OUTPUT stays scalar (size/lookup/digest)
+        // so the oracle compare is repr-safe — map columns cross the
+        // pandas bridge with engine-specific dict rendering; the
+        // oracle computes the same result relationally.
+        val c = t(s, dir)("events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        c.groupBy("user_id")
+          .agg(map_from_entries(
+            array_sort(collect_list(struct(col("event_type"), col("n")))))
+            .as("tc"))
+          .select(col("user_id"),
+            size(col("tc")).as("n_types"),
+            coalesce(try_element_at(col("tc"), lit("click")), lit(0L))
+              .as("n_click"),
+            md5(concat_ws(",",
+              transform(map_entries(col("tc")), e =>
+                concat(e.getField("key"), lit(":"),
+                  e.getField("value").cast("string")))))
+              .as("types_digest"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT user_id,
+          CAST(COUNT(*) AS INT) AS n_types,
+          CAST(COALESCE(SUM(n) FILTER (event_type = 'click'), 0) AS BIGINT)
+            AS n_click,
+          md5(string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                         ORDER BY event_type)) AS types_digest
+        FROM c
+        GROUP BY user_id
+        ORDER BY user_id"""))
   )
 }
