@@ -21,6 +21,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // size(null) = null (not -1), matching the oracle's NULL semantics.
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

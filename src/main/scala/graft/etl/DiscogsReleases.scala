@@ -199,12 +199,12 @@ object DiscogsReleases {
 
   /** Convert `input` XML to a snappy-parquet directory at `output`.
     *
-    * `singleFile = true` coalesces to one task so the directory holds
-    * exactly one data file — byte-level output parity with the
-    * reference, which writes a single `releases.parquet`
-    * (`main.rs:223-226`). Default is false: a directory of files is
-    * the scalable shape (one file per task), and everything downstream
-    * reads directories.
+    * `singleFile = true` coalesces to one task and leaves `output` as
+    * ONE parquet FILE named as requested — literal path parity with
+    * the reference's single `releases.parquet` (`main.rs:223-226`).
+    * Default is false: a directory of files is the scalable shape
+    * (one file per task), and everything downstream reads
+    * directories.
     */
   /** Split one non-splittable `.xml.gz` dump into `n` independently
     * parsable gzipped chunks — the "re-chunk once" step that breaks
@@ -221,23 +221,69 @@ object DiscogsReleases {
     */
   def rechunk(spark: SparkSession, input: String, outDir: String, n: Int): Unit = {
     import spark.implicits._
-    val releaseLines = spark.read.textFile(input)
-      .filter(l => l.trim.startsWith("<release "))
+    // Strictness: a dump violating the one-release-per-line layout
+    // must fail loudly (the reference's grammar panics on it) — not
+    // silently lose releases. Dropped lines are tallied in the same
+    // single pass as the split (an accumulator, not a second scan of
+    // the non-splittable gzip); anything that isn't a release line or
+    // an expected document frame (root tags / xml decl / blank) fails
+    // the job. Accumulators can over-count on task retry, which is
+    // fine for a fail-if-nonzero check.
+    val unexpected = spark.sparkContext.collectionAccumulator[String]("unexpectedLines")
+    val releaseLines = spark.read.textFile(input).mapPartitions { it =>
+      it.flatMap { l =>
+        val t = l.trim
+        if (t.startsWith("<release ")) Some(l)
+        else {
+          val frame = t.isEmpty || t == "<releases>" || t == "</releases>" ||
+            t.startsWith("<?xml")
+          if (!frame && unexpected.value.size() < 10) unexpected.add(t.take(120))
+          None
+        }
+      }
+    }
     releaseLines
       .repartition(n)
       .mapPartitions(it => Iterator("<releases>") ++ it ++ Iterator("</releases>"))
       .write.mode("overwrite")
       .option("compression", "gzip")
       .text(outDir)
+    if (!unexpected.value.isEmpty)
+      throw new IllegalStateException(
+        "rechunk: input is not one-release-per-line; unexpected line(s): " +
+          unexpected.value)
   }
 
   def run(spark: SparkSession, input: String, output: String,
       singleFile: Boolean = false): Unit = {
     val out = transformReleases(read(spark, input))
-    (if (singleFile) out.coalesce(1) else out).write
-      .mode("overwrite")
-      .option("compression", "snappy") // the reference's WriterProperties (main.rs:219-221)
-      .parquet(output)
+    if (singleFile) {
+      // Literal path parity with the reference, which writes ONE file
+      // named as requested (`main.rs:223-226`): write the one-task
+      // directory to a scratch path, then move the part file onto the
+      // target. Hadoop FileSystem (not java.io) so the same code works
+      // on HDFS/S3 paths.
+      import org.apache.hadoop.fs.Path
+      val scratch = new Path(output + "._graft_tmp")
+      out.coalesce(1).write
+        .mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(scratch.toString)
+      val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.globStatus(new Path(scratch, "part-*.parquet"))
+      require(parts.length == 1,
+        s"expected exactly one part file in $scratch, found ${parts.length}")
+      val target = new Path(output)
+      fs.delete(target, true)
+      require(fs.rename(parts(0).getPath, target),
+        s"rename ${parts(0).getPath} -> $target failed")
+      fs.delete(scratch, true)
+    } else {
+      out.write
+        .mode("overwrite")
+        .option("compression", "snappy") // the reference's WriterProperties (main.rs:219-221)
+        .parquet(output)
+    }
   }
 
   /** Same 2-arg CLI contract as the reference (`main.rs:919-930`). */

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** Whole-document winnowing fingerprints as ONE native expression.
   *
@@ -45,6 +46,18 @@ case class WinnowFingerprints(child: Expression, k: Int = 5, w: Int = 8)
   // upstream. Output is the sorted distinct minima, never null
   // elements.
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Analysis-time type check: without it a SQL caller passing a raw
+  // string column would hit a runtime ClassCastException in
+  // nullSafeEval instead of an AnalysisException up front.
+  // (checkInputDataTypes is public API; ExpectsInputTypes is
+  // private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY argument, got ${other.catalogString}")
+    }
 
   override def prettyName: String = "graft_winnow"
 

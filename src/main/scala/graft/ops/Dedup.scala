@@ -422,7 +422,11 @@ object Dedup {
         // min(doc_id) across all of a doc's bucket-mates. (Full
         // transitive closure would iterate to a fixpoint; one hop
         // already collapses every same-bucket cluster.)
-        val b = minhashBands(docs(s, dir))
+        // The bands feed BOTH the bucket-min agg and the join —
+        // materialize once or the whole minhash pipeline (tokenize →
+        // explode → 2×md5 → 32-min agg) executes twice (d03:142
+        // pattern).
+        val b = minhashBands(docs(s, dir)).localCheckpoint()
         val bucketMin = b.groupBy("band_id", "band_hash")
           .agg(min(col("doc_id")).as("bucket_min"))
         b.join(bucketMin, Seq("band_id", "band_hash"))
@@ -445,9 +449,25 @@ object Dedup {
     Q(
       "d08_lsh_connected_keepers",
       (s, dir) =>
-        // Fixpoint dedup closure (rows-only: iterative — not
-        // single-query SQL; transitivity is pinned by DedupSpec).
-        connectedKeepers(docs(s, dir)).orderBy("doc_id")),
+        // Fixpoint dedup closure. The Spark side iterates min-label
+        // propagation to convergence; the oracle states the same
+        // transitive closure as a recursive reachability CTE (min over
+        // all docs reachable through shared buckets = the component
+        // min the fixpoint converges to).
+        connectedKeepers(docs(s, dir)).orderBy("doc_id"),
+      Some(s"""
+        ${sqlBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        edges AS (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash),
+        reach AS (
+          SELECT u AS doc_id, v AS r FROM edges
+          UNION
+          SELECT t.doc_id, e.v FROM reach t JOIN edges e ON t.r = e.u)
+        SELECT doc_id, MIN(r) AS keeper,
+          CAST(MIN(r) = doc_id AS INT) AS is_kept
+        FROM reach GROUP BY doc_id ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(
       "d06_embedding_neardup",

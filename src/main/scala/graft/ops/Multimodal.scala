@@ -65,6 +65,33 @@ object Multimodal {
   def fakeDecodeBatch(batch: Seq[Blob]): Seq[Decoded] =
     batch.map(fakeDecode)
 
+  /** DuckDB re-statement of `fakeDecode`'s hash fold: the Scala fold
+    * `h = foldLeft(17L)((acc, byte) => acc * 31 + byte)` over SIGNED
+    * payload bytes, with Long wrap-around, is deterministic integer
+    * arithmetic — so the stub decoder IS oracle-checkable. Bytes come
+    * from hex(encode(text)) two chars at a time (sign-adjusted:
+    * u >= 128 → u - 256), the fold runs in HUGEINT mod 2^64 (DuckDB
+    * BIGINT errors on overflow where Scala Long wraps), and width/
+    * height/feat0 read low bit-fields of the unsigned residue —
+    * identical to the signed value's low bits.
+    */
+  private val sqlDecodeAcc =
+    """hx AS (
+         SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           hex(encode(text)) AS h
+         FROM documents WHERE text IS NOT NULL),
+       acc AS (
+         SELECT doc_id, n_bytes,
+           list_reduce(
+             list_prepend(CAST(17 AS HUGEINT),
+               list_transform(
+                 list_transform(range(0, CAST(length(h) AS BIGINT) // 2),
+                   i -> CAST(('0x' || substr(h, CAST(2*i + 1 AS INT), 2)) AS INT)),
+                 u -> CAST(CASE WHEN u < 128 THEN u ELSE u - 256 END AS HUGEINT))),
+             (a, x) -> ((a * 31 + x) % 18446744073709551616
+                        + 18446744073709551616) % 18446744073709551616) AS hv
+         FROM hx)"""
+
   def fakeDecode(b: Blob): Decoded = {
     val n = b.payload.length
     val h = b.payload.foldLeft(17L)((acc, x) => acc * 31 + x)
@@ -148,15 +175,31 @@ object Multimodal {
             fakeDecodeBatch(batch).map(b => fakeResize(b))))
           .toDF()
           .orderBy("doc_id")
-      }),
+      },
+      Some(s"""
+        WITH $sqlDecodeAcc,
+        dims AS (
+          SELECT doc_id,
+            CAST(16 + (hv % 16) * 16 AS INT) AS width,
+            CAST(16 + ((hv // 16) % 16) * 16 AS INT) AS height
+          FROM acc),
+        r AS (
+          SELECT doc_id, width, height,
+            LEAST(1.0, 64.0 / GREATEST(width, height)) AS scale
+          FROM dims)
+        SELECT doc_id, width, height,
+          GREATEST(1, CAST(floor(width * scale + 0.5) AS INT)) AS out_width,
+          GREATEST(1, CAST(floor(height * scale + 0.5) AS INT)) AS out_height,
+          scale
+        FROM r ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(
       "m02_decode_features",
       (s, dir) => {
         // Decode/feature-extract over a binary column via typed
         // mapPartitions (the batch boundary a real codec/model call
-        // needs). Rows-only checked: the stub decoder has no SQL
-        // equivalent.
+        // needs). Oracle-checked: the stub decoder's hash fold is
+        // plain integer arithmetic, restated in DuckDB (sqlDecodeAcc).
         val spark = s
         import spark.implicits._
         Tables.load(s, dir, "documents")
@@ -174,6 +217,18 @@ object Multimodal {
           .select(col("doc_id"), col("width"), col("height"),
             col("n_bytes"), element_at(col("features"), 1).as("feat0"))
           .orderBy("doc_id")
-      })
+      },
+      // feat0 = low byte / 128 - 1: every value is an exact multiple
+      // of 1/128, representable in FLOAT — the double-arithmetic
+      // restatement then casts down losslessly. floor(x + 0.5) is
+      // Scala's math.round (not DuckDB's half-away round).
+      Some(s"""
+        WITH $sqlDecodeAcc
+        SELECT doc_id,
+          CAST(16 + (hv % 16) * 16 AS INT) AS width,
+          CAST(16 + ((hv // 16) % 16) * 16 AS INT) AS height,
+          n_bytes,
+          CAST((hv % 256) / 128.0 - 1.0 AS FLOAT) AS feat0
+        FROM acc ORDER BY doc_id"""))
   )
 }

@@ -290,11 +290,12 @@ object Relational2 {
         // exact, unlike built-in STDDEV/CORR whose streaming update
         // formulas differ between engines. Doubles appear only after
         // the sums are final.
+        // get_json_object, not from_json: a single int key doesn't
+        // justify building a struct per row (measured 0.82 → 1.17 s
+        // regression at sf0.1 when this briefly used from_json).
         val ev = t(s, dir)("events")
           .withColumn("k",
-            from_json(col("props"),
-              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-              .getField("k").cast("int"))
+            get_json_object(col("props"), "$.k").cast("int"))
         // Values are bounded (value<=~330, k<=~99), so the power sums
         // fit comfortably in down-cast widths; SUM results must be
         // narrowed before multiplication or decimal width caps (38)

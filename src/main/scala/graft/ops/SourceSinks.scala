@@ -28,9 +28,19 @@ import graft.Tables
   */
 object SourceSinks {
 
+  private def deleteRecursively(f: File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
+
+  // deleteOnExit only removes EMPTY directories — a filled temp dir
+  // would leak per invocation in long-lived sessions (Bench runs each
+  // query twice). A shutdown hook with a recursive delete actually
+  // cleans up.
   private def tmp(prefix: String): File = {
     val d = Files.createTempDirectory(prefix).toFile
-    d.deleteOnExit()
+    sys.addShutdownHook(deleteRecursively(d))
     d
   }
 

@@ -20,6 +20,53 @@ object StreamingOps {
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st02_stream_sessions",
+      (s, dir) => EventStream.runSessions(s, dir),
+      // Closed sessions = every (user, session) except each user's
+      // LAST session (it stays open in state under NoTimeout). Gap
+      // rule matches sessionize: a gap >= 30 min closes.
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        g AS (
+          SELECT user_id, us, event_id,
+            CASE WHEN us - LAG(us, 1) OVER (PARTITION BY user_id
+                                            ORDER BY us, event_id)
+                      >= 1800000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM e),
+        s AS (
+          SELECT user_id,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+        sess AS (
+          SELECT user_id, sid, COUNT(*) AS n_events
+          FROM s GROUP BY user_id, sid)
+        SELECT user_id, n_events, TRUE AS closed
+        FROM sess
+        WHERE sid < (SELECT MAX(s2.sid) FROM sess s2
+                     WHERE s2.user_id = sess.user_id)
+        ORDER BY user_id, n_events""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st03_stream_interval_join",
+      (s, dir) => EventStream.runIntervalJoin(s, dir),
+      Some("""
+        SELECT p.event_id AS purchase_id, p.user_id,
+          CAST(p.ts AS TIMESTAMP) AS ts,
+          v.event_id AS view_event_id,
+          CAST(v.ts AS TIMESTAMP) AS view_ts
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         AND CAST(v.ts AS TIMESTAMP) >=
+             CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        ORDER BY purchase_id, view_event_id"""))
   )
 }

@@ -59,10 +59,14 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             acc.exprId == aacc.exprId && v.exprId == av.exprId &&
             isIdentityFinish(finish) &&
             nonNullDoubleArray(a) && nonNullDoubleArray(b) =>
-        // NULL-if-ragged guard preserves the HOF form's semantics; a
-        // null `a`/`b` also lands in the else branch (size(null) is
-        // null → predicate not true), again matching the HOF form.
-        If(EqualTo(Size(a), Size(b)), DotProduct(a, b),
-          Literal(null, DoubleType))
+        // NULL-if-ragged guard preserves the HOF form's semantics.
+        // Size is constructed with legacySizeOfNull=false explicitly:
+        // under the legacy default, size(null) is -1 (not null), so
+        // two null arrays would take the then-branch — harmless only
+        // because DotProduct null-propagates, but the guard shouldn't
+        // depend on session config to mean what it says.
+        If(EqualTo(Size(a, legacySizeOfNull = false),
+             Size(b, legacySizeOfNull = false)),
+          DotProduct(a, b), Literal(null, DoubleType))
     }
 }

@@ -79,6 +79,58 @@ object EventStream {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** Run the flatMapGroupsWithState sessionization as a REAL streaming
+    * query over the events file stream and return the emitted (closed)
+    * sessions. With NoTimeout, each user's final session stays open in
+    * state — so the batch-SQL oracle is "every session except each
+    * user's last one" (st02's recursive-free window restatement).
+    */
+  def runSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "st_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val evs = readStream(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[Ev]
+    val q = sessionize(evs)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "n_events")
+  }
+
+  /** Run the watermarked stream-stream interval join as a REAL
+    * streaming query (purchases ⋈ views of the same user in the
+    * preceding hour, both sides branches of the same file stream) and
+    * return the match pairs. Inner-join matches emit in the
+    * micro-batch they occur, so AvailableNow over one file yields the
+    * full batch-join result — which is exactly what the oracle SQL
+    * states.
+    */
+  def runIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_ssjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = readStream(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val q = purchasesWithRecentViews(p, v)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"), col("view_event_id"), col("view_ts"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("purchase_id", "view_event_id")
+  }
+
   // ------------------------------------------------------------------
   // Custom state: running per-user counts via mapGroupsWithState.
   // ------------------------------------------------------------------

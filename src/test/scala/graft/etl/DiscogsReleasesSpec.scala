@@ -180,12 +180,30 @@ class DiscogsReleasesSpec extends SparkSpec {
     DiscogsReleases.validate(rows)
   }
 
-  test("singleFile output writes exactly one data file (S17, main.rs:223-226)") {
-    val outDir = new File(tmpDir, "out_single")
-    DiscogsReleases.run(spark, gzPath, outDir.getAbsolutePath, singleFile = true)
-    val parts = outDir.listFiles().filter(_.getName.endsWith(".parquet"))
-    assert(parts.length == 1, parts.map(_.getName).mkString(", "))
-    assert(spark.read.parquet(outDir.getAbsolutePath).count() == 5)
+  test("singleFile output is ONE parquet file at the requested path (S17, main.rs:223-226)") {
+    val outFile = new File(tmpDir, "releases_single.parquet")
+    DiscogsReleases.run(spark, gzPath, outFile.getAbsolutePath, singleFile = true)
+    assert(outFile.isFile, s"$outFile should be a plain file, not a directory")
+    assert(!new File(tmpDir, "releases_single.parquet._graft_tmp").exists(),
+      "scratch dir should be cleaned up")
+    assert(spark.read.parquet(outFile.getAbsolutePath).count() == 5)
+  }
+
+  test("rechunk fails loudly on a dump violating one-release-per-line") {
+    val badGz = new File(tmpDir, "bad.xml.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(badGz))
+    // a release element SPLIT across lines — text-level chunking would
+    // silently drop both fragments; the reference's grammar panics.
+    out.write(
+      "<releases>\n<release id=\"9\" status=\"Accepted\">\n<title>x</title></release>\n</releases>\n"
+        .getBytes("UTF-8"))
+    out.close()
+    val ex = intercept[IllegalStateException] {
+      DiscogsReleases.rechunk(spark, badGz.getAbsolutePath,
+        new File(tmpDir, "bad_chunks").getAbsolutePath, n = 2)
+    }
+    assert(ex.getMessage.contains("one-release-per-line"))
   }
 
   test("converted parquet is immediately queryable through the engine") {
