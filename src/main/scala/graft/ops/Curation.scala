@@ -147,6 +147,66 @@ object Curation {
           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         FROM packed
         GROUP BY source, bin_id
-        ORDER BY source, bin_id"""))
+        ORDER BY source, bin_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c05_decontaminate",
+      (s, dir) => {
+        // Benchmark decontamination: flag corpus docs whose 3-token
+        // shingles overlap a held-out benchmark set (here: source
+        // 'src0' stands in for the eval benchmark). The 100 TB shape:
+        // the benchmark's DISTINCT gram hashes are small by definition
+        // — broadcast them; the corpus side streams through one
+        // map-side join + one groupBy(doc_id), shuffling (id, 16-char
+        // hash) rows, never text. Same shingle family as the dedup
+        // stack (Dedup.shingleRows), so gram hashing is already
+        // oracle-portable.
+        val d = docs(s, dir)
+        val bench = Dedup.shingleRows(d.filter(col("source") === "src0"))
+          .select(substring(md5(col("t")), 1, 16).as("bg"))
+          .distinct()
+        val corpus = Dedup.shingleRows(d.filter(col("source") =!= "src0"))
+          .select(col("doc_id"), substring(md5(col("t")), 1, 16).as("g"))
+          .distinct()
+        val frac = col("n_hits").cast("double") /
+          col("n_grams").cast("double")
+        corpus.join(broadcast(bench), col("g") === col("bg"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), count(col("bg")).as("n_hits"))
+          .select(col("doc_id"), col("n_grams"), col("n_hits"),
+            frac.as("contamination"),
+            (frac >= 0.8).cast("int").as("flagged"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        sh AS (
+          SELECT doc_id, source,
+            CASE WHEN len(tl) >= 3
+              THEN list_transform(range(1, len(tl) - 1),
+                                  i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+              ELSE [array_to_string(tl, ' ')] END AS sl
+          FROM toks),
+        gr AS (
+          SELECT doc_id, source,
+            unnest(list_distinct(list_transform(sl,
+              t -> substr(md5(t), 1, 16)))) AS g
+          FROM sh),
+        bench AS (SELECT DISTINCT g FROM gr WHERE source = 'src0'),
+        corpus AS (SELECT doc_id, g FROM gr WHERE source <> 'src0'),
+        st AS (
+          SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_hits
+          FROM corpus c LEFT JOIN bench b USING (g)
+          GROUP BY c.doc_id)
+        SELECT doc_id, n_grams, n_hits,
+          CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE)
+            AS contamination,
+          CAST(CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.8
+               AS INT) AS flagged
+        FROM st ORDER BY doc_id"""))
   )
 }

@@ -67,6 +67,14 @@ object StreamingOps {
          AND CAST(v.ts AS TIMESTAMP) >=
              CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
-        ORDER BY purchase_id, view_event_id"""))
+        ORDER BY purchase_id, view_event_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st04_stream_dedup",
+      (s, dir) => EventStream.runStreamDedup(s, dir),
+      Some("""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type"""))
   )
 }

@@ -277,6 +277,82 @@ object TextAnalysis {
           FROM toks)
         SELECT bigram, COUNT(*) AS n
         FROM b GROUP BY bigram
-        ORDER BY n DESC, bigram LIMIT 20"""))
+        ORDER BY n DESC, bigram LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t08_repetition",
+      (s, dir) => {
+        // Repetition quality signals (the Gopher-rules family): a doc
+        // dominated by one repeated bigram or by few distinct words is
+        // boilerplate/spam. dup_word_frac = 1 - distinct/total words;
+        // top_bigram_frac = occurrences of the modal bigram / all
+        // bigrams. Scale shape: unigram stats are a pure projection
+        // (no shuffle); the bigram mode needs one groupBy on
+        // (doc_id, bigram) then one on doc_id — both partial-agg
+        // combine map-side, and rows are (id, 2 words) not documents.
+        val toks = col("toks")
+        val base = docs(s, dir)
+          .filter(col("text").isNotNull)
+          .repartition(
+            s.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("toks", tokens(col("text")))
+        val uni = base.select(col("doc_id"),
+          size(toks).as("n_words"),
+          size(array_distinct(toks)).as("n_distinct_words"))
+        // explode an index sequence, build the bigram post-explode
+        // (never explode a HOF-built array — the documented 10× trap).
+        val bg = base
+          .filter(size(toks) >= 2)
+          .select(col("doc_id"), toks,
+            explode(sequence(lit(1), size(toks) - 1)).as("i"))
+          .select(col("doc_id"),
+            concat_ws(" ",
+              element_at(toks, col("i")),
+              element_at(toks, col("i") + 1)).as("bg"))
+        val top = bg
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max(col("c")).as("top_c"),
+            sum(col("c")).cast("long").as("n_bigrams"))
+        uni.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+            when(col("n_words") === 0, lit(0.0))
+              .otherwise(lit(1.0) -
+                col("n_distinct_words").cast("double") /
+                  col("n_words").cast("double")).as("dup_word_frac"),
+            coalesce(col("top_c").cast("double") /
+              col("n_bigrams").cast("double"), lit(0.0))
+              .as("top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        u AS (
+          SELECT doc_id, CAST(len(tl) AS INT) AS n_words,
+            CAST(len(list_distinct(tl)) AS INT) AS n_distinct_words
+          FROM toks),
+        bgr AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(tl)),
+                                  i -> tl[i] || ' ' || tl[i+1])) AS bg
+          FROM toks WHERE len(tl) >= 2),
+        bc AS (
+          SELECT doc_id, bg, COUNT(*) AS c FROM bgr GROUP BY doc_id, bg),
+        tb AS (
+          SELECT doc_id, MAX(c) AS top_c,
+            CAST(SUM(c) AS BIGINT) AS n_bigrams
+          FROM bc GROUP BY doc_id)
+        SELECT u.doc_id, u.n_words, u.n_distinct_words,
+          CASE WHEN u.n_words = 0 THEN 0.0
+               ELSE 1.0 - CAST(u.n_distinct_words AS DOUBLE)
+                          / CAST(u.n_words AS DOUBLE) END AS dup_word_frac,
+          COALESCE(CAST(tb.top_c AS DOUBLE)
+                   / CAST(tb.n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
+        FROM u LEFT JOIN tb USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

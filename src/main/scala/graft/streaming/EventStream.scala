@@ -49,6 +49,23 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered:
+    * a stateful streaming query pins its state-store partition count
+    * from this conf at FIRST start, and every micro-batch then pays a
+    * per-partition store commit across every stateful operator (a
+    * stream-stream join keeps 4 stores per partition). For the
+    * bounded-cardinality state these queries carry, 8 partitions is
+    * plenty of parallelism and ~4× less commit overhead than the
+    * session's batch setting. A real deployment sizes this to
+    * state-rows/partition, not to the batch shuffle width.
+    */
+  private def withStreamShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** File-source stream over the events parquet. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -68,14 +85,16 @@ object EventStream {
     */
   def runHourly(spark: SparkSession, dir: String): DataFrame = {
     val name = "st_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = hourlyCounts(readStream(spark, dir))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark, 8) {
+      val q = hourlyCounts(readStream(spark, dir))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -92,14 +111,16 @@ object EventStream {
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"))
       .as[Ev]
-    val q = sessionize(evs)
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark, 8) {
+      val q = sessionize(evs)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id", "n_events")
   }
 
@@ -118,17 +139,45 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("ts"))
     val v = ev.filter(col("event_type") === "view")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val q = purchasesWithRecentViews(p, v)
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts"), col("view_event_id"), col("view_ts"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark, 8) {
+      val q = purchasesWithRecentViews(p, v)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("view_event_id"), col("view_ts"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("purchase_id", "view_event_id")
+  }
+
+  /** Run streaming dedup (`dropDuplicatesWithinWatermark`) as a REAL
+    * streaming query: first occurrence of each (user_id, event_type)
+    * passes, later ones are dropped, and key state is evicted once the
+    * watermark passes — bounded memory, the scale requirement for
+    * streaming dedup. Only the KEY columns are emitted (which survivor
+    * row wins inside a micro-batch is not deterministic; the key set
+    * is), so the oracle is the batch DISTINCT.
+    */
+  def runStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamShufflePartitions(spark, 8) {
+      val q = readStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("user_id", "event_type")
   }
 
   // ------------------------------------------------------------------
