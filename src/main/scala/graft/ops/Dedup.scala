@@ -280,7 +280,7 @@ object Dedup {
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), simhash64("toks").as("simhash"))
 
-  private val sqlBandsCte =
+  val sqlBandsCte =
     s"""WITH toks AS ($sqlToks),
         sh AS ($sqlShingles),
         hb AS ($sqlBaseHashes),

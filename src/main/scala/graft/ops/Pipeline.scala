@@ -103,7 +103,153 @@ object Pipeline {
             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
           FROM scored)
         WHERE rnk <= 10
-        ORDER BY rnk"""))
+        ORDER BY rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "p03_training_corpus",
+      (s, dir) => {
+        // The WHOLE training-data pipeline as one job: metadata
+        // quality gate → LSH keeper election (dedup) → benchmark
+        // decontamination → deterministic 80% hash sample →
+        // char-budget packing manifest. Everything the engine's
+        // corpus operators exist for, composed. Scale notes: the
+        // minhash bands are computed ONCE and checkpointed (feeds
+        // both sides of the election); the benchmark gram set is
+        // broadcast; every shuffle after the gate carries ids +
+        // 16-char hashes or per-source running sums — never text.
+        val d = Tables.load(s, dir, "documents")
+        val gated = d.filter(col("text").isNotNull &&
+          col("n_chars") >= 100 && col("source") =!= "src0")
+        // dedup: one-hop min-propagation keeper election (d07)
+        val b = Dedup.minhashBands(gated).localCheckpoint()
+        val bucketMin = b.groupBy("band_id", "band_hash")
+          .agg(min(col("doc_id")).as("bucket_min"))
+        val keepers = b.join(bucketMin, Seq("band_id", "band_hash"))
+          .groupBy("doc_id")
+          .agg(min(col("bucket_min")).as("keeper"))
+          .filter(col("keeper") === col("doc_id"))
+          .select("doc_id")
+        // decontamination vs the held-out source (c05)
+        val bench = Dedup.shingleRows(d.filter(col("source") === "src0"))
+          .select(substring(md5(col("t")), 1, 16).as("bg"))
+          .distinct()
+        val grams = Dedup.shingleRows(gated.join(keepers, "doc_id"))
+          .select(col("doc_id"), substring(md5(col("t")), 1, 16).as("g"))
+          .distinct()
+        val clean = grams
+          .join(broadcast(bench), col("g") === col("bg"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("ng"), count(col("bg")).as("nh"))
+          .filter(col("nh").cast("double") / col("ng").cast("double")
+            < 0.8)
+          .select("doc_id")
+        // deterministic hash sample (c01 family)
+        val sampled = gated.join(clean, "doc_id")
+          .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 7),
+            16, 10).cast("long") % 100 < 80)
+        // char-budget packing manifest (c04 shape, n_chars as budget)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        sampled
+          .withColumn("cum", sum(col("n_chars")).over(w))
+          .withColumn("bin_id", expr("(cum - n_chars) div 4096"))
+          .groupBy("source", "bin_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("bin_chars"))
+          .orderBy("source", "bin_id")
+      },
+      Some("""
+        WITH gated AS (
+          SELECT doc_id, source, n_chars, lower(text) AS lt
+          FROM documents
+          WHERE text IS NOT NULL AND n_chars >= 100 AND source <> 'src0'),
+        toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lt, '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM gated),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tl) >= 3
+              THEN list_transform(range(1, len(tl) - 1),
+                                  i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+              ELSE [array_to_string(tl, ' ')] END AS sl
+          FROM toks),
+        hb AS (
+          SELECT doc_id,
+            list_transform(sl, t -> [
+              CAST('0x' || substr(md5('a ' || t), 1, 7) AS BIGINT),
+              CAST('0x' || substr(md5('b ' || t), 1, 7) AS BIGINT)]) AS hs
+          FROM sh),
+        sig AS (
+          SELECT doc_id,
+            list_transform(range(0, 8), band -> {
+              'i': band,
+              'h': md5(array_to_string(
+                     list_transform(range(0, 4), r ->
+                       CAST(list_aggregate(
+                         list_transform(hs, p ->
+                           (p[1] + (band*4 + r) * p[2]) % 268435399),
+                         'min') AS VARCHAR)),
+                     '|'))}) AS bands
+          FROM hb),
+        bands AS (
+          SELECT doc_id, CAST(u.i AS INT) AS band_id, u.h AS band_hash
+          FROM sig, unnest(bands) AS s(u)),
+        bm AS (
+          SELECT band_id, band_hash, MIN(doc_id) AS bucket_min
+          FROM bands GROUP BY band_id, band_hash),
+        keepers AS (
+          SELECT b.doc_id
+          FROM bands b JOIN bm USING (band_id, band_hash)
+          GROUP BY b.doc_id HAVING MIN(bm.bucket_min) = b.doc_id),
+        btoks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL AND source = 'src0'),
+        bsh AS (
+          SELECT doc_id,
+            CASE WHEN len(tl) >= 3
+              THEN list_transform(range(1, len(tl) - 1),
+                                  i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+              ELSE [array_to_string(tl, ' ')] END AS sl
+          FROM btoks),
+        bench AS (
+          SELECT DISTINCT unnest(list_transform(sl,
+            t -> substr(md5(t), 1, 16))) AS g
+          FROM bsh),
+        kg AS (
+          SELECT k.doc_id,
+            unnest(list_distinct(list_transform(sh.sl,
+              t -> substr(md5(t), 1, 16)))) AS g
+          FROM sh JOIN keepers k USING (doc_id)),
+        decon AS (
+          SELECT kg.doc_id
+          FROM kg LEFT JOIN bench b USING (g)
+          GROUP BY kg.doc_id
+          HAVING CAST(COUNT(b.g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 < 0.8),
+        sampled AS (
+          SELECT g.doc_id, g.source, g.n_chars
+          FROM gated g JOIN decon USING (doc_id)
+          WHERE CAST('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 7)
+                     AS BIGINT) % 100 < 80),
+        packed AS (
+          SELECT source, n_chars,
+            CAST((SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_chars) // 4096 AS BIGINT) AS bin_id
+          FROM sampled)
+        SELECT source, bin_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+        FROM packed
+        GROUP BY source, bin_id
+        ORDER BY source, bin_id"""))
   )
 
   private def sqlP01: Option[String] = Some("""

@@ -361,14 +361,27 @@ object Relational {
     Q(
       "q15_supplier_stats",
       (s, dir) => {
+        // countDistinct beside plain aggs makes Catalyst plan an
+        // Expand (every input row duplicated per aggregate group — a
+        // 2× shuffle). The scalable shape is two-level re-aggregation:
+        // first combine to (suppkey, partkey) — map-side partial
+        // collapses duplicates BEFORE the shuffle — then count rows
+        // per suppkey; both shuffles carry strictly fewer rows than
+        // the input. The broadcast dim join moves AFTER aggregation,
+        // touching 100 rows instead of 600 k.
         val li = t(s, dir)("lineitem")
         val su = t(s, dir)("supplier")
-        li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
-          .groupBy("l_suppkey", "s_name")
+        val perPart = li
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(count(lit(1)).as("nl"), sum(m(col("l_quantity"))).as("sq"))
+        val ag = perPart.groupBy("l_suppkey")
           .agg(
-            countDistinct(col("l_partkey")).as("n_parts"),
-            count(lit(1)).as("n_lines"),
-            dbl(sum(m(col("l_quantity")))).as("sum_qty"))
+            count(lit(1)).as("n_parts"),
+            sum(col("nl")).cast("long").as("n_lines"),
+            dbl(sum(col("sq"))).as("sum_qty"))
+        ag.join(broadcast(su), ag("l_suppkey") === su("s_suppkey"))
+          .select(col("l_suppkey"), col("s_name"), col("n_parts"),
+            col("n_lines"), col("sum_qty"))
           .orderBy("l_suppkey")
       },
       Some("""

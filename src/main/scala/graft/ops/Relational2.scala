@@ -201,6 +201,29 @@ object Relational2 {
           .orderBy("l_returnflag")),
     // ----------------------------------------------------------------
     Q(
+      "q49_approx_quantiles",
+      (s, dir) =>
+        // approx_percentile (t-digest family) beside the exact
+        // percentile — the profiling aggregate a 100 TB column scan
+        // actually runs (exact quantiles need a full sort; the sketch
+        // is one pass, mergeable map-side). Sketch internals are
+        // engine-specific → rows-only checked; ApproxSpec pins the
+        // value error against the exact percentile.
+        t(s, dir)("lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_extendedprice, array(0.5, 0.95))")
+              .as("exact_p"),
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+              .as("approx_p"))
+          .select(col("l_returnflag"),
+            element_at(col("exact_p"), 1).as("exact_p50"),
+            element_at(col("approx_p"), 1).as("approx_p50"),
+            element_at(col("exact_p"), 2).as("exact_p95"),
+            element_at(col("approx_p"), 2).as("approx_p95"))
+          .orderBy("l_returnflag")),
+    // ----------------------------------------------------------------
+    Q(
       "q30_grouping_sets",
       (s, dir) => {
         // Explicit GROUPING SETS through the SQL surface (the
@@ -695,6 +718,106 @@ object Relational2 {
                          ORDER BY event_type)) AS types_digest
         FROM c
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q47_upsert_merge",
+      (s, dir) => {
+        // CDC-style snapshot merge (the MERGE INTO pattern): a
+        // snapshot (even order keys) upserted with a change set
+        // (every third key, price bumped 10%). One full-outer join on
+        // the key decides keep / update / insert per row; the change
+        // side wins where both exist. Price arithmetic stays in exact
+        // decimals until the final double cast. At scale this is ONE
+        // shuffle join on the merge key — the shape every incremental
+        // table-maintenance job reduces to.
+        // The bumped price stays at the product's natural scale 3 —
+        // rescaling to 2 decimals would ROUND, and the engines break
+        // .5 ties differently (Spark HALF_UP, DuckDB half-even).
+        // Exact-decimal → double casts are correctly rounded in both.
+        val o = t(s, dir)("orders")
+        val dec = col("o_totalprice").cast("decimal(12,2)")
+        val base = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), dec.cast("decimal(15,3)").as("bp"))
+        val changes = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (dec * lit(1.1).cast("decimal(2,1)"))
+              .cast("decimal(15,3)").as("up"))
+        base.join(changes, Seq("o_orderkey"), "full_outer")
+          .select(col("o_orderkey"),
+            coalesce(col("up"), col("bp")).cast("double")
+              .as("o_totalprice"),
+            when(col("up").isNotNull && col("bp").isNotNull, "update")
+              .when(col("bp").isNull, "insert")
+              .otherwise("keep").as("op"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey,
+            CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3)) AS bp
+          FROM orders WHERE o_orderkey % 2 = 0),
+        changes AS (
+          SELECT o_orderkey,
+            CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                 * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(15,3)) AS up
+          FROM orders WHERE o_orderkey % 3 = 0)
+        SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+          CAST(COALESCE(c.up, b.bp) AS DOUBLE) AS o_totalprice,
+          CASE WHEN c.up IS NOT NULL AND b.bp IS NOT NULL THEN 'update'
+               WHEN b.bp IS NULL THEN 'insert'
+               ELSE 'keep' END AS op
+        FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+        ORDER BY o_orderkey""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q48_funnel_conversion",
+      (s, dir) => {
+        // Funnel analysis: first view -> first purchase at-or-after
+        // it, per user. All event-time arithmetic stays in integral
+        // epoch-µs, so the cross-engine compare is exact; absent
+        // conversions COALESCE to a -1 sentinel (nullable ints degrade
+        // to float64 across the arrow bridge). Both aggregations
+        // shuffle on user_id — the second join reuses the same
+        // hash partitioning, no extra exchange.
+        val e = t(s, dir)("events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id")
+          .agg(min(col("us")).as("first_view_us"))
+        val c = e.filter(col("event_type") === "purchase")
+          .join(v, "user_id")
+          .filter(col("us") >= col("first_view_us"))
+          .groupBy("user_id")
+          .agg(min(col("us")).as("first_conv_us0"))
+        v.join(c, Seq("user_id"), "left")
+          .select(col("user_id"), col("first_view_us"),
+            coalesce(col("first_conv_us0"), lit(-1L)).as("first_conv_us"),
+            col("first_conv_us0").isNotNull.cast("int").as("converted"),
+            coalesce(col("first_conv_us0") - col("first_view_us"), lit(-1L))
+              .as("conv_latency_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        v AS (
+          SELECT user_id, MIN(us) AS first_view_us
+          FROM e WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.us) AS first_conv_us0
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.us >= v.first_view_us
+          GROUP BY e.user_id)
+        SELECT v.user_id, v.first_view_us,
+          COALESCE(c.first_conv_us0, -1) AS first_conv_us,
+          CAST(c.first_conv_us0 IS NOT NULL AS INT) AS converted,
+          COALESCE(c.first_conv_us0 - v.first_view_us, -1)
+            AS conv_latency_us
+        FROM v LEFT JOIN c USING (user_id)
+        ORDER BY v.user_id"""))
   )
 }

@@ -238,6 +238,73 @@ object Similarity {
                                ORDER BY cos_sim DESC, vec_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
-        ORDER BY qid, rnk"""))
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s04_knn_join",
+      (s, dir) => {
+        // k-NN JOIN: approximate top-3 neighbors for EVERY vector —
+        // the index-build shape behind retrieval corpora and semantic
+        // dedup. Blocking on a COARSE 4-bit hyperplane bucket (planes
+        // 0–3 of the s02 family): pairwise cosine runs only inside a
+        // bucket, the self-join is an equi-join shuffle on the bucket
+        // key, and the rank filter is pushed below the shuffle by
+        // InferWindowGroupLimit (two-stage WindowGroupLimit, pinned in
+        // PlanSpec for q09). Coarseness trades recall for candidate
+        // count exactly like d09's banding; at larger corpora add bits.
+        val bucket4 = (0 until 4).map(b => planeBit(col("v"), b, b))
+          .reduce(_ + _).cast("int")
+        val eb = emb(s, dir)
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+          .withColumn("bucket", bucket4)
+          .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_sim").desc, col("nb"))
+        eb.as("a")
+          .join(eb.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+            round(dot(col("a.v"), col("b.v")) /
+              (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .orderBy("vec_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        planes AS (
+          SELECT * FROM (VALUES
+          $planesSqlValues) AS t(b, w)),
+        bits AS (
+          SELECT vec_id,
+            CASE WHEN list_sum(list_transform(list_zip(v, w),
+                                              p -> p[1] * p[2])) >= 0
+                 THEN (1 << b) ELSE 0 END AS bit
+          FROM e CROSS JOIN planes WHERE b < 4),
+        bk AS (
+          SELECT vec_id, CAST(SUM(bit) AS INT) AS bucket
+          FROM bits GROUP BY vec_id),
+        eb AS (
+          SELECT e.vec_id, e.v, bk.bucket
+          FROM e JOIN bk USING (vec_id)),
+        scored AS (
+          SELECT a.vec_id, b.vec_id AS nb,
+            ROUND(
+              list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos_sim
+          FROM eb a JOIN eb b
+            ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT vec_id, nb, cos_sim, rnk FROM (
+          SELECT vec_id, nb, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, nb) AS rnk
+          FROM scored)
+        WHERE rnk <= 3
+        ORDER BY vec_id, rnk"""))
   )
 }

@@ -19,4 +19,20 @@ class ApproxSpec extends SparkSpec {
         s"group $flag: rel_err $relErr exceeds 0.06 (rsd=0.02 requested)")
     }
   }
+
+  test("q49 approx_percentile within 1% of exact at p50/p95 (sf0.01)") {
+    val q = graft.SparkEntry.queries("q49_approx_quantiles")
+    val rows = q(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      for (p <- Seq("p50", "p95")) {
+        val exact = r.getAs[Double](s"exact_$p")
+        val approx = r.getAs[Double](s"approx_$p")
+        val relErr = math.abs(approx - exact) / exact
+        assert(relErr <= 0.01,
+          s"group $flag $p: approx $approx vs exact $exact (rel_err $relErr)")
+      }
+    }
+  }
 }

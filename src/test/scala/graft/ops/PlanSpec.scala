@@ -57,6 +57,30 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
   }
 
+  test("q09: rank limit is pushed below the shuffle (two-stage WindowGroupLimit)") {
+    // Catalyst's InferWindowGroupLimit turns filter(row_number<=k) into
+    // a Partial WindowGroupLimit BEFORE the exchange and a Final one
+    // after — the shuffle carries at most k rows per key per input
+    // partition, never the full table. This is the plan property that
+    // makes per-key top-k survive 100 TB; pin it so a query rewrite
+    // that breaks the pattern (e.g. rank filter detached from the
+    // window) fails here.
+    val p = plan("q09_topk_per_customer")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+    assert(p.contains("Final"), p)
+  }
+
+  test("q15: distinct-count avoids Expand via two-level re-aggregation") {
+    // countDistinct beside plain aggs would plan an Expand (2x row
+    // shuffle); the re-aggregated form must not contain one, and the
+    // dim join must stay broadcast after the aggregation.
+    val p = plan("q15_supplier_stats")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("t06: winnowing is a pure projection — no window exec, no generate, no pre-sort shuffle") {
     val p = plan("t06_winnowing_fingerprint")
     assert(p.contains("graft_winnow"), p)

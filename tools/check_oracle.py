@@ -29,6 +29,9 @@ def norm_cell(v):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    # Optional 3rd arg: restrict to queries whose name contains it
+    # (pairs with Verify's identical dev-only filter).
+    name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -37,7 +40,7 @@ def main():
         oracles = json.load(f)
 
     n_pass = n_fail = 0
-    for name in sorted(oracles):
+    for name in sorted(n for n in oracles if name_filter in n):
         sql = oracles[name]
         try:
             oracle = con.execute(sql).df()
