@@ -14,12 +14,10 @@ object ScaleSmoke {
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
-      base
-        .withColumn(idCol, col(idCol) + lit(i.toLong * 1000000))
-        .withColumn("text",
-          if (base.columns.contains("text"))
-            concat(col("text"), lit(s" variant$i"))
-          else col(idCol) * 0 + lit(""))
+      val shifted = base.withColumn(idCol, col(idCol) + lit(i.toLong * 1000000))
+      if (base.columns.contains("text"))
+        shifted.withColumn("text", concat(col("text"), lit(s" variant$i")))
+      else shifted
     }.reduce(_ unionByName _)
 
   def time[T](label: String)(f: => T): T = {
@@ -36,6 +34,7 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -68,6 +67,43 @@ object ScaleSmoke {
       ops.Dedup.connectedKeepers(docsN)
         .write.format("noop").mode("overwrite").save())
     docsN.unpersist()
+
+    // k-NN join: in-bucket pair count grows quadratically with bucket
+    // population, so bits must scale with the corpus. Time the same
+    // corpus under 4 and 8 bucket bits — the 8-bit run should not be
+    // slower (it trades recall for candidate count).
+    import graft.ops.Similarity
+    graft.functions.VectorExpressions.register(spark)
+    val emb1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val embN = scaled(emb1, "vec_id", factor).cache()
+    println(s"[scale] embeddings: ${embN.count()} rows (×$factor)")
+    def knn(bits: Int): Unit = {
+      val bucket = (0 until bits)
+        .map(b => Similarity.planeBit(col("v"), b, b))
+        .reduce(_ + _).cast("int")
+      val eb = embN
+        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+        .withColumn("bucket", bucket)
+        .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("nb"))
+      eb.as("a")
+        .join(eb.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+          (Similarity.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time(s"knn join 4-bit ×$factor")(knn(4))
+    time(s"knn join 8-bit ×$factor")(knn(8))
+    embN.unpersist()
     spark.stop()
   }
 }
