@@ -120,8 +120,15 @@ object Pipeline {
         val d = Tables.load(s, dir, "documents")
         val gated = d.filter(col("text").isNotNull &&
           col("n_chars") >= 100 && col("source") =!= "src0")
-        // dedup: one-hop min-propagation keeper election (d07)
-        val b = Dedup.minhashBands(gated).localCheckpoint()
+        // The gated shingle rows feed BOTH the minhash banding and the
+        // decontamination grams — materialize once (d03's pattern; a
+        // second tokenize+explode pass over the corpus would double
+        // the job's dominant cost).
+        val sh0 = Dedup.shingleRows(gated).localCheckpoint()
+        // dedup: one-hop min-propagation keeper election (d07). The
+        // bands feed both the bucket-min agg and the join — second
+        // checkpoint, same reason.
+        val b = Dedup.minhashBandsFrom(sh0).localCheckpoint()
         val bucketMin = b.groupBy("band_id", "band_hash")
           .agg(min(col("doc_id")).as("bucket_min"))
         val keepers = b.join(bucketMin, Seq("band_id", "band_hash"))
@@ -133,7 +140,7 @@ object Pipeline {
         val bench = Dedup.shingleRows(d.filter(col("source") === "src0"))
           .select(substring(md5(col("t")), 1, 16).as("bg"))
           .distinct()
-        val grams = Dedup.shingleRows(gated.join(keepers, "doc_id"))
+        val grams = sh0.join(keepers, "doc_id")
           .select(col("doc_id"), substring(md5(col("t")), 1, 16).as("g"))
           .distinct()
         val clean = grams

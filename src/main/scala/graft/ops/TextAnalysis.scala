@@ -291,11 +291,15 @@ object TextAnalysis {
         // (doc_id, bigram) then one on doc_id — both partial-agg
         // combine map-side, and rows are (id, 2 words) not documents.
         val toks = col("toks")
+        // base feeds BOTH the unigram projection and the bigram
+        // explode — materialize once so the tokenizer doesn't run
+        // twice over the corpus (the d03/d07 lesson).
         val base = docs(s, dir)
           .filter(col("text").isNotNull)
           .repartition(
             s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("toks", tokens(col("text")))
+          .localCheckpoint()
         val uni = base.select(col("doc_id"),
           size(toks).as("n_words"),
           size(array_distinct(toks)).as("n_distinct_words"))
