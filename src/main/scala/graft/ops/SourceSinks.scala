@@ -123,6 +123,30 @@ object SourceSinks {
         FROM part
         WHERE p_size < 20
         GROUP BY p_brand
-        ORDER BY p_brand"""))
+        ORDER BY p_brand""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q50_xml_roundtrip",
+      (s, dir) => {
+        // XML round trip through Spark 4's built-in XML source — the
+        // same machinery the Discogs ETL reads with, exercised as a
+        // general sink+source. Every row comes back (no aggregate):
+        // the compare is direct value-losslessness on all 25 rows.
+        val path = new File(tmp("graft_q50"), "nation_xml").getAbsolutePath
+        t(s, dir)("nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.mode("overwrite")
+          .option("rowTag", "nation").option("rootTag", "nations")
+          .format("xml").save(path)
+        s.read
+          .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+          .option("rowTag", "nation")
+          .format("xml").load(path)
+          .orderBy("n_nationkey")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation
+        ORDER BY n_nationkey"""))
   )
 }

@@ -70,6 +70,15 @@ object StreamingOps {
         ORDER BY purchase_id, view_event_id""")),
     // ------------------------------------------------------------------
     Q(
+      "st05_stream_running_counts",
+      (s, dir) => EventStream.runRunningCounts(s, dir),
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+    // ------------------------------------------------------------------
+    Q(
       "st04_stream_dedup",
       (s, dir) => EventStream.runStreamDedup(s, dir),
       Some("""

@@ -180,6 +180,34 @@ object EventStream {
     spark.table(name).orderBy("user_id", "event_type")
   }
 
+  /** Run the `mapGroupsWithState` running counts as a REAL streaming
+    * query. Update mode emits one state row per (user, micro-batch);
+    * counts are monotone, so the final per-user count is the MAX over
+    * emitted rows — which must equal the batch GROUP BY count.
+    */
+  def runRunningCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "st_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val evs = readStream(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[Ev]
+    withStreamShufflePartitions(spark, 8) {
+      val q = runningCounts(evs)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------
   // Custom state: running per-user counts via mapGroupsWithState.
   // ------------------------------------------------------------------
