@@ -31,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }

@@ -1,7 +1,11 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOfJoinPlan, GraftStrategies}
 
 /** Join utilities for skew at scale.
   *
@@ -32,5 +36,43 @@ object Joins {
       .withColumn("_salt",
         explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Backward as-of join through the NATIVE whole-operator path
+    * ([[graft.plans.AsOfJoinPlan]] → planner strategy →
+    * [[graft.plans.AsOfJoinExec]]): left columns plus the right
+    * columns of the last right row with `rightTime <= leftTime` per
+    * key (nulls when none). Column names must not collide across the
+    * two sides — rename before joining (as-of output keeps both).
+    *
+    * Registers the planner strategy imperatively
+    * (`spark.experimental.extraStrategies`) so the operator works in
+    * any session, with `GraftExtensions` as the conf-driven
+    * alternative.
+    */
+  def asofJoinNative(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!spark.experimental.extraStrategies.contains(GraftStrategies)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategies
+    }
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias every right column: a self-join's two sides share
+    // attribute ids from the same scan, and a plan node whose output
+    // repeats an exprId is ambiguous downstream.
+    val rBase = right.queryExecution.analyzed
+    val rPlan = Project(rBase.output.map(a => Alias(a, a.name)()), rBase)
+    def attr(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asofJoinNative: no column '$n' in ${out.map(_.name)}"))
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan,
+        Seq(attr(lPlan.output, leftKey)), Seq(attr(rPlan.output, rightKey)),
+        attr(lPlan.output, leftTime), attr(rPlan.output, rightTime)))
   }
 }

@@ -104,6 +104,52 @@ object Relational2 {
         ORDER BY user_id, purchase_us, event_id""")),
     // ----------------------------------------------------------------
     Q(
+      "q51_asof_native",
+      (s, dir) => {
+        // Same as-of semantics as q25, through the NATIVE
+        // whole-operator path (AsOfJoinPlan -> GraftStrategies ->
+        // AsOfJoinExec): each side sorts independently and one
+        // streaming merge per partition replaces the union + WindowExec
+        // — O(|L|+|R|) with O(1) state. Same oracle as q25 proves the
+        // two paths agree bit-for-bit.
+        val ev = t(s, dir)("events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "us")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("us").as("view_us"))
+        Joins.asofJoinNative(purchases, views,
+            leftKey = "user_id", rightKey = "v_user",
+            leftTime = "us", rightTime = "view_us")
+          .select(col("user_id"), col("event_id"),
+            col("us").as("purchase_us"),
+            coalesce(col("view_us"), lit(-1L)).as("asof_view_us"))
+          .orderBy("user_id", "purchase_us", "event_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        u AS (
+          SELECT user_id, event_id, us, 1 AS side, NULL::BIGINT AS v
+          FROM ev WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, NULL, us, 0 AS side, us AS v
+          FROM ev WHERE event_type = 'view'),
+        w AS (
+          SELECT user_id, event_id, us, side,
+            LAST_VALUE(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY us, side
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_us
+          FROM u)
+        SELECT user_id, event_id, us AS purchase_us,
+          COALESCE(asof_view_us, -1) AS asof_view_us
+        FROM w WHERE side = 1
+        ORDER BY user_id, purchase_us, event_id""")),
+    // ----------------------------------------------------------------
+    Q(
       "q26_range_join",
       (s, dir) => {
         val sparkS = s

@@ -24,4 +24,40 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(10L) == Some(2.0)) // latest at-or-before 205
     assert(out(11L) == None) // no quote yet for acct 2 at t=50
   }
+
+  test("native as-of join matches the composed form on the same cases") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val trades = Seq((1L, 100L, 9L), (1L, 205L, 10L), (2L, 50L, 11L),
+      (3L, 500L, 12L)) // key with NO right rows at all
+      .toDF("acct", "t", "trade_id")
+    val quotes = Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (1L, 300L, 3.0),
+      (2L, 80L, 9.9))
+      .toDF("q_acct", "qt", "px")
+
+    val out = Joins.asofJoinNative(trades, quotes,
+      leftKey = "acct", rightKey = "q_acct",
+      leftTime = "t", rightTime = "qt")
+      .collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("px")).map(_.asInstanceOf[Double]))
+      .toMap
+
+    assert(out(9L) == Some(1.0)) // inclusive at equal timestamps
+    assert(out(10L) == Some(2.0)) // latest at-or-before, not just any
+    assert(out(11L) == None) // right rows exist but all later
+    assert(out(12L) == None) // key absent from the right side
+  }
+
+  test("native as-of plans a merge, not a union+window") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v")
+    val p = Joins.asofJoinNative(l, r, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GraftAsOfJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), p)
+  }
 }
