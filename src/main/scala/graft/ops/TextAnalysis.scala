@@ -292,14 +292,16 @@ object TextAnalysis {
         // combine map-side, and rows are (id, 2 words) not documents.
         val toks = col("toks")
         // base feeds BOTH the unigram projection and the bigram
-        // explode — materialize once so the tokenizer doesn't run
-        // twice over the corpus (the d03/d07 lesson).
+        // explode, so the tokenizer runs twice — deliberately NOT
+        // checkpointed: unlike d03/d07 (whole minhash pipelines), the
+        // duplicated work here is one codegen'd regex split, and
+        // materializing the token arrays (~1.5× the text) measured
+        // SLOWER than recomputing them (1.23 s vs 1.04 s at sf0.1).
         val base = docs(s, dir)
           .filter(col("text").isNotNull)
           .repartition(
             s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("toks", tokens(col("text")))
-          .localCheckpoint()
         val uni = base.select(col("doc_id"),
           size(toks).as("n_words"),
           size(array_distinct(toks)).as("n_distinct_words"))

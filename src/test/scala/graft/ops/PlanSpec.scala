@@ -100,6 +100,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
   }
 
+  test("c05: benchmark gram set is broadcast, corpus side never collected") {
+    val p = plan("c05_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // LEFT OUTER broadcast: corpus rows stream past the tiny bench set.
+    assert(p.contains("LeftOuter"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen'd stages render as "*(n) Op" in the plan string
     val p = plan("q02_filter_pushdown")
