@@ -49,6 +49,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(12L) == None) // key absent from the right side
   }
 
+  test("native as-of groups null keys like the window form groups them") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Null keys cluster together under both partitionBy (composed)
+    // and the merge's natural ordering — a null-key left row sees
+    // null-key right rows, not nothing.
+    val trades = Seq((Option.empty[Long], 100L, 1L), (Some(7L), 100L, 2L))
+      .toDF("acct", "t", "trade_id")
+    val quotes = Seq((Option.empty[Long], 50L, 5.0), (Some(7L), 60L, 7.0))
+      .toDF("q_acct", "qt", "px")
+    val out = Joins.asofJoinNative(trades, quotes, "acct", "q_acct", "t", "qt")
+      .collect()
+      .map(r => r.getAs[Long]("trade_id") -> r.getAs[Double]("px"))
+      .toMap
+    assert(out(1L) == 5.0)
+    assert(out(2L) == 7.0)
+  }
+
   test("native as-of plans a merge, not a union+window") {
     val sparkS = spark
     import sparkS.implicits._
