@@ -207,6 +207,48 @@ object Curation {
             AS contamination,
           CAST(CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.8
                AS INT) AS flagged
-        FROM st ORDER BY doc_id"""))
+        FROM st ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c06_mixture_weights",
+      (s, dir) => {
+        // Training-mix construction: each source is DOWN-SAMPLED to
+        // its own target rate (the "mixture weights" step that turns
+        // raw source proportions into the designed training mix).
+        // Rate per source is a pure function of the source id here
+        // (srcN -> (N*37) mod 100); a real pipeline would broadcast a
+        // weights table — the shape is the same: a per-row hash
+        // threshold against a per-source rate, no shuffle at all
+        // until the audit aggregation. Same auditable md5 bucket as
+        // c01: a doc's fate is reproducible from its id alone.
+        val rate = (expr("CAST(substring(source, 4) AS INT)") * 37) % 100
+        val kept = docs(s, dir)
+          .withColumn("rate_pct", rate)
+          .withColumn("keep",
+            (hashBucket(col("doc_id")) < col("rate_pct")).cast("int"))
+        kept.groupBy("source")
+          .agg(max(col("rate_pct")).as("rate_pct"),
+            count(lit(1)).as("n_in"),
+            sum(col("keep")).cast("long").as("n_kept"))
+          .withColumn("kept_frac",
+            col("n_kept").cast("double") / col("n_in").cast("double"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH k AS (
+          SELECT source,
+            (CAST(substr(source, 4, 10) AS INT) * 37) % 100 AS rate_pct,
+            CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                           AS BIGINT) % 100
+                      < (CAST(substr(source, 4, 10) AS INT) * 37) % 100
+                 THEN 1 ELSE 0 END AS keep
+          FROM documents)
+        SELECT source, MAX(rate_pct) AS rate_pct,
+          COUNT(*) AS n_in,
+          CAST(SUM(keep) AS BIGINT) AS n_kept,
+          CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS kept_frac
+        FROM k
+        GROUP BY source
+        ORDER BY source"""))
   )
 }

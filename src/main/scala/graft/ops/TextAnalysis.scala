@@ -359,6 +359,40 @@ object TextAnalysis {
           COALESCE(CAST(tb.top_c AS DOUBLE)
                    / CAST(tb.n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
         FROM u LEFT JOIN tb USING (doc_id)
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t09_normalize",
+      (s, dir) => {
+        // Canonical text normalization — the first pass of every text
+        // pipeline: lowercase, strip everything outside [a-z0-9 ],
+        // collapse whitespace runs, trim. Output is digests + length
+        // deltas (repr-safe; the normalized text itself never crosses
+        // the compare). Pure codegen projection — parquet-scan speed,
+        // no shuffle but the final orderBy. The regex subset used
+        // (literal classes, +) means Java regex and RE2 agree.
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " "))
+        docs(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            length(col("text")).as("n_chars_raw"),
+            length(norm).as("n_chars_norm"),
+            md5(norm).as("norm_digest"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(LENGTH(text) AS INT) AS n_chars_raw,
+          CAST(LENGTH(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            ' +', ' ', 'g'))) AS INT) AS n_chars_norm,
+          md5(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            ' +', ' ', 'g'))) AS norm_digest
+        FROM documents
+        WHERE text IS NOT NULL
         ORDER BY doc_id"""))
   )
 }
