@@ -79,28 +79,11 @@ object ScaleSmoke {
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val embN = scaled(emb1, "vec_id", factor).cache()
     println(s"[scale] embeddings: ${embN.count()} rows (×$factor)")
-    def knn(bits: Int): Unit = {
-      val bucket = (0 until bits)
-        .map(b => Similarity.planeBit(col("v"), b, b))
-        .reduce(_ + _).cast("int")
-      val eb = embN
-        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
-        .withColumn("bucket", bucket)
-        .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("cos_sim").desc, col("nb"))
-      eb.as("a")
-        .join(eb.as("b"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
-          (Similarity.dot(col("a.v"), col("b.v")) /
-            (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+    // The SAME code s04 ships (Similarity.knnJoin), just swept over
+    // bucket widths — so the smoke measures the shipped query's shape.
+    def knn(bits: Int): Unit =
+      Similarity.knnJoin(embN, bits, k = 3)
         .write.format("noop").mode("overwrite").save()
-    }
     time(s"knn join 4-bit ×$factor")(knn(4))
     time(s"knn join 8-bit ×$factor")(knn(8))
     embN.unpersist()

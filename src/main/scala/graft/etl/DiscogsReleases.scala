@@ -248,10 +248,17 @@ object DiscogsReleases {
       .write.mode("overwrite")
       .option("compression", "gzip")
       .text(outDir)
-    if (!unexpected.value.isEmpty)
+    if (!unexpected.value.isEmpty) {
+      // Don't leave a plausible-looking but silently truncated chunk
+      // directory behind: a caller that logs the exception (or a later
+      // job reading the path) would otherwise find valid gzipped
+      // chunks with releases missing.
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       throw new IllegalStateException(
         "rechunk: input is not one-release-per-line; unexpected line(s): " +
           unexpected.value)
+    }
   }
 
   def run(spark: SparkSession, input: String, output: String,

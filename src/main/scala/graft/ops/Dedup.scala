@@ -192,9 +192,12 @@ object Dedup {
     * `localCheckpoint()` per round — without it the join lineage grows
     * superlinearly and the driver re-optimizes an ever-deeper plan.
     * Convergence in O(cluster diameter) rounds; dedup clusters are
-    * shallow, so `maxIter` ~10 is generous.
+    * shallow, so `maxIter` is generous — and since the DuckDB oracle
+    * states the EXACT closure, a non-converged result must FAIL, not
+    * silently return partial labels (a chain deeper than maxIter
+    * would otherwise elect several keepers per cluster undetected).
     */
-  def connectedKeepers(documents: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedKeepers(documents: DataFrame, maxIter: Int = 25): DataFrame = {
     // Materialize the membership table once — it is joined 2× per
     // round, and without the checkpoint the whole minhash pipeline
     // would lazily recompute on every join.
@@ -222,6 +225,10 @@ object Dedup {
       labels = updated
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedKeepers did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it")
     labels.select(col("doc_id"), col("label").as("keeper"),
       (col("label") === col("doc_id")).cast("int").as("is_kept"))
   }

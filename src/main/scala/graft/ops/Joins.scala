@@ -70,9 +70,17 @@ object Joins {
       out.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"asofJoinNative: no column '$n' in ${out.map(_.name)}"))
+    val (lk, rk) = (attr(lPlan.output, leftKey), attr(rPlan.output, rightKey))
+    val (lt, rt) = (attr(lPlan.output, leftTime), attr(rPlan.output, rightTime))
+    // The merge ordering and the UnsafeRow key equality are built from
+    // the LEFT types — mismatched right types would compare raw bytes
+    // of differently-sized slots and produce silently wrong output.
+    // Spark's own joins insert casts; this operator requires equality.
+    require(lk.dataType == rk.dataType,
+      s"asofJoinNative: key types differ (${lk.dataType} vs ${rk.dataType})")
+    require(lt.dataType == rt.dataType,
+      s"asofJoinNative: time types differ (${lt.dataType} vs ${rt.dataType})")
     org.apache.spark.sql.GraftBridge.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan,
-        Seq(attr(lPlan.output, leftKey)), Seq(attr(rPlan.output, rightKey)),
-        attr(lPlan.output, leftTime), attr(rPlan.output, rightTime)))
+      AsOfJoinPlan(lPlan, rPlan, Seq(lk), Seq(rk), lt, rt))
   }
 }

@@ -79,6 +79,35 @@ object Similarity {
     when(dot(v, typedLit(planeWeights(b))) >= 0, lit(1 << shift))
       .otherwise(lit(0))
 
+  /** All-pairs approximate k-NN join, blocked on the first `bits`
+    * hyperplane sign bits: candidate pairs are bucket-mates only, the
+    * self-join is an equi-join shuffle on the bucket key, and the rank
+    * filter is pushed below the shuffle by InferWindowGroupLimit.
+    * `bits` trades recall for in-bucket pair count (quadratic in
+    * bucket population) — it must grow with the corpus; ScaleSmoke
+    * measures the trade on the SAME code s04 ships.
+    * Input needs (vec_id, v: array<double>).
+    */
+  def knnJoin(e: DataFrame, bits: Int, k: Int): DataFrame = {
+    val bucketC = (0 until bits).map(b => planeBit(col("v"), b, b))
+      .reduce(_ + _).cast("int")
+    val eb = e
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", bucketC)
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nb"))
+    eb.as("a")
+      .join(eb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+        round(dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -242,35 +271,12 @@ object Similarity {
     // ----------------------------------------------------------------
     Q(
       "s04_knn_join",
-      (s, dir) => {
+      (s, dir) =>
         // k-NN JOIN: approximate top-3 neighbors for EVERY vector —
         // the index-build shape behind retrieval corpora and semantic
-        // dedup. Blocking on a COARSE 4-bit hyperplane bucket (planes
-        // 0–3 of the s02 family): pairwise cosine runs only inside a
-        // bucket, the self-join is an equi-join shuffle on the bucket
-        // key, and the rank filter is pushed below the shuffle by
-        // InferWindowGroupLimit (two-stage WindowGroupLimit, pinned in
-        // PlanSpec for q09). Coarseness trades recall for candidate
-        // count exactly like d09's banding; at larger corpora add bits.
-        val bucket4 = (0 until 4).map(b => planeBit(col("v"), b, b))
-          .reduce(_ + _).cast("int")
-        val eb = emb(s, dir)
-          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-          .withColumn("bucket", bucket4)
-          .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos_sim").desc, col("nb"))
-        eb.as("a")
-          .join(eb.as("b"),
-            col("a.bucket") === col("b.bucket") &&
-              col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
-            round(dot(col("a.v"), col("b.v")) /
-              (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .orderBy("vec_id", "rnk")
-      },
+        // dedup. 4 COARSE bucket bits fit the test-SF corpus sizes;
+        // see knnJoin's doc for the bits-vs-corpus trade.
+        knnJoin(emb(s, dir), bits = 4, k = 3).orderBy("vec_id", "rnk"),
       Some(s"""
         WITH e AS (
           SELECT vec_id,

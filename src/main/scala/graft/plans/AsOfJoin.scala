@@ -73,6 +73,12 @@ final case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
+  // Output rows follow the left child 1:1, so its partitioning
+  // survives — without this (default UnknownPartitioning) a
+  // downstream groupBy on the join keys would pay a whole redundant
+  // exchange of the join output.
+  override def outputPartitioning = left.outputPartitioning
+
   protected override def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output

@@ -66,6 +66,19 @@ object EventStream {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Read the memory-sink table, order it, and DROP the temp view:
+    * DataFrame analysis is eager, so the returned plan keeps the sink
+    * data alive while referenced — but without the drop every run
+    * would pin a full result set in the session catalog for the JVM
+    * lifetime (Bench executes each streaming query twice per run).
+    */
+  private def drainMemoryTable(
+      spark: SparkSession, name: String, order: String*): DataFrame = {
+    val out = spark.table(name).orderBy(order.map(col): _*)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** File-source stream over the events parquet. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -95,7 +108,7 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("hour", "event_type")
+    drainMemoryTable(spark, name, "hour", "event_type")
   }
 
   /** Run the flatMapGroupsWithState sessionization as a REAL streaming
@@ -121,7 +134,7 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("user_id", "n_events")
+    drainMemoryTable(spark, name, "user_id", "n_events")
   }
 
   /** Run the watermarked stream-stream interval join as a REAL
@@ -151,7 +164,7 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("purchase_id", "view_event_id")
+    drainMemoryTable(spark, name, "purchase_id", "view_event_id")
   }
 
   /** Run streaming dedup (`dropDuplicatesWithinWatermark`) as a REAL
@@ -177,7 +190,7 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("user_id", "event_type")
+    drainMemoryTable(spark, name, "user_id", "event_type")
   }
 
   /** Run the `mapGroupsWithState` running counts as a REAL streaming
@@ -202,10 +215,12 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
-    spark.table(name)
+    val out = spark.table(name)
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"))
       .orderBy("user_id")
+    spark.catalog.dropTempView(name)
+    out
   }
 
   // ------------------------------------------------------------------

@@ -67,6 +67,17 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(2L) == 7.0)
   }
 
+  test("native as-of rejects mismatched key/time types at construction") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1, 5L, 1.0)).toDF("rk", "rt", "v") // rk is INT, k is BIGINT
+    val ex = intercept[IllegalArgumentException] {
+      Joins.asofJoinNative(l, r, "k", "rk", "t", "rt")
+    }
+    assert(ex.getMessage.contains("key types differ"))
+  }
+
   test("native as-of plans a merge, not a union+window") {
     val sparkS = spark
     import sparkS.implicits._
