@@ -44,4 +44,19 @@ class Engine(val spark: SparkSession, dir: String) {
   /** Split one non-splittable dump into n parallel-ingestable chunks. */
   def rechunkReleases(inputXmlGz: String, chunksDir: String, n: Int): Unit =
     etl.DiscogsReleases.rechunk(spark, inputXmlGz, chunksDir, n)
+
+  /** Native as-of join (custom operator path — see
+    * `graft.plans.AsOfJoinExec`).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame =
+    ops.Joins.asofJoinNative(left, right, leftKey, rightKey,
+      leftTime, rightTime)
+
+  /** Approximate all-pairs k-NN join over (vec_id, v) rows; `bits`
+    * grows with corpus size (see `Similarity.knnJoin`).
+    */
+  def knnJoin(e: DataFrame, bits: Int, k: Int): DataFrame =
+    ops.Similarity.knnJoin(e, bits, k)
 }
