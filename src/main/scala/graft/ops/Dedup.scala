@@ -477,6 +477,40 @@ object Dedup {
         FROM reach GROUP BY doc_id ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(
+      "d10_incremental_dedup",
+      (s, dir) => {
+        // Incremental ingestion dedup: admit a NEW batch (here: source
+        // src19) only where its content hash is absent from the index
+        // built over the existing corpus. The 100 TB shape: the index
+        // side is 16-byte hashes (never documents), the join is
+        // hash-on-hash, and the admitted set is exactly what an
+        // append-only ingest would write — the batch never rescans the
+        // corpus text.
+        val d = docs(s, dir)
+        val index = d.filter(col("source") =!= "src19")
+          .select(md5(col("text")).as("h"))
+          .distinct()
+          .withColumn("seen", lit(1))
+        d.filter(col("source") === "src19")
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .join(index, Seq("h"), "left")
+          .select(col("doc_id"), col("h").as("content_hash"),
+            coalesce(col("seen"), lit(0)).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH index_h AS (
+          SELECT DISTINCT md5(text) AS h, 1 AS seen
+          FROM documents WHERE source <> 'src19'),
+        batch AS (
+          SELECT doc_id, md5(text) AS h
+          FROM documents WHERE source = 'src19')
+        SELECT b.doc_id, b.h AS content_hash,
+          COALESCE(i.seen, 0) AS is_dup
+        FROM batch b LEFT JOIN index_h i USING (h)
+        ORDER BY b.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
       "d06_embedding_neardup",
       (s, dir) => {
         // Embedding-cosine near-dup with label blocking: pairwise

@@ -864,6 +864,29 @@ object Relational2 {
           COALESCE(c.first_conv_us0 - v.first_view_us, -1)
             AS conv_latency_us
         FROM v LEFT JOIN c USING (user_id)
-        ORDER BY v.user_id"""))
+        ORDER BY v.user_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q52_value_histogram",
+      (s, dir) =>
+        // Data-profiling staple: equi-width histogram of `value` per
+        // event_type. bin = floor(value / 25) — one IEEE division +
+        // floor, identical cross-engine; a single map-side-combining
+        // groupBy, no sort until the tiny output.
+        t(s, dir)("events")
+          .groupBy(col("event_type"),
+            floor(col("value") / 25).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("bin"),
+            (col("bin") * 25).cast("double").as("bin_lo"), col("n"))
+          .orderBy("event_type", "bin"),
+      Some("""
+        SELECT event_type,
+          CAST(FLOOR(value / 25) AS BIGINT) AS bin,
+          CAST(CAST(FLOOR(value / 25) AS BIGINT) * 25 AS DOUBLE) AS bin_lo,
+          COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, bin"""))
   )
 }

@@ -1,5 +1,8 @@
 package graft.ops
 
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
 import graft.SparkSpec
 
 /** Unit semantics of the generic union+window as-of join. */
@@ -65,6 +68,42 @@ class AsofJoinSpec extends SparkSpec {
       .toMap
     assert(out(1L) == 5.0)
     assert(out(2L) == 7.0)
+  }
+
+  test("property: native as-of ≡ composed union+window on random collision-heavy data") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Tiny key/time domains force every edge at once: repeated keys,
+    // exact time ties (left==right and right==right), keys missing
+    // from either side, empty sides. Right "value" is a function of
+    // (key, time) so tie-breaking among identical sort positions is
+    // value-invariant — both implementations are deterministic.
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L)))
+    val params = org.scalacheck.Gen.Parameters.default
+    (1 to 12).foreach { i =>
+      val seed = Seed(i.toLong * 7919)
+      val lRows = rowGen(params, seed).get
+      val rRows = rowGen(params, seed.next).get.distinct
+      val trades = lRows.zipWithIndex
+        .map { case ((k, t), id) => (k, t, id.toLong) }
+        .toDF("acct", "t", "trade_id")
+      // The composed helper keys on a SHARED column name, so the right
+      // side reuses "acct"; the native path handles either naming.
+      val quotes = rRows
+        .map { case (k, t) => (k, t, (k * 1000 + t).toDouble) }
+        .toDF("acct", "qt", "px")
+
+      val native = Joins.asofJoinNative(trades, quotes,
+          "acct", "acct", "t", "qt")
+        .select("trade_id", "px").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val composed = Relational2.asofJoin(trades, quotes,
+          key = "acct", leftTime = "t", rightTime = "qt", valueCol = "px")
+        .select("trade_id", "asof_px").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(native == composed, s"seed $i: $native vs $composed")
+    }
   }
 
   test("native as-of rejects mismatched key/time types at construction") {
