@@ -35,6 +35,41 @@ object TextAnalysis {
   private val stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
 
+  /** Top-`k` TF-IDF terms per document. Scale shape: tf is one groupBy
+    * on (doc_id, term) with map-side partial combine; df is one
+    * groupBy on term over the per-doc DISTINCT terms (already produced
+    * by the tf agg — no second pass over text); N is a broadcast 1-row
+    * scalar. Every shuffle carries (id, term) pairs, never documents.
+    * Determinism: idf divides two already-identical doubles, but ln
+    * itself may differ 1 ulp across engines — so the score is ROUNDed
+    * to 6 decimals BEFORE ranking (q33's cross-checked pattern) and
+    * the window order breaks ties by term.
+    */
+  def tfidfTop(documents: DataFrame, k: Int): DataFrame = {
+    val base = documents
+      .filter(col("text").isNotNull)
+      .repartition(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = base.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")),
+          6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -360,6 +395,42 @@ object TextAnalysis {
                    / CAST(tb.n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
         FROM u LEFT JOIN tb USING (doc_id)
         ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t10_tfidf_terms",
+      (s, dir) => {
+        // TF-IDF top terms per document — the corpus-relevance
+        // primitive (keyword extraction, weak topic labels, quality
+        // heuristics). See [[tfidfTop]] for the scale and determinism
+        // design.
+        tfidfTop(docs(s, dir), k = 3).orderBy("doc_id", "rnk")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        terms AS (SELECT doc_id, unnest(tl) AS term FROM toks),
+        tfc AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM terms GROUP BY doc_id, term),
+        dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM toks),
+        sc AS (
+          SELECT doc_id, term, tf, df,
+            ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+              AS tfidf
+          FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+        rk AS (
+          SELECT doc_id, term, tf, df, tfidf,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+          FROM sc)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+          CAST(df AS BIGINT) AS df, tfidf, rnk
+        FROM rk WHERE rnk <= 3
+        ORDER BY doc_id, rnk""")),
     // ----------------------------------------------------------------
     Q(
       "t09_normalize",

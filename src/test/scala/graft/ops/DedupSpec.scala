@@ -82,6 +82,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs == expected, s"spurious: ${pairs -- expected}")
   }
 
+  test("simhash near-dup: band blocking is exact vs brute force at Hamming <= 3") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Mixed corpus: identical copies (Hamming 0), one-token variants
+    // (small but text-dependent distance), unrelated docs. The banding
+    // must reproduce the brute-force all-pairs answer exactly — the
+    // pigeonhole guarantee, not a recall estimate.
+    val rows = (0 until 6).flatMap { f =>
+      val fam = (1 to 60).map(i => s"s${f}w$i").mkString(" ")
+      Seq((f * 10L, fam), (f * 10L + 1, fam),
+        (f * 10L + 2, fam.replace(s"s${f}w30", "mut")))
+    } ++ (0 until 6).map(i =>
+      (800L + i, (1 to 60).map(j => s"iso${i}q$j").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val sigs = df
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), TextFunctions.simhash60Md5("toks").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(brute.exists(_._3 == 0), "fixture must contain exact dups")
+    val got = Dedup.simhashNearDup(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"missing: ${brute -- got}; spurious: ${got -- brute}")
+  }
+
   test("connected keepers: variant chains collapse to one keeper") {
     val sparkS = spark
     import sparkS.implicits._
