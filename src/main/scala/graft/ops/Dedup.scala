@@ -330,6 +330,43 @@ object Dedup {
           SELECT doc_id, CAST(u.i AS INT) AS band_id, u.h AS band_hash
           FROM sig, unnest(bands) AS s(u))"""
 
+  /** DuckDB restatement of [[simhashNearDup]] at maxHamming=3 — shared
+    * by d11 (batch) and st07 (the streaming run of the same operator,
+    * which must converge to the identical pair set).
+    */
+  val sqlSimhashNearDup: String = """
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        hs AS (
+          SELECT doc_id,
+            list_transform(tl,
+              t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS bases
+          FROM toks),
+        sig AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(range(0, 60), i ->
+              CASE WHEN list_sum(list_transform(bases, h ->
+                     CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                   THEN (CAST(1 AS BIGINT) << i)
+                   ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT) AS simhash
+          FROM hs),
+        bands AS (
+          SELECT doc_id, simhash, CAST(u AS INT) AS band_id,
+            (simhash >> (CAST(u AS INT) * 15)) & 32767 AS band_key
+          FROM sig, unnest([0, 1, 2, 3]) AS t(u))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS INT)
+            AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= 3
+        ORDER BY doc_a, doc_b"""
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -558,38 +595,7 @@ object Dedup {
         simhashNearDup(docs(s, dir), maxHamming = 3)
           .orderBy("doc_a", "doc_b")
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id,
-            list_filter(string_split_regex(lower(text), '\s+'),
-                        x -> len(x) > 0) AS tl
-          FROM documents WHERE text IS NOT NULL),
-        hs AS (
-          SELECT doc_id,
-            list_transform(tl,
-              t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS bases
-          FROM toks),
-        sig AS (
-          SELECT doc_id,
-            CAST(list_sum(list_transform(range(0, 60), i ->
-              CASE WHEN list_sum(list_transform(bases, h ->
-                     CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
-                   THEN (CAST(1 AS BIGINT) << i)
-                   ELSE CAST(0 AS BIGINT) END))
-              AS BIGINT) AS simhash
-          FROM hs),
-        bands AS (
-          SELECT doc_id, simhash, CAST(u AS INT) AS band_id,
-            (simhash >> (CAST(u AS INT) * 15)) & 32767 AS band_key
-          FROM sig, unnest([0, 1, 2, 3]) AS t(u))
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS INT)
-            AS hamming
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-        WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= 3
-        ORDER BY doc_a, doc_b""")),
+      Some(sqlSimhashNearDup)),
     // ----------------------------------------------------------------
     Q(
       "d06_embedding_neardup",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.streaming.EventStream
+import graft.streaming.{DocumentStream, EventStream}
 
 /** Streaming entries in the query surface. st01 runs a REAL
   * Structured Streaming query (readStream → watermark → windowed agg
@@ -84,6 +84,23 @@ object StreamingOps {
       Some("""
         SELECT DISTINCT user_id, event_type
         FROM events
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st06_stream_static_join",
+      (s, dir) => EventStream.runStaticEnriched(s, dir),
+      Some("""
+        SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st07_stream_simhash_dedup",
+      (s, dir) => DocumentStream.runStreamNearDup(s, dir),
+      // The streaming run of d11's operator must converge to the
+      // identical pair set — same oracle SQL, by construction.
+      Some(Dedup.sqlSimhashNearDup))
   )
 }

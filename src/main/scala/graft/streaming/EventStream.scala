@@ -193,6 +193,36 @@ object EventStream {
     drainMemoryTable(spark, name, "user_id", "event_type")
   }
 
+  /** Run a stream-static enrichment join as a REAL streaming query:
+    * the events stream joins the static `customer` dimension
+    * (broadcast — the canonical 100 TB shape: the stream is unbounded,
+    * the dim is small and map-side), then aggregates per (segment,
+    * event_type). The static side is re-read every micro-batch by
+    * Structured Streaming's contract, so dimension updates between
+    * batches are picked up for free. Complete mode over the bounded
+    * group cardinality; AvailableNow over one file ⇒ result equals the
+    * batch join bit-for-bit.
+    */
+  def runStaticEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_static_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val cust = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    withStreamShufflePartitions(spark, 8) {
+      val q = readStream(spark, dir)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dbl(sum(m(col("value")))).as("sum_value"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemoryTable(spark, name, "c_mktsegment", "event_type")
+  }
+
   /** Run the `mapGroupsWithState` running counts as a REAL streaming
     * query. Update mode emits one state row per (user, micro-batch);
     * counts are monotone, so the final per-user count is the MAX over
