@@ -108,6 +108,46 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** One distributed k-means Lloyd iteration over (vec_id, label, v)
+    * rows: seeds = per-label exact-decimal mean vectors, assignment =
+    * nearest seed by cosine (broadcast argmax, label tie-break),
+    * update = per-(cluster, dim) mean of the assignment as a
+    * sequential IEEE fold in vec_id order (order-determined on both
+    * engines — a decimal rescale of a double is NOT cross-engine
+    * deterministic; see the s05 entry's comment).
+    */
+  def kmeansIterate(e: DataFrame): DataFrame = {
+    val centroids = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
+        .as("pairs"))
+      .select(col("label").as("c_label"),
+        transform(col("pairs"), p => p.getField("cx")).as("cv"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("c_label"),
+        cosine(col("v"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("c_label"))))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("vec_id"), col("c_label").as("cluster"),
+        posexplode(col("v")).as(Seq("dim0", "x")))
+      .select(col("vec_id"), col("cluster"),
+        (col("dim0") + 1).as("dim"), col("x"))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        array_sort(collect_list(struct(col("vec_id"), col("x"))))
+          .as("xs"))
+      .select(col("cluster"), col("dim"), col("n_members"),
+        (expr("aggregate(xs, cast(0.0 as double), (a, p) -> a + p.x)") /
+          col("n_members")).as("cx"))
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -311,6 +351,68 @@ object Similarity {
                                ORDER BY cos_sim DESC, nb) AS rnk
           FROM scored)
         WHERE rnk <= 3
-        ORDER BY vec_id, rnk"""))
+        ORDER BY vec_id, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s05_kmeans_iterate",
+      (s, dir) => {
+        // One full k-means Lloyd iteration, distributed — the
+        // clustering primitive behind topic bucketing / diversity
+        // sampling of a training corpus. Seeds = s03's per-label
+        // exact-decimal centroids; assign = nearest centroid by cosine
+        // (16-row broadcast, argmax via window with label tie-break);
+        // update = per-(cluster, dim) exact-decimal mean of the
+        // assignment. Scale shape: the only shuffles are the two
+        // centroid aggregations over (key, dim) rows — assignment
+        // itself is a map-only broadcast pass, and a further
+        // iteration is the same plan re-applied (the d08 loop pattern
+        // with localCheckpoint would carry it to fixpoint).
+        // Cross-engine: the SEED means reuse s03's exact-decimal form
+        // (only feeds an argmax — 1-ulp robust), but the OUTPUT means
+        // are sequential IEEE folds in vec_id order on both sides —
+        // a DECIMAL(28,12) rescale of a double rounds half-to-EVEN in
+        // DuckDB vs HALF_UP in Spark, and over 640 output means one
+        // 12th-decimal tie DID surface at sf0.01 (1/640 rows). IEEE
+        // addition is exact-deterministic given order; rescaling is
+        // not. (The d06/q47 rule, re-learned.) See [[kmeansIterate]].
+        kmeansIterate(emb(s, dir)).orderBy("cluster", "dim")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM dims GROUP BY label, dim)
+          GROUP BY label),
+        sims AS (
+          SELECT e.vec_id, e.v, c.label,
+            list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
+          FROM e CROSS JOIN cent c),
+        assign AS (
+          SELECT vec_id, v, label AS cluster FROM (
+            SELECT vec_id, v, label,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, label) AS rn
+            FROM sims) WHERE rn = 1),
+        ad AS (
+          SELECT vec_id, cluster, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM assign, unnest(list_transform(range(1, len(v) + 1),
+                                             i -> {'i': i, 'x': v[i]})) AS s(u))
+        SELECT cluster, dim, COUNT(*) AS n_members,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                   list(x ORDER BY vec_id)),
+                      (a, b) -> a + b) / COUNT(*) AS cx
+        FROM ad GROUP BY cluster, dim
+        ORDER BY cluster, dim"""))
   )
 }

@@ -107,6 +107,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftOuter"), p)
   }
 
+  test("d11: simhash pair generation is an equi-join, never a cross product") {
+    // The band self-join must plan as an equi-join on
+    // (band_id, band_key) — a nested-loop/cartesian here would mean
+    // the blocking key got lost and the operator is O(n²) at scale.
+    val p = plan("d11_simhash_near_dup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("t10: tf-idf aggregates partial-combine; N joins as a broadcast scalar") {
+    val p = plan("t10_tfidf_terms")
+    // tf and df both combine map-side — the shuffles carry (id, term)
+    // partial counts, not exploded token rows.
+    assert(p.contains("partial_count"), p)
+    // The corpus size N is a broadcast 1-row scalar (nested-loop over
+    // one row = a free map-side enrich), and only (doc_id, text) is
+    // ever read.
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen'd stages render as "*(n) Op" in the plan string
     val p = plan("q02_filter_pushdown")

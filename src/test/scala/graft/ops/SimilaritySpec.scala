@@ -42,6 +42,33 @@ class SimilaritySpec extends SparkSpec {
   private def SparkEntry_queries(name: String) =
     graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
 
+  test("kmeans iteration reassigns mislabeled vectors to the near cluster") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Two well-separated clusters in R^4; vectors 100/101 carry the
+    // WRONG label, so the label seeds are slightly polluted — one
+    // Lloyd assignment step must still pull each vector to its true
+    // cluster (cosine to the dominant seed wins), shifting n_members
+    // from the labeled 12/8 split to the true 10/10.
+    val a = Seq(1.0, 0.0, 0.0, 0.1)
+    val b = Seq(0.0, 1.0, 0.1, 0.0)
+    def jitter(v: Seq[Double], i: Int) = v.map(_ + 0.01 * ((i % 3) - 1))
+    val rows =
+      (0 until 9).map(i => (i.toLong, 0, jitter(a, i))) ++
+        Seq((100L, 1, jitter(a, 0))) ++ // true A, labeled B
+        (0 until 9).map(i => (200L + i, 1, jitter(b, i))) ++
+        Seq((101L, 0, jitter(b, 1))) // true B, labeled A
+    val e = rows.toDF("vec_id", "label", "v")
+    graft.functions.VectorExpressions.register(spark)
+    val out = Similarity.kmeansIterate(e).collect()
+    val members = out.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(members == Map(0 -> 10L, 1 -> 10L), s"members: $members")
+    // Updated centroid of cluster 0 must point at A's direction.
+    val c0 = out.filter(_.getInt(0) == 0).sortBy(_.getInt(1))
+      .map(_.getDouble(3))
+    assert(c0(0) > 0.8 && c0(1) < 0.2, s"c0: ${c0.toSeq}")
+  }
+
   test("planeWeight matches the portable SQL md5-parity derivation") {
     // The oracle side derives each ±1 weight as
     //   CASE WHEN CAST('0x'||substr(md5(b||','||j),1,1) AS INT) % 2 = 0
