@@ -68,10 +68,22 @@ object TextFunctions {
   /** 60-bit SimHash from md5-derived token hashes — the
     * oracle-portable variant: token hash = first 15 md5 hex digits as
     * a 60-bit integer, reproducible in DuckDB via
-    * `CAST('0x'||substr(md5(t),1,15) AS BIGINT)`. Same single-pass
-    * counter scheme as [[simhash64]].
+    * `CAST('0x'||substr(md5(t),1,15) AS BIGINT)`.
+    *
+    * Dispatches to the native [[Simhash60Md5]] expression (one md5 +
+    * counter loop per token inside codegen; the HOF form below is
+    * interpreted at ~60 boxed ops per token and was the dominant cost
+    * of d04/d11/st07). Callers must `Simhash.register(spark)`;
+    * equivalence with the HOF is pinned by DedupSpec.
     */
-  def simhash60Md5(toksCol: String): Column = expr(
+  def simhash60Md5(toksCol: String): Column =
+    Simhash.simhash60(org.apache.spark.sql.functions.col(toksCol))
+
+  /** The original higher-order-function form of [[simhash60Md5]] —
+    * retained as the executable spec the native expression is tested
+    * against (and as the 1:1 mirror of the DuckDB oracle SQL).
+    */
+  def simhash60Md5Hof(toksCol: String): Column = expr(
     s"""aggregate(
           aggregate(
             transform($toksCol,

@@ -291,6 +291,7 @@ object Dedup {
   def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4-band blocking is exact only for Hamming <= 3, got $maxHamming")
+    graft.functions.Simhash.register(documents.sparkSession)
     val sig = documents
       .filter(col("text").isNotNull)
       .repartition(
@@ -435,16 +436,19 @@ object Dedup {
     // ----------------------------------------------------------------
     Q(
       "d04_simhash",
-      (s, dir) =>
+      (s, dir) => {
         // 60-bit SimHash per document, md5-derived token hashes —
-        // oracle-checked bit-for-bit against DuckDB. (The xxhash64
-        // variant, `simhashes`, is the cheaper scale path, pinned by
-        // DedupSpec.)
+        // oracle-checked bit-for-bit against DuckDB, computed by the
+        // native Simhash60Md5 expression (one codegen call per doc).
+        // (The xxhash64 variant, `simhashes`, is the cheaper scale
+        // path, pinned by DedupSpec.)
+        graft.functions.Simhash.register(s)
         docs(s, dir)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("toks", tokens(col("text")))
           .select(col("doc_id"), simhash60Md5("toks").as("simhash"))
-          .orderBy("doc_id"),
+          .orderBy("doc_id")
+      },
       Some("""
         WITH toks AS (
           SELECT doc_id,

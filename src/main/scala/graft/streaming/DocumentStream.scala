@@ -48,7 +48,8 @@ object DocumentStream {
     * batch) documents frame — projection-only, mirroring
     * `Dedup.simhashNearDup`'s banding.
     */
-  def bandedSignatures(documents: DataFrame): DataFrame =
+  def bandedSignatures(documents: DataFrame): DataFrame = {
+    graft.functions.Simhash.register(documents.sparkSession)
     documents
       .filter(col("text").isNotNull)
       .withColumn("toks", tokens(col("text")))
@@ -57,6 +58,7 @@ object DocumentStream {
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
           .as(Seq("band_id", "band_key")))
+  }
 
   /** Stateful streaming near-dup: per band-bucket, compare each
     * arriving signature against the bucket's accumulated members and

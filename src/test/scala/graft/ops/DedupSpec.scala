@@ -96,6 +96,7 @@ class DedupSpec extends SparkSpec {
     } ++ (0 until 6).map(i =>
       (800L + i, (1 to 60).map(j => s"iso${i}q$j").mkString(" ")))
     val df = rows.toDF("doc_id", "text")
+    graft.functions.Simhash.register(spark)
     val sigs = df
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .select(col("doc_id"), TextFunctions.simhash60Md5("toks").as("s"))
@@ -109,6 +110,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == brute,
       s"missing: ${brute -- got}; spurious: ${got -- brute}")
+  }
+
+  test("native simhash60 expression is bit-identical to the HOF form") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.Simhash.register(spark)
+    // Fixture + edge cases: empty text (empty token array → all-ones
+    // by the zero-counter convention) and a 1-token doc.
+    val df = (Seq((0L, ""), (1L, "solo")) ++
+      (2 to 20).map(i => (i.toLong, (1 to 40).map(j => s"v${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+    val both = df.select(col("doc_id"),
+      TextFunctions.simhash60Md5("toks").as("native"),
+      TextFunctions.simhash60Md5Hof("toks").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}")
+    }
+    assert(both.find(_.getLong(0) == 0L).get.getLong(1) == (1L << 60) - 1)
   }
 
   test("connected keepers: variant chains collapse to one keeper") {
