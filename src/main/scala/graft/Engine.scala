@@ -19,6 +19,7 @@ class Engine(val spark: SparkSession, dir: String) {
   Tables.registerAll(spark, dir)
   functions.VectorExpressions.register(spark)
   functions.Winnow.register(spark)
+  functions.Simhash.register(spark)
 
   /** Ad-hoc SQL over the registered tables. */
   def sql(q: String): DataFrame = spark.sql(q)
@@ -59,4 +60,20 @@ class Engine(val spark: SparkSession, dir: String) {
     */
   def knnJoin(e: DataFrame, bits: Int, k: Int): DataFrame =
     ops.Similarity.knnJoin(e, bits, k)
+
+  /** SimHash near-dup pairs over (doc_id, text) rows — exact for
+    * Hamming ≤ 3 (see `Dedup.simhashNearDup`).
+    */
+  def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    ops.Dedup.simhashNearDup(documents, maxHamming)
+
+  /** One distributed k-means Lloyd iteration over (vec_id, label, v)
+    * rows (see `Similarity.kmeansIterate`).
+    */
+  def kmeansIterate(e: DataFrame): DataFrame =
+    ops.Similarity.kmeansIterate(e)
+
+  /** Top-`k` TF-IDF terms per document over (doc_id, text) rows. */
+  def tfidfTop(documents: DataFrame, k: Int): DataFrame =
+    ops.TextAnalysis.tfidfTop(documents, k)
 }

@@ -249,6 +249,39 @@ object Curation {
           CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS kept_frac
         FROM k
         GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c07_shuffle_shards",
+      (s, dir) => {
+        // Reproducible global shuffle for training order — done the
+        // way that SCALES: a true global sort/row_number would funnel
+        // 100 TB through one ordering; instead each doc hashes to a
+        // shard (md5 — auditable, reproducible from the id alone) and
+        // gets a position WITHIN its shard (a partitioned window, one
+        // shuffle on shard_id). A loader reading shards round-robin
+        // sees a deterministic pseudo-random global order; re-running
+        // the pipeline reproduces it bit-for-bit.
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long")
+        val w = Window.partitionBy(col("shard_id"))
+          .orderBy(col("h"), col("doc_id"))
+        docs(s, dir)
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("shard_id", (col("h") % 8).cast("int"))
+          .withColumn("pos", row_number().over(w))
+          .select("doc_id", "shard_id", "pos")
+          .orderBy("shard_id", "pos")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS h
+          FROM documents)
+        SELECT doc_id, CAST(h % 8 AS INT) AS shard_id,
+          ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        FROM h
+        ORDER BY shard_id, pos"""))
   )
 }

@@ -433,6 +433,46 @@ object TextAnalysis {
         ORDER BY doc_id, rnk""")),
     // ----------------------------------------------------------------
     Q(
+      "t11_bpe_merges",
+      (s, dir) => {
+        // Vocabulary induction, step one of BPE: count adjacent
+        // character pairs across all word occurrences and rank — the
+        // top pair is the first merge a tokenizer trainer would
+        // perform. Scale shape: chars explode via an INDEX sequence
+        // (the documented explode-of-HOF-array trap), the pair count
+        // partial-aggregates map-side, and the top-20 is a
+        // TakeOrdered over the (small) pair domain — the only
+        // shuffle carries (2-char pair, count) rows.
+        val cs = col("cs")
+        docs(s, dir)
+          .filter(col("text").isNotNull)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(explode(tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .withColumn("cs", filter(split(col("w"), ""), c => length(c) > 0))
+          .select(cs, explode(sequence(lit(1), size(cs) - 1)).as("i"))
+          .select(concat(element_at(cs, col("i")),
+            element_at(cs, col("i") + 1)).as("pair"))
+          .groupBy("pair")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""
+        WITH w AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> len(x) > 0)) AS w
+          FROM documents WHERE text IS NOT NULL),
+        cs AS (
+          SELECT string_split(w, '') AS cs FROM w WHERE len(w) >= 2),
+        p AS (
+          SELECT cs[i] || cs[i+1] AS pair
+          FROM cs, unnest(range(1, len(cs))) AS t(i))
+        SELECT pair, COUNT(*) AS n
+        FROM p GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
       "t09_normalize",
       (s, dir) => {
         // Canonical text normalization — the first pass of every text
