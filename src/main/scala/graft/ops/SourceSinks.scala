@@ -37,8 +37,8 @@ object SourceSinks {
   // deleteOnExit only removes EMPTY directories — a filled temp dir
   // would leak per invocation in long-lived sessions (Bench runs each
   // query twice). A shutdown hook with a recursive delete actually
-  // cleans up.
-  private def tmp(prefix: String): File = {
+  // cleans up. (Shared with the streaming file-sink runner, st08.)
+  private[graft] def tmp(prefix: String): File = {
     val d = Files.createTempDirectory(prefix).toFile
     sys.addShutdownHook(deleteRecursively(d))
     d

@@ -97,6 +97,16 @@ object StreamingOps {
         ORDER BY 1, 2""")),
     // ------------------------------------------------------------------
     Q(
+      "st08_stream_file_sink",
+      (s, dir) => EventStream.runForeachBatchSink(s, dir),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+    // ------------------------------------------------------------------
+    Q(
       "st07_stream_simhash_dedup",
       (s, dir) => DocumentStream.runStreamNearDup(s, dir),
       // The streaming run of d11's operator must converge to the

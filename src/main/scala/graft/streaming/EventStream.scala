@@ -253,6 +253,44 @@ object EventStream {
     out
   }
 
+  /** Write one micro-batch to its OWN directory, atomically replacing
+    * any previous attempt — the idempotent-file-sink pattern that
+    * gives foreachBatch end-to-end exactly-once on retries: a batch
+    * that fails mid-write and re-runs overwrites its directory instead
+    * of appending duplicates. Factored out so the spec can replay a
+    * batch and assert the sink is unchanged.
+    */
+  def writeBatchIdempotent(
+      batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$batchId")
+
+  /** Run the production file-sink path as a REAL streaming query:
+    * foreachBatch → per-batch idempotent parquet write → read the sink
+    * back and aggregate. The memory-sink queries check operator
+    * semantics; this one checks the DELIVERY contract (what lands in
+    * storage), which is what a 100 TB pipeline actually consumes
+    * downstream. AvailableNow over one file ⇒ the sink holds exactly
+    * the source rows, so the oracle is the plain batch aggregate.
+    */
+  def runForeachBatchSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.ops.SourceSinks.tmp("graft_st08").getAbsolutePath
+    withStreamShufflePartitions(spark, 8) {
+      val q = readStream(spark, dir)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          writeBatchIdempotent(batch, id, out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dbl(sum(m(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------------
   // Custom state: running per-user counts via mapGroupsWithState.
   // ------------------------------------------------------------------

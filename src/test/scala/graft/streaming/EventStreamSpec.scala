@@ -137,4 +137,21 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
     q.stop()
   }
+
+  test("foreachBatch sink: replaying a batch leaves the sink unchanged") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = java.nio.file.Files.createTempDirectory("st08_spec_").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    writeBatchIdempotent(b0, 0, out)
+    writeBatchIdempotent(b1, 1, out)
+    // A retried batch 0 (the failure-recovery path) must REPLACE its
+    // directory, not append — the sink still holds exactly 3 rows.
+    writeBatchIdempotent(b0, 0, out)
+    val sink = spark.read.parquet(out)
+    assert(sink.count() == 3)
+    assert(sink.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
 }
