@@ -112,6 +112,34 @@ class DedupSpec extends SparkSpec {
       s"missing: ${brute -- got}; spurious: ${got -- brute}")
   }
 
+  test("property: native simhash60 ≡ HOF on random unicode token arrays") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.Simhash.register(spark)
+    // Random token lists over a unicode-heavy alphabet (multi-byte
+    // UTF-8 exercises the md5-input encoding), sizes 0..40 including
+    // the empty array.
+    val tokGen = org.scalacheck.Gen.choose(0, 40).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n,
+        org.scalacheck.Gen.choose(1, 6).flatMap(len =>
+          org.scalacheck.Gen.listOfN(len, org.scalacheck.Gen.oneOf(
+            ('a' to 'z') ++ Seq('ü', 'é', '中', '文', '€', '0', '9')))
+            .map(_.mkString))))
+    val params = org.scalacheck.Gen.Parameters.default
+    val docs = (1 to 40).map { i =>
+      val seed = org.scalacheck.rng.Seed(i.toLong * 104729)
+      (i.toLong, tokGen(params, seed).get)
+    }
+    val rows = docs.toDF("doc_id", "toks")
+      .select(col("doc_id"),
+        TextFunctions.simhash60Md5("toks").as("native"),
+        TextFunctions.simhash60Md5Hof("toks").as("hof"))
+      .collect()
+    assert(rows.length == 40)
+    rows.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+  }
+
   test("native simhash60 expression is bit-identical to the HOF form") {
     val sparkS = spark
     import sparkS.implicits._

@@ -128,6 +128,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("c07: shuffle-shard order is one hash exchange, reads only doc_id") {
+    val p = plan("c07_shuffle_shards")
+    // One hashpartitioning exchange (the shard window); the final
+    // orderBy adds a range exchange — nothing else may shuffle, and a
+    // GLOBAL row_number (single-partition window) must never appear.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
+  test("t11: pair counts partial-combine; top-20 is a TakeOrdered") {
+    val p = plan("t11_bpe_merges")
+    assert(p.contains("partial_count"), p)
+    // orderBy+limit must fuse: per-partition top-20 then one merge —
+    // never a global sort of the pair domain.
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("s05: centroid assignment is a broadcast, never a shuffled cross join") {
+    val p = plan("s05_kmeans_iterate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen'd stages render as "*(n) Op" in the plan string
     val p = plan("q02_filter_pushdown")
