@@ -66,6 +66,16 @@ object ScaleSmoke {
     time(s"keepers closure ×$factor")(
       ops.Dedup.connectedKeepers(docsN)
         .write.format("noop").mode("overwrite").save())
+    // SimHash near-dup: signature work is linear (one native call per
+    // doc); pair work is bounded by band-bucket collisions. At ×N the
+    // 15-bit band keyspace (32 768 per band) starts saturating, so
+    // candidate counts — not the signature pass — are what to watch.
+    time(s"simhash near-dup ×1")(
+      ops.Dedup.simhashNearDup(docs1.select("doc_id", "text"))
+        .write.format("noop").mode("overwrite").save())
+    time(s"simhash near-dup ×$factor")(
+      ops.Dedup.simhashNearDup(docsN)
+        .write.format("noop").mode("overwrite").save())
     docsN.unpersist()
 
     // k-NN join: in-bucket pair count grows quadratically with bucket
