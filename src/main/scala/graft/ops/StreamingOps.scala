@@ -111,6 +111,46 @@ object StreamingOps {
       (s, dir) => DocumentStream.runStreamNearDup(s, dir),
       // The streaming run of d11's operator must converge to the
       // identical pair set — same oracle SQL, by construction.
-      Some(Dedup.sqlSimhashNearDup))
+      Some(Dedup.sqlSimhashNearDup)),
+    // ------------------------------------------------------------------
+    Q(
+      "st09_stream_admission",
+      (s, dir) => DocumentStream.runStreamAdmission(s, dir),
+      // Gate → near-dup → admit/reject: rejected iff an EARLIER gated
+      // doc sits within Hamming ≤ 3 in a shared band bucket.
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL AND n_chars >= 100),
+        hs AS (
+          SELECT doc_id,
+            list_transform(tl,
+              t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS bases
+          FROM toks),
+        sig AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(range(0, 60), i ->
+              CASE WHEN list_sum(list_transform(bases, h ->
+                     CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                   THEN (CAST(1 AS BIGINT) << i)
+                   ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT) AS simhash
+          FROM hs),
+        bands AS (
+          SELECT doc_id, simhash, CAST(u AS INT) AS band_id,
+            (simhash >> (CAST(u AS INT) * 15)) & 32767 AS band_key
+          FROM sig, unnest([0, 1, 2, 3]) AS t(u)),
+        rejected AS (
+          SELECT DISTINCT b.doc_id
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+          WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= 3)
+        SELECT t.doc_id,
+          CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS admitted
+        FROM toks t LEFT JOIN rejected r USING (doc_id)
+        ORDER BY t.doc_id"""))
   )
 }

@@ -92,6 +92,48 @@ object DocumentStream {
       }
   }
 
+  /** Run the full continuous-ingestion ADMISSION pipeline: quality
+    * gate (n_chars ≥ 100) → streaming SimHash near-dup → per-document
+    * admit/reject. First-wins semantics: a document is rejected iff
+    * some earlier (lower doc_id — the file stream's arrival order)
+    * document sits within Hamming ≤ 3 in a shared band bucket; every
+    * document enters state regardless, so rejection chains behave
+    * like the batch pair closure. The stream makes the decision (the
+    * emitted pairs' doc_b side IS the reject list); the final batch
+    * read only renders the full gated roster with its flag — the
+    * st04 pattern of emitting decisions, not payloads.
+    */
+  def runStreamAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "st_admit_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val sigs = bandedSignatures(
+      readStream(spark, dir).filter(col("n_chars") >= 100)).as[DocSig]
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = nearDupPairs(sigs)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
+    val rejected = spark.table(name)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("rej", lit(1))
+    spark.catalog.dropTempView(name)
+    graft.Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars") >= 100)
+      .select(col("doc_id"))
+      .join(rejected, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("rej"), lit(0)) === 0).cast("int").as("admitted"))
+      .orderBy("doc_id")
+  }
+
   /** Run the streaming near-dup end-to-end (file stream → signature
     * projection → band-bucket state → memory sink) and return the
     * distinct pair set. A pair sharing two bands emits once per band

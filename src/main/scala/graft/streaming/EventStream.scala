@@ -36,6 +36,15 @@ object EventStream {
   def repairTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Post-repair schema — what st08's file sink holds. Read-back needs
+    * it explicitly: an empty source stream writes NO parquet files, and
+    * schema inference on an empty directory throws.
+    */
+  val repairedSchema: StructType = StructType(rawSchema.map {
+    case StructField("ts", _, n, m) => StructField("ts", TimestampType, n, m)
+    case f => f
+  })
+
   /** Shared transformation: hourly tumbling windows per event_type.
     * Works identically on a batch DataFrame or a streaming one.
     */
@@ -285,7 +294,7 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    spark.read.schema(repairedSchema).parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dbl(sum(m(col("value")))).as("sum_value"))
       .orderBy("event_type")
