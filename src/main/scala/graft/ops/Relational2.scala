@@ -187,6 +187,71 @@ object Relational2 {
         ORDER BY era""")),
     // ----------------------------------------------------------------
     Q(
+      "q53_recursive_chain",
+      (s, dir) => {
+        // Recursive CTE (Spark 4 WITH RECURSIVE) — genuinely
+        // iteration-requiring SQL: walk each customer's orders through
+        // LEAD next-pointers carrying a CAPPED running total. The cap
+        // makes the fold path-dependent (LEAST clamps state between
+        // steps), so no window frame expresses it — this is the SQL
+        // form of the d08 fixpoint family. Scale shape: each recursive
+        // step is one equi-join of the frontier (one row per customer)
+        // against the next-pointer view; depth = longest chain (~10
+        // orders/customer), NOT table size. All arithmetic stays in
+        // DECIMAL(12,2) — exact, so the walk is bit-identical in the
+        // oracle's identical recursive query.
+        t(s, dir)("orders").createOrReplaceTempView("graft_q53_orders")
+        s.sql("""
+          WITH RECURSIVE chain AS (
+            SELECT o_custkey AS ck, o_orderkey AS ok,
+              CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+              LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+                AS next_ok,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM graft_q53_orders
+          ),
+          walk AS (
+            SELECT ck, ok, next_ok, 1 AS pos,
+              CAST(LEAST(price, 50000.00) AS DECIMAL(12,2)) AS capped
+            FROM chain WHERE rn = 1
+            UNION ALL
+            SELECT c.ck, c.ok, c.next_ok, w.pos + 1,
+              CAST(LEAST(w.capped + c.price, 50000.00) AS DECIMAL(12,2))
+            FROM walk w JOIN chain c ON c.ck = w.ck AND c.ok = w.next_ok
+          )
+          SELECT ck AS o_custkey, ok AS o_orderkey, pos,
+            CAST(capped AS DOUBLE) AS capped_cum
+          FROM walk
+          ORDER BY o_custkey, pos""")
+      },
+      Some("""
+        WITH RECURSIVE chain AS (
+          SELECT o_custkey AS ck, o_orderkey AS ok,
+            CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+            LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+              AS next_ok,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders
+        ),
+        walk AS (
+          SELECT ck, ok, next_ok, 1 AS pos,
+            CAST(LEAST(price, 50000.00) AS DECIMAL(12,2)) AS capped
+          FROM chain WHERE rn = 1
+          UNION ALL
+          SELECT c.ck, c.ok, c.next_ok, w.pos + 1,
+            CAST(LEAST(w.capped + c.price, 50000.00) AS DECIMAL(12,2))
+          FROM walk w JOIN chain c ON c.ck = w.ck AND c.ok = w.next_ok
+        )
+        SELECT ck AS o_custkey, ok AS o_orderkey, pos,
+          CAST(capped AS DOUBLE) AS capped_cum
+        FROM walk
+        ORDER BY o_custkey, pos""")),
+    // ----------------------------------------------------------------
+    Q(
       "q29_session_window",
       (s, dir) => {
         // Spark's native session_window operator (30-min gap). The
