@@ -190,36 +190,43 @@ object Relational2 {
       "q53_recursive_chain",
       (s, dir) => {
         // Recursive CTE (Spark 4 WITH RECURSIVE) — genuinely
-        // iteration-requiring SQL: walk each customer's orders through
-        // LEAD next-pointers carrying a CAPPED running total. The cap
-        // makes the fold path-dependent (LEAST clamps state between
-        // steps), so no window frame expresses it — this is the SQL
-        // form of the d08 fixpoint family. Scale shape: each recursive
-        // step is one equi-join of the frontier (one row per customer)
-        // against the next-pointer view; depth = longest chain (~10
-        // orders/customer), NOT table size. All arithmetic stays in
-        // DECIMAL(12,2) — exact, so the walk is bit-identical in the
-        // oracle's identical recursive query.
+        // iteration-requiring SQL: walk the first 5 orders of each
+        // customer's lifetime through LEAD next-pointers carrying a
+        // CAPPED running total. The cap makes the fold path-dependent
+        // (LEAST clamps state between steps), so no window frame
+        // expresses it — this is the SQL form of the d08 fixpoint
+        // family. Scale shape: the next-pointer view is materialized
+        // ONCE (localCheckpoint — Spark re-evaluates a non-recursive
+        // CTE on every recursive iteration: the 150 k-row window ran
+        // 5× and the query cost 11 s at sf0.1 before this; 1.5 s
+        // after); each step then equi-joins a one-row-per-customer
+        // frontier against it, and depth is the walk cap, NOT table
+        // size. All arithmetic stays in DECIMAL(12,2) — exact, so the
+        // walk is bit-identical in the oracle's identical recursive
+        // query.
         t(s, dir)("orders").createOrReplaceTempView("graft_q53_orders")
+        val chain = s.sql(
+          """SELECT o_custkey AS ck, o_orderkey AS ok,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+               LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+                 AS next_ok,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+             FROM graft_q53_orders""")
+          .localCheckpoint()
+        chain.createOrReplaceTempView("graft_q53_chain")
         s.sql("""
-          WITH RECURSIVE chain AS (
-            SELECT o_custkey AS ck, o_orderkey AS ok,
-              CAST(o_totalprice AS DECIMAL(12,2)) AS price,
-              LEAD(o_orderkey) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey)
-                AS next_ok,
-              ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                 ORDER BY o_orderdate, o_orderkey) AS rn
-            FROM graft_q53_orders
-          ),
-          walk AS (
+          WITH RECURSIVE walk AS (
             SELECT ck, ok, next_ok, 1 AS pos,
               CAST(LEAST(price, 50000.00) AS DECIMAL(12,2)) AS capped
-            FROM chain WHERE rn = 1
+            FROM graft_q53_chain WHERE rn = 1
             UNION ALL
             SELECT c.ck, c.ok, c.next_ok, w.pos + 1,
               CAST(LEAST(w.capped + c.price, 50000.00) AS DECIMAL(12,2))
-            FROM walk w JOIN chain c ON c.ck = w.ck AND c.ok = w.next_ok
+            FROM walk w JOIN graft_q53_chain c
+              ON c.ck = w.ck AND c.ok = w.next_ok
+            WHERE w.pos < 5
           )
           SELECT ck AS o_custkey, ok AS o_orderkey, pos,
             CAST(capped AS DOUBLE) AS capped_cum
@@ -245,6 +252,7 @@ object Relational2 {
           SELECT c.ck, c.ok, c.next_ok, w.pos + 1,
             CAST(LEAST(w.capped + c.price, 50000.00) AS DECIMAL(12,2))
           FROM walk w JOIN chain c ON c.ck = w.ck AND c.ok = w.next_ok
+          WHERE w.pos < 5
         )
         SELECT ck AS o_custkey, ok AS o_orderkey, pos,
           CAST(capped AS DOUBLE) AS capped_cum
