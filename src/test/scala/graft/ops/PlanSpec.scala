@@ -153,6 +153,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q53: recursion runs over the materialized chain, not the raw scan") {
+    val p = plan("q53_recursive_chain")
+    // The recursive loop must exist...
+    assert(p.contains("UnionLoop"), p)
+    // ...and iterate over the checkpointed next-pointer view (a
+    // LogicalRDD inside the loop body), never re-running the orders
+    // window per step — no parquet scan or Window may appear inside
+    // the UnionLoop.
+    assert(p.contains("LogicalRDD"), p)
+    val loopBody = p.substring(p.indexOf("UnionLoop"))
+    assert(!loopBody.contains("FileScan"), loopBody)
+    assert(!loopBody.contains("Window"), loopBody)
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen'd stages render as "*(n) Op" in the plan string
     val p = plan("q02_filter_pushdown")
