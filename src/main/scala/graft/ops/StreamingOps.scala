@@ -132,8 +132,8 @@ object StreamingOps {
         sig AS (
           SELECT doc_id,
             CAST(list_sum(list_transform(range(0, 60), i ->
-              CASE WHEN list_sum(list_transform(bases, h ->
-                     CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+              CASE WHEN COALESCE(list_sum(list_transform(bases, h ->
+                     CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0
                    THEN (CAST(1 AS BIGINT) << i)
                    ELSE CAST(0 AS BIGINT) END))
               AS BIGINT) AS simhash

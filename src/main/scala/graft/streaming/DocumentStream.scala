@@ -92,6 +92,30 @@ object DocumentStream {
       }
   }
 
+  /** Start [[nearDupPairs]] over `sigs` into a memory sink (8 shuffle
+    * partitions — EventStream's state-store sizing rationale), await
+    * AvailableNow termination, and return the emitted pair table
+    * (dropped from the catalog; analysis is eager, so the returned
+    * plan keeps the rows alive — EventStream's drain pattern).
+    */
+  private def runPairsToTable(
+      spark: SparkSession, sigs: Dataset[DocSig]): DataFrame = {
+    val name = "st_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.withStreamShufflePartitions(spark, 8) {
+      val q = nearDupPairs(sigs)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Run the full continuous-ingestion ADMISSION pipeline: quality
     * gate (n_chars ≥ 100) → streaming SimHash near-dup → per-document
     * admit/reject. First-wins semantics: a document is rejected iff
@@ -105,26 +129,12 @@ object DocumentStream {
     */
   def runStreamAdmission(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val name = "st_admit_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val sigs = bandedSignatures(
-      readStream(spark, dir).filter(col("n_chars") >= 100)).as[DocSig]
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try {
-      val q = nearDupPairs(sigs)
-        .writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(key, prev)
-    val rejected = spark.table(name)
+    val pairs = runPairsToTable(spark,
+      bandedSignatures(
+        readStream(spark, dir).filter(col("n_chars") >= 100)).as[DocSig])
+    val rejected = pairs
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("rej", lit(1))
-    spark.catalog.dropTempView(name)
     graft.Tables.load(spark, dir, "documents")
       .filter(col("text").isNotNull && col("n_chars") >= 100)
       .select(col("doc_id"))
@@ -142,23 +152,7 @@ object DocumentStream {
     */
   def runStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val name = "st_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val sigs = bandedSignatures(readStream(spark, dir)).as[DocSig]
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try {
-      val q = nearDupPairs(sigs)
-        .writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(key, prev)
-    val out = spark.table(name).distinct().orderBy("doc_a", "doc_b")
-    spark.catalog.dropTempView(name)
-    out
+    runPairsToTable(spark, bandedSignatures(readStream(spark, dir)).as[DocSig])
+      .distinct().orderBy("doc_a", "doc_b")
   }
 }

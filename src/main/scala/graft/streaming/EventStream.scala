@@ -68,7 +68,7 @@ object EventStream {
     * session's batch setting. A real deployment sizes this to
     * state-rows/partition, not to the batch shuffle width.
     */
-  private def withStreamShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+  private[streaming] def withStreamShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
