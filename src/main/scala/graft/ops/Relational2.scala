@@ -260,6 +260,33 @@ object Relational2 {
         ORDER BY o_custkey, pos""")),
     // ----------------------------------------------------------------
     Q(
+      "q54_lateral_topn",
+      (s, dir) => {
+        // LATERAL correlated subquery — the per-row dependent-join SQL
+        // surface (Spark 4 plans it as a rewritten domain join; the
+        // LIMIT stays inside the lateral branch, so each nation pulls
+        // only its top-2 customers, never the full table per row).
+        // Values pass through untouched from parquet — no arithmetic,
+        // nothing to round; ties inside the LIMIT break on c_custkey.
+        t(s, dir)("nation").createOrReplaceTempView("graft_q54_nation")
+        t(s, dir)("customer").createOrReplaceTempView("graft_q54_customer")
+        s.sql("""
+          SELECT n.n_name, c.c_name, c.c_acctbal
+          FROM graft_q54_nation n,
+          LATERAL (SELECT c_name, c_acctbal FROM graft_q54_customer
+                   WHERE c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")
+      },
+      Some("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")),
+    // ----------------------------------------------------------------
+    Q(
       "q29_session_window",
       (s, dir) => {
         // Spark's native session_window operator (30-min gap). The
