@@ -287,6 +287,43 @@ object Relational2 {
         ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")),
     // ----------------------------------------------------------------
     Q(
+      "q55_unpivot_measures",
+      (s, dir) =>
+        // UNPIVOT/melt — the wide→long reshape feature pipelines use
+        // before per-measure aggregation. One Expand node (each input
+        // row fans out to 3), then a partial-combining aggregate —
+        // no shuffle grows beyond (flag, measure) cardinality. All
+        // measures are cast to one exact DECIMAL type up front
+        // (unpivot requires a common type; rates widen losslessly).
+        t(s, dir)("lineitem")
+          .select(col("l_returnflag"),
+            m(col("l_quantity")).as("quantity"),
+            m(col("l_extendedprice")).as("extendedprice"),
+            m(col("l_discount")).as("discount"))
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("quantity"), col("extendedprice"), col("discount")),
+            "measure", "value")
+          .groupBy("l_returnflag", "measure")
+          .agg(count(lit(1)).as("n"), dbl(sum(col("value"))).as("sum_value"))
+          .orderBy("l_returnflag", "measure"),
+      Some("""
+        WITH long AS (
+          SELECT l_returnflag, 'quantity' AS measure,
+            CAST(l_quantity AS DECIMAL(12,2)) AS value FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'extendedprice',
+            CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'discount',
+            CAST(l_discount AS DECIMAL(12,2)) FROM lineitem)
+        SELECT l_returnflag, measure, COUNT(*) AS n,
+          CAST(SUM(value) AS DOUBLE) AS sum_value
+        FROM long
+        GROUP BY l_returnflag, measure
+        ORDER BY l_returnflag, measure""")),
+    // ----------------------------------------------------------------
+    Q(
       "q29_session_window",
       (s, dir) => {
         // Spark's native session_window operator (30-min gap). The
