@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -322,6 +322,70 @@ object Relational2 {
         FROM long
         GROUP BY l_returnflag, measure
         ORDER BY l_returnflag, measure""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q56_column_profile",
+      (s, dir) => {
+        // ANALYZE-style column profiling — the data-quality pass every
+        // ingest runs: per-column null count, exact distinct count,
+        // min/max. One branch per column, each a PRUNED single-column
+        // scan with partial-combining aggregates, unioned into the
+        // long-form report (profiling N columns = N cheap column
+        // scans, not one scan carrying every column through an
+        // Expand). Values are rendered repr-safely: money through
+        // exact DECIMAL(12,2) strings, dates as ISO strings.
+        val li = t(s, dir)("lineitem")
+        // min/max aggregate the TYPED value (decimal/date ordering),
+        // and only the final projection renders it — aggregating the
+        // string repr would order lexicographically ("10000" < "901").
+        def prof(column: String, typed: Column,
+            toRepr: Column => Column): DataFrame =
+          li.select(col(column).as("c"), typed.as("v"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              (count(lit(1)) - count(col("c"))).as("n_nulls"),
+              countDistinct(col("c")).as("n_distinct"),
+              min(col("v")).as("mn"),
+              max(col("v")).as("mx"))
+            .select(lit(column).as("column"), col("n_rows"),
+              col("n_nulls"), col("n_distinct"),
+              toRepr(col("mn")).as("min_repr"),
+              toRepr(col("mx")).as("max_repr"))
+        prof("l_returnflag", col("l_returnflag"), identity)
+          .unionByName(prof("l_quantity",
+            m(col("l_quantity")), _.cast("string")))
+          .unionByName(prof("l_extendedprice",
+            m(col("l_extendedprice")), _.cast("string")))
+          .unionByName(prof("l_shipdate",
+            col("l_shipdate"), c => date_format(c, "yyyy-MM-dd")))
+          .orderBy("column")
+      },
+      Some("""
+        SELECT 'l_returnflag' AS "column", COUNT(*) AS n_rows,
+          COUNT(*) - COUNT(l_returnflag) AS n_nulls,
+          COUNT(DISTINCT l_returnflag) AS n_distinct,
+          MIN(l_returnflag) AS min_repr, MAX(l_returnflag) AS max_repr
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+          COUNT(DISTINCT l_quantity),
+          CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR),
+          CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+          COUNT(DISTINCT l_extendedprice),
+          CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR),
+          CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+          COUNT(DISTINCT l_shipdate),
+          strftime(MIN(l_shipdate), '%Y-%m-%d'),
+          strftime(MAX(l_shipdate), '%Y-%m-%d')
+        FROM lineitem
+        ORDER BY "column""""))
+    ,
     // ----------------------------------------------------------------
     Q(
       "q29_session_window",
