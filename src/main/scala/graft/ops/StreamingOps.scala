@@ -114,6 +114,24 @@ object StreamingOps {
       Some(Dedup.sqlSimhashNearDup)),
     // ------------------------------------------------------------------
     Q(
+      "st10_stream_chained_windows",
+      (s, dir) => EventStream.runTwoLevelWindow(s, dir),
+      // Append mode emits only days FINALIZED by the watermark: day
+      // end <= max(ts) - 1 hour. The oracle restricts the batch daily
+      // rollup to exactly those days — watermark semantics stated in
+      // SQL.
+      Some("""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS mts, event_type
+                   FROM events),
+        wm AS (SELECT MAX(mts) - INTERVAL 1 HOUR AS w FROM e)
+        SELECT date_trunc('day', mts) AS day, event_type,
+          COUNT(*) AS n
+        FROM e, wm
+        GROUP BY 1, 2, wm.w
+        HAVING date_trunc('day', MIN(mts)) + INTERVAL 1 DAY <= wm.w
+        ORDER BY day, event_type""")),
+    // ------------------------------------------------------------------
+    Q(
       "st09_stream_admission",
       (s, dir) => DocumentStream.runStreamAdmission(s, dir),
       // Gate → near-dup → admit/reject: rejected iff an EARLIER gated

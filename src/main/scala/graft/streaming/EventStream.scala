@@ -300,6 +300,38 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** Run CHAINED stateful operators in one streaming query (the
+    * Spark 3.4+ multiple-stateful-operator surface): an hourly
+    * windowed aggregation feeding a daily re-aggregation, Append
+    * mode. Append emits only FINALIZED windows — those whose end is
+    * at or before the final watermark (max event time − 1h) — so the
+    * oracle states exactly that: the batch daily rollup restricted to
+    * days closed by the watermark. This is the honest production
+    * semantics of a chained windowed pipeline, made checkable.
+    */
+  def runTwoLevelWindow(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_twolevel_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamShufflePartitions(spark, 8) {
+      val hourly = readStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val daily = hourly
+        .groupBy(window(col("window"), "1 day"), col("event_type"))
+        .agg(sum(col("n")).cast("long").as("n"))
+        .select(col("window.start").as("day"), col("event_type"), col("n"))
+      val q = daily
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemoryTable(spark, name, "day", "event_type")
+  }
+
   // ------------------------------------------------------------------
   // Custom state: running per-user counts via mapGroupsWithState.
   // ------------------------------------------------------------------

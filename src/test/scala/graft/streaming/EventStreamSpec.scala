@@ -138,6 +138,41 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("chained windows emit a day only after the watermark closes it") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 24L * 3600 * 1000000
+    val input = MemoryStream[Ev]
+    val hourly = input.toDS()
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val daily = hourly
+      .groupBy(window(col("window"), "1 day"))
+      .agg(sum(col("n")).cast("long").as("n"))
+      .select(col("window.start").as("day"), col("n"))
+    val q = daily.writeStream.format("memory").queryName("twolevel_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // Batch 1: two events on day 0 — day 0 is still open (watermark
+    // has not passed its end), so nothing may emit yet.
+    input.addData(Ev(1, 7, 1000000), Ev(2, 7, 2 * 3600L * 1000000))
+    q.processAllAvailable()
+    assert(spark.table("twolevel_test").isEmpty)
+
+    // Batch 2: an event 2 days later pushes the watermark past day
+    // 0's end — day 0 (and only day 0) finalizes with both events.
+    input.addData(Ev(3, 7, 2 * dayUs + 2 * 3600L * 1000000))
+    q.processAllAvailable()
+    val rows = spark.table("twolevel_test").collect()
+      .map(r => r.getTimestamp(0).toInstant.toEpochMilli -> r.getLong(1))
+    assert(rows.toSeq == Seq(0L -> 2L), rows.toSeq)
+    q.stop()
+    spark.catalog.dropTempView("twolevel_test")
+  }
+
   test("foreachBatch sink: replaying a batch leaves the sink unchanged") {
     val sparkS = spark
     import sparkS.implicits._
