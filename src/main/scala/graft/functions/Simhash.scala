@@ -100,17 +100,95 @@ object Simhash60Md5 {
   }
 }
 
+/** 64-bit xxhash64-based SimHash — the cheap scale path (no digest,
+  * no hex), same counter scheme as [[Simhash60Md5]]. Token hash =
+  * Spark's own `xxhash64(t)` (XXH64 over the UTF-8 bytes, seed 42),
+  * so SQL callers see identical values to the built-in; a NULL token
+  * hashes to the bare seed, exactly like the built-in's null-skip
+  * rule. Not oracle-portable (DuckDB has no xxhash64) — pinned
+  * against the HOF form by DedupSpec instead.
+  */
+case class Simhash64Xx(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    Simhash64Xx.compute(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"${ev.value} = graft.functions.Simhash64Xx.compute($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Simhash64Xx {
+
+  /** Called from generated code — keep the signature Java-friendly. */
+  def compute(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      // xxhash64(NULL) returns the seed unchanged — mirror it.
+      val h =
+        if (toks.isNullAt(i)) 42L
+        else {
+          val u = toks.getUTF8String(i)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        }
+      var b = 0
+      while (b < 64) {
+        counters(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) >= 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+}
+
 object Simhash {
 
-  /** Idempotently register graft_simhash60 on a session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register graft_simhash60 + graft_simhash64 on a
+    * session.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash60",
       (exprs: Seq[Expression]) => Simhash60Md5(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64",
+      (exprs: Seq[Expression]) => Simhash64Xx(exprs.head),
+      "built-in")
+  }
 
   /** Native 60-bit SimHash of a token-array column (requires
     * `register`).
     */
   def simhash60(toks: Column): Column = call_function("graft_simhash60", toks)
+
+  /** Native 64-bit xxhash SimHash of a token-array column (requires
+    * `register`).
+    */
+  def simhash64(toks: Column): Column = call_function("graft_simhash64", toks)
 }

@@ -42,10 +42,15 @@ object TextFunctions {
   /** 64-bit SimHash over a token array column named by `toksCol`.
     *
     * Classic scheme: per bit position, sum +1/-1 over token hashes,
-    * then take the sign bit. Expressed as nested `aggregate`/`zip_with`
-    * higher-order functions (single pass over tokens, 64 counters).
+    * then take the sign bit. Dispatches to the native [[Simhash64Xx]]
+    * expression (callers must `Simhash.register(spark)`); the HOF
+    * form below is the executable spec DedupSpec pins it against.
     */
-  def simhash64(toksCol: String): Column = expr(
+  def simhash64(toksCol: String): Column =
+    Simhash.simhash64(org.apache.spark.sql.functions.col(toksCol))
+
+  /** The original higher-order-function form of [[simhash64]]. */
+  def simhash64Hof(toksCol: String): Column = expr(
     s"""aggregate(
           aggregate($toksCol,
             array_repeat(cast(0 as bigint), 64),

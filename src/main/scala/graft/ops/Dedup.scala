@@ -315,12 +315,16 @@ object Dedup {
       .distinct()
   }
 
-  /** doc_id → 64-bit SimHash. */
-  def simhashes(documents: DataFrame): DataFrame =
+  /** doc_id → 64-bit SimHash (native xxhash64 expression — the cheap
+    * scale path).
+    */
+  def simhashes(documents: DataFrame): DataFrame = {
+    graft.functions.Simhash.register(documents.sparkSession)
     documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), simhash64("toks").as("simhash"))
+  }
 
   val sqlBandsCte =
     s"""WITH toks AS ($sqlToks),

@@ -133,11 +133,15 @@ class DedupSpec extends SparkSpec {
     val rows = docs.toDF("doc_id", "toks")
       .select(col("doc_id"),
         TextFunctions.simhash60Md5("toks").as("native"),
-        TextFunctions.simhash60Md5Hof("toks").as("hof"))
+        TextFunctions.simhash60Md5Hof("toks").as("hof"),
+        TextFunctions.simhash64("toks").as("native64"),
+        TextFunctions.simhash64Hof("toks").as("hof64"))
       .collect()
     assert(rows.length == 40)
-    rows.foreach(r =>
-      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"md5 doc ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4), s"xx doc ${r.getLong(0)}")
+    }
   }
 
   test("native simhash60 expression is bit-identical to the HOF form") {
