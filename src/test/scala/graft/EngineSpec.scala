@@ -22,4 +22,23 @@ class EngineSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) v")
       .head().getDouble(0) == 11.0)
   }
+
+  test("simhash functions available through engine SQL") {
+    val r = engine.sql(
+      """SELECT graft_simhash60(array('a', 'b')) s60,
+                graft_simhash64(array('a', 'b')) s64""").head()
+    assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
+  }
+
+  test("dataframe operator facade: near-dup, kmeans, tfidf") {
+    val docs = engine.table("documents")
+    // executes end-to-end; the pair count itself is corpus-dependent
+    assert(engine.simhashNearDup(docs).count() >= 0)
+    val e = engine.sql(
+      """SELECT vec_id, label,
+           transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings""")
+    assert(engine.kmeansIterate(e).count() > 0)
+    assert(engine.tfidfTop(docs, k = 1).count() > 0)
+  }
 }
