@@ -335,16 +335,21 @@ object Dedup {
           SELECT doc_id, CAST(u.i AS INT) AS band_id, u.h AS band_hash
           FROM sig, unnest(bands) AS s(u))"""
 
-  /** DuckDB restatement of [[simhashNearDup]] at maxHamming=3 — shared
-    * by d11 (batch) and st07 (the streaming run of the same operator,
-    * which must converge to the identical pair set).
+  /** DuckDB toks→hs→sig→bands CTE chain for the 60-bit simhash, with
+    * a parameterizable document gate — the ONE definition of the
+    * signature derivation, composed by d04, d11/st07 and st09 (the
+    * empty-token COALESCE fix had to touch three hand-copies before
+    * this; a drift between copies silently desynchronizes an oracle).
+    * The COALESCE makes an empty token list vote 0 >= 0 per bit
+    * (DuckDB's list_sum([]) is NULL) — matching Spark's all-ones
+    * zero-counter convention.
     */
-  val sqlSimhashNearDup: String = """
+  def sqlSimhashBandsCte(gate: String): String = s"""
         WITH toks AS (
           SELECT doc_id,
-            list_filter(string_split_regex(lower(text), '\s+'),
+            list_filter(string_split_regex(lower(text), '\\s+'),
                         x -> len(x) > 0) AS tl
-          FROM documents WHERE text IS NOT NULL),
+          FROM documents $gate),
         hs AS (
           SELECT doc_id,
             list_transform(tl,
@@ -362,7 +367,14 @@ object Dedup {
         bands AS (
           SELECT doc_id, simhash, CAST(u AS INT) AS band_id,
             (simhash >> (CAST(u AS INT) * 15)) & 32767 AS band_key
-          FROM sig, unnest([0, 1, 2, 3]) AS t(u))
+          FROM sig, unnest([0, 1, 2, 3]) AS t(u))"""
+
+  /** DuckDB restatement of [[simhashNearDup]] at maxHamming=3 — shared
+    * by d11 (batch) and st07 (the streaming run of the same operator,
+    * which must converge to the identical pair set).
+    */
+  val sqlSimhashNearDup: String =
+    sqlSimhashBandsCte("WHERE text IS NOT NULL") + """
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS INT)
             AS hamming
@@ -453,24 +465,8 @@ object Dedup {
           .select(col("doc_id"), simhash60Md5("toks").as("simhash"))
           .orderBy("doc_id")
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id,
-            list_filter(string_split_regex(lower(text), '\s+'),
-                        x -> len(x) > 0) AS tl
-          FROM documents),
-        hs AS (
-          SELECT doc_id,
-            list_transform(tl,
-              t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS bases
-          FROM toks)
-        SELECT doc_id,
-          CAST(list_sum(list_transform(range(0, 60), i ->
-            CASE WHEN COALESCE(list_sum(list_transform(bases, h ->
-                   CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0
-                 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
-            AS BIGINT) AS simhash
-        FROM hs ORDER BY doc_id""")),
+      Some(sqlSimhashBandsCte(gate = "") + """
+        SELECT doc_id, simhash FROM sig ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(
       "d05_minhash_bands_fast",

@@ -216,7 +216,7 @@ object Relational2 {
              FROM graft_q53_orders""")
           .localCheckpoint()
         chain.createOrReplaceTempView("graft_q53_chain")
-        s.sql("""
+        val out = s.sql("""
           WITH RECURSIVE walk AS (
             SELECT ck, ok, next_ok, 1 AS pos,
               CAST(LEAST(price, 50000.00) AS DECIMAL(12,2)) AS capped
@@ -232,6 +232,13 @@ object Relational2 {
             CAST(capped AS DOUBLE) AS capped_cum
           FROM walk
           ORDER BY o_custkey, pos""")
+        // Analysis is eager, so the returned plan holds the
+        // checkpointed chain directly — drop the views or the LAST
+        // run's materialized blocks stay catalog-pinned for the
+        // session lifetime (EventStream.drainMemoryTable's rule).
+        s.catalog.dropTempView("graft_q53_chain")
+        s.catalog.dropTempView("graft_q53_orders")
+        out
       },
       Some("""
         WITH RECURSIVE chain AS (

@@ -135,31 +135,10 @@ object StreamingOps {
       "st09_stream_admission",
       (s, dir) => DocumentStream.runStreamAdmission(s, dir),
       // Gate → near-dup → admit/reject: rejected iff an EARLIER gated
-      // doc sits within Hamming ≤ 3 in a shared band bucket.
-      Some("""
-        WITH toks AS (
-          SELECT doc_id,
-            list_filter(string_split_regex(lower(text), '\s+'),
-                        x -> len(x) > 0) AS tl
-          FROM documents WHERE text IS NOT NULL AND n_chars >= 100),
-        hs AS (
-          SELECT doc_id,
-            list_transform(tl,
-              t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS bases
-          FROM toks),
-        sig AS (
-          SELECT doc_id,
-            CAST(list_sum(list_transform(range(0, 60), i ->
-              CASE WHEN COALESCE(list_sum(list_transform(bases, h ->
-                     CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0
-                   THEN (CAST(1 AS BIGINT) << i)
-                   ELSE CAST(0 AS BIGINT) END))
-              AS BIGINT) AS simhash
-          FROM hs),
-        bands AS (
-          SELECT doc_id, simhash, CAST(u AS INT) AS band_id,
-            (simhash >> (CAST(u AS INT) * 15)) & 32767 AS band_key
-          FROM sig, unnest([0, 1, 2, 3]) AS t(u)),
+      // doc sits within Hamming ≤ 3 in a shared band bucket. The
+      // signature CTEs compose from the one shared definition.
+      Some(Dedup.sqlSimhashBandsCte(
+        gate = "WHERE text IS NOT NULL AND n_chars >= 100") + """,
         rejected AS (
           SELECT DISTINCT b.doc_id
           FROM bands a JOIN bands b
