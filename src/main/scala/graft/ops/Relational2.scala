@@ -395,6 +395,41 @@ object Relational2 {
     ,
     // ----------------------------------------------------------------
     Q(
+      "q57_filter_clause_aggs",
+      (s, dir) => {
+        // Standard-SQL FILTER clause on aggregates (the declarative
+        // form of q14's CASE-conditional aggregation): one scan, one
+        // partial-combining aggregate carrying several differently-
+        // filtered accumulators — no self-joins, no re-scans per
+        // predicate. Decimal-exact sums throughout.
+        t(s, dir)("orders").createOrReplaceTempView("graft_q57_orders")
+        val out = s.sql("""
+          SELECT o_orderpriority,
+            COUNT(*) AS n_orders,
+            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                   FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+              AS sum_finished,
+            COUNT(*) FILTER (WHERE o_totalprice >= 100000) AS n_large
+          FROM graft_q57_orders
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+        s.catalog.dropTempView("graft_q57_orders")
+        out
+      },
+      Some("""
+        SELECT o_orderpriority,
+          COUNT(*) AS n_orders,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                 FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+            AS sum_finished,
+          COUNT(*) FILTER (WHERE o_totalprice >= 100000) AS n_large
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+    // ----------------------------------------------------------------
+    Q(
       "q29_session_window",
       (s, dir) => {
         // Spark's native session_window operator (30-min gap). The
