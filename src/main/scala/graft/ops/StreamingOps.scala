@@ -148,6 +148,24 @@ object StreamingOps {
         SELECT t.doc_id,
           CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS admitted
         FROM toks t LEFT JOIN rejected r USING (doc_id)
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st11_stream_simhash_ttl",
+      (s, dir) => DocumentStream.runStreamNearDupTtl(s, dir),
+      // TTL'd st07: state bounded to the 120 s event-time horizon
+      // (event_ts = epoch + doc_id sec), so the pair set is batch d11
+      // restricted to arrivals within the horizon — the constant-
+      // memory continuous-ingest semantics, stated as doc_id
+      // arithmetic.
+      Some(Dedup.sqlSimhashBandsCte("WHERE text IS NOT NULL") + """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS INT)
+            AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 120
+        WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= 3
+        ORDER BY doc_a, doc_b"""))
   )
 }

@@ -35,7 +35,16 @@ object DocumentStream {
     StructField("n_chars", LongType)))
 
   final case class DocSig(doc_id: Long, simhash: Long, band_id: Int, band_key: Long)
+  final case class DocSigT(doc_id: Long, simhash: Long, band_id: Int,
+      band_key: Long, event_ts: java.sql.Timestamp)
   final case class NearPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Synthetic event-time base for the documents stream: the table has
+    * no timestamp column, so the TTL operator assigns
+    * `event_ts = epoch + doc_id seconds` (1 doc/sec arrival). The
+    * oracle restates the horizon as plain doc_id arithmetic.
+    */
+  val docEpochSeconds: Long = 1735689600L // 2025-01-01T00:00:00Z
 
   /** File-source stream over the documents parquet. */
   def readStream(spark: SparkSession, dir: String): DataFrame =
@@ -59,6 +68,14 @@ object DocumentStream {
           shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
           .as(Seq("band_id", "band_key")))
   }
+
+  /** [[bandedSignatures]] plus the synthetic arrival timestamp — the
+    * input shape of the TTL'd operator.
+    */
+  def bandedSignaturesWithTime(documents: DataFrame): DataFrame =
+    bandedSignatures(documents)
+      .withColumn("event_ts",
+        timestamp_seconds(lit(docEpochSeconds) + col("doc_id")))
 
   /** Stateful streaming near-dup: per band-bucket, compare each
     * arriving signature against the bucket's accumulated members and
@@ -92,6 +109,66 @@ object DocumentStream {
       }
   }
 
+  /** TTL'd streaming near-dup: [[nearDupPairs]] with BOUNDED state.
+    * Two eviction levels keep the state store O(ingest-rate × horizon)
+    * instead of O(corpus):
+    *
+    *  - member-level: while processing a bucket, members older than
+    *    `arrival − horizon` are dropped before comparison, so a pair
+    *    (a, b) is emitted iff they share a band, Hamming ≤ 3, AND
+    *    b arrived within `horizon` of a — the windowed semantics a
+    *    continuous-ingest deployment actually wants;
+    *  - bucket-level: `EventTimeTimeout` keyed off the watermark —
+    *    when the watermark passes `last arrival + horizon`, no future
+    *    event can pair with any member, so the whole bucket state is
+    *    removed (observable as `numRowsTotal` shrinking in
+    *    StreamingQueryProgress; pinned by DocumentStreamSpec).
+    *
+    * Within a micro-batch, members are processed in (event_ts, doc_id)
+    * order, so with the 1-doc/sec synthetic clock the emitted set is
+    * deterministic and equals the batch self-join restricted to the
+    * horizon.
+    */
+  def nearDupPairsTtl(
+      ds: Dataset[DocSigT],
+      horizon: java.time.Duration): Dataset[NearPair] = {
+    import ds.sparkSession.implicits._
+    val horizonMs = horizon.toMillis
+    ds.withWatermark("event_ts", "0 seconds")
+      .groupByKey(d => (d.band_id, d.band_key))
+      .flatMapGroupsWithState[List[(Long, Long, Long)], NearPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), docs: Iterator[DocSigT],
+            state: GroupState[List[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed lastArrival + horizon: nothing still in
+            // flight can pair with this bucket — drop it wholesale.
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = docs.toSeq.sortBy(d => (d.event_ts.getTime, d.doc_id))
+            var seen = state.getOption.getOrElse(Nil) // (doc_id, simhash, tsMs)
+            val out = Seq.newBuilder[NearPair]
+            sorted.foreach { d =>
+              val t = d.event_ts.getTime
+              seen = seen.filter(_._3 >= t - horizonMs) // expire members
+              seen.foreach { case (id, sig, _) =>
+                if (id != d.doc_id) {
+                  val h = java.lang.Long.bitCount(sig ^ d.simhash)
+                  if (h <= 3)
+                    out += NearPair(
+                      math.min(id, d.doc_id), math.max(id, d.doc_id), h)
+                }
+              }
+              seen = (d.doc_id, d.simhash, t) :: seen
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(seen.map(_._3).max + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Start [[nearDupPairs]] over `sigs` into a memory sink (8 shuffle
     * partitions — EventStream's state-store sizing rationale), await
     * AvailableNow termination, and return the emitted pair table
@@ -99,10 +176,10 @@ object DocumentStream {
     * plan keeps the rows alive — EventStream's drain pattern).
     */
   private def runPairsToTable(
-      spark: SparkSession, sigs: Dataset[DocSig]): DataFrame = {
+      spark: SparkSession, pairs: Dataset[NearPair]): DataFrame = {
     val name = "st_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     EventStream.withStreamShufflePartitions(spark, 8) {
-      val q = nearDupPairs(sigs)
+      val q = pairs
         .writeStream
         .format("memory")
         .queryName(name)
@@ -129,9 +206,9 @@ object DocumentStream {
     */
   def runStreamAdmission(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = runPairsToTable(spark,
+    val pairs = runPairsToTable(spark, nearDupPairs(
       bandedSignatures(
-        readStream(spark, dir).filter(col("n_chars") >= 100)).as[DocSig])
+        readStream(spark, dir).filter(col("n_chars") >= 100)).as[DocSig]))
     val rejected = pairs
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("rej", lit(1))
@@ -152,7 +229,26 @@ object DocumentStream {
     */
   def runStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    runPairsToTable(spark, bandedSignatures(readStream(spark, dir)).as[DocSig])
+    runPairsToTable(spark,
+      nearDupPairs(bandedSignatures(readStream(spark, dir)).as[DocSig]))
+      .distinct().orderBy("doc_a", "doc_b")
+  }
+
+  /** Run the TTL'd streaming near-dup end-to-end with a 120 s horizon
+    * over the 1-doc/sec synthetic clock: only pairs whose arrivals are
+    * within the horizon emit, and the state store stays bounded by
+    * `rate × horizon` — the constant-memory shape a continuous-ingest
+    * deployment needs (batch d11 restated with
+    * `doc_b − doc_a ≤ 120` is the oracle).
+    */
+  def runStreamNearDupTtl(
+      spark: SparkSession, dir: String,
+      horizonSeconds: Long = 120L): DataFrame = {
+    import spark.implicits._
+    runPairsToTable(spark,
+      nearDupPairsTtl(
+        bandedSignaturesWithTime(readStream(spark, dir)).as[DocSigT],
+        java.time.Duration.ofSeconds(horizonSeconds)))
       .distinct().orderBy("doc_a", "doc_b")
   }
 }
