@@ -460,12 +460,17 @@ object Dedup {
         // path, pinned by DedupSpec.)
         graft.functions.Simhash.register(s)
         docs(s, dir)
+          // NULL-text gate on BOTH sides: the null-intolerant native
+          // expression yields NULL where the oracle's COALESCE would
+          // yield all-ones — gate the divergence out, like every
+          // other simhash consumer.
+          .filter(col("text").isNotNull)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("toks", tokens(col("text")))
           .select(col("doc_id"), simhash60Md5("toks").as("simhash"))
           .orderBy("doc_id")
       },
-      Some(sqlSimhashBandsCte(gate = "") + """
+      Some(sqlSimhashBandsCte(gate = "WHERE text IS NOT NULL") + """
         SELECT doc_id, simhash FROM sig ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(

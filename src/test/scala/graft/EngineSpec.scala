@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 class EngineSpec extends SparkSpec {
 
   private lazy val engine = new Engine(spark, "/root/testdata/sf0.001")
@@ -32,8 +34,19 @@ class EngineSpec extends SparkSpec {
 
   test("dataframe operator facade: near-dup, kmeans, tfidf") {
     val docs = engine.table("documents")
-    // executes end-to-end; the pair count itself is corpus-dependent
-    assert(engine.simhashNearDup(docs).count() >= 0)
+    // Plant an exact duplicate of every document under doc_id+100000:
+    // each planted pair MUST come back at Hamming 0, so the facade is
+    // checked against a known answer, not just for absence of crashes.
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val planted = base.union(
+      base.select(col("doc_id") + lit(100000L), col("text")))
+    val nDocs = base.count()
+    val plantedPairs = engine.simhashNearDup(planted)
+      .filter(col("doc_b") - col("doc_a") === 100000L &&
+        col("hamming") === 0)
+      .count()
+    assert(plantedPairs >= nDocs, s"$plantedPairs planted pairs < $nDocs docs")
     val e = engine.sql(
       """SELECT vec_id, label,
            transform(embedding, x -> CAST(x AS DOUBLE)) AS v
