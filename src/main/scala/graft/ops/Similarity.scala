@@ -116,36 +116,156 @@ object Similarity {
     * engines — a decimal rescale of a double is NOT cross-engine
     * deterministic; see the s05 entry's comment).
     */
-  def kmeansIterate(e: DataFrame): DataFrame = {
-    val centroids = e
-      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("label", "dim")
-      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-        count(lit(1))).as("cx"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
-        .as("pairs"))
-      .select(col("label").as("c_label"),
-        transform(col("pairs"), p => p.getField("cx")).as("cv"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("c_label"),
-        cosine(col("v"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("c_label"))))
-      .filter(col("rn") === 1)
-    assigned
-      .select(col("vec_id"), col("c_label").as("cluster"),
-        posexplode(col("v")).as(Seq("dim0", "x")))
-      .select(col("vec_id"), col("cluster"),
-        (col("dim0") + 1).as("dim"), col("x"))
-      .groupBy("cluster", "dim")
-      .agg(count(lit(1)).as("n_members"),
-        array_sort(collect_list(struct(col("vec_id"), col("x"))))
-          .as("xs"))
-      .select(col("cluster"), col("dim"), col("n_members"),
-        (expr("aggregate(xs, cast(0.0 as double), (a, p) -> a + p.x)") /
-          col("n_members")).as("cx"))
+  def kmeansIterate(e: DataFrame): DataFrame =
+    updateMeans(assignClusters(e, seedCentroids(e)))
+
+  /** Per-label exact-decimal mean vectors — the k-means seeds
+    * (argmax-robust: they only ever feed a cosine comparison).
+    * (c_label, cv: array<double>).
+    */
+  def seedCentroids(e: DataFrame): DataFrame = e
+    .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+    .groupBy("label", "dim")
+    .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+      count(lit(1))).as("cx"))
+    .groupBy("label")
+    .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
+      .as("pairs"))
+    .select(col("label").as("c_label"),
+      transform(col("pairs"), p => p.getField("cx")).as("cv"))
+
+  /** Nearest-centroid assignment by cosine: broadcast the (≤ k-row)
+    * centroid table, argmax via a per-vector window with centroid-id
+    * tie-break. Map-only apart from the tiny window shuffle on
+    * vec_id. (vec_id, v, cluster).
+    */
+  def assignClusters(e: DataFrame, centroids: DataFrame): DataFrame = e
+    .crossJoin(broadcast(centroids))
+    .select(col("vec_id"), col("v"), col("c_label"),
+      cosine(col("v"), col("cv")).as("sim"))
+    .withColumn("rn", row_number().over(
+      Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("c_label"))))
+    .filter(col("rn") === 1)
+    .select(col("vec_id"), col("v"), col("c_label").as("cluster"))
+
+  /** Per-(cluster, dim) mean of an assignment as a sequential IEEE
+    * fold in vec_id order — deterministic given order on BOTH engines
+    * (a decimal rescale of a double is not; see the s05 entry).
+    * (cluster, dim, n_members, cx).
+    */
+  def updateMeans(assigned: DataFrame): DataFrame = assigned
+    .select(col("vec_id"), col("cluster"),
+      posexplode(col("v")).as(Seq("dim0", "x")))
+    .select(col("vec_id"), col("cluster"),
+      (col("dim0") + 1).as("dim"), col("x"))
+    .groupBy("cluster", "dim")
+    .agg(count(lit(1)).as("n_members"),
+      array_sort(collect_list(struct(col("vec_id"), col("x"))))
+        .as("xs"))
+    .select(col("cluster"), col("dim"), col("n_members"),
+      (expr("aggregate(xs, cast(0.0 as double), (a, p) -> a + p.x)") /
+        col("n_members")).as("cx"))
+
+  /** (cluster, dim, cx) means back into (c_label, cv) centroid arrays
+    * for the next assignment round.
+    */
+  def centroidArrays(means: DataFrame): DataFrame = means
+    .groupBy("cluster")
+    .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
+      .as("pairs"))
+    .select(col("cluster").as("c_label"),
+      transform(col("pairs"), p => p.getField("cx")).as("cv"))
+
+  /** k-means to CONVERGENCE — the d08 loop pattern applied to Lloyd
+    * iterations: localCheckpoint the input and each round's result
+    * (else lineage grows and the whole upstream recomputes per
+    * round), stop when no centroid coordinate moved more than `eps`
+    * (cluster death counts as movement) or at `maxIter`. Per round
+    * the only shuffles are the (cluster, dim) mean aggregation and
+    * the tiny vec_id window — assignment is a broadcast map pass, so
+    * the loop is maxIter × the s05 plan, which is how Lloyd scales on
+    * a cluster. Exact-fixpoint early exit is oracle-safe: once means
+    * repeat bit-for-bit, every further iteration reproduces them.
+    * Returns the final round's (cluster, dim, n_members, cx).
+    */
+  def kmeansConverge(
+      e0: DataFrame, maxIter: Int = 10, eps: Double = 0.0): DataFrame = {
+    require(maxIter >= 1, s"need at least one iteration, got $maxIter")
+    val e = e0.localCheckpoint()
+    var cent = seedCentroids(e).localCheckpoint()
+    var means: DataFrame = null
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      means = updateMeans(assignClusters(e, cent)).localCheckpoint()
+      val next = centroidArrays(means).localCheckpoint()
+      converged = next.as("n")
+        .join(cent.as("o"), col("n.c_label") === col("o.c_label"), "full")
+        .filter(col("n.c_label").isNull || col("o.c_label").isNull ||
+          exists(zip_with(col("n.cv"), col("o.cv"),
+            (a, b) => abs(a - b) > eps), b => b))
+        .isEmpty
+      cent = next
+      i += 1
+    }
+    means
+  }
+
+  /** DuckDB restatement of [[kmeansConverge]] at a PINNED iteration
+    * count: the same assign/update round unrolled `n` times as CTEs
+    * (SQL has no loop; the generator is the single source of the
+    * round's arithmetic). Seeds are the exact-decimal label means;
+    * every subsequent centroid is the vec_id-ordered IEEE fold mean —
+    * bit-identical on both engines, so the rounds chain without
+    * drift.
+    */
+  def sqlKmeansUnrolled(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      s"""
+        sims$k AS (
+          SELECT e.vec_id, e.v, c.cluster,
+            list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
+          FROM e CROSS JOIN cent${k - 1} c),
+        assign$k AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cluster) AS rn
+            FROM sims$k) WHERE rn = 1),
+        ad$k AS (
+          SELECT vec_id, cluster, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM assign$k, unnest(list_transform(range(1, len(v) + 1),
+                                i -> {'i': i, 'x': v[i]})) AS s(u)),
+        upd$k AS (
+          SELECT cluster, dim, COUNT(*) AS n_members,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(x ORDER BY vec_id)),
+                        (a, b) -> a + b) / COUNT(*) AS cx
+          FROM ad$k GROUP BY cluster, dim),
+        cent$k AS (
+          SELECT cluster, list(cx ORDER BY dim) AS cv
+          FROM upd$k GROUP BY cluster)"""
+    }.mkString(",")
+    s"""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent0 AS (
+          SELECT label AS cluster, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM dims GROUP BY label, dim)
+          GROUP BY label),$rounds
+        SELECT cluster, dim, n_members, cx FROM upd$n
+        ORDER BY cluster, dim"""
   }
 
   val all: Seq[Q] = Seq(
@@ -413,6 +533,18 @@ object Similarity {
                                    list(x ORDER BY vec_id)),
                       (a, b) -> a + b) / COUNT(*) AS cx
         FROM ad GROUP BY cluster, dim
-        ORDER BY cluster, dim"""))
+        ORDER BY cluster, dim""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s06_kmeans_converge",
+      (s, dir) =>
+        // Lloyd to convergence (pinned at 3 iterations for the
+        // oracle — DuckDB unrolls the identical round 3×; eps = 0
+        // means only an exact bit-for-bit fixpoint exits early, which
+        // reproduces the unrolled result by definition). See
+        // [[kmeansConverge]] for the loop's scale shape.
+        kmeansConverge(emb(s, dir), maxIter = 3, eps = 0.0)
+          .orderBy("cluster", "dim"),
+      Some(sqlKmeansUnrolled(3)))
   )
 }

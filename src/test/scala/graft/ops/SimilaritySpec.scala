@@ -69,6 +69,43 @@ class SimilaritySpec extends SparkSpec {
     assert(c0(0) > 0.8 && c0(1) < 0.2, s"c0: ${c0.toSeq}")
   }
 
+  test("kmeans converges to a fixpoint on planted clusters") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.col
+    // Same planted two-cluster corpus as above, mislabeled seeds
+    // included: run to convergence, then prove it IS a fixpoint by
+    // applying one more assign/update round by hand — the means must
+    // reproduce bit-for-bit (IEEE folds are exact given order), which
+    // is exactly the loop's exit condition at eps = 0.
+    val a = Seq(1.0, 0.0, 0.0, 0.1)
+    val b = Seq(0.0, 1.0, 0.1, 0.0)
+    def jitter(v: Seq[Double], i: Int) = v.map(_ + 0.01 * ((i % 3) - 1))
+    val rows =
+      (0 until 9).map(i => (i.toLong, 0, jitter(a, i))) ++
+        Seq((100L, 1, jitter(a, 0))) ++
+        (0 until 9).map(i => (200L + i, 1, jitter(b, i))) ++
+        Seq((101L, 0, jitter(b, 1)))
+    val e = rows.toDF("vec_id", "label", "v")
+    graft.functions.VectorExpressions.register(spark)
+
+    val converged = Similarity.kmeansConverge(e, maxIter = 10, eps = 1e-12)
+    def asMap(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val got = asMap(converged.collect())
+    // The planted split is recovered...
+    assert(got.keys.map(_._1).toSet == Set(0, 1))
+    assert(got.filter(_._1._1 == 0).values.map(_._1).toSet == Set(10L))
+    assert(got.filter(_._1._1 == 1).values.map(_._1).toSet == Set(10L))
+    // ...and one further Lloyd round changes nothing: a true fixpoint,
+    // not just maxIter exhaustion.
+    val oneMore = Similarity.updateMeans(Similarity.assignClusters(
+      e.select(col("vec_id"), col("v")),
+      Similarity.centroidArrays(converged)))
+    assert(asMap(oneMore.collect()) == got)
+  }
+
   test("planeWeight matches the portable SQL md5-parity derivation") {
     // The oracle side derives each ±1 weight as
     //   CASE WHEN CAST('0x'||substr(md5(b||','||j),1,1) AS INT) % 2 = 0
