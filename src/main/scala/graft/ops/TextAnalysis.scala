@@ -70,6 +70,131 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
   }
 
+  /** Apply ONE BPE merge (x, y) to a symbol array, greedy
+    * left-to-right non-overlapping — in CLOSED FORM, no sequential
+    * fold, so the identical arithmetic runs as Catalyst HOFs here and
+    * as list lambdas in the oracle:
+    *
+    *  - x ≠ y: every match (syms[i]=x ∧ syms[i+1]=y) is disjoint from
+    *    every other (a match at i and i+1 would force x = y), so ALL
+    *    matches merge simultaneously;
+    *  - x = y: matches overlap exactly within maximal runs of
+    *    consecutive x's, and greedy pairs a k-run into ⌊k/2⌋ merges —
+    *    position i merges iff its run offset (consecutive x's
+    *    immediately before it) is EVEN.
+    *
+    * Integer/string logic only — no FP, so the two engines agree
+    * bit-for-bit by construction. Words are short (≤ tens of chars),
+    * so the O(len²) run-offset lookup inside the lambda is noise.
+    */
+  def applyMerge(s: Column, x: String, y: String): Column = {
+    val X = lit(x)
+    val Y = lit(y)
+    // consecutive x's immediately before position i (1-based)
+    def runBefore(i: Column): Column = i - lit(1) -
+      coalesce(array_max(filter(sequence(lit(1), size(s)),
+        j => j < i && element_at(s, j) =!= X)), lit(0))
+    def keeps(i: Column): Column =
+      element_at(s, i) === X && i < size(s) &&
+        element_at(s, i + 1) === Y &&
+        (lit(x != y) || runBefore(i) % 2 === 0)
+    flatten(transform(sequence(lit(1), size(s)), i =>
+      when(keeps(i), array(concat(X, Y)))
+        .when(i > lit(1) && keeps(i - 1), slice(s, 1, 0)) // consumed
+        .otherwise(array(element_at(s, i)))))
+  }
+
+  /** Full BPE vocabulary induction, `merges` rounds: count adjacent
+    * symbol pairs over the DISTINCT-word frequency table (the classic
+    * trainer input — corpus word occurrences collapse to one row per
+    * word before any iteration), take the top pair (count desc, pair
+    * lex tie-break), apply it with [[applyMerge]], recount. The d08
+    * loop shape: vocab is localCheckpoint'ed per round so lineage
+    * stays flat; per round the only shuffle carries (pair, partial
+    * count) rows — the merge application is map-only. The per-round
+    * driver action is one `head()` on a 1-row top-pair aggregate
+    * (the merged pair must become a plan literal), same scale class
+    * as d08's convergence probe. Returns (step, lhs, rhs, n).
+    */
+  def bpeInduce(documents: DataFrame, merges: Int): DataFrame = {
+    val spark = documents.sparkSession
+    var vocab = documents
+      .filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(filter(split(col("w"), ""), c => length(c) > 0).as("syms"),
+        col("freq"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to merges) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("syms"), col("freq"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+        .select(element_at(col("syms"), col("i")).as("lhs"),
+          element_at(col("syms"), col("i") + 1).as("rhs"), col("freq"))
+        .groupBy("lhs", "rhs").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .head()
+      val (x, y) = (top.getString(0), top.getString(1))
+      out += ((step, x, y, top.getLong(2)))
+      vocab = vocab
+        .select(applyMerge(col("syms"), x, y).as("syms"), col("freq"))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    out.result().toDF("step", "lhs", "rhs", "n")
+  }
+
+  /** DuckDB restatement of [[bpeInduce]] with the round unrolled `n`
+    * times — each round's top pair is a 1-row CTE the next round
+    * cross-joins as its merge literal, and the closed-form
+    * [[applyMerge]] rule is the same integer/string arithmetic as
+    * list lambdas.
+    */
+  def sqlBpeUnrolled(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      s"""
+        pc$k AS (
+          SELECT syms[i] AS lhs, syms[i+1] AS rhs, SUM(freq) AS n
+          FROM v${k - 1}, unnest(range(1, len(syms))) AS t(i)
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2),
+        top$k AS (SELECT lhs, rhs, n FROM pc$k
+                  ORDER BY n DESC, lhs, rhs LIMIT 1),
+        v$k AS (
+          SELECT flatten(list_transform(range(1, len(syms) + 1), i ->
+            CASE WHEN syms[i] = t.lhs AND i < len(syms)
+                      AND syms[i+1] = t.rhs
+                      AND (t.lhs <> t.rhs OR
+                           (i - 1 - COALESCE(list_max(list_filter(
+                              range(1, i), j -> syms[j] <> t.lhs)), 0))
+                           % 2 = 0)
+                 THEN [t.lhs || t.rhs]
+                 WHEN i > 1 AND syms[i-1] = t.lhs AND syms[i] = t.rhs
+                      AND (t.lhs <> t.rhs OR
+                           (i - 2 - COALESCE(list_max(list_filter(
+                              range(1, i - 1), j -> syms[j] <> t.lhs)), 0))
+                           % 2 = 0)
+                 THEN []
+                 ELSE [syms[i]] END)) AS syms, freq
+          FROM v${k - 1}, top$k t)"""
+    }.mkString(",")
+    val union = (1 to n).map(k =>
+      s"SELECT $k AS step, lhs, rhs, CAST(n AS BIGINT) AS n FROM top$k")
+      .mkString("\n        UNION ALL ")
+    s"""
+        WITH w AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> len(x) > 0)) AS w
+          FROM documents WHERE text IS NOT NULL),
+        v0 AS (
+          SELECT string_split(w, '') AS syms, COUNT(*) AS freq
+          FROM w GROUP BY w),$rounds
+        SELECT * FROM ($union)
+        ORDER BY step"""
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -471,6 +596,17 @@ object TextAnalysis {
         SELECT pair, COUNT(*) AS n
         FROM p GROUP BY pair
         ORDER BY n DESC, pair LIMIT 20""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t12_bpe_induce",
+      (s, dir) =>
+        // Full BPE induction: t11's ranking is round one; here the
+        // top merge is APPLIED and the counts recomputed, 5 rounds —
+        // real vocabulary induction, word-frequency weighted. See
+        // [[bpeInduce]] / [[applyMerge]] for the loop and the
+        // closed-form greedy merge both engines share.
+        bpeInduce(docs(s, dir), merges = 5),
+      Some(sqlBpeUnrolled(5))),
     // ----------------------------------------------------------------
     Q(
       "t09_normalize",

@@ -40,4 +40,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores("same") == 0.0) // df = N → ln(1) = 0
     assert(scores("text") > 0.0 && scores("words") > 0.0)
   }
+
+  test("applyMerge is greedy left-to-right, incl. overlapping runs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.col
+    def merged(syms: Seq[String], x: String, y: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(TextAnalysis.applyMerge(col("syms"), x, y).as("m"))
+        .head().getSeq[String](0)
+    // disjoint matches all merge at once
+    assert(merged(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    // x=y: runs pair up greedily — k consecutive → ⌊k/2⌋ merges
+    assert(merged(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(merged(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(merged(Seq("b", "a", "a", "a", "a", "a", "b"), "a", "a") ==
+      Seq("b", "aa", "aa", "a", "b"))
+    // no match → unchanged; match against merged symbol doesn't fire
+    assert(merged(Seq("aa", "a"), "a", "a") == Seq("aa", "a"))
+    assert(merged(Seq("x"), "a", "b") == Seq("x"))
+  }
+
+  test("bpe induction: first round equals t11's top pair; vocab shrinks") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 'aaab' x3, 'abab' x2 → round-1 pairs: (a,a) 3·2=6? no — run
+    // parity: 'aaab' contributes (a,a)x2,(a,b)x1 per occurrence →
+    // (a,a)=6, (a,b)=3+4=7... enumerate: aaab: aa,aa,ab; abab:
+    // ab,ba,ab. So ab: 3·1+2·2=7, aa: 3·2=6, ba: 2. Top = (a,b).
+    val df = Seq((1L, "aaab aaab abab"), (2L, "aaab abab"))
+      .toDF("doc_id", "text")
+    val steps = TextAnalysis.bpeInduce(df, merges = 2).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    assert(steps(1) == ("a", "b", 7L), s"got ${steps(1)}")
+    // after merging (a,b): aaab→[a,a,ab], abab→[ab,ab] →
+    // round-2 pairs: (a,a)=3, (a,ab)=3, (ab,ab)=2 → tie on n=3,
+    // lex tie-break picks lhs 'a', rhs 'a' < 'ab'.
+    assert(steps(2) == ("a", "a", 3L), s"got ${steps(2)}")
+  }
 }
