@@ -16,32 +16,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm pass: run every query once so the timed pass
-    // measures steady-state execution (codegen compilation and JIT of
-    // the hash/digest hot paths otherwise land on whichever query
-    // happens to run first).
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // TWO timed passes, report the per-query MINIMUM. Pass 1 doubles
+    // as the warm pass (codegen compilation + JIT of the hash/digest
+    // hot paths land somewhere in it); min-of-2 makes each query's
+    // number robust to one-off warmup/GC landing on EITHER pass — a
+    // single warm pass demonstrably wasn't (r6: 8x swing on the head
+    // queries of a byte-identical engine). A failing query is
+    // recorded as -1 (a sentinel the sum skips) and listed in
+    // "failed" — never as a silent ~0s success that would inflate
+    // the bench.
+    def pass(): Seq[(String, Double, Boolean)] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            // noop sink forces full materialization of every output column
+            // (count() lets Catalyst prune the projections being measured).
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch {
+            case t: Throwable =>
+              System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+              false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+    val byName = pass().zip(pass()).map { case ((n, t1, ok1), (_, t2, ok2)) =>
+      // min over the successful attempts; failed only if BOTH failed
+      val ts = Seq(t1 -> ok1, t2 -> ok2).collect { case (t, true) => t }
+      (n, if (ts.nonEmpty) ts.min else -1.0, ts.nonEmpty)
     }
-    // Timed pass. A failing query is recorded as -1 (a sentinel the
-    // sum skips) and listed in "failed" — never as a silent ~0s
-    // success that would inflate the bench.
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          // noop sink forces full materialization of every output column
-          // (count() lets Catalyst prune the projections being measured).
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch {
-          case t: Throwable =>
-            System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-            false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
-    }
+    val results = byName
     val qs = results.map { case (k, v, ok) =>
       s"\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
