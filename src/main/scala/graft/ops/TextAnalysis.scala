@@ -126,7 +126,9 @@ object TextAnalysis {
         col("freq"))
       .localCheckpoint()
     val out = Seq.newBuilder[(Int, String, String, Long)]
-    for (step <- 1 to merges) {
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
       val top = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("syms"), col("freq"),
@@ -135,12 +137,20 @@ object TextAnalysis {
           element_at(col("syms"), col("i") + 1).as("rhs"), col("freq"))
         .groupBy("lhs", "rhs").agg(sum("freq").as("n"))
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
-        .head()
-      val (x, y) = (top.getString(0), top.getString(1))
-      out += ((step, x, y, top.getLong(2)))
-      vocab = vocab
-        .select(applyMerge(col("syms"), x, y).as("syms"), col("freq"))
-        .localCheckpoint()
+        .take(1)
+      if (top.isEmpty) {
+        // No adjacent pair left anywhere (empty corpus, or every word
+        // collapsed to a single symbol) — the vocabulary is exhausted
+        // and further rounds are identity; stop instead of throwing.
+        exhausted = true
+      } else {
+        val (x, y) = (top(0).getString(0), top(0).getString(1))
+        out += ((step, x, y, top(0).getLong(2)))
+        vocab = vocab
+          .select(applyMerge(col("syms"), x, y).as("syms"), col("freq"))
+          .localCheckpoint()
+        step += 1
+      }
     }
     import spark.implicits._
     out.result().toDF("step", "lhs", "rhs", "n")
