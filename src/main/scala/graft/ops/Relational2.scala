@@ -430,6 +430,88 @@ object Relational2 {
         ORDER BY o_orderpriority""")),
     // ----------------------------------------------------------------
     Q(
+      "q58_hll_merge",
+      (s, dir) => {
+        // Mergeable distinct-count sketches — the 100 TB shape for
+        // COUNT(DISTINCT): build an HLL sketch per source partition /
+        // per group, union the SKETCHES (hll_union_agg), estimate
+        // once. The shuffle carries one 2^lgK-register sketch per
+        // group instead of every distinct key; re-aggregating a
+        // rollup costs a union, not a rescan. Sketch estimates are
+        // not cross-engine reproducible, so the oracle states the
+        // INVARIANTS: the merged estimate lands within the sketch's
+        // error envelope of the exact count (lgK=14 → rsd ≈ 0.8%;
+        // 5% ≈ 6σ), and union-of-group-sketches agrees with the
+        // sketch built in one pass over the union (2% envelope —
+        // same registers, modulo sparse-mode promotion).
+        val li = t(s, dir)("lineitem")
+        val perGroup = li.groupBy("l_returnflag")
+          .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"))
+        val merged = perGroup
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("n_merged"))
+        val global = li.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), 14))
+            .as("n_global"),
+          countDistinct(col("l_orderkey")).as("n_exact"))
+        // Two 1-row sides: the cross join is a broadcast over one row.
+        merged.crossJoin(global).select(
+          col("n_exact"),
+          (abs(col("n_merged") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.05).as("merged_within_err"),
+          (abs(col("n_merged") - col("n_global")).cast("double") /
+            col("n_global") <= 0.02).as("merge_matches_global"))
+      },
+      Some("""
+        SELECT COUNT(DISTINCT l_orderkey) AS n_exact,
+          TRUE AS merged_within_err,
+          TRUE AS merge_matches_global
+        FROM lineitem""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q59_percentile_sketch",
+      (s, dir) => {
+        // Mergeable percentile sketch (graft PercentileSketchAgg over
+        // Spark's GK QuantileSummaries): every partition folds to an
+        // O(1/ε·log εn) summary, partial aggregation merges the
+        // summaries — rows are visited once, the shuffle carries only
+        // sketches. The GK rank contract (the returned value's true
+        // rank is within ε·n of p·n) survives the merge; the oracle
+        // states that invariant, tie-aware: the value's rank interval
+        // [count(<v), count(<=v)] must intersect [⌊(p-ε)n⌋, ⌈(p+ε)n⌉].
+        val eps = 0.01
+        val pcts = Seq(0.5, 0.95)
+        val sketch = udaf(
+          new graft.functions.PercentileSketchAgg(pcts, eps),
+          org.apache.spark.sql.Encoders.scalaDouble)
+        val li = t(s, dir)("lineitem").select(
+          col("l_extendedprice").cast("double").as("v"))
+        val qv = li.agg(sketch(col("v")).as("qs"))
+          .select(posexplode(col("qs")).as(Seq("i", "value")))
+          .select(element_at(lit(pcts.toArray), col("i") + 1).as("pct"),
+            col("value"))
+        // Rank the sketch values with ONE pass over the column: the
+        // 2-row sketch output broadcasts against the values and is
+        // conditional-counted per percentile.
+        li.join(broadcast(qv), lit(true))
+          .groupBy("pct", "value")
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(col("v") < col("value"), 1)).as("rank_lo"),
+            count(when(col("v") <= col("value"), 1)).as("rank_hi"))
+          .select(col("pct"),
+            (col("rank_lo") <= ceil((col("pct") + eps) * col("n")) &&
+              col("rank_hi") >= floor((col("pct") - eps) * col("n")))
+              .as("rank_ok"))
+          .orderBy("pct")
+      },
+      Some("""
+        SELECT CAST(0.5 AS DOUBLE) AS pct, TRUE AS rank_ok
+        UNION ALL
+        SELECT CAST(0.95 AS DOUBLE) AS pct, TRUE AS rank_ok
+        ORDER BY pct""")),
+    // ----------------------------------------------------------------
+    Q(
       "q29_session_window",
       (s, dir) => {
         // Spark's native session_window operator (30-min gap). The
