@@ -197,6 +197,26 @@ object Dedup {
     * silently return partial labels (a chain deeper than maxIter
     * would otherwise elect several keepers per cluster undetected).
     */
+  /** One min-label-propagation round of [[connectedKeepers]]: doc
+    * label ← min over its buckets of the bucket's min member label.
+    * Extracted so PlanSpec can pin the PER-ROUND physical plan (the
+    * plan that runs O(diameter) times at scale — the returned final
+    * DataFrame is just a checkpoint scan and pins nothing).
+    */
+  private[graft] def labelRound(
+      member: DataFrame, labels: DataFrame): DataFrame = {
+    val bucketMin = member.join(labels, "doc_id")
+      .groupBy("band_id", "band_hash")
+      .agg(min(col("label")).as("bl"))
+    val cand = member.join(bucketMin, Seq("band_id", "band_hash"))
+      .groupBy("doc_id")
+      .agg(min(col("bl")).as("cand"))
+    labels.join(cand, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("label"), coalesce(col("cand"), col("label")))
+          .as("label"))
+  }
+
   def connectedKeepers(documents: DataFrame, maxIter: Int = 25): DataFrame = {
     // Materialize the membership table once — it is joined 2× per
     // round, and without the checkpoint the whole minhash pipeline
@@ -209,17 +229,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val bucketMin = member.join(labels, "doc_id")
-        .groupBy("band_id", "band_hash")
-        .agg(min(col("label")).as("bl"))
-      val cand = member.join(bucketMin, Seq("band_id", "band_hash"))
-        .groupBy("doc_id")
-        .agg(min(col("bl")).as("cand"))
-      val updated = labels.join(cand, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("cand"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+      val updated = labelRound(member, labels).localCheckpoint()
       converged = updated.join(labels.withColumnRenamed("label", "old"),
         "doc_id").filter(col("label") =!= col("old")).isEmpty
       labels = updated

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.{SparkSpec, SparkEntry}
 
 /** Physical-plan audits: the properties that make these queries
@@ -165,6 +167,86 @@ class PlanSpec extends SparkSpec {
     val loopBody = p.substring(p.indexOf("UnionLoop"))
     assert(!loopBody.contains("FileScan"), loopBody)
     assert(!loopBody.contains("Window"), loopBody)
+  }
+
+  test("d03: every read after the shingle checkpoint is the RDD — text is never re-scanned") {
+    // lshCandidatePairs materializes the shingle rows ONCE; banding,
+    // bucketing, and the verify join must all consume the checkpoint.
+    // A FileScan anywhere in the executed plan means the dominant
+    // tokenize+explode pass silently re-runs — at 100 TB that doubles
+    // the job. Also: pair generation is groupBy+expand, never a
+    // cartesian, and the minhash partial MIN combines map-side.
+    val docs = SparkEntry.queries("d03_lsh_candidate_pairs")
+    val p = docs(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("LogicalRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("d08: the per-round label-propagation plan combines map-side and never cross-joins") {
+    // connectedKeepers' loop body runs O(cluster diameter) times; pin
+    // THAT plan, not the final checkpoint scan. Both groupBys (bucket
+    // min, candidate min) must partially aggregate before their
+    // exchange — the shuffles carry (key, min-label) partials, never
+    // raw membership rows.
+    val d = graft.Tables.load(spark, dir, "documents")
+    val member = Dedup.minhashBands(d)
+      .select("doc_id", "band_id", "band_hash").localCheckpoint()
+    val labels = d.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    val p = Dedup.labelRound(member, labels)
+      .queryExecution.executedPlan.toString
+    val partialMins = "partial_min".r.findAllIn(p).size
+    assert(partialMins >= 2, s"expected >=2 partial_min, got $partialMins\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("p03: decontamination broadcasts the bench grams; election reads the checkpoint") {
+    val p = plan("p03_training_corpus")
+    // Bench gram set: broadcast LEFT OUTER — corpus rows stream past.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+    // The shingle/band rows feed the keeper election from the
+    // localCheckpoint, not a re-tokenize.
+    assert(p.contains("LogicalRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("st03: stream-stream interval join is a symmetric hash join with one state operator") {
+    // The plan property that bounds st03 at scale: the join is the
+    // watermark-evicting StreamingSymmetricHashJoin (state holds only
+    // rows inside the interval), never a static join re-planned per
+    // micro-batch.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ev = graft.streaming.EventStream.readStream(spark, dir)
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val vw = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val q = graft.streaming.EventStream
+      .purchasesWithRecentViews(pur, vw)
+      .writeStream.format("memory").queryName("planspec_st03")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(exec.contains("StreamingSymmetricHashJoin"), exec)
+      assert(exec.contains("EventTimeWatermark"), exec)
+      assert(!exec.contains("CartesianProduct"), exec)
+      val prog = q.lastProgress
+      assert(prog.stateOperators.length == 1,
+        s"expected exactly 1 state operator, got ${prog.stateOperators.length}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("planspec_st03")
+    }
   }
 
   test("whole-stage codegen covers the scan->filter->project hot path") {
