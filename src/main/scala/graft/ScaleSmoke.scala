@@ -27,8 +27,116 @@ object ScaleSmoke {
     r
   }
 
+  /** Adversarial bucket skew (`runMain graft.ScaleSmoke skew [factor]`):
+    * 25% of the corpus is ONE clone family — identical text, so every
+    * minhash band and every simhash band maps the whole family to a
+    * single bucket. Pair enumeration emits C(family,2) candidates per
+    * band (quadratic in corpus share); the keeper ops stay linear.
+    * Measures both, and the `maxBucket` guard that bounds the former.
+    */
+  def runSkew(spark: SparkSession, factor: Int): Unit = {
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val hotText = "the quick brown fox jumps over the lazy dog " * 8
+    val docsN = scaled(docs1, "doc_id", factor)
+      // id-shift is a multiple of 4, so doc_id % 4 == 0 picks the SAME
+      // 25% of base docs in every replica → one family of identical
+      // docs spanning 25% of the whole corpus.
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(hotText))
+          .otherwise(col("text")))
+      .cache()
+    val n = docsN.count()
+    println(s"[skew] corpus ${n} docs, clone family ${n / 4} (25%)")
+
+    // Linear paths first: keeper election never enumerates pairs.
+    time("keepers 1-hop (skew)")(
+      ops.Dedup.oneHopKeepers(docsN)
+        .write.format("noop").mode("overwrite").save())
+    time("keepers closure (skew)")(
+      ops.Dedup.connectedKeepers(docsN)
+        .write.format("noop").mode("overwrite").save())
+    // Quadratic path, guard off vs on: the uncapped run must absorb
+    // C(n/4, 2) candidate pairs per band; the capped run semi-joins
+    // the hot bucket away before any pair exists.
+    time("simhash pairs capped")(
+      ops.Dedup.simhashNearDup(docsN, maxBucket = 1000)
+        .write.format("noop").mode("overwrite").save())
+    time("simhash pairs UNCAPPED")(
+      ops.Dedup.simhashNearDup(docsN)
+        .write.format("noop").mode("overwrite").save())
+    time("lsh pairs capped")(
+      ops.Dedup.lshCandidatePairs(docsN, 0.5, maxBucket = 1000)
+        .write.format("noop").mode("overwrite").save())
+    // The LSH verify join additionally ships two shingle SETS per
+    // candidate pair — uncapped under skew that is C(n/4,2) array
+    // pairs through one shuffle, the most expensive possible shape.
+    time("lsh pairs UNCAPPED")(
+      ops.Dedup.lshCandidatePairs(docsN, 0.5)
+        .write.format("noop").mode("overwrite").save())
+    docsN.unpersist()
+  }
+
+  /** q56 shape measurement (`runMain graft.ScaleSmoke q56 [factor]`):
+    * N pruned single-column scans unioned (shipped) vs one scan
+    * pushing all N columns through an Expand (strawman), on a
+    * factor-replicated lineitem parquet. The number this prints backs
+    * the claim in `Relational2.columnProfile`'s scaladoc.
+    */
+  def runQ56(spark: SparkSession, factor: Int): Unit = {
+    val li1 = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    val path = "/tmp/graft_q56_scale"
+    (0 until factor).map(_ => li1).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(path)
+    val liN = spark.read.parquet(path)
+    println(s"[q56] lineitem ×$factor = ${liN.count()} rows")
+
+    def nScans(): Unit =
+      ops.Relational2.columnProfile(liN)
+        .write.format("noop").mode("overwrite").save()
+    // Strawman: one scan, Expand to long form (4× the rows, every
+    // column's values through one count-distinct shuffle), typed
+    // min/max carried in per-type slots.
+    def expandScan(): Unit = liN
+      .select(expr(
+        """stack(4,
+             'l_returnflag', l_returnflag, CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS TIMESTAMP_NTZ),
+             'l_quantity', CAST(NULL AS STRING), CAST(l_quantity AS DECIMAL(12,2)), CAST(NULL AS TIMESTAMP_NTZ),
+             'l_extendedprice', CAST(NULL AS STRING), CAST(l_extendedprice AS DECIMAL(12,2)), CAST(NULL AS TIMESTAMP_NTZ),
+             'l_shipdate', CAST(NULL AS STRING), CAST(NULL AS DECIMAL(12,2)), l_shipdate)
+           AS (column, v_str, v_dec, v_date)"""))
+      .groupBy("column")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) -
+          count(coalesce(col("v_str"), col("v_dec").cast("string"),
+            col("v_date").cast("string")))).as("n_nulls"),
+        countDistinct(coalesce(col("v_str"),
+          col("v_dec").cast("string"),
+          col("v_date").cast("string"))).as("n_distinct"),
+        coalesce(min(col("v_str")), min(col("v_dec")).cast("string"),
+          date_format(min(col("v_date")), "yyyy-MM-dd")).as("min_repr"),
+        coalesce(max(col("v_str")), max(col("v_dec")).cast("string"),
+          date_format(max(col("v_date")), "yyyy-MM-dd")).as("max_repr"))
+      .orderBy("column")
+      .write.format("noop").mode("overwrite").save()
+
+    // Interleave two timed passes of each so JIT warmup lands evenly.
+    time("q56 N pruned scans (warm)")(nScans())
+    time("q56 one-scan Expand (warm)")(expandScan())
+    time("q56 N pruned scans")(nScans())
+    time("q56 one-scan Expand")(expandScan())
+  }
+
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val mode = args.headOption match {
+      case Some("skew") => "skew"
+      case Some("q56") => "q56"
+      case _ => "scale"
+    }
+    val factor = args.drop(if (mode == "scale") 0 else 1)
+      .headOption.map(_.toInt)
+      .getOrElse(if (mode == "scale") 10 else 4)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,6 +146,9 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "skew") { runSkew(spark, factor); spark.stop(); return }
+    if (mode == "q56") { runQ56(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)

@@ -133,8 +133,21 @@ object Dedup {
 
   /** LSH candidate pairs (shared band) verified by exact shingle-set
     * Jaccard ≥ `minJaccard`.
+    *
+    * `maxBucket` bounds the quadratic in-bucket pair expansion against
+    * adversarial skew: a band bucket holding b docs emits C(b,2)
+    * candidates, so one bucket capturing 25% of an N-doc corpus makes
+    * the candidate stage Θ(N²) however rare such buckets are (measured
+    * in `ScaleSmoke skew` — see README "Adversarial bucket skew").
+    * Buckets larger than the cap are dropped BEFORE expansion; such
+    * buckets are near-certain clone families (only near-identical docs
+    * collide on a full minhash band), which the linear keeper ops
+    * (d01 exact / d07 / d08) collapse without enumerating pairs — run
+    * those first on dup-heavy corpora. The default keeps the op exact
+    * (every oracle-checked query is unaffected).
     */
-  def lshCandidatePairs(documents: DataFrame, minJaccard: Double): DataFrame = {
+  def lshCandidatePairs(documents: DataFrame, minJaccard: Double,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // The shingle rows feed BOTH the banding and the verify sets —
     // materialize them once (at 100 TB the double tokenize+scan is 2×
     // the job's IO; locally it was ~20% of d03). Same pattern as
@@ -148,7 +161,7 @@ object Dedup {
     // expansion is bounded; sort_array gives doc_a < doc_b for free.
     val buckets = b.groupBy("band_id", "band_hash")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
     val pairs = buckets
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ds) - 1), i ->
@@ -215,6 +228,27 @@ object Dedup {
       .select(col("doc_id"),
         least(col("label"), coalesce(col("cand"), col("label")))
           .as("label"))
+  }
+
+  /** Cluster-level LSH dedup — the operation a dup-heavy corpus
+    * actually needs (d03's pair enumeration is quadratic in cluster
+    * size; electing one keeper per cluster is linear). One hop of
+    * min-propagation over bucket membership: keeper = min(doc_id)
+    * across all of a doc's bucket-mates. (Full transitive closure
+    * would iterate to a fixpoint — [[connectedKeepers]]; one hop
+    * already collapses every same-bucket cluster.) The bands feed
+    * BOTH the bucket-min agg and the join — materialize once or the
+    * whole minhash pipeline (tokenize → explode → 2×md5 → 32-min agg)
+    * executes twice (d03:142 pattern). Serves d07 and the skew smoke.
+    */
+  def oneHopKeepers(documents: DataFrame): DataFrame = {
+    val b = minhashBands(documents).localCheckpoint()
+    val bucketMin = b.groupBy("band_id", "band_hash")
+      .agg(min(col("doc_id")).as("bucket_min"))
+    b.join(bucketMin, Seq("band_id", "band_hash"))
+      .groupBy("doc_id")
+      .agg(min(col("bucket_min")).as("keeper"))
+      .withColumn("is_kept", (col("keeper") === col("doc_id")).cast("int"))
   }
 
   def connectedKeepers(documents: DataFrame, maxIter: Int = 25): DataFrame = {
@@ -298,7 +332,8 @@ object Dedup {
     * come from an equi-join on (band_id, band_key); the bit_count
     * verify runs on bucket-mates only — O(candidates), never O(n²).
     */
-  def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDup(documents: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3,
       s"4-band blocking is exact only for Hamming <= 3, got $maxHamming")
     graft.functions.Simhash.register(documents.sparkSession)
@@ -310,10 +345,25 @@ object Dedup {
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), simhash60Md5("toks").as("simhash"))
       .localCheckpoint() // feeds both sides of the band self-join
-    val bands = sig.select(col("doc_id"), col("simhash"),
+    val bands0 = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
         .as(Seq("band_id", "band_key")))
+    // Skew guard (same contract as lshCandidatePairs' maxBucket): the
+    // band equi-join emits C(b,2) rows per b-member bucket, so one hot
+    // bucket makes the join output quadratic in the corpus. With a cap
+    // set, oversized buckets — near-certain identical-signature clone
+    // families — are semi-join-filtered out of BOTH join sides before
+    // any pair exists; collapse those families with the linear keeper
+    // ops instead. Default MaxValue keeps the exact plan (no extra
+    // aggregate) and the d11/st07 oracle semantics.
+    val bands =
+      if (maxBucket == Int.MaxValue) bands0
+      else bands0.join(
+        bands0.groupBy("band_id", "band_key")
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBucket),
+        Seq("band_id", "band_key"), "left_semi")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -511,27 +561,7 @@ object Dedup {
     // ----------------------------------------------------------------
     Q(
       "d07_lsh_dedup_keepers",
-      (s, dir) => {
-        // Cluster-level LSH dedup — the operation a dup-heavy corpus
-        // actually needs (d03's pair enumeration is quadratic in
-        // cluster size; electing one keeper per cluster is linear).
-        // One hop of min-propagation over bucket membership: keeper =
-        // min(doc_id) across all of a doc's bucket-mates. (Full
-        // transitive closure would iterate to a fixpoint; one hop
-        // already collapses every same-bucket cluster.)
-        // The bands feed BOTH the bucket-min agg and the join —
-        // materialize once or the whole minhash pipeline (tokenize →
-        // explode → 2×md5 → 32-min agg) executes twice (d03:142
-        // pattern).
-        val b = minhashBands(docs(s, dir)).localCheckpoint()
-        val bucketMin = b.groupBy("band_id", "band_hash")
-          .agg(min(col("doc_id")).as("bucket_min"))
-        b.join(bucketMin, Seq("band_id", "band_hash"))
-          .groupBy("doc_id")
-          .agg(min(col("bucket_min")).as("keeper"))
-          .withColumn("is_kept", (col("keeper") === col("doc_id")).cast("int"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => oneHopKeepers(docs(s, dir)).orderBy("doc_id"),
       Some(s"""
         $sqlBandsCte,
         bm AS (

@@ -166,6 +166,27 @@ object StreamingOps {
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 120
         WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= 3
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st12_stream_admission_ttl",
+      (s, dir) => DocumentStream.runStreamAdmissionTtl(s, dir),
+      // st09's admission pipeline with BOUNDED state: rejected iff an
+      // earlier gated doc within the 120 s event-time horizon
+      // (event_ts = epoch + doc_id sec → plain doc_id arithmetic)
+      // sits at Hamming ≤ 3 in a shared band bucket. The signature
+      // CTEs compose from the one shared definition.
+      Some(Dedup.sqlSimhashBandsCte(
+        gate = "WHERE text IS NOT NULL AND n_chars >= 100") + """,
+        rejected AS (
+          SELECT DISTINCT b.doc_id
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 120
+          WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= 3)
+        SELECT t.doc_id,
+          CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS admitted
+        FROM toks t LEFT JOIN rejected r USING (doc_id)
+        ORDER BY t.doc_id"""))
   )
 }

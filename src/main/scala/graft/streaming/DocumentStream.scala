@@ -221,6 +221,35 @@ object DocumentStream {
       .orderBy("doc_id")
   }
 
+  /** [[runStreamAdmission]] with BOUNDED state: the near-dup stage is
+    * the TTL'd operator, so a document is rejected iff an earlier
+    * gated document within the event-time `horizon` sits at Hamming
+    * ≤ 3 in a shared band bucket — dedup-against-the-recent-past, the
+    * admission policy a continuous-ingest deployment can actually run
+    * forever (state = O(rate × horizon), never O(corpus)). Rejected
+    * docs still enter state and block later arrivals, exactly like
+    * the unbounded variant.
+    */
+  def runStreamAdmissionTtl(
+      spark: SparkSession, dir: String,
+      horizonSeconds: Long = 120L): DataFrame = {
+    import spark.implicits._
+    val pairs = runPairsToTable(spark, nearDupPairsTtl(
+      bandedSignaturesWithTime(
+        readStream(spark, dir).filter(col("n_chars") >= 100)).as[DocSigT],
+      java.time.Duration.ofSeconds(horizonSeconds)))
+    val rejected = pairs
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("rej", lit(1))
+    graft.Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars") >= 100)
+      .select(col("doc_id"))
+      .join(rejected, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("rej"), lit(0)) === 0).cast("int").as("admitted"))
+      .orderBy("doc_id")
+  }
+
   /** Run the streaming near-dup end-to-end (file stream → signature
     * projection → band-bucket state → memory sink) and return the
     * distinct pair set. A pair sharing two bands emits once per band

@@ -112,6 +112,35 @@ class DedupSpec extends SparkSpec {
       s"missing: ${brute -- got}; spurious: ${got -- brute}")
   }
 
+  test("maxBucket drops only oversized-bucket pairs (skew guard)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // One 8-member clone family (every band → one 8-doc bucket) plus
+    // one small near-dup pair. Capped at 4: the family's C(8,2) pairs
+    // vanish, the small pair survives — for BOTH pair enumerators.
+    val fam = (1 to 60).map(i => s"hot$i").mkString(" ")
+    val small = (1 to 60).map(i => s"cold$i").mkString(" ")
+    val df = ((0L until 8L).map(i => (i, fam)) ++
+      Seq((100L, small), (101L, small.replace("cold30", "mut"))))
+      .toDF("doc_id", "text")
+    val famPairs = for (a <- 0L until 8L; b <- 0L until 8L if a < b)
+      yield (a, b)
+
+    val simAll = Dedup.simhashNearDup(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simAll == famPairs.toSet + ((100L, 101L)))
+    val simCap = Dedup.simhashNearDup(df, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simCap == Set((100L, 101L)), s"got $simCap")
+
+    val lshAll = Dedup.lshCandidatePairs(df, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshAll == famPairs.toSet + ((100L, 101L)))
+    val lshCap = Dedup.lshCandidatePairs(df, minJaccard = 0.5, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshCap == Set((100L, 101L)), s"got $lshCap")
+  }
+
   test("property: native simhash60 ≡ HOF on random unicode token arrays") {
     val sparkS = spark
     import sparkS.implicits._

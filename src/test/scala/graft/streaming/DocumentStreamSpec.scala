@@ -73,6 +73,28 @@ class DocumentStreamSpec extends SparkSpec {
       .count() > streamed.size)
   }
 
+  test("TTL admission equals batch reject-set restricted to the horizon") {
+    val dir = "/root/testdata/sf0.001"
+    val got = runStreamAdmissionTtl(spark, dir, horizonSeconds = 120L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Batch restatement: gated roster; rejected iff an earlier gated
+    // doc within 120 ids (the synthetic 1-doc/sec clock) pairs at
+    // Hamming <= 3 in a shared band.
+    val gated = graft.Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull &&
+        org.apache.spark.sql.functions.col("n_chars") >= 100)
+    val rejected = graft.ops.Dedup.simhashNearDup(gated)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._2 - p._1 <= 120L).map(_._2).toSet
+    val want = gated.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> (if (rejected(id)) 0 else 1)).toMap
+    assert(got == want)
+    // The horizon must bite: the unbounded admission rejects MORE.
+    val unboundedRejects = graft.ops.Dedup.simhashNearDup(gated)
+      .collect().map(_.getLong(1)).toSet
+    assert(rejected.size < unboundedRejects.size)
+  }
+
   test("TTL state is bounded: members expire, idle buckets are removed") {
     val sparkS = spark
     import sparkS.implicits._
