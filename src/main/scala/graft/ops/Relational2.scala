@@ -523,6 +523,48 @@ object Relational2 {
         ORDER BY pct""")),
     // ----------------------------------------------------------------
     Q(
+      "q60_heavy_hitters",
+      (s, dir) => {
+        // Misra-Gries heavy hitters (graft HeavyHittersAgg): capacity
+        // 4 over the 5-valued lang column, so the sketch must evict —
+        // and the MG guarantee still holds: every item with true
+        // frequency > n/(k+1) is present, estimated within
+        // [f − n/(k+1), f]. Per-partition partial aggregation means
+        // the merge path (sum counters, subtract (k+1)-th largest) is
+        // exercised by construction. Sketch contents are order/
+        // partitioning-dependent, so the oracle states the INVARIANT
+        // over the exact counts, like q58/q59.
+        val k = 4
+        val sketch = udaf(new graft.functions.HeavyHittersAgg(k),
+          org.apache.spark.sql.Encoders.STRING)
+        val d = t(s, dir)("documents")
+          .filter(col("lang").isNotNull).select(col("lang"))
+        val est = d.agg(sketch(col("lang")).as("hh"))
+          .select(explode(col("hh")).as(Seq("lang", "est")))
+        val heavy = d.groupBy("lang").agg(count(lit(1)).as("f"))
+          .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+          .filter(col("f") * (k + 1) > col("n"))
+        // Integer-exact bound check: est ≥ f − n/(k+1) stated as
+        // est·(k+1) ≥ f·(k+1) − n; est ≤ f directly.
+        heavy.join(broadcast(est), Seq("lang"), "left")
+          .select(col("lang"),
+            col("est").isNotNull.as("found"),
+            (col("est").isNotNull && col("est") <= col("f") &&
+              col("est") * (k + 1) >= col("f") * (k + 1) - col("n"))
+              .as("est_ok"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS f FROM documents
+          WHERE lang IS NOT NULL GROUP BY lang),
+        t AS (
+          SELECT COUNT(*) AS n FROM documents WHERE lang IS NOT NULL)
+        SELECT lang, TRUE AS found, TRUE AS est_ok
+        FROM c, t WHERE f * 5 > n
+        ORDER BY lang""")),
+    // ----------------------------------------------------------------
+    Q(
       "q29_session_window",
       (s, dir) => {
         // Spark's native session_window operator (30-min gap). The
