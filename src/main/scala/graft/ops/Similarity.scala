@@ -268,6 +268,202 @@ object Similarity {
         ORDER BY cluster, dim"""
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (s07 train, s08 ADC search) — the memory-
+  // compression ANN path: 64 floats → 4 one-byte codes (64×), which is
+  // what lets a 100 TB embedding corpus live in executor memory for
+  // search. M = 4 subspaces × 16 dims, k = 10 codewords per subspace
+  // seeded from labels; metric is squared L2 (the PQ-canonical
+  // choice), computed as an index-order elementwise fold so both
+  // engines produce identical doubles.
+  // ------------------------------------------------------------------
+
+  /** Squared L2 distance as an index-order sequential fold —
+    * bit-identical to DuckDB's
+    * `list_sum(list_transform(list_zip(a, b), p -> (p[1]-p[2])^2))`.
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Split 64-d vectors into M=4 16-d subvectors:
+    * (vec_id, label, m, sv). One explode + one grouped rebuild — the
+    * same distributive array surgery as seedCentroids, keyed by
+    * subspace.
+    */
+  def subVectors(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("dim", "x")))
+    .withColumn("m", (col("dim") / lit(16)).cast("int"))
+    .withColumn("sdim", pmod(col("dim"), lit(16)))
+    .groupBy("vec_id", "label", "m")
+    .agg(array_sort(collect_list(struct(col("sdim"), col("x"))))
+      .as("pairs"))
+    .select(col("vec_id"), col("label"), col("m"),
+      transform(col("pairs"), p => p.getField("x")).as("sv"))
+
+  /** Per-(subspace, label) exact-decimal mean subvectors — the PQ
+    * codebook seeds: (m, cluster, cv), 40 rows.
+    */
+  def pqSeeds(sub: DataFrame): DataFrame = sub
+    .select(col("m"), col("label"), posexplode(col("sv")).as(Seq("sdim", "x")))
+    .groupBy("m", "label", "sdim")
+    .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+      count(lit(1))).as("cx"))
+    .groupBy("m", "label")
+    .agg(array_sort(collect_list(struct(col("sdim"), col("cx"))))
+      .as("pairs"))
+    .select(col("m"), col("label").as("cluster"),
+      transform(col("pairs"), p => p.getField("cx")).as("cv"))
+
+  /** Nearest-codeword assignment per (vector, subspace): broadcast the
+    * ≤ 40-row codebook, join on subspace only, argmin by (distance,
+    * cluster). Map-only apart from the tiny per-(vec, m) window.
+    * (vec_id, m, sv, code).
+    */
+  def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = sub
+    .join(broadcast(cent), "m")
+    .select(col("vec_id"), col("m"), col("sv"), col("cluster"),
+      l2sq(col("sv"), col("cv")).as("d"))
+    .withColumn("rn", row_number().over(
+      Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d"), col("cluster"))))
+    .filter(col("rn") === 1)
+    .select(col("vec_id"), col("m"), col("sv"), col("cluster").as("code"))
+
+  /** Codeword update: per-(m, code, sdim) mean as the vec_id-ordered
+    * IEEE fold (the updateMeans convention, keyed by subspace), then
+    * rebuilt into (m, cluster, cv) arrays.
+    */
+  def pqUpdate(assigned: DataFrame): DataFrame = assigned
+    .select(col("vec_id"), col("m"), col("code"),
+      posexplode(col("sv")).as(Seq("sdim", "x")))
+    .groupBy("m", "code", "sdim")
+    .agg(count(lit(1)).as("n_members"),
+      array_sort(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
+    .select(col("m"), col("code").as("cluster"), col("sdim"),
+      (expr("aggregate(xs, cast(0.0 as double), (a, p) -> a + p.x)") /
+        col("n_members")).as("cx"))
+    .groupBy("m", "cluster")
+    .agg(array_sort(collect_list(struct(col("sdim"), col("cx"))))
+      .as("pairs"))
+    .select(col("m"), col("cluster"),
+      transform(col("pairs"), p => p.getField("cx")).as("cv"))
+
+  /** Train the PQ codebooks with `rounds` pinned Lloyd rounds per
+    * subspace — every subspace trains in the SAME distributed job
+    * (the round's shuffles are keyed by (m, cluster, sdim), so M
+    * codebooks cost one pass, not M). Returns (codebooks, codes):
+    * codes are the final assignment against the last codebook.
+    * Deterministic by the s05/s06 arithmetic conventions, so the
+    * DuckDB oracle unrolls the identical rounds.
+    */
+  def pqTrain(e0: DataFrame, rounds: Int = 2): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val sub = subVectors(e0).localCheckpoint()
+    var cent = pqSeeds(sub).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      cent = pqUpdate(pqAssign(sub, cent)).localCheckpoint()
+    }
+    (cent, pqAssign(sub, cent).select("vec_id", "m", "code"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: queries stay raw,
+    * corpus vectors are their 4 codes. Per query: one ≤ 40-row
+    * distance table (query subvector → every codeword), then the
+    * approximate distance of ANY corpus vector is 4 table lookups
+    * summed in subspace order — never a 64-dim op against the corpus.
+    * At scale the corpus side ships 4 bytes per vector through the
+    * (m, code) equi-join; the per-(qid, vec) sum is an ordered fold so
+    * the oracle reproduces it bit-for-bit.
+    */
+  def pqAdcTopk(e: DataFrame, rounds: Int = 2, k: Int = 5): DataFrame = {
+    val (cent, codes) = pqTrain(e, rounds)
+    val queries = subVectors(e.filter(col("vec_id") < 3))
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
+    val dtab = queries.join(broadcast(cent), "m")
+      .select(col("qid"), col("m"), col("cluster").as("code"),
+        l2sq(col("qv"), col("cv")).as("dpart"))
+    codes.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("dpart"))))
+        .as("parts"))
+      .select(col("qid"), col("vec_id"),
+        round(expr(
+          "aggregate(parts, cast(0.0 as double), (a, p) -> a + p.dpart)"),
+          6).as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Shared DuckDB CTE chain for the PQ oracle: subvectors, seed
+    * codebook, `rounds` unrolled Lloyd rounds (ending in
+    * `cent$rounds`), and the final `codes` assignment — the subspace-
+    * keyed restatement of [[sqlKmeansUnrolled]]'s round. s07 selects
+    * from `codes`; s08 appends the ADC CTEs.
+    */
+  def sqlPqCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""
+        sims$r AS (
+          SELECT s.vec_id, s.m, s.sv, c.cluster,
+            list_sum(list_transform(list_zip(s.sv, c.cv),
+                                    p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+          FROM sub s JOIN cent${r - 1} c ON s.m = c.m),
+        assign$r AS (
+          SELECT vec_id, m, sv, cluster FROM (
+            SELECT vec_id, m, sv, cluster,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d, cluster) AS rn
+            FROM sims$r) WHERE rn = 1),
+        ad$r AS (
+          SELECT vec_id, m, cluster, CAST(u.i - 1 AS INT) AS sdim, u.x AS x
+          FROM assign$r, unnest(list_transform(range(1, len(sv) + 1),
+                                i -> {'i': i, 'x': sv[i]})) AS s(u)),
+        cent$r AS (
+          SELECT m, cluster, list(cx ORDER BY sdim) AS cv FROM (
+            SELECT m, cluster, sdim,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(x ORDER BY vec_id)),
+                          (a, b) -> a + b) / COUNT(*) AS cx
+            FROM ad$r GROUP BY m, cluster, sdim)
+          GROUP BY m, cluster)"""
+    }.mkString(",")
+    s"""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT vec_id, label, CAST((u.i - 1) // 16 AS INT) AS m,
+            CAST((u.i - 1) % 16 AS INT) AS sdim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        sub AS (
+          SELECT vec_id, label, m, list(x ORDER BY sdim) AS sv
+          FROM dims GROUP BY vec_id, label, m),
+        cent0 AS (
+          SELECT m, label AS cluster, list(cx ORDER BY sdim) AS cv FROM (
+            SELECT m, label, sdim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM dims GROUP BY m, label, sdim)
+          GROUP BY m, label),$roundCtes,
+        fsims AS (
+          SELECT s.vec_id, s.m, c.cluster,
+            list_sum(list_transform(list_zip(s.sv, c.cv),
+                                    p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+          FROM sub s JOIN cent$rounds c ON s.m = c.m),
+        codes AS (
+          SELECT vec_id, m, cluster AS code FROM (
+            SELECT vec_id, m, cluster,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d, cluster) AS rn
+            FROM fsims) WHERE rn = 1)"""
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -545,6 +741,51 @@ object Similarity {
         // [[kmeansConverge]] for the loop's scale shape.
         kmeansConverge(emb(s, dir), maxIter = 3, eps = 0.0)
           .orderBy("cluster", "dim"),
-      Some(sqlKmeansUnrolled(3)))
+      Some(sqlKmeansUnrolled(3))),
+    // ----------------------------------------------------------------
+    Q(
+      "s07_pq_train",
+      (s, dir) =>
+        // PQ codebook training, 2 pinned Lloyd rounds per subspace
+        // (all M subspaces in the same distributed job); output is
+        // each vector's 4 subspace codes. See [[pqTrain]].
+        pqTrain(emb(s, dir), rounds = 2)._2
+          .withColumnRenamed("m", "subspace")
+          .orderBy("vec_id", "subspace"),
+      Some(sqlPqCtes(2) + """
+        SELECT vec_id, m AS subspace, code FROM codes
+        ORDER BY vec_id, subspace""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s08_pq_adc_topk",
+      (s, dir) =>
+        // ADC top-5 over the PQ codes for queries vec_id < 3: 4 table
+        // lookups + an ordered 4-term sum per (query, vector) — the
+        // compressed-domain search that makes PQ the 100 TB ANN
+        // memory path. See [[pqAdcTopk]].
+        pqAdcTopk(emb(s, dir), rounds = 2, k = 5),
+      Some(sqlPqCtes(2) + """,
+        q AS (
+          SELECT vec_id AS qid, m, sv AS qv FROM sub WHERE vec_id < 3),
+        dtab AS (
+          SELECT q.qid, c.m, c.cluster AS code,
+            list_sum(list_transform(list_zip(q.qv, c.cv),
+                                    p -> (p[1]-p[2])*(p[1]-p[2]))) AS dpart
+          FROM q JOIN cent2 c ON q.m = c.m),
+        scored AS (
+          SELECT d.qid, k.vec_id,
+            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                           list(d.dpart ORDER BY d.m)),
+                              (a, b) -> a + b), 6) AS adist
+          FROM codes k JOIN dtab d ON k.m = d.m AND k.code = d.code
+          WHERE k.vec_id <> d.qid
+          GROUP BY d.qid, k.vec_id)
+        SELECT qid, vec_id, adist, rnk FROM (
+          SELECT qid, vec_id, adist,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY adist, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk"""))
   )
 }

@@ -106,6 +106,47 @@ class SimilaritySpec extends SparkSpec {
     assert(asMap(oneMore.collect()) == got)
   }
 
+  test("PQ: planted clusters share codes; ADC retrieves own-cluster first") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 planted clusters of 8 vectors in 64-d: cluster c sits at
+    // (c+1)·1⃗ plus a tiny per-vector deterministic perturbation, so
+    // EVERY subspace separates the clusters (a subspace where all
+    // clusters coincide would make its code legitimately arbitrary).
+    val rows = for (c <- 0 until 3; i <- 0 until 8) yield {
+      val v = (0 until 64).map { d =>
+        (c + 1).toDouble + 0.01 * ((c * 8 + i + d) % 5)
+      }
+      (c * 8L + i, c, v)
+    }
+    val e = rows.toDF("vec_id", "label", "v")
+
+    val (_, codes) = Similarity.pqTrain(e, rounds = 2)
+    val byVec = codes.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getInt(2)).toSeq).toMap
+    // Same planted cluster → identical 4-code signature; different
+    // clusters → different signatures (the blocks differ).
+    val sigs = rows.groupBy(_._2).view
+      .mapValues(_.map(r => byVec(r._1)).distinct).toMap
+    sigs.foreach { case (c, perCluster) =>
+      assert(perCluster.size == 1, s"cluster $c split codes: $perCluster")
+    }
+    assert(sigs.values.flatten.toSet.size == 3, s"clusters share codes: $sigs")
+
+    // ADC top-5 for queries 0..2 (all cluster 0) must retrieve only
+    // own-cluster members: compressed-domain distances preserve the
+    // planted separation.
+    val top = Similarity.pqAdcTopk(e, rounds = 2, k = 5).collect()
+    assert(top.length == 15)
+    top.foreach { r =>
+      val (qid, nb) = (r.getLong(0), r.getLong(1))
+      assert(nb / 8 == qid / 8,
+        s"query $qid retrieved cross-cluster neighbor $nb")
+    }
+  }
+
   test("planeWeight matches the portable SQL md5-parity derivation") {
     // The oracle side derives each ±1 weight as
     //   CASE WHEN CAST('0x'||substr(md5(b||','||j),1,1) AS INT) % 2 = 0
