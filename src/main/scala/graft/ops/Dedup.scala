@@ -538,7 +538,18 @@ object Dedup {
       (s, dir) => {
         // xxhash64 MinHash/LSH — the 100 TB path (8-byte hashes, no
         // hex strings), same explode→codegen-projection→min-agg shape
-        // as d02. Rows-only checked.
+        // as d02. xxhash64 values are Spark-specific, so the oracle
+        // states the INVARIANTS (the q58 pattern) — every exact
+        // count below is DuckDB-reproducible, every property the
+        // hashes must satisfy is a boolean:
+        //  - n_docs / n_rows: one signature per non-null-text doc,
+        //    exactly 8 (band_id, band_hash) rows each;
+        //  - n_dup_docs: docs sharing a text with ≥1 other doc
+        //    (DuckDB counts them too, so the next check is provably
+        //    non-vacuous on this corpus);
+        //  - dup_text_same_sig: identical text ⇒ identical shingle
+        //    set ⇒ identical MinHash signature ⇒ all 8 band hashes
+        //    agree — the algebraic core of MinHash banding.
         val nHashes = 32
         val rowsPerBand = 4
         val sh = shingleRows(docs(s, dir))
@@ -550,14 +561,44 @@ object Dedup {
           .agg(
             min(col("h0")).as("m0"),
             (1 until nHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-        val bands = array((0 until nHashes / rowsPerBand).map { b =>
+        val bandsArr = array((0 until nHashes / rowsPerBand).map { b =>
           xxhash64((0 until rowsPerBand)
             .map(r => col(s"m${b * rowsPerBand + r}")): _*)
         }: _*)
-        sig.select(col("doc_id"),
-          posexplode(bands).as(Seq("band_id", "band_hash")))
-          .orderBy("doc_id", "band_id")
-      }),
+        val bands = sig.select(col("doc_id"),
+          posexplode(bandsArr).as(Seq("band_id", "band_hash")))
+        val perDoc = bands.groupBy("doc_id")
+          .agg(count(lit(1)).as("nr"), countDistinct("band_id").as("nb"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("nr")), lit(0L)).as("n_rows"),
+            coalesce(min(col("nr") === 8 && col("nb") === 8), lit(true))
+              .as("bands_per_doc_ok"))
+        val th = docs(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("thash"))
+        val dupDocs = th.groupBy("thash").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_dup_docs"))
+        // Identical text ⇒ per (text, band) exactly one band hash.
+        val dupOk = bands.join(th, "doc_id")
+          .groupBy("thash", "band_id")
+          .agg((countDistinct(col("band_hash")) === 1).as("ok"))
+          .agg(coalesce(min(col("ok")), lit(true)).as("dup_text_same_sig"))
+        // Three 1-row sides: both cross joins broadcast single rows.
+        perDoc.crossJoin(broadcast(dupDocs)).crossJoin(broadcast(dupOk))
+          .select(col("n_docs"), col("n_rows"), col("n_dup_docs"),
+            col("bands_per_doc_ok"), col("dup_text_same_sig"))
+      },
+      Some("""
+        WITH eligible AS (
+          SELECT doc_id, md5(text) AS thash
+          FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT thash, COUNT(*) AS c FROM eligible GROUP BY thash)
+        SELECT (SELECT COUNT(*) FROM eligible) AS n_docs,
+          8 * (SELECT COUNT(*) FROM eligible) AS n_rows,
+          (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM g WHERE c > 1)
+            AS n_dup_docs,
+          TRUE AS bands_per_doc_ok,
+          TRUE AS dup_text_same_sig""")),
     // ----------------------------------------------------------------
     Q(
       "d07_lsh_dedup_keepers",

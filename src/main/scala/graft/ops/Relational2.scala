@@ -611,41 +611,72 @@ object Relational2 {
     Q(
       "q27_approx_distinct",
       (s, dir) =>
-        // HLL++ sketch vs exact. Cross-engine sketch values differ by
-        // design → rows-only checked; ApproxSpec asserts
-        // rel_err <= 0.06 (3× the requested 2% rsd) at sf0.01.
+        // HLL++ sketch vs exact. Cross-engine sketch VALUES differ by
+        // design, so the oracle states the INVARIANT (the q58
+        // pattern): per group, the estimate lands within 6% of the
+        // exact count (3× the requested 2% rsd — ApproxSpec pins the
+        // same envelope). The exact side IS DuckDB-reproducible, so
+        // the row hashes fully, no rows-only fallback. Envelope in
+        // multiplication form: ANSI-safe on an empty table.
         t(s, dir)("lineitem")
           .groupBy("l_returnflag")
           .agg(
             countDistinct(col("l_partkey")).as("exact_parts"),
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-          .withColumn("rel_err",
-            abs(col("approx_parts") - col("exact_parts")).cast("double") /
-              col("exact_parts"))
-          .orderBy("l_returnflag")),
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+              lit(0.06) * col("exact_parts")).as("approx_within_err"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+          TRUE AS approx_within_err
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
     // ----------------------------------------------------------------
     Q(
       "q49_approx_quantiles",
-      (s, dir) =>
-        // approx_percentile (t-digest family) beside the exact
-        // percentile — the profiling aggregate a 100 TB column scan
-        // actually runs (exact quantiles need a full sort; the sketch
-        // is one pass, mergeable map-side). Sketch internals are
-        // engine-specific → rows-only checked; ApproxSpec pins the
-        // value error against the exact percentile.
-        t(s, dir)("lineitem")
+      (s, dir) => {
+        // approx_percentile — the profiling aggregate a 100 TB column
+        // scan actually runs (exact quantiles need a full sort; the
+        // sketch is one pass, mergeable map-side). Sketch values are
+        // engine-specific, so the oracle states the sketch's OWN
+        // contract per group (the q59 pattern, tie-aware): with
+        // accuracy 1000 ⇒ ε = 0.001, the returned value's rank
+        // interval [count(<v), count(≤v)] must intersect
+        // [⌊(p−ε)n⌋, ⌈(p+ε)n⌉]. Ranking costs one extra pass: the
+        // 3-row sketch output broadcasts against the column and is
+        // conditional-counted — no sort, no second shuffle.
+        val eps = 0.001
+        val li = t(s, dir)("lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        val ap = li.groupBy("l_returnflag")
+          .agg(expr("approx_percentile(v, array(0.5, 0.95), 1000)")
+            .as("approx_p"))
+          .select(col("l_returnflag"),
+            element_at(col("approx_p"), 1).as("a50"),
+            element_at(col("approx_p"), 2).as("a95"))
+        li.join(broadcast(ap), "l_returnflag")
           .groupBy("l_returnflag")
           .agg(
-            expr("percentile(l_extendedprice, array(0.5, 0.95))")
-              .as("exact_p"),
-            expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-              .as("approx_p"))
-          .select(col("l_returnflag"),
-            element_at(col("exact_p"), 1).as("exact_p50"),
-            element_at(col("approx_p"), 1).as("approx_p50"),
-            element_at(col("exact_p"), 2).as("exact_p95"),
-            element_at(col("approx_p"), 2).as("approx_p95"))
-          .orderBy("l_returnflag")),
+            count(lit(1)).as("n"),
+            count(when(col("v") < col("a50"), 1)).as("lo50"),
+            count(when(col("v") <= col("a50"), 1)).as("hi50"),
+            count(when(col("v") < col("a95"), 1)).as("lo95"),
+            count(when(col("v") <= col("a95"), 1)).as("hi95"))
+          .select(col("l_returnflag"), col("n"),
+            (col("lo50") <= ceil((lit(0.5) + eps) * col("n")) &&
+              col("hi50") >= floor((lit(0.5) - eps) * col("n")))
+              .as("p50_rank_ok"),
+            (col("lo95") <= ceil((lit(0.95) + eps) * col("n")) &&
+              col("hi95") >= floor((lit(0.95) - eps) * col("n")))
+              .as("p95_rank_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+          TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
     // ----------------------------------------------------------------
     Q(
       "q30_grouping_sets",

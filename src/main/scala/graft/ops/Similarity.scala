@@ -40,6 +40,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Free the cached blocks behind a superseded localCheckpoint'd
+    * frame: a checkpointed plan bottoms out in a persisted
+    * `LogicalRDD`, which `Dataset.unpersist` does not reach. Without
+    * this, per-round checkpoints in the Lloyd loops accumulate
+    * O(rounds) cached RDDs (tiny at the default round counts,
+    * unbounded for caller-supplied ones).
+    */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** ±1 weight for (hyperplane b, dim j ∈ 1..64): the parity of the
     * first hex digit of md5("b,j"). The planes are a MODEL CONSTANT —
     * deriving them from a portable digest means every executor AND the
@@ -149,23 +163,71 @@ object Similarity {
     .filter(col("rn") === 1)
     .select(col("vec_id"), col("v"), col("c_label").as("cluster"))
 
-  /** Per-(cluster, dim) mean of an assignment as a sequential IEEE
-    * fold in vec_id order — deterministic given order on BOTH engines
-    * (a decimal rescale of a double is not; see the s05 entry).
-    * (cluster, dim, n_members, cx).
+  /** Width of the fixed vec_id ranges in the two-level deterministic
+    * mean fold ([[chunkedMean]]): level-1 aggregation buffers hold at
+    * most this many (vec_id, x) structs, whatever the cluster size.
     */
-  def updateMeans(assigned: DataFrame): DataFrame = assigned
-    .select(col("vec_id"), col("cluster"),
-      posexplode(col("v")).as(Seq("dim0", "x")))
-    .select(col("vec_id"), col("cluster"),
-      (col("dim0") + 1).as("dim"), col("x"))
-    .groupBy("cluster", "dim")
-    .agg(count(lit(1)).as("n_members"),
-      array_sort(collect_list(struct(col("vec_id"), col("x"))))
-        .as("xs"))
-    .select(col("cluster"), col("dim"), col("n_members"),
-      (expr("aggregate(xs, cast(0.0 as double), (a, p) -> a + p.x)") /
-        col("n_members")).as("cx"))
+  val meanChunkWidth: Long = 1024L
+
+  /** Level 1 of the two-level deterministic mean: per (keys…, chunk)
+    * where chunk = `vec_id div` [[meanChunkWidth]], fold the members
+    * of that fixed vec_id range in vec_id order. The aggregation
+    * buffer is bounded by the chunk width — a billion-member cluster
+    * never lands in one buffer (the O(cluster) `collect_list` this
+    * replaces did exactly that). Requires non-negative vec_id (Spark
+    * `div` truncates, DuckDB `//` floors — they agree on ≥ 0).
+    * Input needs (keys…, vec_id, x); output (keys…, chunk, cn, csum).
+    */
+  def chunkedPartials(rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val kcols = keys.map(col)
+    rows
+      .withColumn("chunk", expr(s"vec_id div $meanChunkWidth"))
+      .groupBy(kcols :+ col("chunk"): _*)
+      .agg(count(lit(1)).as("cn"),
+        array_sort(collect_list(struct(col("vec_id"), col("x"))))
+          .as("xs"))
+      .select(kcols ++ Seq(col("chunk"), col("cn"),
+        expr("aggregate(xs, cast(0.0 as double), (a, p) -> a + p.x)")
+          .as("csum")): _*)
+  }
+
+  /** Two-level chunked deterministic mean: fold within fixed-width
+    * vec_id ranges ([[chunkedPartials]], bounded buffers), then fold
+    * the chunk sums in chunk order. Deterministic on both engines —
+    * chunk membership and both fold orders are vec_id-determined —
+    * so the DuckDB oracle states the identical convention. Level-2
+    * buffers hold one struct per populated chunk (members/width; a
+    * third level of the same shape would bound that too if vec_id
+    * ranges ever exceed width²·buffer budget). Output
+    * (keys…, n_members, cx).
+    */
+  def chunkedMean(rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val kcols = keys.map(col)
+    chunkedPartials(rows, keys)
+      .groupBy(kcols: _*)
+      .agg(sum(col("cn")).as("n_members"),
+        array_sort(collect_list(struct(col("chunk"), col("csum"))))
+          .as("chunks"))
+      .select(kcols ++ Seq(col("n_members"),
+        (expr(
+          "aggregate(chunks, cast(0.0 as double), (a, p) -> a + p.csum)") /
+          col("n_members")).as("cx")): _*)
+  }
+
+  /** Per-(cluster, dim) mean of an assignment via [[chunkedMean]] —
+    * deterministic (both fold orders are vec_id-given, on BOTH
+    * engines; a decimal rescale of a double is not — see the s05
+    * entry) with bounded per-group state. (cluster, dim, n_members,
+    * cx).
+    */
+  def updateMeans(assigned: DataFrame): DataFrame =
+    chunkedMean(
+      assigned
+        .select(col("vec_id"), col("cluster"),
+          posexplode(col("v")).as(Seq("dim0", "x")))
+        .select(col("vec_id"), col("cluster"),
+          (col("dim0") + 1).as("dim"), col("x")),
+      Seq("cluster", "dim"))
 
   /** (cluster, dim, cx) means back into (c_label, cv) centroid arrays
     * for the next assignment round.
@@ -198,7 +260,9 @@ object Similarity {
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
+      val prevMeans = means
       means = updateMeans(assignClusters(e, cent)).localCheckpoint()
+      if (prevMeans != null) freeCheckpoint(prevMeans)
       val next = centroidArrays(means).localCheckpoint()
       converged = next.as("n")
         .join(cent.as("o"), col("n.c_label") === col("o.c_label"), "full")
@@ -206,6 +270,7 @@ object Similarity {
           exists(zip_with(col("n.cv"), col("o.cv"),
             (a, b) => abs(a - b) > eps), b => b))
         .isEmpty
+      freeCheckpoint(cent) // the isEmpty above already consumed it
       cent = next
       i += 1
     }
@@ -239,12 +304,19 @@ object Similarity {
           SELECT vec_id, cluster, CAST(u.i AS INT) AS dim, u.x AS x
           FROM assign$k, unnest(list_transform(range(1, len(v) + 1),
                                 i -> {'i': i, 'x': v[i]})) AS s(u)),
-        upd$k AS (
-          SELECT cluster, dim, COUNT(*) AS n_members,
+        chnk$k AS (
+          SELECT cluster, dim, vec_id // $meanChunkWidth AS chunk,
+            COUNT(*) AS cn,
             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                                      list(x ORDER BY vec_id)),
-                        (a, b) -> a + b) / COUNT(*) AS cx
-          FROM ad$k GROUP BY cluster, dim),
+                        (a, b) -> a + b) AS csum
+          FROM ad$k GROUP BY cluster, dim, chunk),
+        upd$k AS (
+          SELECT cluster, dim, CAST(SUM(cn) AS BIGINT) AS n_members,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(csum ORDER BY chunk)),
+                        (a, b) -> a + b) / SUM(cn) AS cx
+          FROM chnk$k GROUP BY cluster, dim),
         cent$k AS (
           SELECT cluster, list(cx ORDER BY dim) AS cv
           FROM upd$k GROUP BY cluster)"""
@@ -331,24 +403,22 @@ object Similarity {
     .filter(col("rn") === 1)
     .select(col("vec_id"), col("m"), col("sv"), col("cluster").as("code"))
 
-  /** Codeword update: per-(m, code, sdim) mean as the vec_id-ordered
-    * IEEE fold (the updateMeans convention, keyed by subspace), then
-    * rebuilt into (m, cluster, cv) arrays.
+  /** Codeword update: per-(m, code, sdim) mean via [[chunkedMean]]
+    * (the updateMeans convention, keyed by subspace — bounded
+    * buffers, vec_id-ordered chunk folds), then rebuilt into
+    * (m, cluster, cv) arrays.
     */
-  def pqUpdate(assigned: DataFrame): DataFrame = assigned
-    .select(col("vec_id"), col("m"), col("code"),
-      posexplode(col("sv")).as(Seq("sdim", "x")))
-    .groupBy("m", "code", "sdim")
-    .agg(count(lit(1)).as("n_members"),
-      array_sort(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
-    .select(col("m"), col("code").as("cluster"), col("sdim"),
-      (expr("aggregate(xs, cast(0.0 as double), (a, p) -> a + p.x)") /
-        col("n_members")).as("cx"))
-    .groupBy("m", "cluster")
-    .agg(array_sort(collect_list(struct(col("sdim"), col("cx"))))
-      .as("pairs"))
-    .select(col("m"), col("cluster"),
-      transform(col("pairs"), p => p.getField("cx")).as("cv"))
+  def pqUpdate(assigned: DataFrame): DataFrame =
+    chunkedMean(
+      assigned.select(col("vec_id"), col("m"), col("code"),
+        posexplode(col("sv")).as(Seq("sdim", "x"))),
+      Seq("m", "code", "sdim"))
+      .select(col("m"), col("code").as("cluster"), col("sdim"), col("cx"))
+      .groupBy("m", "cluster")
+      .agg(array_sort(collect_list(struct(col("sdim"), col("cx"))))
+        .as("pairs"))
+      .select(col("m"), col("cluster"),
+        transform(col("pairs"), p => p.getField("cx")).as("cv"))
 
   /** Train the PQ codebooks with `rounds` pinned Lloyd rounds per
     * subspace — every subspace trains in the SAME distributed job
@@ -363,7 +433,9 @@ object Similarity {
     val sub = subVectors(e0).localCheckpoint()
     var cent = pqSeeds(sub).localCheckpoint()
     (1 to rounds).foreach { _ =>
-      cent = pqUpdate(pqAssign(sub, cent)).localCheckpoint()
+      val prev = cent
+      cent = pqUpdate(pqAssign(sub, prev)).localCheckpoint()
+      freeCheckpoint(prev) // superseded codebook — don't retain O(rounds)
     }
     (cent, pqAssign(sub, cent).select("vec_id", "m", "code"))
   }
@@ -423,13 +495,20 @@ object Similarity {
           SELECT vec_id, m, cluster, CAST(u.i - 1 AS INT) AS sdim, u.x AS x
           FROM assign$r, unnest(list_transform(range(1, len(sv) + 1),
                                 i -> {'i': i, 'x': sv[i]})) AS s(u)),
+        pchnk$r AS (
+          SELECT m, cluster, sdim, vec_id // $meanChunkWidth AS chunk,
+            COUNT(*) AS cn,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(x ORDER BY vec_id)),
+                        (a, b) -> a + b) AS csum
+          FROM ad$r GROUP BY m, cluster, sdim, chunk),
         cent$r AS (
           SELECT m, cluster, list(cx ORDER BY sdim) AS cv FROM (
             SELECT m, cluster, sdim,
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                       list(x ORDER BY vec_id)),
-                          (a, b) -> a + b) / COUNT(*) AS cx
-            FROM ad$r GROUP BY m, cluster, sdim)
+                                       list(csum ORDER BY chunk)),
+                          (a, b) -> a + b) / SUM(cn) AS cx
+            FROM pchnk$r GROUP BY m, cluster, sdim)
           GROUP BY m, cluster)"""
     }.mkString(",")
     s"""
@@ -693,7 +772,7 @@ object Similarity {
         // not. (The d06/q47 rule, re-learned.) See [[kmeansIterate]].
         kmeansIterate(emb(s, dir)).orderBy("cluster", "dim")
       },
-      Some("""
+      Some(s"""
         WITH e AS (
           SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -723,12 +802,19 @@ object Similarity {
         ad AS (
           SELECT vec_id, cluster, CAST(u.i AS INT) AS dim, u.x AS x
           FROM assign, unnest(list_transform(range(1, len(v) + 1),
-                                             i -> {'i': i, 'x': v[i]})) AS s(u))
-        SELECT cluster, dim, COUNT(*) AS n_members,
+                                             i -> {'i': i, 'x': v[i]})) AS s(u)),
+        chnk AS (
+          SELECT cluster, dim, vec_id // ${meanChunkWidth} AS chunk,
+            COUNT(*) AS cn,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(x ORDER BY vec_id)),
+                        (a, b) -> a + b) AS csum
+          FROM ad GROUP BY cluster, dim, chunk)
+        SELECT cluster, dim, CAST(SUM(cn) AS BIGINT) AS n_members,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                   list(x ORDER BY vec_id)),
-                      (a, b) -> a + b) / COUNT(*) AS cx
-        FROM ad GROUP BY cluster, dim
+                                   list(csum ORDER BY chunk)),
+                      (a, b) -> a + b) / SUM(cn) AS cx
+        FROM chnk GROUP BY cluster, dim
         ORDER BY cluster, dim""")),
     // ----------------------------------------------------------------
     Q(

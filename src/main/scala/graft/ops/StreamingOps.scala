@@ -108,9 +108,12 @@ object StreamingOps {
     // ------------------------------------------------------------------
     Q(
       "st07_stream_simhash_dedup",
-      (s, dir) => DocumentStream.runStreamNearDup(s, dir),
+      (s, dir) => DocumentStream.runStreamNearDupUnbounded(s, dir),
       // The streaming run of d11's operator must converge to the
       // identical pair set — same oracle SQL, by construction.
+      // Deliberately the UNBOUNDED reference variant: whole-history
+      // equivalence is the property under test. Production ingest is
+      // st11's TTL'd entry.
       Some(Dedup.sqlSimhashNearDup)),
     // ------------------------------------------------------------------
     Q(
@@ -133,10 +136,12 @@ object StreamingOps {
     // ------------------------------------------------------------------
     Q(
       "st09_stream_admission",
-      (s, dir) => DocumentStream.runStreamAdmission(s, dir),
+      (s, dir) => DocumentStream.runStreamAdmissionUnbounded(s, dir),
       // Gate → near-dup → admit/reject: rejected iff an EARLIER gated
       // doc sits within Hamming ≤ 3 in a shared band bucket. The
       // signature CTEs compose from the one shared definition.
+      // Deliberately the UNBOUNDED reference variant (whole-history
+      // equivalence); production ingest is st12's TTL'd entry.
       Some(Dedup.sqlSimhashBandsCte(
         gate = "WHERE text IS NOT NULL AND n_chars >= 100") + """,
         rejected AS (

@@ -21,9 +21,13 @@ import graft.functions.TextFunctions._
   *  - a new document compares only against its own bucket's members
   *    (pigeonhole-exact for Hamming ≤ 3, same as batch), so per-event
   *    work is O(bucket), never O(corpus);
-  *  - a production deployment would age bucket members out with a
-  *    timeout/watermark; with NoTimeout here the streaming result is
-  *    exactly the batch closure, which is what the oracle checks.
+  *  - the PRIMARY entries ([[nearDupPairsTtl]] /
+  *    [[runStreamNearDupTtl]] / [[runStreamAdmissionTtl]]) age bucket
+  *    members out against the watermark, so state is
+  *    O(rate × horizon), never O(corpus) — what a continuous-ingest
+  *    deployment runs forever. The `...Unbounded` variants keep
+  *    `NoTimeout` ONLY so st07/st09 can check streaming == batch
+  *    closure over the whole history.
   */
 object DocumentStream {
 
@@ -77,13 +81,20 @@ object DocumentStream {
       .withColumn("event_ts",
         timestamp_seconds(lit(docEpochSeconds) + col("doc_id")))
 
-  /** Stateful streaming near-dup: per band-bucket, compare each
-    * arriving signature against the bucket's accumulated members and
-    * emit pairs within Hamming ≤ 3. Within a micro-batch, members are
-    * processed in doc_id order and pairs are emitted (min, max), so
-    * the emitted SET is deterministic and equals the batch self-join.
+  /** UNBOUNDED-state reference variant of [[nearDupPairsTtl]] — kept
+    * for the batch-equivalence gate (st07: with `NoTimeout`, the
+    * streaming result is exactly the batch d11 closure, which is what
+    * the oracle checks), NOT for production: state grows O(corpus).
+    * Reach for [[nearDupPairsTtl]] unless you specifically need
+    * whole-history semantics.
+    *
+    * Per band-bucket, compare each arriving signature against the
+    * bucket's accumulated members and emit pairs within Hamming ≤ 3.
+    * Within a micro-batch, members are processed in doc_id order and
+    * pairs are emitted (min, max), so the emitted SET is
+    * deterministic and equals the batch self-join.
     */
-  def nearDupPairs(ds: Dataset[DocSig]): Dataset[NearPair] = {
+  def nearDupPairsUnbounded(ds: Dataset[DocSig]): Dataset[NearPair] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(d => (d.band_id, d.band_key))
       .flatMapGroupsWithState[List[(Long, Long)], NearPair](
@@ -109,7 +120,9 @@ object DocumentStream {
       }
   }
 
-  /** TTL'd streaming near-dup: [[nearDupPairs]] with BOUNDED state.
+  /** The PRIMARY streaming near-dup operator: band-bucket SimHash
+    * pairing with BOUNDED state ([[nearDupPairsUnbounded]] is the
+    * whole-history reference variant).
     * Two eviction levels keep the state store O(ingest-rate × horizon)
     * instead of O(corpus):
     *
@@ -169,7 +182,7 @@ object DocumentStream {
       }
   }
 
-  /** Start [[nearDupPairs]] over `sigs` into a memory sink (8 shuffle
+  /** Start a near-dup pair stream into a memory sink (8 shuffle
     * partitions — EventStream's state-store sizing rationale), await
     * AvailableNow termination, and return the emitted pair table
     * (dropped from the catalog; analysis is eager, so the returned
@@ -193,7 +206,11 @@ object DocumentStream {
     out
   }
 
-  /** Run the full continuous-ingestion ADMISSION pipeline: quality
+  /** UNBOUNDED-state reference variant of [[runStreamAdmissionTtl]]
+    * (st09's batch-equivalence gate; production ingest should use the
+    * TTL'd entry — this one's state grows O(corpus)).
+    *
+    * Runs the full continuous-ingestion ADMISSION pipeline: quality
     * gate (n_chars ≥ 100) → streaming SimHash near-dup → per-document
     * admit/reject. First-wins semantics: a document is rejected iff
     * some earlier (lower doc_id — the file stream's arrival order)
@@ -204,9 +221,9 @@ object DocumentStream {
     * read only renders the full gated roster with its flag — the
     * st04 pattern of emitting decisions, not payloads.
     */
-  def runStreamAdmission(spark: SparkSession, dir: String): DataFrame = {
+  def runStreamAdmissionUnbounded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = runPairsToTable(spark, nearDupPairs(
+    val pairs = runPairsToTable(spark, nearDupPairsUnbounded(
       bandedSignatures(
         readStream(spark, dir).filter(col("n_chars") >= 100)).as[DocSig]))
     val rejected = pairs
@@ -221,7 +238,8 @@ object DocumentStream {
       .orderBy("doc_id")
   }
 
-  /** [[runStreamAdmission]] with BOUNDED state: the near-dup stage is
+  /** The PRIMARY admission entry — [[runStreamAdmissionUnbounded]]
+    * with BOUNDED state: the near-dup stage is
     * the TTL'd operator, so a document is rejected iff an earlier
     * gated document within the event-time `horizon` sits at Hamming
     * ≤ 3 in a shared band bucket — dedup-against-the-recent-past, the
@@ -250,20 +268,23 @@ object DocumentStream {
       .orderBy("doc_id")
   }
 
-  /** Run the streaming near-dup end-to-end (file stream → signature
-    * projection → band-bucket state → memory sink) and return the
-    * distinct pair set. A pair sharing two bands emits once per band
-    * (different state buckets) — the drain dedups, exactly like the
-    * batch query's DISTINCT.
+  /** UNBOUNDED-state reference variant of [[runStreamNearDupTtl]]
+    * (st07's batch-equivalence gate — use the TTL'd entry in
+    * production). Runs the streaming near-dup end-to-end (file stream
+    * → signature projection → band-bucket state → memory sink) and
+    * returns the distinct pair set. A pair sharing two bands emits
+    * once per band (different state buckets) — the drain dedups,
+    * exactly like the batch query's DISTINCT.
     */
-  def runStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def runStreamNearDupUnbounded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     runPairsToTable(spark,
-      nearDupPairs(bandedSignatures(readStream(spark, dir)).as[DocSig]))
+      nearDupPairsUnbounded(bandedSignatures(readStream(spark, dir)).as[DocSig]))
       .distinct().orderBy("doc_a", "doc_b")
   }
 
-  /** Run the TTL'd streaming near-dup end-to-end with a 120 s horizon
+  /** The PRIMARY near-dup runner: TTL'd streaming near-dup end-to-end
+    * with a 120 s horizon
     * over the 1-doc/sec synthetic clock: only pairs whose arrivals are
     * within the horizon emit, and the state store stays bounded by
     * `rate × horizon` — the constant-memory shape a continuous-ingest

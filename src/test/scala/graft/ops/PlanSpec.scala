@@ -249,6 +249,65 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s06 round: broadcast assignment; both chunked-mean levels combine map-side") {
+    // One Lloyd round = the plan kmeansConverge re-applies per
+    // iteration. Pin the three scale properties: (a) assignment is a
+    // broadcast pass (centroids build-side, never a shuffled cross
+    // join); (b) exactly 3 hash exchanges — the vec_id argmax window,
+    // the (cluster, dim, chunk) level-1 fold, the (cluster, dim)
+    // level-2 fold; (c) BOTH chunked-mean levels partially aggregate
+    // before their exchange, so the shuffles carry bounded chunk
+    // buffers / chunk sums, never raw member rows.
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), x => x.cast("double")).as("v"))
+    val cent = Similarity.seedCentroids(e).localCheckpoint()
+    val p = Similarity.updateMeans(Similarity.assignClusters(e, cent))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 3, s"expected 3 hash exchanges, got $hashEx\n$p")
+    val partialFolds = "partial_collect_list".r.findAllIn(p).size
+    assert(partialFolds >= 2,
+      s"expected both chunk levels to combine map-side, got $partialFolds\n$p")
+    Similarity.freeCheckpoint(cent)
+  }
+
+  test("s08: codebook and distance table broadcast; corpus side is codes through equi-joins") {
+    val p = plan("s08_pq_adc_topk")
+    // Codebook (≤40 rows) and per-query distance table both broadcast;
+    // the corpus never drives a nested loop or cartesian.
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"expected >=2 broadcast hash joins, got $bhj\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // Query side: the vec_id < 3 gate reaches the parquet scan.
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,3)]"), p)
+    // Corpus side: consumed from the training checkpoint (codes only),
+    // and the per-(qid, vec) 4-part sum combines map-side.
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("partial_collect_list"), p)
+    // Top-k rank filter pushed below the shuffle.
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q58/q59/q60: every sketch merges map-side (partial aggregation present)") {
+    // The defining property of a mergeable sketch on a cluster: the
+    // shuffle carries per-partition sketches, never raw rows. If a
+    // refactor breaks partial aggregation (e.g. a non-mergeable
+    // aggregate sneaks in), these names vanish from the plan.
+    val p58 = plan("q58_hll_merge")
+    assert(p58.contains("partial_hll_sketch_agg"), p58)
+    assert(p58.contains("partial_hll_union_agg"), p58)
+    val p59 = plan("q59_percentile_sketch")
+    assert(p59.contains("partial_percentilesketchagg"), p59)
+    val p60 = plan("q60_heavy_hitters")
+    assert(p60.contains("partial_heavyhittersagg"), p60)
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen'd stages render as "*(n) Op" in the plan string
     val p = plan("q02_filter_pushdown")

@@ -147,6 +147,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("chunked mean fold bounds per-group state on a 100k-member cluster") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    // One popular cluster with 100k members — the shape that OOM'd the
+    // old O(cluster) collect_list design (every member in a single
+    // aggregation buffer). The two-level fold must (a) keep every
+    // level-1 buffer within meanChunkWidth, (b) spread the cluster
+    // over ceil(n/width) chunks, and (c) reproduce the reference
+    // two-level fold bit-for-bit (chunk membership and both fold
+    // orders are vec_id-determined, so this is exact, not approx).
+    val n = 100000
+    val xs = (0 until n).map(i => (i.toLong, 0, ((i * 31 + 7) % 997) / 997.0))
+    val rows = xs.toDF("vec_id", "cluster", "x")
+      .withColumn("dim", lit(1))
+      .select("vec_id", "cluster", "dim", "x")
+
+    val w = Similarity.meanChunkWidth
+    val partials = Similarity.chunkedPartials(rows, Seq("cluster", "dim"))
+      .select(col("chunk"), col("cn")).collect()
+    assert(partials.length == (n + w - 1) / w, // ceil(n/width) chunks
+      s"expected ${(n + w - 1) / w} chunks, got ${partials.length}")
+    assert(partials.forall(_.getLong(1) <= w), // level-1 buffers bounded
+      s"a chunk exceeded the $w-element bound")
+
+    val out = Similarity.chunkedMean(rows, Seq("cluster", "dim")).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == n)
+    // Reference two-level fold, computed locally in the same order.
+    val expected = xs.grouped(w.toInt).map(_.map(_._3).foldLeft(0.0)(_ + _))
+      .foldLeft(0.0)(_ + _) / n
+    assert(out.head.getDouble(3) == expected, // bit-for-bit, not ≈
+      s"got ${out.head.getDouble(3)}, expected $expected")
+  }
+
   test("planeWeight matches the portable SQL md5-parity derivation") {
     // The oracle side derives each ±1 weight as
     //   CASE WHEN CAST('0x'||substr(md5(b||','||j),1,1) AS INT) % 2 = 0

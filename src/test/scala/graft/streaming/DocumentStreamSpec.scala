@@ -11,7 +11,7 @@ class DocumentStreamSpec extends SparkSpec {
 
   test("streaming near-dup equals the batch d11 pair set on sf0.001") {
     val dir = "/root/testdata/sf0.001"
-    val streamed = runStreamNearDup(spark, dir).collect()
+    val streamed = runStreamNearDupUnbounded(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val batch = graft.ops.Dedup.simhashNearDup(
       graft.Tables.load(spark, dir, "documents"), maxHamming = 3)
@@ -26,7 +26,7 @@ class DocumentStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
 
     val input = MemoryStream[DocSig]
-    val q = nearDupPairs(input.toDS())
+    val q = nearDupPairsUnbounded(input.toDS())
       .writeStream
       .format("memory")
       .queryName("neardup_test")
