@@ -99,7 +99,9 @@ object Similarity {
     * filter is pushed below the shuffle by InferWindowGroupLimit.
     * `bits` trades recall for in-bucket pair count (quadratic in
     * bucket population) — it must grow with the corpus; ScaleSmoke
-    * measures the trade on the SAME code s04 ships.
+    * measures the trade on the SAME code s04 ships. Measured
+    * recall@3 ≥ 0.95 vs the exact baseline on SimilaritySpec's
+    * planted-cluster corpus at bits = 4 (floor asserted there).
     * Input needs (vec_id, v: array<double>).
     */
   def knnJoin(e: DataFrame, bits: Int, k: Int): DataFrame = {
@@ -118,6 +120,38 @@ object Similarity {
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
         round(dot(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF-style top-k: probe the nearest coarse centroid per query
+    * (per-label exact-decimal mean vectors — [[seedCentroids]]), then
+    * brute-force only within the probed cell. At scale this prunes
+    * the candidate set by ~|cells|×; recall depends on the corpus
+    * actually clustering around the cells (SimilaritySpec asserts
+    * recall@5 = 1.0 on its planted-cluster corpus; on unclustered
+    * vectors single-probe IVF recall is intrinsically low — use s01
+    * or more probes there). Input (vec_id, label, v); queries
+    * (qid, qv). Output (qid, probe_label, vec_id, cos_sim, rnk).
+    */
+  def ivfTopk(e: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val centroids = seedCentroids(e)
+    // Probe: nearest centroid per query (tiny cross join).
+    val probe = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("c_label"),
+        cosine(col("qv"), col("cv")).as("c_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("c_sim").desc, col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("qv"), col("c_label").as("probe_label"))
+    // Search only the probed cell — the IVF pruning step.
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(broadcast(probe),
+      col("label") === col("probe_label") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("probe_label"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
@@ -447,7 +481,11 @@ object Similarity {
     * summed in subspace order — never a 64-dim op against the corpus.
     * At scale the corpus side ships 4 bytes per vector through the
     * (m, code) equi-join; the per-(qid, vec) sum is an ordered fold so
-    * the oracle reproduces it bit-for-bit.
+    * the oracle reproduces it bit-for-bit. Recall: SimilaritySpec
+    * asserts recall@5 ≥ 0.85 vs exact L2 on its planted-cluster
+    * corpus — same-code members tie at the 4-byte resolution, so
+    * within-cluster order falls back to vec_id (the compressed-domain
+    * trade; a collapsed codebook fails the floor outright).
     */
   def pqAdcTopk(e: DataFrame, rounds: Int = 2, k: Int = 5): DataFrame = {
     val (cent, codes) = pqTrain(e, rounds)
@@ -625,44 +663,15 @@ object Similarity {
     Q(
       "s03_ivf_topk",
       (s, dir) => {
+        // Coarse centroids: per-label per-dimension exact-decimal
+        // mean ([[seedCentroids]] — order-independent and
+        // engine-independent, so the centroid doubles and everything
+        // ranked from them hash-match the DuckDB oracle); then probe
+        // + in-cell search ([[ivfTopk]]).
         val e = emb(s, dir)
-        // Coarse centroids: per-label per-dimension mean, computed
-        // distributively (posexplode → groupBy(label, dim) → rebuild
-        // vector with array_agg sorted by dim).
-        // Exact-decimal mean per (label, dim): order-independent and
-        // engine-independent, so the centroid doubles (and everything
-        // ranked from them) hash-match the DuckDB oracle.
-        val centroids = e
-          .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("label", "dim")
-          .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-            count(lit(1))).as("cx"))
-          .groupBy("label")
-          .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
-            .as("pairs"))
-          .select(col("label").as("c_label"),
-            transform(col("pairs"), p => p.getField("cx")).as("cv"))
         val queries = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
-        // Probe: nearest centroid per query (tiny cross join).
-        val probe = queries.crossJoin(broadcast(centroids))
-          .select(col("qid"), col("qv"), col("c_label"),
-            cosine(col("qv"), col("cv")).as("c_sim"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col("c_sim").desc, col("c_label"))))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("qv"), col("c_label").as("probe_label"))
-        // Search only the probed cell — the IVF pruning step.
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-        e.join(broadcast(probe),
-          col("label") === col("probe_label") && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("probe_label"), col("vec_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .orderBy("qid", "rnk")
+        ivfTopk(e, queries, k = 5).orderBy("qid", "rnk")
       },
       Some("""
         WITH e AS (

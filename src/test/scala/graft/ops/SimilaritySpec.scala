@@ -147,6 +147,93 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN recall@k vs the exact baseline on planted clusters (s03/s04/s08)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    // 8 planted clusters × 25 vectors in 64-d: cluster c owns dim
+    // block [8c, 8c+8) at magnitude 4 plus a small deterministic
+    // jitter, so true neighbors are cluster-mates by a wide margin
+    // under BOTH metrics (cosine and L2). Every approximate path is
+    // then measured against an independently-computed exact top-k —
+    // the gate that catches a parameter change (bits, probes,
+    // codebook size) silently destroying retrieval quality while the
+    // hash gates stay green.
+    val rows = for (c <- 0 until 8; i <- 0 until 25) yield {
+      val v = (0 until 64).map(d =>
+        (if (d / 8 == c) 4.0 else 0.0) + 0.01 * ((c * 25 + i + 3 * d) % 7))
+      (c * 25L + i, c, v)
+    }
+    val e = rows.toDF("vec_id", "label", "v")
+    val byId = rows.map(r => r._1 -> r._3).toMap
+
+    def dotL(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cosL(a: Seq[Double], b: Seq[Double]) =
+      dotL(a, b) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b)))
+    def l2L(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def exactTop(q: Long, k: Int, score: (Seq[Double], Seq[Double]) => Double,
+        descending: Boolean): Set[Long] = {
+      val qv = byId(q)
+      // Rank by the operators' PUBLISHED contract: scores rounded to
+      // 6 dp (the operators' output precision), ties by vec_id — so
+      // recall measures retrieval quality, not sub-rounding-noise
+      // tie-break differences between equal-to-contract candidates.
+      val scored = rows.filter(_._1 != q).map { r =>
+        (r._1, BigDecimal(score(qv, r._3))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      (if (descending) scored.sortBy(p => (-p._2, p._1))
+       else scored.sortBy(p => (p._2, p._1))).take(k).map(_._1).toSet
+    }
+    def recall(got: Map[Long, Set[Long]], k: Int,
+        score: (Seq[Double], Seq[Double]) => Double,
+        descending: Boolean): Double = {
+      val per = got.map { case (q, s) =>
+        s.intersect(exactTop(q, k, score, descending)).size.toDouble / k
+      }
+      per.sum / per.size
+    }
+    def retrieved(df: org.apache.spark.sql.DataFrame, qCol: String,
+        nCol: String): Map[Long, Set[Long]] =
+      df.select(qCol, nCol).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // s03 IVF (single probe): planted clusters are exactly the cells,
+    // so in-cell search must recover the exact top-5 completely.
+    val qdf = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val ivfR = recall(
+      retrieved(Similarity.ivfTopk(e, qdf, 5), "qid", "vec_id"),
+      5, cosL, descending = true)
+
+    // s04 LSH k-NN join (4 bucket bits, k=3) over EVERY vector.
+    val knnR = recall(
+      retrieved(Similarity.knnJoin(e, bits = 4, k = 3), "vec_id", "nb"),
+      3, cosL, descending = true)
+
+    // s08 PQ/ADC top-5 for queries 0..2; exact metric is squared L2
+    // (the PQ-canonical choice pqAdcTopk approximates).
+    val adcR = recall(
+      retrieved(Similarity.pqAdcTopk(e, rounds = 2, k = 5), "qid", "vec_id"),
+      5, l2L, descending = false)
+
+    info(f"recall@5 IVF=$ivfR%.3f  recall@3 kNN-join=$knnR%.3f  recall@5 ADC=$adcR%.3f")
+    // Floors cited in each operator's scaladoc (measured: 1.000 /
+    // 0.980 / 0.867, all deterministic). IVF is exact-complete by
+    // construction (cells == planted clusters). The LSH join loses a
+    // little to bucket-boundary splits. ADC quantizes every cluster
+    // member to the same 4 codes, so ranking WITHIN a cluster falls
+    // back to vec_id order — the compressed-domain resolution limit,
+    // not a bug; a collapsed codebook would crater this to ~0.03.
+    assert(ivfR >= 1.0, f"IVF recall@5 $ivfR%.3f < 1.0")
+    assert(knnR >= 0.95, f"kNN-join recall@3 $knnR%.3f < 0.95")
+    assert(adcR >= 0.85, f"ADC recall@5 $adcR%.3f < 0.85")
+  }
+
   test("chunked mean fold bounds per-group state on a 100k-member cluster") {
     val sparkS = spark
     import sparkS.implicits._
