@@ -8,9 +8,17 @@ import org.apache.spark.sql.functions._
   * duplicates) and time the heavy operators. Validates that the
   * dedup/similarity shapes scale ~linearly rather than quadratically.
   *
-  * Usage: runMain graft.ScaleSmoke [factor]
+  * Usage: runMain graft.ScaleSmoke [skew|q56|sim|ttl|<factor>] [arg]
   */
 object ScaleSmoke {
+
+  val usage: String =
+    """usage: runMain graft.ScaleSmoke [mode] [factor]
+      |  <factor>      dedup ops on documents ×factor (default ×10)
+      |  skew [f]      adversarial 25%-clone corpus, capped vs uncapped
+      |  q56 [f]       N pruned scans vs one-scan Expand on lineitem ×f
+      |  sim [f]       PQ train / ADC top-k / IVF on embeddings ×1 and ×f
+      |  ttl [chunks]  st11 state size per micro-batch at sf0.1""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -83,9 +91,21 @@ object ScaleSmoke {
     * factor-replicated lineitem parquet. The number this prints backs
     * the claim in `Relational2.columnProfile`'s scaladoc.
     */
+  /** Recursively delete a temp dir (parquet output is a tree). */
+  private def deleteRec(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val all = java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def runQ56(spark: SparkSession, factor: Int): Unit = {
     val li1 = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
-    val path = "/tmp/graft_q56_scale"
+    // Per-run temp dir: concurrent runs must not collide, and the
+    // replicated parquet must not outlive the measurement.
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_q56_scale")
+    val path = tmpRoot.resolve("lineitem").toString
     (0 until factor).map(_ => li1).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(path)
     val liN = spark.read.parquet(path)
@@ -122,21 +142,123 @@ object ScaleSmoke {
       .write.format("noop").mode("overwrite").save()
 
     // Interleave two timed passes of each so JIT warmup lands evenly.
-    time("q56 N pruned scans (warm)")(nScans())
-    time("q56 one-scan Expand (warm)")(expandScan())
-    time("q56 N pruned scans")(nScans())
-    time("q56 one-scan Expand")(expandScan())
+    try {
+      time("q56 N pruned scans (warm)")(nScans())
+      time("q56 one-scan Expand (warm)")(expandScan())
+      time("q56 N pruned scans")(nScans())
+      time("q56 one-scan Expand")(expandScan())
+    } finally deleteRec(tmpRoot)
+  }
+
+  /** Similarity-tier scaling (`runMain graft.ScaleSmoke sim [factor]`):
+    * PQ codebook training, ADC top-k, and IVF probe-then-search on the
+    * sf0.1 embeddings at ×1 and ×factor — the numbers behind the
+    * README's claim that the compressed-domain/pruned-search shapes
+    * scale ~linearly. Replicas reuse the base vectors (ids shifted):
+    * none of these ops pair-joins the corpus with itself, so replica
+    * identity cannot shortcut any path being measured.
+    */
+  def runSim(spark: SparkSession, factor: Int): Unit = {
+    import graft.ops.Similarity
+    graft.functions.VectorExpressions.register(spark)
+    val emb1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    def run(e: DataFrame, tag: String): Unit = {
+      println(s"[sim] corpus ${e.count()} vectors ($tag)")
+      time(s"pq train $tag")(
+        Similarity.pqTrain(e, rounds = 2)._2
+          .write.format("noop").mode("overwrite").save())
+      time(s"pq adc top-k $tag")(
+        Similarity.pqAdcTopk(e, rounds = 2, k = 5)
+          .write.format("noop").mode("overwrite").save())
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      time(s"ivf top-k $tag")(
+        Similarity.ivfTopk(e, queries, k = 5)
+          .write.format("noop").mode("overwrite").save())
+    }
+    val e1 = emb1.cache()
+    run(e1, "x1")
+    val eN = scaled(emb1, "vec_id", factor).cache()
+    run(eN, s"x$factor")
+    e1.unpersist(); eN.unpersist()
+  }
+
+  /** Streaming TTL state size at bench scale
+    * (`runMain graft.ScaleSmoke ttl [chunks]`): feed the sf0.1
+    * documents through [[graft.streaming.DocumentStream.nearDupPairsTtl]]
+    * in `chunks` micro-batches (arrival = the synthetic 1-doc/sec
+    * clock) and print the state store's `numRowsTotal` after each —
+    * the bench-scale complement to DocumentStreamSpec's unit-scale
+    * bound. The printed reference lines: live buckets can never exceed
+    * 4 × horizon (each of the last `horizon` arrivals holds ≤ 4 bucket
+    * keys, plus ≤ 1 batch of not-yet-timed-out stragglers), while the
+    * unbounded variant would hold every bucket ever touched.
+    */
+  def runTtl(spark: SparkSession, chunks: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.DocumentStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val horizonSec = 120L
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    // Dev-tool-only collect: the measurement needs hand-controlled
+    // micro-batch boundaries, which only MemoryStream provides.
+    val sigs = DocumentStream.bandedSignaturesWithTime(docs)
+      .as[DocumentStream.DocSigT].collect()
+      .sortBy(d => (d.event_ts.getTime, d.doc_id))
+    val allBuckets =
+      sigs.map(d => (d.band_id, d.band_key)).distinct.length
+    println(s"[ttl] ${sigs.length} signature rows, ${sigs.length / 4} docs, " +
+      s"horizon ${horizonSec}s; lifetime buckets $allBuckets " +
+      s"(what NoTimeout state would hold), live bound ${4 * horizonSec}")
+    val input = MemoryStream[DocumentStream.DocSigT]
+    val q = DocumentStream
+      .nearDupPairsTtl(input.toDS(), java.time.Duration.ofSeconds(horizonSec))
+      .writeStream.format("memory")
+      .queryName("ttl_scale")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      var maxState = -1L
+      val per = math.max(1, sigs.length / chunks)
+      sigs.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+        val st = q.recentProgress.filter(_.stateOperators.nonEmpty)
+          .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+        maxState = math.max(maxState, st)
+        println(f"[ttl] batch ${i + 1}%3d: +${chunk.length}%5d rows, " +
+          f"state rows $st%6d")
+      }
+      println(s"[ttl] max state $maxState vs lifetime buckets $allBuckets " +
+        s"(bounded: ${maxState < allBuckets})")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("ttl_scale")
+    }
   }
 
   def main(args: Array[String]): Unit = {
+    val modes = Set("skew", "q56", "sim", "ttl")
     val mode = args.headOption match {
-      case Some("skew") => "skew"
-      case Some("q56") => "q56"
-      case _ => "scale"
+      case Some(m) if modes(m) => m
+      case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
+      case None => "scale"
+      case Some(other) =>
+        // A misspelled mode must fail with the valid options, not
+        // fall through to a NumberFormatException in factor parsing.
+        System.err.println(s"unknown mode '$other'\n$usage")
+        sys.exit(2)
     }
     val factor = args.drop(if (mode == "scale") 0 else 1)
       .headOption.map(_.toInt)
-      .getOrElse(if (mode == "scale") 10 else 4)
+      .getOrElse(mode match {
+        case "scale" => 10
+        case "ttl" => 20
+        case _ => 4
+      })
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -149,6 +271,8 @@ object ScaleSmoke {
 
     if (mode == "skew") { runSkew(spark, factor); spark.stop(); return }
     if (mode == "q56") { runQ56(spark, factor); spark.stop(); return }
+    if (mode == "sim") { runSim(spark, factor); spark.stop(); return }
+    if (mode == "ttl") { runTtl(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)
