@@ -124,28 +124,36 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** IVF-style top-k: probe the nearest coarse centroid per query
-    * (per-label exact-decimal mean vectors — [[seedCentroids]]), then
-    * brute-force only within the probed cell. At scale this prunes
-    * the candidate set by ~|cells|×; recall depends on the corpus
-    * actually clustering around the cells (SimilaritySpec asserts
-    * recall@5 = 1.0 on its planted-cluster corpus; on unclustered
-    * vectors single-probe IVF recall is intrinsically low — use s01
-    * or more probes there). Input (vec_id, label, v); queries
-    * (qid, qv). Output (qid, probe_label, vec_id, cos_sim, rnk).
+  /** IVF-style top-k: probe the `probes` nearest coarse centroids per
+    * query (per-label exact-decimal mean vectors —
+    * [[seedCentroids]]), then brute-force only within the probed
+    * cells. At scale this prunes the candidate set by
+    * ~|cells|/probes×. `probes` is the recall dial: on a corpus that
+    * clusters around the cells one probe suffices (SimilaritySpec
+    * asserts recall@5 = 1.0 on its planted-cluster corpus at
+    * probes = 1); on weakly-clustered vectors true neighbors straddle
+    * cell boundaries, so recall climbs with probes — measured on the
+    * REAL sf0.01 embeddings in SimilaritySpec: 0.12 @ 1 probe,
+    * monotonically to 1.0 at probes = |cells| (exact-equivalent by
+    * construction, since every cell is searched). Cells are disjoint,
+    * so multi-probe needs no dedup — one window ranks the union.
+    * Input (vec_id, label, v); queries (qid, qv). Output
+    * (qid, probe_label, vec_id, cos_sim, rnk).
     */
-  def ivfTopk(e: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def ivfTopk(
+      e: DataFrame, queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"need at least one probe, got $probes")
     val centroids = seedCentroids(e)
-    // Probe: nearest centroid per query (tiny cross join).
+    // Probe: nearest `probes` centroids per query (tiny cross join).
     val probe = queries.crossJoin(broadcast(centroids))
       .select(col("qid"), col("qv"), col("c_label"),
         cosine(col("qv"), col("cv")).as("c_sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("c_sim").desc, col("c_label"))))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= probes)
       .select(col("qid"), col("qv"), col("c_label").as("probe_label"))
-    // Search only the probed cell — the IVF pruning step.
+    // Search only the probed cells — the IVF pruning step.
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     e.join(broadcast(probe),

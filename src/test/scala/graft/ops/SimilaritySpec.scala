@@ -234,6 +234,43 @@ class SimilaritySpec extends SparkSpec {
     assert(adcR >= 0.85, f"ADC recall@5 $adcR%.3f < 0.85")
   }
 
+  test("multi-probe IVF: recall climbs with probes on the real corpus; all cells = exact") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    // The real embeddings are only weakly clustered by label, so
+    // single-probe IVF recall is intrinsically low there — the probes
+    // dial is what makes IVF usable on such corpora. Baseline is
+    // s01's own output (identical rounding contract and tie-break).
+    val exact = graft.SparkEntry.queries("s01_cosine_topk")(spark, dir)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val nCells = e.select("label").distinct().count().toInt
+    def recallAt(probes: Int): Double = {
+      val got = Similarity.ivfTopk(e, queries, k = 5, probes = probes)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      exact.map { case (q, s) =>
+        got.getOrElse(q, Set.empty).intersect(s).size.toDouble / 5
+      }.sum / exact.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    val rAll = recallAt(nCells)
+    info(f"IVF recall@5 on sf0.01: probes=1 $r1%.3f, probes=4 $r4%.3f, " +
+      f"probes=$nCells%d (all) $rAll%.3f")
+    // Monotone in probes, with a real uplift, and exact-complete when
+    // every cell is searched (the algebraic identity that anchors the
+    // dial: probes = |cells| ≡ brute force).
+    assert(r4 >= r1 + 0.2, f"probes=4 recall $r4%.3f not above probes=1 $r1%.3f")
+    assert(rAll == 1.0, f"all-cells probe must equal exact, got $rAll%.3f")
+  }
+
   test("chunked mean fold bounds per-group state on a 100k-member cluster") {
     val sparkS = spark
     import sparkS.implicits._
