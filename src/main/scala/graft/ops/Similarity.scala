@@ -316,6 +316,11 @@ object Similarity {
       cent = next
       i += 1
     }
+    // The returned means is itself a checkpoint: the input and the
+    // final centroid table are dead — free them rather than letting
+    // them live as long as the caller holds the result.
+    freeCheckpoint(e)
+    freeCheckpoint(cent)
     means
   }
 
