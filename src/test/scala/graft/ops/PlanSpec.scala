@@ -276,6 +276,22 @@ class PlanSpec extends SparkSpec {
     Similarity.freeCheckpoint(cent)
   }
 
+  test("s07: final assignment reads the training checkpoint and broadcasts the codebook") {
+    // pqTrain's training rounds live behind localCheckpoints, so the
+    // s07 plan is exactly the final assignment: subvectors from the
+    // checkpoint (one Scan ExistingRDD — text/embeddings are never
+    // re-derived), the ≤40-row codebook as a broadcast on the
+    // subspace key, and no cartesian/nested-loop anywhere. (The
+    // training rounds' own map-side combines are pinned by the s06
+    // round test and s08, whose plan embeds this same pipeline.)
+    val p = plan("s07_pq_train")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("s08: codebook and distance table broadcast; corpus side is codes through equi-joins") {
     val p = plan("s08_pq_adc_topk")
     // Codebook (≤40 rows) and per-query distance table both broadcast;
