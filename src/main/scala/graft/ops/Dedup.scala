@@ -565,8 +565,13 @@ object Dedup {
           xxhash64((0 until rowsPerBand)
             .map(r => col(s"m${b * rowsPerBand + r}")): _*)
         }: _*)
+        // Both invariant branches consume the bands: materialize the
+        // (shingle → 32-hash → min-agg) pipeline ONCE (the d03
+        // checkpoint rule — without this the dominant hash pass runs
+        // twice, once per branch).
         val bands = sig.select(col("doc_id"),
           posexplode(bandsArr).as(Seq("band_id", "band_hash")))
+          .localCheckpoint()
         val perDoc = bands.groupBy("doc_id")
           .agg(count(lit(1)).as("nr"), countDistinct("band_id").as("nb"))
           .agg(count(lit(1)).as("n_docs"),
