@@ -618,10 +618,17 @@ object Relational2 {
         // same envelope). The exact side IS DuckDB-reproducible, so
         // the row hashes fully, no rows-only fallback. Envelope in
         // multiplication form: ANSI-safe on an empty table.
+        // Plan shape: countDistinct BESIDE another aggregate would
+        // plan an Expand (2× rows through the shuffle); dedup the
+        // (group, key) pairs first — both partial-combining — then
+        // count. The HLL runs over the deduped values, which is
+        // register-identical (a sketch is duplicate-insensitive), so
+        // the estimate is unchanged. The q15 rule, re-applied.
         t(s, dir)("lineitem")
+          .groupBy("l_returnflag", "l_partkey").agg(Map.empty[String, String])
           .groupBy("l_returnflag")
           .agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
+            count(lit(1)).as("exact_parts"),
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("approx_parts") - col("exact_parts")).cast("double") <=

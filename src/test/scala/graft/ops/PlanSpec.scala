@@ -310,6 +310,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q27: exact-distinct beside the sketch avoids Expand via two-level re-aggregation") {
+    // The q15 rule on the sketch query: a countDistinct planned beside
+    // another aggregate doubles the shuffled rows through an Expand;
+    // the dedup-then-count form must partial-combine instead.
+    val p = plan("q27_approx_distinct")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_approx_count_distinct"), p)
+  }
+
   test("q58/q59/q60: every sketch merges map-side (partial aggregation present)") {
     // The defining property of a mergeable sketch on a cluster: the
     // shuffle carries per-partition sketches, never raw rows. If a
