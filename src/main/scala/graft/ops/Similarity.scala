@@ -771,6 +771,60 @@ object Similarity {
         ORDER BY vec_id, rnk""")),
     // ----------------------------------------------------------------
     Q(
+      "s09_ivf_multiprobe",
+      (s, dir) => {
+        // The probes dial under the oracle gate: same IVF machinery
+        // as s03, searching the union of the 4 nearest cells per
+        // query. Fully deterministic (probe ranking and in-cell
+        // scoring are the s03 arithmetic), so DuckDB restates the
+        // fan-out exactly — recall-vs-probes is additionally measured
+        // against the exact baseline in SimilaritySpec.
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        ivfTopk(e, queries, k = 5, probes = 4).orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM dims GROUP BY label, dim)
+          GROUP BY label),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        probe AS (
+          SELECT qid, qv, label AS probe_label FROM (
+            SELECT q.qid, q.qv, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 4),
+        scored AS (
+          SELECT p.qid, p.probe_label, e.vec_id,
+            ROUND(list_sum(list_transform(list_zip(p.qv, e.v), pr -> pr[1]*pr[2])) /
+              (sqrt(list_sum(list_transform(p.qv, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos_sim
+          FROM e JOIN probe p
+            ON e.label = p.probe_label AND e.vec_id <> p.qid)
+        SELECT qid, probe_label, vec_id, cos_sim, rnk FROM (
+          SELECT qid, probe_label, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
       "s05_kmeans_iterate",
       (s, dir) => {
         // One full k-means Lloyd iteration, distributed — the
