@@ -91,20 +91,18 @@ object ScaleSmoke {
     * factor-replicated lineitem parquet. The number this prints backs
     * the claim in `Relational2.columnProfile`'s scaladoc.
     */
-  /** Recursively delete a temp dir (parquet output is a tree). */
-  private def deleteRec(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(root)) {
-      val all = java.nio.file.Files.walk(root).iterator().asScala.toSeq
-      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
-
   def runQ56(spark: SparkSession, factor: Int): Unit = {
     val li1 = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
     // Per-run temp dir: concurrent runs must not collide, and the
-    // replicated parquet must not outlive the measurement.
+    // replicated parquet must not outlive the measurement — the
+    // try/finally starts HERE so a failed write can't strand it.
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_q56_scale")
+    try { runQ56In(spark, li1, factor, tmpRoot) }
+    finally deleteRec(tmpRoot)
+  }
+
+  private def runQ56In(spark: SparkSession,
+      li1: DataFrame, factor: Int, tmpRoot: java.nio.file.Path): Unit = {
     val path = tmpRoot.resolve("lineitem").toString
     (0 until factor).map(_ => li1).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(path)
@@ -142,12 +140,22 @@ object ScaleSmoke {
       .write.format("noop").mode("overwrite").save()
 
     // Interleave two timed passes of each so JIT warmup lands evenly.
-    try {
-      time("q56 N pruned scans (warm)")(nScans())
-      time("q56 one-scan Expand (warm)")(expandScan())
-      time("q56 N pruned scans")(nScans())
-      time("q56 one-scan Expand")(expandScan())
-    } finally deleteRec(tmpRoot)
+    time("q56 N pruned scans (warm)")(nScans())
+    time("q56 one-scan Expand (warm)")(expandScan())
+    time("q56 N pruned scans")(nScans())
+    time("q56 one-scan Expand")(expandScan())
+  }
+
+  /** Recursively delete a temp dir (parquet output is a tree). The
+    * walk stream must be closed — it holds directory handles.
+    */
+  private def deleteRec(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Similarity-tier scaling (`runMain graft.ScaleSmoke sim [factor]`):
@@ -253,7 +261,15 @@ object ScaleSmoke {
         sys.exit(2)
     }
     val factor = args.drop(if (mode == "scale") 0 else 1)
-      .headOption.map(_.toInt)
+      .headOption
+      .map { a =>
+        // toInt still throws on digits > Int.MaxValue and on any
+        // non-numeric second arg — fail with the usage text instead.
+        scala.util.Try(a.toInt).filter(_ >= 1).getOrElse {
+          System.err.println(s"bad factor '$a'\n$usage")
+          sys.exit(2)
+        }
+      }
       .getOrElse(mode match {
         case "scale" => 10
         case "ttl" => 20

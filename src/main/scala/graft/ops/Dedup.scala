@@ -568,7 +568,10 @@ object Dedup {
         // Both invariant branches consume the bands: materialize the
         // (shingle → 32-hash → min-agg) pipeline ONCE (the d03
         // checkpoint rule — without this the dominant hash pass runs
-        // twice, once per branch).
+        // twice, once per branch). Lifetime: the returned plan
+        // references the checkpointed RDD lazily, so it cannot be
+        // freed here — same per-query-per-session retention as d03's
+        // shingle checkpoint (bounded: 8 small rows per doc).
         val bands = sig.select(col("doc_id"),
           posexplode(bandsArr).as(Seq("band_id", "band_hash")))
           .localCheckpoint()

@@ -624,11 +624,15 @@ object Relational2 {
         // count. The HLL runs over the deduped values, which is
         // register-identical (a sketch is duplicate-insensitive), so
         // the estimate is unchanged. The q15 rule, re-applied.
+        // count(col), not count(*): COUNT(DISTINCT x) excludes NULLs,
+        // and the dedup keeps a NULL-key group — counting it would
+        // put the exact side one above the oracle on corpora with
+        // NULL keys (the sketch ignores NULLs too).
         t(s, dir)("lineitem")
           .groupBy("l_returnflag", "l_partkey").agg(Map.empty[String, String])
           .groupBy("l_returnflag")
           .agg(
-            count(lit(1)).as("exact_parts"),
+            count(col("l_partkey")).as("exact_parts"),
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
@@ -665,7 +669,10 @@ object Relational2 {
         li.join(broadcast(ap), "l_returnflag")
           .groupBy("l_returnflag")
           .agg(
-            count(lit(1)).as("n"),
+            // n over NON-NULL values: the sketch's population excludes
+            // NULLs, so the rank bounds must be computed against the
+            // same n (count(*) would inflate it on NULL-price corpora).
+            count(col("v")).as("n"),
             count(when(col("v") < col("a50"), 1)).as("lo50"),
             count(when(col("v") <= col("a50"), 1)).as("hi50"),
             count(when(col("v") < col("a95"), 1)).as("lo95"),
@@ -680,7 +687,7 @@ object Relational2 {
           .orderBy("l_returnflag")
       },
       Some("""
-        SELECT l_returnflag, COUNT(*) AS n,
+        SELECT l_returnflag, COUNT(l_extendedprice) AS n,
           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag""")),

@@ -138,7 +138,11 @@ object Similarity {
     * construction, since every cell is searched). Cells are disjoint,
     * so multi-probe needs no dedup — one window ranks the union.
     * Input (vec_id, label, v); queries (qid, qv). Output
-    * (qid, probe_label, vec_id, cos_sim, rnk).
+    * (qid, probe_label, vec_id, cos_sim, rnk). PRECONDITION: qid is
+    * the query's own corpus vec_id (self-match excluded by id) —
+    * callers with EXTERNAL queries must use qids disjoint from corpus
+    * vec_ids, or a legitimate neighbor sharing the id is silently
+    * dropped.
     */
   def ivfTopk(
       e: DataFrame, queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {

@@ -188,11 +188,16 @@ class SimilaritySpec extends SparkSpec {
       (if (descending) scored.sortBy(p => (-p._2, p._1))
        else scored.sortBy(p => (p._2, p._1))).take(k).map(_._1).toSet
     }
-    def recall(got: Map[Long, Set[Long]], k: Int,
+    def recall(got: Map[Long, Set[Long]], qids: Seq[Long], k: Int,
         score: (Seq[Double], Seq[Double]) => Double,
         descending: Boolean): Double = {
-      val per = got.map { case (q, s) =>
-        s.intersect(exactTop(q, k, score, descending)).size.toDouble / k
+      // Average over the EXPECTED query set, not over whoever
+      // retrieved anything: a regression that makes many queries
+      // return zero rows (e.g. singleton LSH buckets) must score
+      // those as 0, not silently drop them from the mean.
+      val per = qids.map { q =>
+        got.getOrElse(q, Set.empty[Long])
+          .intersect(exactTop(q, k, score, descending)).size.toDouble / k
       }
       per.sum / per.size
     }
@@ -208,18 +213,18 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val ivfR = recall(
       retrieved(Similarity.ivfTopk(e, qdf, 5), "qid", "vec_id"),
-      5, cosL, descending = true)
+      (0L until 5L), 5, cosL, descending = true)
 
     // s04 LSH k-NN join (4 bucket bits, k=3) over EVERY vector.
     val knnR = recall(
       retrieved(Similarity.knnJoin(e, bits = 4, k = 3), "vec_id", "nb"),
-      3, cosL, descending = true)
+      rows.map(_._1), 3, cosL, descending = true)
 
     // s08 PQ/ADC top-5 for queries 0..2; exact metric is squared L2
     // (the PQ-canonical choice pqAdcTopk approximates).
     val adcR = recall(
       retrieved(Similarity.pqAdcTopk(e, rounds = 2, k = 5), "qid", "vec_id"),
-      5, l2L, descending = false)
+      (0L until 3L), 5, l2L, descending = false)
 
     info(f"recall@5 IVF=$ivfR%.3f  recall@3 kNN-join=$knnR%.3f  recall@5 ADC=$adcR%.3f")
     // Floors cited in each operator's scaladoc (measured: 1.000 /
