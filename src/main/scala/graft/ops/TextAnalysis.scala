@@ -619,6 +619,65 @@ object TextAnalysis {
       Some(sqlBpeUnrolled(5))),
     // ----------------------------------------------------------------
     Q(
+      "t13_chunk_documents",
+      (s, dir) => {
+        // Fixed-window document chunking with overlap — the
+        // sequence-length prep step of a training pipeline: split
+        // each doc into 64-token windows at stride 48 (16-token
+        // overlap, so no boundary context is lost). Pure
+        // projection + Generate, no shuffle but the final orderBy —
+        // parquet-scan speed at 100 TB, like every t-op. Tokens are
+        // whitespace splits in ORIGINAL case (chunk content must be
+        // able to reconstruct training text; t09's lowercasing
+        // normalization is a different op). Output is repr-safe:
+        // chunk digest + token count, never the text itself. The
+        // chunk math is integer-exact on both engines: a doc with
+        // n ≤ 64 tokens is one chunk; else ⌈(n−64)/48⌉+1 chunks,
+        // the last holding 17..64 tokens — every token covered.
+        val C = 64
+        val S = 48
+        val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+        docs(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), toks.as("tl"))
+          .withColumn("n", size(col("tl")))
+          .filter(col("n") >= 1)
+          .select(col("doc_id"), col("tl"), col("n"),
+            explode(sequence(lit(0),
+              when(col("n") <= C, lit(0))
+                .otherwise(expr(s"(n - $C + $S - 1) div $S"))
+                .cast("int"))).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(slice(col("tl"), col("chunk_id") * S + 1, lit(C)))
+              .as("n_tokens"),
+            md5(array_join(
+              slice(col("tl"), col("chunk_id") * S + 1, lit(C)), " ")
+              .cast("binary")).as("chunk_digest"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'),
+                        t -> len(t) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        base AS (
+          SELECT doc_id, tl, len(tl) AS n FROM toks WHERE len(tl) >= 1),
+        ch AS (
+          SELECT doc_id, tl, n, CAST(u AS INT) AS chunk_id
+          FROM base, unnest(range(0,
+            CASE WHEN n <= 64 THEN 1
+                 ELSE (n - 64 + 47) // 48 + 1 END)) AS s(u))
+        SELECT doc_id, chunk_id,
+          CAST(len(list_slice(tl, chunk_id*48 + 1, chunk_id*48 + 64))
+            AS INT) AS n_tokens,
+          md5(array_to_string(
+            list_slice(tl, chunk_id*48 + 1, chunk_id*48 + 64), ' '))
+            AS chunk_digest
+        FROM ch
+        ORDER BY doc_id, chunk_id""")),
+    // ----------------------------------------------------------------
+    Q(
       "t09_normalize",
       (s, dir) => {
         // Canonical text normalization — the first pass of every text

@@ -310,6 +310,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("t13: chunking is scan->generate->project with no hash exchange") {
+    // Chunk explosion must stay a pure per-row Generate (the final
+    // orderBy's range exchange is the only shuffle) and read only
+    // (doc_id, text) — a window or hash exchange here would mean the
+    // sequence-length prep step stopped running at parquet-scan speed.
+    val p = plan("t13_chunk_documents")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q27: exact-distinct beside the sketch avoids Expand via two-level re-aggregation") {
     // The q15 rule on the sketch query: a countDistinct planned beside
     // another aggregate doubles the shuffled rows through an Expand;

@@ -8,6 +8,51 @@ import graft.SparkSpec
   */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("t13 chunking matches an independent local implementation on sf0.001") {
+    // Re-derive every chunk in plain Scala (whitespace split, 64-token
+    // windows at stride 48) and compare digests — an off-by-one in
+    // either engine's slice/window arithmetic fails here with the
+    // doc/chunk named.
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("t13_chunk_documents")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
+      .toMap
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.flatMap { case (id, text) =>
+      val tl = text.split("\\s+").filter(_.nonEmpty)
+      if (tl.isEmpty) Seq.empty
+      else {
+        val nChunks = if (tl.length <= 64) 1 else (tl.length - 64 + 47) / 48 + 1
+        (0 until nChunks).map { k =>
+          val w = tl.slice(k * 48, k * 48 + 64)
+          (id, k) -> (w.length, md5hex(w.mkString(" ")))
+        }
+      }
+    }.toMap
+    assert(got.size == want.size,
+      s"chunk count: got ${got.size}, want ${want.size}")
+    want.foreach { case (key, v) =>
+      assert(got.get(key).contains(v), s"doc/chunk $key: ${got.get(key)} != $v")
+    }
+    // The overlap is real: some doc must have >1 chunk, and every
+    // non-final chunk holds exactly 64 tokens.
+    assert(want.keys.exists(_._2 > 0), "corpus has no multi-chunk doc")
+    val perDoc = want.keys.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    perDoc.foreach { case (id, kMax) =>
+      (0 until kMax).foreach { k =>
+        assert(want((id, k))._1 == 64, s"doc $id chunk $k not full")
+      }
+      assert(want((id, kMax))._1 >= (if (kMax > 0) 17 else 1),
+        s"doc $id last chunk below the 17-token floor")
+    }
+  }
+
   test("tfidf: rare terms outrank common ones, tf scales the score") {
     val sparkS = spark
     import sparkS.implicits._
