@@ -282,6 +282,75 @@ object Curation {
         SELECT doc_id, CAST(h % 8 AS INT) AS shard_id,
           ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
         FROM h
-        ORDER BY shard_id, pos"""))
+        ORDER BY shard_id, pos""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c08_quality_weighted_sample",
+      (s, dir) => {
+        // Quality-WEIGHTED deterministic sampling — how curated
+        // pretraining corpora actually upsample good text: each doc's
+        // admission probability IS its quality score (t02's formula),
+        // decided by the same content-stable hash family as c01, so
+        // the sample is reproducible across reruns/engines/partitions
+        // and composes with incremental ingest. The comparison is
+        // integer-exact on both engines: bucket ∈ 0..99 (md5-derived)
+        // admits iff bucket < ⌊quality·100⌋ — floor of a double both
+        // engines compute bit-identically (t02's oracle proves the
+        // quality arithmetic), so no double-tie can flip a row. Pure
+        // projection + filter-free roster: one scan, no shuffle but
+        // the final orderBy.
+        val toks = tokens(col("text"))
+        docs(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("toks", toks)
+          .select(col("doc_id"), col("source"),
+            length(col("text")).as("n_chars"),
+            size(col("toks")).as("n_tokens"),
+            size(filter(col("toks"), t => t.isin(
+              Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
+                .map(w => w: Any): _*))).as("n_stop"),
+            size(filter(split(lower(col("text")), ""),
+              c => !c.rlike("[a-z0-9 ]") && length(c) > 0)).as("n_punct"))
+          .filter(col("n_tokens") >= 1)
+          .withColumn("quality",
+            (col("n_stop").cast("double") / col("n_tokens")) * 0.3 +
+              least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.4 +
+              (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3)
+          .select(col("doc_id"), col("source"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+              .cast("long") % 100).cast("int").as("bucket"),
+            floor(col("quality") * 100).cast("int").as("q_pct"))
+          .withColumn("admitted",
+            (col("bucket") < col("q_pct")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, source,
+            CAST(LENGTH(text) AS INT) AS n_chars,
+            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0)) AS INT) AS n_tokens,
+            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+              x -> x IN ('the','a','an','and','or','of','to','in','is')))
+              AS INT) AS n_stop,
+            CAST(len(list_filter(string_split(lower(text), ''),
+              x -> NOT regexp_matches(x, '[a-z0-9 ]') AND len(x) > 0))
+              AS INT) AS n_punct
+          FROM documents WHERE text IS NOT NULL),
+        q AS (
+          SELECT doc_id, source,
+            (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 +
+              least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.4 +
+              (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
+          FROM c WHERE n_tokens >= 1)
+        SELECT doc_id, source,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+               AS BIGINT) % 100 AS INT) AS bucket,
+          CAST(floor(quality * 100) AS INT) AS q_pct,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+               AS BIGINT) % 100 < CAST(floor(quality * 100) AS INT)
+               AS INT) AS admitted
+        FROM q
+        ORDER BY doc_id"""))
   )
 }
