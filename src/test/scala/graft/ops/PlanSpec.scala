@@ -310,6 +310,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("c08: quality-weighted sampling is one scan, no shuffle, pruned read") {
+    // Admission is a pure function of (doc_id, text): anything beyond
+    // scan→project (a join with a stats table, a window) would mean
+    // the sampling stopped being a map-only pass.
+    val p = plan("c08_quality_weighted_sample")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains(
+      "ReadSchema: struct<doc_id:bigint,text:string,source:string>") ||
+      p.contains("ReadSchema: struct<doc_id:bigint,source:string,text:string>"), p)
+  }
+
   test("t13: chunking is scan->generate->project with no hash exchange") {
     // Chunk explosion must stay a pure per-row Generate (the final
     // orderBy's range exchange is the only shuffle) and read only

@@ -311,6 +311,31 @@ class SimilaritySpec extends SparkSpec {
       s"got ${out.head.getDouble(3)}, expected $expected")
   }
 
+  test("chunkedMean equals the local two-level reference on random sparse ids") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Property-style (fixed-seed deterministic): arbitrary NON-DENSE
+    // non-negative vec_ids — gaps, cross-chunk strays, duplicates-free
+    // — must produce exactly the local chunked fold. Catches chunk-
+    // membership or fold-order bugs the dense planted test can't see.
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 5).foreach { trial =>
+      val n = 50 + rnd.nextInt(400)
+      val ids = scala.collection.mutable.LinkedHashSet[Long]()
+      while (ids.size < n) ids += math.abs(rnd.nextLong() % 1000000L)
+      val data = ids.toSeq.map(id => (id, 0, 1, rnd.nextDouble()))
+      val rows = data.toDF("vec_id", "cluster", "dim", "x")
+      val out = Similarity.chunkedMean(rows, Seq("cluster", "dim")).collect()
+      assert(out.length == 1 && out.head.getLong(2) == n, s"trial $trial")
+      val w = Similarity.meanChunkWidth
+      val expected = data.sortBy(_._1).groupBy(_._1 / w).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._1).map(_._4).foldLeft(0.0)(_ + _))
+        .foldLeft(0.0)(_ + _) / n
+      assert(out.head.getDouble(3) == expected, // bit-for-bit
+        s"trial $trial: got ${out.head.getDouble(3)}, want $expected")
+    }
+  }
+
   test("planeWeight matches the portable SQL md5-parity derivation") {
     // The oracle side derives each ±1 weight as
     //   CASE WHEN CAST('0x'||substr(md5(b||','||j),1,1) AS INT) % 2 = 0
