@@ -301,7 +301,7 @@ object Similarity {
       e0: DataFrame, maxIter: Int = 10, eps: Double = 0.0): DataFrame = {
     require(maxIter >= 1, s"need at least one iteration, got $maxIter")
     val e = e0.localCheckpoint()
-    var cent = seedCentroids(e).localCheckpoint()
+    var cent = seedCentroids(e).coalesce(1).localCheckpoint()
     var means: DataFrame = null
     var converged = false
     var i = 0
@@ -309,7 +309,7 @@ object Similarity {
       val prevMeans = means
       means = updateMeans(assignClusters(e, cent)).localCheckpoint()
       if (prevMeans != null) freeCheckpoint(prevMeans)
-      val next = centroidArrays(means).localCheckpoint()
+      val next = centroidArrays(means).coalesce(1).localCheckpoint()
       converged = next.as("n")
         .join(cent.as("o"), col("n.c_label") === col("o.c_label"), "full")
         .filter(col("n.c_label").isNull || col("o.c_label").isNull ||
@@ -482,10 +482,10 @@ object Similarity {
   def pqTrain(e0: DataFrame, rounds: Int = 2): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"need at least one round, got $rounds")
     val sub = subVectors(e0).localCheckpoint()
-    var cent = pqSeeds(sub).localCheckpoint()
+    var cent = pqSeeds(sub).coalesce(1).localCheckpoint()
     (1 to rounds).foreach { _ =>
       val prev = cent
-      cent = pqUpdate(pqAssign(sub, prev)).localCheckpoint()
+      cent = pqUpdate(pqAssign(sub, prev)).coalesce(1).localCheckpoint()
       freeCheckpoint(prev) // superseded codebook — don't retain O(rounds)
     }
     (cent, pqAssign(sub, cent).select("vec_id", "m", "code"))
