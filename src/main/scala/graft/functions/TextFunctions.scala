@@ -23,6 +23,30 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** The engine's one stopword list — t02's quality score and c08's
+    * weighted sampling must score from the SAME formula, so both
+    * compose from here.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+  /** Count of `toks` members inside a fixed word set. */
+  def wordSetCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** The quality score (t02's formula, the c08 admission weight), from
+    * precomputed integer signals: 0.3·stopword-ratio +
+    * 0.4·min(1, chars/500) + 0.3·(1 − punct-ratio). Every term is a
+    * ratio of exact integers, so both engines produce identical
+    * doubles. Callers must guarantee nTokens ≥ 1 and nChars ≥ 1.
+    */
+  def qualityScore(
+      nChars: Column, nTokens: Column, nStop: Column,
+      nPunct: Column): Column =
+    (nStop.cast("double") / nTokens) * 0.3 +
+      least(lit(1.0), nChars.cast("double") / 500.0) * 0.4 +
+      (lit(1.0) - nPunct.cast("double") / nChars) * 0.3
+
   /** Distinct tokens in sorted order (a canonical token set). */
   def tokenSet(text: Column): Column =
     array_sort(array_distinct(tokens(text)))

@@ -299,26 +299,25 @@ object Curation {
         // quality arithmetic), so no double-tie can flip a row. Pure
         // projection + filter-free roster: one scan, no shuffle but
         // the final orderBy.
-        val toks = tokens(col("text"))
+        // Composes from the SHARED definitions: TextFunctions'
+        // stopwords/qualityScore (t02's formula — its oracle proves
+        // the arithmetic) and this object's hashBucket (c01/c02's
+        // family) — neither can drift from its oracle-backed source.
         docs(s, dir)
           .filter(col("text").isNotNull)
-          .withColumn("toks", toks)
+          .withColumn("toks", tokens(col("text")))
           .select(col("doc_id"), col("source"),
             length(col("text")).as("n_chars"),
             size(col("toks")).as("n_tokens"),
-            size(filter(col("toks"), t => t.isin(
-              Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
-                .map(w => w: Any): _*))).as("n_stop"),
+            wordSetCount(col("toks"), stopwords).as("n_stop"),
             size(filter(split(lower(col("text")), ""),
               c => !c.rlike("[a-z0-9 ]") && length(c) > 0)).as("n_punct"))
           .filter(col("n_tokens") >= 1)
           .withColumn("quality",
-            (col("n_stop").cast("double") / col("n_tokens")) * 0.3 +
-              least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.4 +
-              (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3)
+            qualityScore(col("n_chars"), col("n_tokens"),
+              col("n_stop"), col("n_punct")))
           .select(col("doc_id"), col("source"),
-            (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-              .cast("long") % 100).cast("int").as("bucket"),
+            hashBucket(col("doc_id")).cast("int").as("bucket"),
             floor(col("quality") * 100).cast("int").as("q_pct"))
           .withColumn("admitted",
             (col("bucket") < col("q_pct")).cast("int"))

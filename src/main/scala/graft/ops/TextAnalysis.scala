@@ -29,11 +29,11 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "que"),
     "zh" -> Seq("的", "是", "不", "了"))
 
+  // Marker counting and the stopword list live in TextFunctions —
+  // c08's quality-weighted sampling composes from the same
+  // definitions, so the two can't drift apart.
   private def markerCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
-
-  private val stopwords =
-    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
+    wordSetCount(toks, words)
 
   /** Top-`k` TF-IDF terms per document. Scale shape: tf is one groupBy
     * on (doc_id, term) with map-side partial combine; df is one
@@ -267,9 +267,8 @@ object TextAnalysis {
             (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
               col("n_tokens"))
           .withColumn("quality",
-            col("stop_ratio") * 0.3 +
-              least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.4 +
-              (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3)
+            qualityScore(col("n_chars"), col("n_tokens"),
+              col("n_stop"), col("n_punct")))
           .orderBy("doc_id"),
       Some("""
         WITH c AS (
