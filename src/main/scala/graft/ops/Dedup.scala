@@ -581,8 +581,12 @@ object Dedup {
             coalesce(sum(col("nr")), lit(0L)).as("n_rows"),
             coalesce(min(col("nr") === 8 && col("nb") === 8), lit(true))
               .as("bands_per_doc_ok"))
+        // th also feeds two branches (dup-doc count and the signature
+        // check): materialize the text scan + md5 once too — narrow
+        // rows, (doc_id, 16-byte hash).
         val th = docs(s, dir).filter(col("text").isNotNull)
           .select(col("doc_id"), md5(col("text").cast("binary")).as("thash"))
+          .localCheckpoint()
         val dupDocs = th.groupBy("thash").agg(count(lit(1)).as("c"))
           .filter(col("c") > 1)
           .agg(coalesce(sum(col("c")), lit(0L)).as("n_dup_docs"))

@@ -510,8 +510,11 @@ object Relational2 {
             count(lit(1)).as("n"),
             count(when(col("v") < col("value"), 1)).as("rank_lo"),
             count(when(col("v") <= col("value"), 1)).as("rank_hi"))
+          // Strict upper end: min attained rank = rank_lo + 1 (see
+          // q49's comment) — `<=` is one rank looser than the
+          // contract.
           .select(col("pct"),
-            (col("rank_lo") <= ceil((col("pct") + eps) * col("n")) &&
+            (col("rank_lo") < ceil((col("pct") + eps) * col("n")) &&
               col("rank_hi") >= floor((col("pct") - eps) * col("n")))
               .as("rank_ok"))
           .orderBy("pct")
@@ -677,11 +680,15 @@ object Relational2 {
             count(when(col("v") <= col("a50"), 1)).as("hi50"),
             count(when(col("v") < col("a95"), 1)).as("lo95"),
             count(when(col("v") <= col("a95"), 1)).as("hi95"))
+          // Strict on the upper end: v's MINIMUM attained rank is
+          // count(<v) + 1, so intersection with the contract band
+          // needs count(<v) < ceil((p+ε)n) — `<=` would certify a
+          // value whose every occurrence ranks above the band by one.
           .select(col("l_returnflag"), col("n"),
-            (col("lo50") <= ceil((lit(0.5) + eps) * col("n")) &&
+            (col("lo50") < ceil((lit(0.5) + eps) * col("n")) &&
               col("hi50") >= floor((lit(0.5) - eps) * col("n")))
               .as("p50_rank_ok"),
-            (col("lo95") <= ceil((lit(0.95) + eps) * col("n")) &&
+            (col("lo95") < ceil((lit(0.95) + eps) * col("n")) &&
               col("hi95") >= floor((lit(0.95) - eps) * col("n")))
               .as("p95_rank_ok"))
           .orderBy("l_returnflag")

@@ -488,7 +488,15 @@ object Similarity {
       cent = pqUpdate(pqAssign(sub, prev)).coalesce(1).localCheckpoint()
       freeCheckpoint(prev) // superseded codebook — don't retain O(rounds)
     }
-    (cent, pqAssign(sub, cent).select("vec_id", "m", "code"))
+    // Checkpoint the CODES (4 narrow rows per vector) and free the
+    // subvector table (64 doubles per vector): the caller's lazy plan
+    // then retains the 16×-smaller frame, not the widest one —
+    // without this every pqTrain call pinned an O(corpus) subvector
+    // RDD for the session's lifetime.
+    val codes = pqAssign(sub, cent).select("vec_id", "m", "code")
+      .localCheckpoint()
+    freeCheckpoint(sub)
+    (cent, codes)
   }
 
   /** ADC (asymmetric distance computation) top-k: queries stay raw,
@@ -506,6 +514,18 @@ object Similarity {
     */
   def pqAdcTopk(e: DataFrame, rounds: Int = 2, k: Int = 5): DataFrame = {
     val (cent, codes) = pqTrain(e, rounds)
+    pqAdcSearch(e, cent, codes, k)
+  }
+
+  /** The search half of [[pqAdcTopk]], against PRE-TRAINED codebooks
+    * and codes — what a deployment runs per query batch once the
+    * (expensive, infrequent) training job has produced the artifacts.
+    * ScaleSmoke times this separately from training so the ADC
+    * scaling numbers measure search, not retraining.
+    */
+  def pqAdcSearch(
+      e: DataFrame, cent: DataFrame, codes: DataFrame,
+      k: Int): DataFrame = {
     val queries = subVectors(e.filter(col("vec_id") < 3))
       .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
     val dtab = queries.join(broadcast(cent), "m")

@@ -60,9 +60,10 @@ class ApproxSpec extends SparkSpec {
     val sorted = li.orderBy("v").collect().map(_.getDouble(0))
     pcts.zip(vals).foreach { case (p, x) =>
       // Tie-aware rank interval of x must intersect [⌊(p-ε)n⌋,⌈(p+ε)n⌉]
+      // (strict upper end: x's minimum attained rank is rankLo + 1).
       val rankLo = sorted.count(_ < x)
       val rankHi = sorted.count(_ <= x)
-      assert(rankLo <= math.ceil((p + eps) * n) &&
+      assert(rankLo < math.ceil((p + eps) * n) &&
         rankHi >= math.floor((p - eps) * n),
         s"p=$p: value $x rank interval [$rankLo,$rankHi] outside " +
           s"±ε·n of ${p * n} (n=$n, ε=$eps)")

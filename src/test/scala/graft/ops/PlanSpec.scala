@@ -276,20 +276,18 @@ class PlanSpec extends SparkSpec {
     Similarity.freeCheckpoint(cent)
   }
 
-  test("s07: final assignment reads the training checkpoint and broadcasts the codebook") {
-    // pqTrain's training rounds live behind localCheckpoints, so the
-    // s07 plan is exactly the final assignment: subvectors from the
-    // checkpoint (one Scan ExistingRDD — text/embeddings are never
-    // re-derived), the ≤40-row codebook as a broadcast on the
-    // subspace key, and no cartesian/nested-loop anywhere. (The
-    // training rounds' own map-side combines are pinned by the s06
-    // round test and s08, whose plan embeds this same pipeline.)
+  test("s07: the query plan reads the trained-codes checkpoint, nothing recomputes") {
+    // pqTrain materializes the final codes (4 narrow rows per vector)
+    // and frees the wide subvector table, so the s07 plan must be
+    // exactly checkpoint-scan → rename → sort: any join, FileScan, or
+    // aggregate here would mean training artifacts are being
+    // re-derived at query time. (The training rounds' own plan
+    // properties are pinned by the s06 round test and s08.)
     val p = plan("s07_pq_train")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("FileScan"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
   }
 
   test("s08: codebook and distance table broadcast; corpus side is codes through equi-joins") {
