@@ -44,17 +44,30 @@ object Bench {
     val byName = pass().zip(pass()).map { case ((n, t1, ok1), (_, t2, ok2)) =>
       // min over the successful attempts; failed only if BOTH failed
       val ts = Seq(t1 -> ok1, t2 -> ok2).collect { case (t, true) => t }
-      (n, if (ts.nonEmpty) ts.min else -1.0, ts.nonEmpty)
+      (n, if (ts.nonEmpty) ts.min else -1.0, ts.nonEmpty,
+        if (ok1) t1 else -1.0, if (ok2) t2 else -1.0)
     }
     val results = byName
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _, _) =>
       s"\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // BOTH raw passes, per query (-1 = that pass failed): a contended
+    // machine inflates p1 AND p2 together (BENCH_r08's head queries
+    // measured 6× their clean times), and with only the min in the
+    // artifact nothing lets a reader tell contention from regression.
+    // "queries" stays the min-of-2 the driver compares; "passes" is
+    // the self-diagnosis. Locale-pinned %.3f: a comma-decimal locale
+    // would corrupt the JSON.
+    def d3(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+    val passes = results.map { case (k, _, _, t1, t2) =>
+      s""""$k":{"p1":${d3(t1)},"p2":${d3(t2)}}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line — console tails have truncated the
     // head of long JSON lines in past rounds.

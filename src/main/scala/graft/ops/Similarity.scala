@@ -46,12 +46,25 @@ object Similarity {
     * this, per-round checkpoints in the Lloyd loops accumulate
     * O(rounds) cached RDDs (tiny at the default round counts,
     * unbounded for caller-supplied ones).
+    *
+    * Restricted to frames whose analyzed plan IS the checkpoint's
+    * `LogicalRDD` root — i.e. exactly what `.localCheckpoint()`
+    * returned. Walking a larger plan and unpersisting every
+    * LogicalRDD inside it could free blocks still referenced by
+    * OTHER live frames built on the same checkpoint; since
+    * checkpointing truncates lineage, those frames cannot recompute
+    * and would die at runtime with "block not found". Passing a
+    * composed plan therefore throws instead of guessing.
     */
   def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "freeCheckpoint: expected a localCheckpoint'd frame " +
+          s"(LogicalRDD root), got ${other.nodeName} — freeing " +
+          "checkpoints reachable inside a composed plan risks " +
+          "unpersisting blocks shared with other live frames")
     }
 
   /** ±1 weight for (hyperplane b, dim j ∈ 1..64): the parity of the
@@ -138,14 +151,19 @@ object Similarity {
     * construction, since every cell is searched). Cells are disjoint,
     * so multi-probe needs no dedup — one window ranks the union.
     * Input (vec_id, label, v); queries (qid, qv). Output
-    * (qid, probe_label, vec_id, cos_sim, rnk). PRECONDITION: qid is
-    * the query's own corpus vec_id (self-match excluded by id) —
-    * callers with EXTERNAL queries must use qids disjoint from corpus
-    * vec_ids, or a legitimate neighbor sharing the id is silently
-    * dropped.
+    * (qid, probe_label, vec_id, cos_sim, rnk).
+    *
+    * `excludeSelf = true` is the corpus-member-query mode: qid IS the
+    * query's own corpus vec_id and the self-match is excluded by id.
+    * EXTERNAL queries (vectors not in the corpus — the deployment's
+    * first call) must pass `excludeSelf = false`: there is no self to
+    * exclude, and the id filter would silently drop a legitimate
+    * neighbor whose vec_id happens to collide with a qid (the r8
+    * advisory). s10 oracle-checks this path with centroid queries.
     */
   def ivfTopk(
-      e: DataFrame, queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
+      e: DataFrame, queries: DataFrame, k: Int, probes: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
     require(probes >= 1, s"need at least one probe, got $probes")
     val centroids = seedCentroids(e)
     // Probe: nearest `probes` centroids per query (tiny cross join).
@@ -160,8 +178,9 @@ object Similarity {
     // Search only the probed cells — the IVF pruning step.
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
+    val cellCond = col("label") === col("probe_label")
     e.join(broadcast(probe),
-      col("label") === col("probe_label") && col("vec_id") =!= col("qid"))
+      if (excludeSelf) cellCond && col("vec_id") =!= col("qid") else cellCond)
       .select(col("qid"), col("probe_label"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
@@ -209,13 +228,13 @@ object Similarity {
     .filter(col("rn") === 1)
     .select(col("vec_id"), col("v"), col("c_label").as("cluster"))
 
-  /** Width of the fixed vec_id ranges in the two-level deterministic
-    * mean fold ([[chunkedMean]]): level-1 aggregation buffers hold at
-    * most this many (vec_id, x) structs, whatever the cluster size.
+  /** Width of the fixed vec_id ranges in the three-level deterministic
+    * mean fold ([[chunkedMean]]): every level's aggregation buffer
+    * holds at most this many structs, whatever the cluster size.
     */
   val meanChunkWidth: Long = 1024L
 
-  /** Level 1 of the two-level deterministic mean: per (keys…, chunk)
+  /** Level 1 of the three-level deterministic mean: per (keys…, chunk)
     * where chunk = `vec_id div` [[meanChunkWidth]], fold the members
     * of that fixed vec_id range in vec_id order. The aggregation
     * buffer is bounded by the chunk width — a billion-member cluster
@@ -237,26 +256,38 @@ object Similarity {
           .as("csum")): _*)
   }
 
-  /** Two-level chunked deterministic mean: fold within fixed-width
-    * vec_id ranges ([[chunkedPartials]], bounded buffers), then fold
-    * the chunk sums in chunk order. Deterministic on both engines —
-    * chunk membership and both fold orders are vec_id-determined —
-    * so the DuckDB oracle states the identical convention. Level-2
-    * buffers hold one struct per populated chunk (members/width; a
-    * third level of the same shape would bound that too if vec_id
-    * ranges ever exceed width²·buffer budget). Output
-    * (keys…, n_members, cx).
+  /** Three-level chunked deterministic mean: fold within fixed-width
+    * vec_id ranges ([[chunkedPartials]], level-1 buffers ≤ width
+    * member structs), then fold the chunk sums within fixed-width
+    * CHUNK ranges (superchunk = `chunk div` width — level-2 buffers
+    * ≤ width chunk structs, whatever the cluster size), then fold the
+    * superchunk sums in superchunk order. Deterministic on both
+    * engines — chunk/superchunk membership and all three fold orders
+    * are vec_id-determined — so the DuckDB oracle states the
+    * identical convention. Only the level-3 buffer still grows with
+    * the data: one struct per populated superchunk, i.e.
+    * ≤ ceil(max vec_id / width²) ≤ width structs for vec_id < width³
+    * ≈ 1.07e9; past that the same construction stacks a fourth
+    * level. Output (keys…, n_members, cx).
     */
   def chunkedMean(rows: DataFrame, keys: Seq[String]): DataFrame = {
     val kcols = keys.map(col)
     chunkedPartials(rows, keys)
-      .groupBy(kcols: _*)
-      .agg(sum(col("cn")).as("n_members"),
+      .withColumn("schunk", expr(s"chunk div $meanChunkWidth"))
+      .groupBy(kcols :+ col("schunk"): _*)
+      .agg(sum(col("cn")).as("scn"),
         array_sort(collect_list(struct(col("chunk"), col("csum"))))
           .as("chunks"))
+      .select(kcols ++ Seq(col("schunk"), col("scn"),
+        expr("aggregate(chunks, cast(0.0 as double), (a, p) -> a + p.csum)")
+          .as("ssum")): _*)
+      .groupBy(kcols: _*)
+      .agg(sum(col("scn")).as("n_members"),
+        array_sort(collect_list(struct(col("schunk"), col("ssum"))))
+          .as("schunks"))
       .select(kcols ++ Seq(col("n_members"),
         (expr(
-          "aggregate(chunks, cast(0.0 as double), (a, p) -> a + p.csum)") /
+          "aggregate(schunks, cast(0.0 as double), (a, p) -> a + p.ssum)") /
           col("n_members")).as("cx")): _*)
   }
 
@@ -298,7 +329,17 @@ object Similarity {
     * Returns the final round's (cluster, dim, n_members, cx).
     */
   def kmeansConverge(
-      e0: DataFrame, maxIter: Int = 10, eps: Double = 0.0): DataFrame = {
+      e0: DataFrame, maxIter: Int = 10, eps: Double = 0.0): DataFrame =
+    kmeansConvergeRounds(e0, maxIter, eps)._1
+
+  /** [[kmeansConverge]] plus the number of Lloyd rounds actually run —
+    * the ScaleSmoke `sim` mode reports rounds and per-round time
+    * separately (total time alone can't distinguish "more data per
+    * round" from "more rounds to converge").
+    */
+  def kmeansConvergeRounds(
+      e0: DataFrame, maxIter: Int = 10, eps: Double = 0.0)
+      : (DataFrame, Int) = {
     require(maxIter >= 1, s"need at least one iteration, got $maxIter")
     val e = e0.localCheckpoint()
     var cent = seedCentroids(e).coalesce(1).localCheckpoint()
@@ -325,7 +366,7 @@ object Similarity {
     // them live as long as the caller holds the result.
     freeCheckpoint(e)
     freeCheckpoint(cent)
-    means
+    (means, i)
   }
 
   /** DuckDB restatement of [[kmeansConverge]] at a PINNED iteration
@@ -362,12 +403,19 @@ object Similarity {
                                      list(x ORDER BY vec_id)),
                         (a, b) -> a + b) AS csum
           FROM ad$k GROUP BY cluster, dim, chunk),
-        upd$k AS (
-          SELECT cluster, dim, CAST(SUM(cn) AS BIGINT) AS n_members,
+        schnk$k AS (
+          SELECT cluster, dim, chunk // $meanChunkWidth AS schunk,
+            SUM(cn) AS scn,
             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                                      list(csum ORDER BY chunk)),
-                        (a, b) -> a + b) / SUM(cn) AS cx
-          FROM chnk$k GROUP BY cluster, dim),
+                        (a, b) -> a + b) AS ssum
+          FROM chnk$k GROUP BY cluster, dim, schunk),
+        upd$k AS (
+          SELECT cluster, dim, CAST(SUM(scn) AS BIGINT) AS n_members,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(ssum ORDER BY schunk)),
+                        (a, b) -> a + b) / SUM(scn) AS cx
+          FROM schnk$k GROUP BY cluster, dim),
         cent$k AS (
           SELECT cluster, list(cx ORDER BY dim) AS cv
           FROM upd$k GROUP BY cluster)"""
@@ -408,6 +456,20 @@ object Similarity {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
+
+  /** [[subVectors]] for a caller-supplied query frame (qid, qv) — no
+    * label column, query vectors need not be corpus members. Output
+    * (qid, m, qv) with qv the 16-d subvector.
+    */
+  def querySubVectors(q: DataFrame): DataFrame = q
+    .select(col("qid"), posexplode(col("qv")).as(Seq("dim", "x")))
+    .withColumn("m", (col("dim") / lit(16)).cast("int"))
+    .withColumn("sdim", pmod(col("dim"), lit(16)))
+    .groupBy("qid", "m")
+    .agg(array_sort(collect_list(struct(col("sdim"), col("x"))))
+      .as("pairs"))
+    .select(col("qid"), col("m"),
+      transform(col("pairs"), p => p.getField("x")).as("qv"))
 
   /** Split 64-d vectors into M=4 16-d subvectors:
     * (vec_id, label, m, sv). One explode + one grouped rebuild — the
@@ -514,25 +576,31 @@ object Similarity {
     */
   def pqAdcTopk(e: DataFrame, rounds: Int = 2, k: Int = 5): DataFrame = {
     val (cent, codes) = pqTrain(e, rounds)
-    pqAdcSearch(e, cent, codes, k)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    pqAdcSearch(queries, cent, codes, k)
   }
 
   /** The search half of [[pqAdcTopk]], against PRE-TRAINED codebooks
     * and codes — what a deployment runs per query batch once the
     * (expensive, infrequent) training job has produced the artifacts.
-    * ScaleSmoke times this separately from training so the ADC
-    * scaling numbers measure search, not retraining.
+    * `queries` is a caller-supplied (qid, qv: array<double> 64-d)
+    * frame; the vectors need NOT be corpus members — pass
+    * `excludeSelf = false` for such external queries (the default
+    * `true` drops the row whose corpus vec_id equals qid, the
+    * corpus-member-query convention s08 uses). ScaleSmoke times this
+    * separately from training so the ADC scaling numbers measure
+    * search, not retraining.
     */
   def pqAdcSearch(
-      e: DataFrame, cent: DataFrame, codes: DataFrame,
-      k: Int): DataFrame = {
-    val queries = subVectors(e.filter(col("vec_id") < 3))
-      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
-    val dtab = queries.join(broadcast(cent), "m")
+      queries: DataFrame, cent: DataFrame, codes: DataFrame,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val qsub = querySubVectors(queries)
+    val dtab = qsub.join(broadcast(cent), "m")
       .select(col("qid"), col("m"), col("cluster").as("code"),
         l2sq(col("qv"), col("cv")).as("dpart"))
-    codes.join(broadcast(dtab), Seq("m", "code"))
-      .filter(col("vec_id") =!= col("qid"))
+    val cand = codes.join(broadcast(dtab), Seq("m", "code"))
+    (if (excludeSelf) cand.filter(col("vec_id") =!= col("qid")) else cand)
       .groupBy("qid", "vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("dpart"))))
         .as("parts"))
@@ -577,13 +645,20 @@ object Similarity {
                                      list(x ORDER BY vec_id)),
                         (a, b) -> a + b) AS csum
           FROM ad$r GROUP BY m, cluster, sdim, chunk),
+        pschnk$r AS (
+          SELECT m, cluster, sdim, chunk // $meanChunkWidth AS schunk,
+            SUM(cn) AS scn,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(csum ORDER BY chunk)),
+                        (a, b) -> a + b) AS ssum
+          FROM pchnk$r GROUP BY m, cluster, sdim, schunk),
         cent$r AS (
           SELECT m, cluster, list(cx ORDER BY sdim) AS cv FROM (
             SELECT m, cluster, sdim,
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                       list(csum ORDER BY chunk)),
-                          (a, b) -> a + b) / SUM(cn) AS cx
-            FROM pchnk$r GROUP BY m, cluster, sdim)
+                                       list(ssum ORDER BY schunk)),
+                          (a, b) -> a + b) / SUM(scn) AS cx
+            FROM pschnk$r GROUP BY m, cluster, sdim)
           GROUP BY m, cluster)"""
     }.mkString(",")
     s"""
@@ -849,6 +924,65 @@ object Similarity {
         ORDER BY qid, rnk""")),
     // ----------------------------------------------------------------
     Q(
+      "s10_ann_external",
+      (s, dir) => {
+        // EXTERNAL-query ANN — the deployment's actual first call:
+        // "here is a frame of query vectors", none of which are
+        // corpus members. Queries here are the 16 per-label centroids
+        // (deterministic, derivable by the oracle, and genuinely not
+        // corpus rows); probes = 2 so each query searches its own
+        // cell plus the nearest other. excludeSelf = false is the
+        // load-bearing bit: qids (0..15) COLLIDE with corpus vec_ids,
+        // and the corpus-member-mode id filter would silently drop a
+        // legitimate neighbor per cell (the r8 advisory, now under
+        // the hash gate).
+        val e = emb(s, dir)
+        val queries = seedCentroids(e)
+          .select(col("c_label").cast("bigint").as("qid"),
+            col("cv").as("qv"))
+        ivfTopk(e, queries, k = 5, probes = 2, excludeSelf = false)
+          .orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM dims GROUP BY label, dim)
+          GROUP BY label),
+        q AS (SELECT CAST(label AS BIGINT) AS qid, cv AS qv FROM cent),
+        probe AS (
+          SELECT qid, qv, label AS probe_label FROM (
+            SELECT q.qid, q.qv, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 2),
+        scored AS (
+          SELECT p.qid, p.probe_label, e.vec_id,
+            ROUND(list_sum(list_transform(list_zip(p.qv, e.v), pr -> pr[1]*pr[2])) /
+              (sqrt(list_sum(list_transform(p.qv, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos_sim
+          FROM e JOIN probe p ON e.label = p.probe_label)
+        SELECT qid, probe_label, vec_id, cos_sim, rnk FROM (
+          SELECT qid, probe_label, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
       "s05_kmeans_iterate",
       (s, dir) => {
         // One full k-means Lloyd iteration, distributed — the
@@ -909,12 +1043,19 @@ object Similarity {
             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                                      list(x ORDER BY vec_id)),
                         (a, b) -> a + b) AS csum
-          FROM ad GROUP BY cluster, dim, chunk)
-        SELECT cluster, dim, CAST(SUM(cn) AS BIGINT) AS n_members,
+          FROM ad GROUP BY cluster, dim, chunk),
+        schnk AS (
+          SELECT cluster, dim, chunk // ${meanChunkWidth} AS schunk,
+            SUM(cn) AS scn,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(csum ORDER BY chunk)),
+                        (a, b) -> a + b) AS ssum
+          FROM chnk GROUP BY cluster, dim, schunk)
+        SELECT cluster, dim, CAST(SUM(scn) AS BIGINT) AS n_members,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                   list(csum ORDER BY chunk)),
-                      (a, b) -> a + b) / SUM(cn) AS cx
-        FROM chnk GROUP BY cluster, dim
+                                   list(ssum ORDER BY schunk)),
+                      (a, b) -> a + b) / SUM(scn) AS cx
+        FROM schnk GROUP BY cluster, dim
         ORDER BY cluster, dim""")),
     // ----------------------------------------------------------------
     Q(

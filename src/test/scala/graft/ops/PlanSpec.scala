@@ -249,14 +249,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("s06 round: broadcast assignment; both chunked-mean levels combine map-side") {
+  test("s06 round: broadcast assignment; all chunked-mean levels combine map-side") {
     // One Lloyd round = the plan kmeansConverge re-applies per
     // iteration. Pin the three scale properties: (a) assignment is a
     // broadcast pass (centroids build-side, never a shuffled cross
-    // join); (b) exactly 3 hash exchanges — the vec_id argmax window,
-    // the (cluster, dim, chunk) level-1 fold, the (cluster, dim)
-    // level-2 fold; (c) BOTH chunked-mean levels partially aggregate
-    // before their exchange, so the shuffles carry bounded chunk
+    // join); (b) exactly 4 hash exchanges — the vec_id argmax window,
+    // the (cluster, dim, chunk) level-1 fold, the
+    // (cluster, dim, schunk) level-2 fold, the (cluster, dim)
+    // level-3 fold; (c) EVERY chunked-mean level partially aggregates
+    // before its exchange, so the shuffles carry bounded chunk
     // buffers / chunk sums, never raw member rows.
     graft.functions.VectorExpressions.register(spark)
     val e = graft.Tables.load(spark, dir, "embeddings")
@@ -269,10 +270,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashEx == 3, s"expected 3 hash exchanges, got $hashEx\n$p")
+    assert(hashEx == 4, s"expected 4 hash exchanges, got $hashEx\n$p")
     val partialFolds = "partial_collect_list".r.findAllIn(p).size
-    assert(partialFolds >= 2,
-      s"expected both chunk levels to combine map-side, got $partialFolds\n$p")
+    assert(partialFolds >= 3,
+      s"expected all three chunk levels to combine map-side, got $partialFolds\n$p")
     Similarity.freeCheckpoint(cent)
   }
 

@@ -276,17 +276,108 @@ class SimilaritySpec extends SparkSpec {
     assert(rAll == 1.0, f"all-cells probe must equal exact, got $rAll%.3f")
   }
 
+  test("external-query ANN: IVF and ADC search a non-corpus query frame (qid collisions included)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    // The 8×25 planted corpus from the recall test; queries are the
+    // PURE cluster directions — deliberately not corpus rows, with
+    // qids 0..7 that COLLIDE with corpus vec_ids. excludeSelf = false
+    // must ignore the collision: in corpus-member mode the id filter
+    // would silently drop candidate vec_id == qid (the r8 advisory).
+    val rows = for (c <- 0 until 8; i <- 0 until 25) yield {
+      val v = (0 until 64).map(d =>
+        (if (d / 8 == c) 4.0 else 0.0) + 0.01 * ((c * 25 + i + 3 * d) % 7))
+      (c * 25L + i, c, v)
+    }
+    val e = rows.toDF("vec_id", "label", "v")
+    val qvecs = (0 until 8).map(c =>
+      (0 until 64).map(d => if (d / 8 == c) 4.0 else 0.0))
+
+    def dotL(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cosL(a: Seq[Double], b: Seq[Double]) =
+      dotL(a, b) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b)))
+    // Exact top-5 over the WHOLE corpus, at the operators' published
+    // contract (6-dp rounding, vec_id tie-break) — nothing excluded.
+    def exactTop5(qv: Seq[Double]): Seq[Long] =
+      rows.map(r => (r._1, BigDecimal(cosL(qv, r._3))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy(p => (-p._2, p._1)).take(5).map(_._1)
+    val tops = qvecs.map(exactTop5)
+    // Maximal collision by construction: each query's qid is its own
+    // exact TOP-1 neighbor's corpus vec_id.
+    val qs = qvecs.zip(tops).map { case (qv, top) => (top.head, qv) }
+    val qdf = qs.toDF("qid", "qv")
+    val exact = qs.map(_._1).zip(tops.map(_.toSet)).toMap
+
+    val ivf = Similarity.ivfTopk(e, qdf, k = 5, probes = 1,
+        excludeSelf = false)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(ivf.keySet == qs.map(_._1).toSet)
+    ivf.foreach { case (q, got) =>
+      assert(got.size == 5, s"query $q returned ${got.size} rows")
+      assert(got == exact(q), // cells == planted clusters ⇒ exact-complete
+        s"query $q: got $got, exact ${exact(q)}")
+      assert(got.contains(q), s"colliding top-1 neighbor $q was dropped")
+    }
+    // And the advisory's failure mode is real: corpus-member mode on
+    // the same external frame silently loses the top-1 neighbor of
+    // every query (its vec_id equals the qid the filter excludes).
+    val wrongMode = Similarity.ivfTopk(e, qdf, k = 5, probes = 1)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    qs.map(_._1).foreach(q =>
+      assert(!wrongMode(q).contains(q),
+        s"corpus-member mode unexpectedly kept vec_id == qid for $q"))
+
+    // ADC against the same external frame: pre-trained artifacts,
+    // every retrieved neighbor must be an own-cluster member.
+    val (cent, codes) = Similarity.pqTrain(e, rounds = 2)
+    val adc = Similarity.pqAdcSearch(qdf, cent, codes, k = 5,
+        excludeSelf = false)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(adc.keySet == qs.map(_._1).toSet)
+    adc.foreach { case (q, got) =>
+      assert(got.size == 5, s"ADC query $q returned ${got.size} rows")
+      got.foreach(nb => assert(nb / 25 == q / 25,
+        s"ADC query $q retrieved cross-cluster neighbor $nb"))
+    }
+  }
+
+  /** Local reference implementation of [[Similarity.chunkedMean]]'s
+    * three-level fold convention: member fold in vec_id order within
+    * chunks, chunk fold in chunk order within superchunks, superchunk
+    * fold in superchunk order. IEEE addition is exact-deterministic
+    * given order, so the distributed result must match bit-for-bit.
+    */
+  private def localChunkedMean(pairs: Seq[(Long, Double)]): Double = {
+    val w = Similarity.meanChunkWidth
+    val csums = pairs.groupBy(_._1 / w).toSeq.sortBy(_._1)
+      .map { case (chunk, ms) =>
+        (chunk, ms.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _))
+      }
+    val ssums = csums.groupBy(_._1 / w).toSeq.sortBy(_._1)
+      .map { case (sc, cs) =>
+        (sc, cs.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _))
+      }
+    ssums.map(_._2).foldLeft(0.0)(_ + _) / pairs.size
+  }
+
   test("chunked mean fold bounds per-group state on a 100k-member cluster") {
     val sparkS = spark
     import sparkS.implicits._
     import org.apache.spark.sql.functions._
     // One popular cluster with 100k members — the shape that OOM'd the
     // old O(cluster) collect_list design (every member in a single
-    // aggregation buffer). The two-level fold must (a) keep every
+    // aggregation buffer). The chunked fold must (a) keep every
     // level-1 buffer within meanChunkWidth, (b) spread the cluster
     // over ceil(n/width) chunks, and (c) reproduce the reference
-    // two-level fold bit-for-bit (chunk membership and both fold
-    // orders are vec_id-determined, so this is exact, not approx).
+    // fold bit-for-bit (chunk membership and the fold orders are
+    // vec_id-determined, so this is exact, not approx).
     val n = 100000
     val xs = (0 until n).map(i => (i.toLong, 0, ((i * 31 + 7) % 997) / 997.0))
     val rows = xs.toDF("vec_id", "cluster", "x")
@@ -304,33 +395,70 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.chunkedMean(rows, Seq("cluster", "dim")).collect()
     assert(out.length == 1)
     assert(out.head.getLong(2) == n)
-    // Reference two-level fold, computed locally in the same order.
-    val expected = xs.grouped(w.toInt).map(_.map(_._3).foldLeft(0.0)(_ + _))
-      .foldLeft(0.0)(_ + _) / n
+    val expected = localChunkedMean(xs.map(r => (r._1, r._3)))
     assert(out.head.getDouble(3) == expected, // bit-for-bit, not ≈
       s"got ${out.head.getDouble(3)}, expected $expected")
   }
 
-  test("chunkedMean equals the local two-level reference on random sparse ids") {
+  test("chunked mean level-2 buffers are range-bounded across superchunks") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    // The round-8 watch item: with two levels, the final buffer held
+    // one struct per populated CHUNK — O(members/width) growth. The
+    // third level groups chunks into fixed-width superchunks, so
+    // level-2 buffers are range-bounded at `width` chunk structs and
+    // the only still-growing buffer is level 3's one-struct-per-
+    // superchunk (≤ width for vec_id < width³ ≈ 1.07e9). Plant 120k
+    // members spread over ~940 superchunks (vec_id = i·8192, max
+    // ≈ 0.98e9 — inside the documented range) and assert both the
+    // bounds and the bit-exact three-level fold.
+    val n = 120000
+    val xs = (0 until n).map(i =>
+      (i.toLong * 8192L, 0, ((i * 17 + 3) % 991) / 991.0))
+    val rows = xs.toDF("vec_id", "cluster", "x")
+      .withColumn("dim", lit(1))
+      .select("vec_id", "cluster", "dim", "x")
+
+    val w = Similarity.meanChunkWidth
+    val chunksPerSuper = Similarity.chunkedPartials(rows, Seq("cluster", "dim"))
+      .groupBy((col("chunk") / w).cast("long").as("schunk"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .collect()
+    assert(chunksPerSuper.length >= 100, // non-vacuous: many superchunks
+      s"expected >=100 superchunks, got ${chunksPerSuper.length}")
+    assert(chunksPerSuper.length <= w, // level-3 range bound holds
+      s"${chunksPerSuper.length} superchunks exceed the documented $w bound")
+    assert(chunksPerSuper.forall(_.getLong(1) <= w), // level-2 bounded
+      s"a superchunk exceeded the $w-chunk bound")
+
+    val out = Similarity.chunkedMean(rows, Seq("cluster", "dim")).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == n)
+    val expected = localChunkedMean(xs.map(r => (r._1, r._3)))
+    assert(out.head.getDouble(3) == expected, // bit-for-bit, not ≈
+      s"got ${out.head.getDouble(3)}, expected $expected")
+  }
+
+  test("chunkedMean equals the local three-level reference on random sparse ids") {
     val sparkS = spark
     import sparkS.implicits._
     // Property-style (fixed-seed deterministic): arbitrary NON-DENSE
-    // non-negative vec_ids — gaps, cross-chunk strays, duplicates-free
-    // — must produce exactly the local chunked fold. Catches chunk-
-    // membership or fold-order bugs the dense planted test can't see.
+    // non-negative vec_ids — gaps, cross-chunk strays, cross-SUPERCHUNK
+    // strays, duplicates-free — must produce exactly the local chunked
+    // fold. Catches chunk-membership or fold-order bugs the dense
+    // planted test can't see. Id range spans multiple superchunks
+    // (width² = 1 048 576), so the level-2/level-3 split is exercised.
     val rnd = new scala.util.Random(20260813L)
     (1 to 5).foreach { trial =>
       val n = 50 + rnd.nextInt(400)
       val ids = scala.collection.mutable.LinkedHashSet[Long]()
-      while (ids.size < n) ids += math.abs(rnd.nextLong() % 1000000L)
+      while (ids.size < n) ids += math.abs(rnd.nextLong() % 8000000L)
       val data = ids.toSeq.map(id => (id, 0, 1, rnd.nextDouble()))
       val rows = data.toDF("vec_id", "cluster", "dim", "x")
       val out = Similarity.chunkedMean(rows, Seq("cluster", "dim")).collect()
       assert(out.length == 1 && out.head.getLong(2) == n, s"trial $trial")
-      val w = Similarity.meanChunkWidth
-      val expected = data.sortBy(_._1).groupBy(_._1 / w).toSeq.sortBy(_._1)
-        .map(_._2.sortBy(_._1).map(_._4).foldLeft(0.0)(_ + _))
-        .foldLeft(0.0)(_ + _) / n
+      val expected = localChunkedMean(data.map(r => (r._1, r._4)))
       assert(out.head.getDouble(3) == expected, // bit-for-bit
         s"trial $trial: got ${out.head.getDouble(3)}, want $expected")
     }
