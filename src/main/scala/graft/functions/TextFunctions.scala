@@ -47,6 +47,19 @@ object TextFunctions {
       least(lit(1.0), nChars.cast("double") / 500.0) * 0.4 +
       (lit(1.0) - nPunct.cast("double") / nChars) * 0.3
 
+  /** The four integer quality SIGNALS (t02's profile columns, c08's
+    * admission inputs) from a text column and its token array:
+    * n_chars, n_tokens, n_stop, n_punct. Factored here so both
+    * queries project literally the same expressions — and stay in
+    * lockstep with the DuckDB side via [[sqlQualitySignals]].
+    */
+  def qualitySignals(text: Column, toks: Column): Seq[Column] = Seq(
+    length(text).as("n_chars"),
+    size(toks).as("n_tokens"),
+    wordSetCount(toks, stopwords).as("n_stop"),
+    size(filter(split(lower(text), ""),
+      c => !c.rlike("[a-z0-9 ]") && length(c) > 0)).as("n_punct"))
+
   /** Distinct tokens in sorted order (a canonical token set). */
   def tokenSet(text: Column): Column =
     array_sort(array_distinct(tokens(text)))
@@ -144,6 +157,31 @@ object TextFunctions {
                      x -> len(x) > 0) AS tl
        FROM documents
        WHERE text IS NOT NULL"""
+
+  /** DuckDB: the four quality signals as SELECT-list columns (the
+    * mirror of [[qualitySignals]]; the stopword IN-list is rendered
+    * from [[stopwords]], the single source of truth). `\\s` because
+    * the s-interpolator processes escapes even in triple quotes.
+    */
+  val sqlQualitySignals: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString(",")
+    s"""CAST(LENGTH(text) AS INT) AS n_chars,
+            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> len(x) > 0)) AS INT) AS n_tokens,
+            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> x IN ($sw))) AS INT) AS n_stop,
+            CAST(len(list_filter(string_split(lower(text), ''),
+              x -> NOT regexp_matches(x, '[a-z0-9 ]') AND len(x) > 0))
+              AS INT) AS n_punct"""
+  }
+
+  /** DuckDB: the quality formula over those signal columns (the
+    * mirror of [[qualityScore]]).
+    */
+  val sqlQuality: String =
+    """(CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+            + LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.4
+            + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3"""
 
   /** DuckDB: 3-shingles from the `tl` token list. */
   val sqlShingles: String =

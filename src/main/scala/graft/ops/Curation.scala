@@ -300,18 +300,15 @@ object Curation {
         // projection + filter-free roster: one scan, no shuffle but
         // the final orderBy.
         // Composes from the SHARED definitions: TextFunctions'
-        // stopwords/qualityScore (t02's formula — its oracle proves
-        // the arithmetic) and this object's hashBucket (c01/c02's
-        // family) — neither can drift from its oracle-backed source.
+        // qualitySignals/qualityScore (t02's exact expressions — its
+        // oracle proves the arithmetic) and this object's hashBucket
+        // (c01/c02's family) — neither can drift from its
+        // oracle-backed source.
         docs(s, dir)
           .filter(col("text").isNotNull)
           .withColumn("toks", tokens(col("text")))
-          .select(col("doc_id"), col("source"),
-            length(col("text")).as("n_chars"),
-            size(col("toks")).as("n_tokens"),
-            wordSetCount(col("toks"), stopwords).as("n_stop"),
-            size(filter(split(lower(col("text")), ""),
-              c => !c.rlike("[a-z0-9 ]") && length(c) > 0)).as("n_punct"))
+          .select(Seq(col("doc_id"), col("source")) ++
+            qualitySignals(col("text"), col("toks")): _*)
           .filter(col("n_tokens") >= 1)
           .withColumn("quality",
             qualityScore(col("n_chars"), col("n_tokens"),
@@ -323,24 +320,14 @@ object Curation {
             (col("bucket") < col("q_pct")).cast("int"))
           .orderBy("doc_id")
       },
-      Some("""
+      Some(s"""
         WITH c AS (
           SELECT doc_id, source,
-            CAST(LENGTH(text) AS INT) AS n_chars,
-            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                                 x -> len(x) > 0)) AS INT) AS n_tokens,
-            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-              x -> x IN ('the','a','an','and','or','of','to','in','is')))
-              AS INT) AS n_stop,
-            CAST(len(list_filter(string_split(lower(text), ''),
-              x -> NOT regexp_matches(x, '[a-z0-9 ]') AND len(x) > 0))
-              AS INT) AS n_punct
+            $sqlQualitySignals
           FROM documents WHERE text IS NOT NULL),
         q AS (
           SELECT doc_id, source,
-            (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 +
-              least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.4 +
-              (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
+            $sqlQuality AS quality
           FROM c WHERE n_tokens >= 1)
         SELECT doc_id, source,
           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)

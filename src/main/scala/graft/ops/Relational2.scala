@@ -669,7 +669,15 @@ object Relational2 {
           .select(col("l_returnflag"),
             element_at(col("approx_p"), 1).as("a50"),
             element_at(col("approx_p"), 2).as("a95"))
-        li.join(broadcast(ap), "l_returnflag")
+        // eqNullSafe: a NULL flag group must survive the rank-check
+        // join (plain `=` would silently drop it and the oracle's
+        // GROUP BY would keep it) — unreachable on TPC-H data, but
+        // the NULL-robustness q27 claims has to hold here too.
+        li.as("l")
+          .join(broadcast(ap).as("r"),
+            col("l.l_returnflag") <=> col("r.l_returnflag"))
+          .select(col("l.l_returnflag").as("l_returnflag"), col("v"),
+            col("a50"), col("a95"))
           .groupBy("l_returnflag")
           .agg(
             // n over NON-NULL values: the sketch's population excludes
@@ -684,12 +692,17 @@ object Relational2 {
           // count(<v) + 1, so intersection with the contract band
           // needs count(<v) < ceil((p+ε)n) — `<=` would certify a
           // value whose every occurrence ranks above the band by one.
+          // n = 0 (an all-NULL-price group) has no sketch contract to
+          // check — vacuously true, matching the oracle's TRUE, not
+          // the NULL-comparison false the raw predicate would yield.
           .select(col("l_returnflag"), col("n"),
-            (col("lo50") < ceil((lit(0.5) + eps) * col("n")) &&
-              col("hi50") >= floor((lit(0.5) - eps) * col("n")))
+            when(col("n") === 0, lit(true)).otherwise(
+              col("lo50") < ceil((lit(0.5) + eps) * col("n")) &&
+                col("hi50") >= floor((lit(0.5) - eps) * col("n")))
               .as("p50_rank_ok"),
-            (col("lo95") < ceil((lit(0.95) + eps) * col("n")) &&
-              col("hi95") >= floor((lit(0.95) - eps) * col("n")))
+            when(col("n") === 0, lit(true)).otherwise(
+              col("lo95") < ceil((lit(0.95) + eps) * col("n")) &&
+                col("hi95") >= floor((lit(0.95) - eps) * col("n")))
               .as("p95_rank_ok"))
           .orderBy("l_returnflag")
       },

@@ -252,15 +252,13 @@ object TextAnalysis {
     Q(
       "t02_quality_score",
       (s, dir) =>
+        // The four signals and the score come from TextFunctions'
+        // qualitySignals/qualityScore — the same expressions c08
+        // weights its sampling by, so the two cannot drift.
         docs(s, dir)
           .withColumn("toks", tokens(col("text")))
-          .select(
-            col("doc_id"),
-            length(col("text")).as("n_chars"),
-            size(col("toks")).as("n_tokens"),
-            markerCount(col("toks"), stopwords).as("n_stop"),
-            size(filter(split(lower(col("text")), ""),
-              c => !c.rlike("[a-z0-9 ]") && length(c) > 0)).as("n_punct"))
+          .select(col("doc_id") +:
+            qualitySignals(col("text"), col("toks")): _*)
           .withColumn("stop_ratio",
             col("n_stop").cast("double") / col("n_tokens"))
           .withColumn("avg_token_len",
@@ -270,23 +268,15 @@ object TextAnalysis {
             qualityScore(col("n_chars"), col("n_tokens"),
               col("n_stop"), col("n_punct")))
           .orderBy("doc_id"),
-      Some("""
+      Some(s"""
         WITH c AS (
           SELECT doc_id,
-            CAST(LENGTH(text) AS INT) AS n_chars,
-            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                                 x -> len(x) > 0)) AS INT) AS n_tokens,
-            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-              x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS INT) AS n_stop,
-            CAST(len(list_filter(string_split(lower(text), ''),
-              x -> NOT regexp_matches(x, '[a-z0-9 ]') AND len(x) > 0)) AS INT) AS n_punct
+            $sqlQualitySignals
           FROM documents)
         SELECT doc_id, n_chars, n_tokens, n_stop, n_punct,
           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
           CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
-          (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
-            + LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.4
-            + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
+          $sqlQuality AS quality
         FROM c ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(
