@@ -17,8 +17,9 @@ object ScaleSmoke {
       |  <factor>      dedup ops on documents ×factor (default ×10)
       |  skew [f]      adversarial 25%-clone corpus, capped vs uncapped
       |  q56 [f]       N pruned scans vs one-scan Expand on lineitem ×f
-      |  sim [f]       PQ train / ADC top-k / IVF on embeddings ×1 and ×f
-      |  ttl [chunks]  st11 state size per micro-batch at sf0.1""".stripMargin
+      |  sim [f]       PQ/ADC/IVF/k-means converge on embeddings ×1 and ×f
+      |  ttl [chunks]  st11 state size per micro-batch at sf0.1
+      |  stjoin [chunks]  st03 interval-join state per micro-batch at sf0.1""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -183,14 +184,27 @@ object ScaleSmoke {
         trained = Similarity.pqTrain(e, rounds = 2)
         trained._2.write.format("noop").mode("overwrite").save()
       }
+      val adcQueries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
       time(s"pq adc search $tag")(
-        Similarity.pqAdcSearch(e, trained._1, trained._2, k = 5)
+        Similarity.pqAdcSearch(adcQueries, trained._1, trained._2, k = 5)
           .write.format("noop").mode("overwrite").save())
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       time(s"ivf top-k $tag")(
         Similarity.ivfTopk(e, queries, k = 5)
           .write.format("noop").mode("overwrite").save())
+      // Convergence loop: report rounds and per-round time separately
+      // — the scale claim is that per-ROUND cost stays flat (broadcast
+      // assignment + two bounded chunked aggregations), while rounds-
+      // to-convergence is a property of the data, not the corpus size.
+      val t0 = System.nanoTime()
+      val (means, rounds) =
+        Similarity.kmeansConvergeRounds(e, maxIter = 6)
+      means.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[sim] kmeans converge $tag%-6s $secs%.2f s, " +
+        f"$rounds rounds, ${secs / rounds}%.2f s/round")
     }
     val e1 = emb1.cache()
     run(e1, "x1")
@@ -254,8 +268,77 @@ object ScaleSmoke {
     }
   }
 
+  /** Stream-stream interval-join state vs watermark horizon
+    * (`runMain graft.ScaleSmoke stjoin [chunks]`): feed the sf0.1
+    * purchase/view events through
+    * [[graft.streaming.EventStream.purchasesWithRecentViews]] in
+    * event-time-ordered micro-batches and print the join's
+    * state-store rows after each — the st03 complement to the ttl
+    * mode's near-dup measurement. Both sides carry 1h watermarks and
+    * the join bounds event-time distance to 1h, so each side's
+    * buffered rows are evicted once the watermark passes their
+    * matchable horizon: live state must plateau at ~hours of traffic
+    * (plus one micro-batch of watermark lag) while lifetime input
+    * keeps growing.
+    */
+  def runStJoin(spark: SparkSession, chunks: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    // Dev-tool-only collect (the ttl-mode pattern): hand-controlled
+    // micro-batch boundaries need MemoryStream.
+    def side(t: String): Array[EventStream.Ev] =
+      ev.filter(col("event_type") === t).drop("event_type")
+        .as[EventStream.Ev].collect().sortBy(e => (e.us, e.event_id))
+    val purchases = side("purchase")
+    val views = side("view")
+    val minUs = math.min(purchases.head.us, views.head.us)
+    val maxUs = math.max(purchases.last.us, views.last.us)
+    val lifetime = purchases.length + views.length
+    println(f"[stjoin] ${purchases.length} purchases + ${views.length} views" +
+      f" over ${(maxUs - minUs) / 3600e6 / 24}%.1f days" +
+      f" (~${lifetime / ((maxUs - minUs) / 3600e6)}%.0f rows/h);" +
+      " join horizon 1h + 1h lateness")
+    val pIn = MemoryStream[EventStream.Ev]
+    val vIn = MemoryStream[EventStream.Ev]
+    def toTs(ds: org.apache.spark.sql.Dataset[EventStream.Ev]) =
+      ds.withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = EventStream
+      .purchasesWithRecentViews(toTs(pIn.toDS()), toTs(vIn.toDS()))
+      .writeStream.format("memory").queryName("stjoin_scale")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      var maxState = -1L
+      val step = (maxUs - minUs) / chunks + 1
+      (0 until chunks).foreach { i =>
+        val lo = minUs + i * step
+        val hi = lo + step
+        val pc = purchases.filter(e => e.us >= lo && e.us < hi)
+        val vc = views.filter(e => e.us >= lo && e.us < hi)
+        if (pc.nonEmpty) pIn.addData(pc.toSeq)
+        if (vc.nonEmpty) vIn.addData(vc.toSeq)
+        q.processAllAvailable()
+        val st = q.recentProgress.filter(_.stateOperators.nonEmpty)
+          .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+        maxState = math.max(maxState, st)
+        println(f"[stjoin] batch ${i + 1}%3d: +${pc.length + vc.length}%5d rows," +
+          f" state rows $st%6d")
+      }
+      println(s"[stjoin] max state $maxState vs lifetime input $lifetime " +
+        s"(bounded: ${maxState < lifetime / 4})")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("stjoin_scale")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val modes = Set("skew", "q56", "sim", "ttl")
+    val modes = Set("skew", "q56", "sim", "ttl", "stjoin")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -279,6 +362,7 @@ object ScaleSmoke {
       .getOrElse(mode match {
         case "scale" => 10
         case "ttl" => 20
+        case "stjoin" => 30
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -295,6 +379,7 @@ object ScaleSmoke {
     if (mode == "q56") { runQ56(spark, factor); spark.stop(); return }
     if (mode == "sim") { runSim(spark, factor); spark.stop(); return }
     if (mode == "ttl") { runTtl(spark, factor); spark.stop(); return }
+    if (mode == "stjoin") { runStJoin(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)

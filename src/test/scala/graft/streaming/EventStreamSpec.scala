@@ -112,6 +112,46 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("interval join state is evicted as the watermark advances") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val minuteUs = 60L * 1000000
+
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val toTs = (ds: org.apache.spark.sql.Dataset[Ev]) =>
+      ds.withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = purchasesWithRecentViews(toTs(pIn.toDS()), toTs(vIn.toDS()))
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("ssjoin_state_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // 8 hours of steady one-user traffic in 1-hour micro-batches:
+    // 60 views + 6 purchases per hour, 528 rows lifetime. The join
+    // buffers a view only until the watermark passes its matchable
+    // horizon (view_ts + 1h join window), a purchase only until the
+    // watermark passes its ts, and the watermark itself lags one
+    // micro-batch and carries 1h lateness — so live state is bounded
+    // by ~4 hours of traffic (4 × 66 rows) no matter how long the
+    // stream runs, while the NoTimeout shapes would hold all 528.
+    var maxState = -1L
+    (0 until 8).foreach { h =>
+      vIn.addData((0 until 60).map(m =>
+        Ev(100000 + h * 60 + m, 7, (h * 60L + m) * minuteUs)): _*)
+      pIn.addData((0 until 6).map(i =>
+        Ev(h * 6 + i, 7, (h * 60L + i * 10) * minuteUs)): _*)
+      q.processAllAvailable()
+      val st = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+      maxState = math.max(maxState, st)
+    }
+    q.stop()
+    assert(maxState > 0, "no state operator progress observed")
+    assert(maxState <= 4 * 66,
+      s"interval-join state $maxState exceeds the 4h-of-traffic bound")
+  }
+
   test("streaming dedup with dropDuplicatesWithinWatermark") {
     val sparkS = spark
     import sparkS.implicits._
