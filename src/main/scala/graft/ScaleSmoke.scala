@@ -196,8 +196,9 @@ object ScaleSmoke {
           .write.format("noop").mode("overwrite").save())
       // Convergence loop: report rounds and per-round time separately
       // — the scale claim is that per-ROUND cost stays flat (broadcast
-      // assignment + two bounded chunked aggregations), while rounds-
-      // to-convergence is a property of the data, not the corpus size.
+      // assignment + the three-level chunked mean fold, every buffer
+      // fixed-width), while rounds-to-convergence is a property of the
+      // data, not the corpus size.
       val t0 = System.nanoTime()
       val (means, rounds) =
         Similarity.kmeansConvergeRounds(e, maxIter = 6)
@@ -242,20 +243,24 @@ object ScaleSmoke {
       s"horizon ${horizonSec}s; lifetime buckets $allBuckets " +
       s"(what NoTimeout state would hold), live bound ${4 * horizonSec}")
     val input = MemoryStream[DocumentStream.DocSigT]
-    val q = DocumentStream
-      .nearDupPairsTtl(input.toDS(), java.time.Duration.ofSeconds(horizonSec))
-      .writeStream.format("memory")
-      .queryName("ttl_scale")
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .start()
+    // Start under the low stream-partition count (the EventStream
+    // discipline): the state store pins its partition count at first
+    // start, and each micro-batch commits every partition's store.
+    val q = graft.streaming.EventStream.withStreamShufflePartitions(spark, 8) {
+      DocumentStream
+        .nearDupPairsTtl(input.toDS(), java.time.Duration.ofSeconds(horizonSec))
+        .writeStream.format("memory")
+        .queryName("ttl_scale")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+    }
     try {
       var maxState = -1L
       val per = math.max(1, sigs.length / chunks)
       sigs.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
         input.addData(chunk.toSeq)
         q.processAllAvailable()
-        val st = q.recentProgress.filter(_.stateOperators.nonEmpty)
-          .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+        val st = graft.streaming.EventStream.lastStateRows(q)
         maxState = math.max(maxState, st)
         println(f"[ttl] batch ${i + 1}%3d: +${chunk.length}%5d rows, " +
           f"state rows $st%6d")
@@ -296,6 +301,10 @@ object ScaleSmoke {
         .as[EventStream.Ev].collect().sortBy(e => (e.us, e.event_id))
     val purchases = side("purchase")
     val views = side("view")
+    // Fail with the culprit named, not a bare head-of-empty-array.
+    require(purchases.nonEmpty && views.nonEmpty,
+      s"stjoin needs both event types in the events table: " +
+        s"purchases=${purchases.length}, views=${views.length}")
     val minUs = math.min(purchases.head.us, views.head.us)
     val maxUs = math.max(purchases.last.us, views.last.us)
     val lifetime = purchases.length + views.length
@@ -307,11 +316,15 @@ object ScaleSmoke {
     val vIn = MemoryStream[EventStream.Ev]
     def toTs(ds: org.apache.spark.sql.Dataset[EventStream.Ev]) =
       ds.withColumn("ts", expr("timestamp_micros(us)")).drop("us")
-    val q = EventStream
-      .purchasesWithRecentViews(toTs(pIn.toDS()), toTs(vIn.toDS()))
-      .writeStream.format("memory").queryName("stjoin_scale")
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .start()
+    // Low stream-partition count: the interval join keeps 4 state
+    // stores per partition, all committed every micro-batch.
+    val q = EventStream.withStreamShufflePartitions(spark, 8) {
+      EventStream
+        .purchasesWithRecentViews(toTs(pIn.toDS()), toTs(vIn.toDS()))
+        .writeStream.format("memory").queryName("stjoin_scale")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+    }
     try {
       var maxState = -1L
       val step = (maxUs - minUs) / chunks + 1
@@ -323,8 +336,7 @@ object ScaleSmoke {
         if (pc.nonEmpty) pIn.addData(pc.toSeq)
         if (vc.nonEmpty) vIn.addData(vc.toSeq)
         q.processAllAvailable()
-        val st = q.recentProgress.filter(_.stateOperators.nonEmpty)
-          .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+        val st = EventStream.lastStateRows(q)
         maxState = math.max(maxState, st)
         println(f"[stjoin] batch ${i + 1}%3d: +${pc.length + vc.length}%5d rows," +
           f" state rows $st%6d")

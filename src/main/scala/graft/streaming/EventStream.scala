@@ -67,13 +67,27 @@ object EventStream {
     * plenty of parallelism and ~4× less commit overhead than the
     * session's batch setting. A real deployment sizes this to
     * state-rows/partition, not to the batch shuffle width.
+    * (`private[graft]`: ScaleSmoke's stream modes need the same
+    * discipline — a 32-partition state store commits 4× the stores to
+    * hold the same ~100 rows.)
     */
-  private[streaming] def withStreamShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+  private[graft] def withStreamShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
     try f finally spark.conf.set(key, prev)
   }
+
+  /** Latest total state-store row count reported by `q`'s (single)
+    * stateful operator, or -1 before any stateful progress — the one
+    * progress-sampling idiom shared by the ScaleSmoke stream modes and
+    * EventStreamSpec's state-bound assertion. `numRowsTotal` sums over
+    * partitions, so the value is partition-count-independent.
+    */
+  private[graft] def lastStateRows(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
 
   /** Read the memory-sink table, order it, and DROP the temp view:
     * DataFrame analysis is eager, so the returned plan keeps the sink

@@ -142,9 +142,7 @@ class EventStreamSpec extends SparkSpec {
       pIn.addData((0 until 6).map(i =>
         Ev(h * 6 + i, 7, (h * 60L + i * 10) * minuteUs)): _*)
       q.processAllAvailable()
-      val st = q.recentProgress.filter(_.stateOperators.nonEmpty)
-        .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
-      maxState = math.max(maxState, st)
+      maxState = math.max(maxState, EventStream.lastStateRows(q))
     }
     q.stop()
     assert(maxState > 0, "no state operator progress observed")
