@@ -789,5 +789,67 @@ object Dedup {
               (sqrt(list_sum(list_transform(ea.v, x -> x * x))) *
                sqrt(list_sum(list_transform(eb.v, x -> x * x)))) > 0.25
         ORDER BY vec_a, vec_b"""))
+    ,
+    // ----------------------------------------------------------------
+    Q(
+      "d12_semantic_dedup",
+      (s, dir) => {
+        // SemDeDup (see [[graft.ops.Similarity.semanticDedup]]):
+        // cluster-blocked cosine neighborhoods, keep the member
+        // farthest from its centroid. Every arithmetic step (decimal
+        // seed means, index-order cosine folds, rank tie-breaks) is
+        // bit-reproducible in DuckDB, so keep/drop decisions hash-
+        // match exactly — no tolerance band.
+        graft.functions.VectorExpressions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        Similarity.semanticDedup(e, tau = 0.3).orderBy("vec_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label AS cluster, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM dims GROUP BY label, dim)
+          GROUP BY label),
+        sims AS (
+          SELECT e.vec_id, e.v, c.cluster,
+            list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
+          FROM e CROSS JOIN cent c),
+        assign AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cluster) AS rn
+            FROM sims) WHERE rn = 1),
+        ws AS (
+          SELECT a.vec_id, a.v, a.cluster,
+            list_sum(list_transform(list_zip(a.v, c.cv), p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS cent_sim
+          FROM assign a JOIN cent c USING (cluster)),
+        dom AS (
+          SELECT DISTINCT a.vec_id FROM ws a JOIN ws b
+            ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+           AND list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.3
+           AND (b.cent_sim < a.cent_sim OR
+                (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
+        SELECT w.vec_id, w.cluster, ROUND(w.cent_sim, 6) AS cent_sim,
+          CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+        FROM ws w LEFT JOIN dom d ON w.vec_id = d.vec_id
+        ORDER BY w.vec_id"""))
   )
 }

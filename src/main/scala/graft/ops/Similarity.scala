@@ -160,12 +160,19 @@ object Similarity {
     * exclude, and the id filter would silently drop a legitimate
     * neighbor whose vec_id happens to collide with a qid (the r8
     * advisory). s10 oracle-checks this path with centroid queries.
+    *
+    * `centroidsOpt` lets a caller that already aggregated the coarse
+    * centroids (the corpus-wide posexplode + two-shuffle fold in
+    * [[seedCentroids]] — the dominant stage at scale) pass them in
+    * instead of paying that aggregation a second time. Must be the
+    * (c_label, cv) frame of THIS corpus.
     */
   def ivfTopk(
       e: DataFrame, queries: DataFrame, k: Int, probes: Int = 1,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     require(probes >= 1, s"need at least one probe, got $probes")
-    val centroids = seedCentroids(e)
+    val centroids = centroidsOpt.getOrElse(seedCentroids(e))
     // Probe: nearest `probes` centroids per query (tiny cross join).
     val probe = queries.crossJoin(broadcast(centroids))
       .select(col("qid"), col("qv"), col("c_label"),
@@ -227,6 +234,52 @@ object Similarity {
         .orderBy(col("sim").desc, col("c_label"))))
     .filter(col("rn") === 1)
     .select(col("vec_id"), col("v"), col("c_label").as("cluster"))
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space, call two vectors
+    * semantic duplicates when their within-cluster cosine is ≥ `tau`,
+    * and of each duplicate neighborhood keep the LEAST redundant
+    * member — the one with the LOWEST cosine to its cluster centroid
+    * (the paper's keep-far-from-centroid rule; vec_id breaks exact
+    * ties). A vector is dropped iff some same-cluster neighbor at
+    * cosine ≥ tau strictly precedes it in that order.
+    *
+    * Clustering here is the deterministic seed assignment
+    * ([[seedCentroids]] + [[assignClusters]]) so the result is
+    * bit-reproducible on both engines; a production run would iterate
+    * [[kmeansConvergeRounds]] first — the dedup step is unchanged.
+    *
+    * Scale shape: the pairwise step is quadratic only WITHIN a
+    * cluster — the SemDeDup design point (k is sized so n/k pairs
+    * fit; a cluster too hot for that gets sub-blocked with the d09
+    * hyperplane bands before pairing). Centroids broadcast twice
+    * (assignment + cent_sim); the dominance join shuffles on cluster
+    * and ships (vec_id, v, cent_sim) only.
+    *
+    * Output (vec_id, cluster, cent_sim, is_kept), one row per input
+    * vector.
+    */
+  def semanticDedup(e: DataFrame, tau: Double): DataFrame = {
+    val centroids = seedCentroids(e)
+    val ws = assignClusters(e, centroids)
+      .join(broadcast(centroids), col("cluster") === col("c_label"))
+      .select(col("vec_id"), col("v"), col("cluster"),
+        cosine(col("v"), col("cv")).as("cent_sim"))
+    val dominated = ws.as("a").join(ws.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          cosine(col("a.v"), col("b.v")) >= tau &&
+          (col("b.cent_sim") < col("a.cent_sim") ||
+            (col("b.cent_sim") === col("a.cent_sim") &&
+              col("b.vec_id") < col("a.vec_id"))))
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1))
+    ws.join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        round(col("cent_sim"), 6).as("cent_sim"),
+        (coalesce(col("dropped"), lit(0)) === 0).cast("int").as("is_kept"))
+  }
 
   /** Width of the fixed vec_id ranges in the three-level deterministic
     * mean fold ([[chunkedMean]]): every level's aggregation buffer
@@ -937,10 +990,15 @@ object Similarity {
         // legitimate neighbor per cell (the r8 advisory, now under
         // the hash gate).
         val e = emb(s, dir)
-        val queries = seedCentroids(e)
+        // Aggregate the centroids ONCE (corpus-wide posexplode + two
+        // shuffles — the dominant stage): they are both the query
+        // frame and ivfTopk's coarse index.
+        val centroids = seedCentroids(e)
+        val queries = centroids
           .select(col("c_label").cast("bigint").as("qid"),
             col("cv").as("qv"))
-        ivfTopk(e, queries, k = 5, probes = 2, excludeSelf = false)
+        ivfTopk(e, queries, k = 5, probes = 2, excludeSelf = false,
+          centroidsOpt = Some(centroids))
           .orderBy("qid", "rnk")
       },
       Some("""

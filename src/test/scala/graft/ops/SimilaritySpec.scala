@@ -464,6 +464,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup keeps the far-from-centroid member of a dup pair") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // Two planted clusters; 10/11 are near-duplicates (cosine
+    // ≈ 0.99995), every other within-cluster pair sits well below the
+    // tau = 0.99 threshold.
+    val rows = Seq(
+      (10L, 0L, Seq(1.0, 0.0, 0.0, 0.1)),
+      (11L, 0L, Seq(1.0, 0.01, 0.0, 0.1)),
+      (12L, 0L, Seq(0.9, -0.3, 0.0, 0.0)),
+      (20L, 1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (21L, 1L, Seq(0.2, 0.9, 0.0, 0.0)),
+      (22L, 1L, Seq(-0.2, 0.9, 0.0, 0.0)))
+    val out = Similarity.semanticDedup(
+      rows.toDF("vec_id", "label", "v"), tau = 0.99)
+      .orderBy("vec_id").collect()
+    assert(out.length == 6) // one row per input vector
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      rows.map(r => (r._1, r._2))) // planted clusters survive assignment
+    val byId = out.map(r =>
+      r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    // exactly one of the dup pair survives — the one FARTHER from the
+    // centroid (lower cent_sim; vec_id would break an exact tie)
+    assert(byId(10L)._2 + byId(11L)._2 == 1)
+    val (kept, dropped) =
+      if (byId(10L)._2 == 1) (10L, 11L) else (11L, 10L)
+    assert(byId(kept)._1 < byId(dropped)._1 ||
+      (byId(kept)._1 == byId(dropped)._1 && kept < dropped))
+    // all non-duplicated vectors are kept
+    Seq(12L, 20L, 21L, 22L).foreach(id =>
+      assert(byId(id)._2 == 1, s"vector $id should be kept"))
+  }
+
   test("planeWeight matches the portable SQL md5-parity derivation") {
     // The oracle side derives each ±1 weight as
     //   CASE WHEN CAST('0x'||substr(md5(b||','||j),1,1) AS INT) % 2 = 0
