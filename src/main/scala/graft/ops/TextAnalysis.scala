@@ -698,6 +698,66 @@ object TextAnalysis {
             ' +', ' ', 'g'))) AS norm_digest
         FROM documents
         WHERE text IS NOT NULL
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t14_pii_scrub",
+      (s, dir) => {
+        // PII redaction — email then phone patterns replaced with
+        // typed placeholders, with per-row redaction counts (the
+        // audit trail a compliance pipeline needs). The corpus is
+        // synthesized deterministically from `customer` (the testdata
+        // carries no natural PII): each row embeds a real email and a
+        // real phone derived from the key, so both patterns fire on
+        // every row and the scrub is verified against actual hits,
+        // not vacuous zero-counts. Order matters and is fixed:
+        // emails first (their charset contains digits and dashes),
+        // then phones over the already-email-scrubbed text. Pure
+        // codegen projection — parquet-scan speed, no shuffle but the
+        // final orderBy; the regex subset (literal classes, +, {n,m})
+        // means Java regex and RE2 agree.
+        val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phonePat = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+        val raw = concat(
+          col("c_name"), lit(" of "), col("c_mktsegment"),
+          lit(" reachable at user"), col("c_custkey"),
+          lit("@example.com or "),
+          format_string("+%02d-%03d-%04d",
+            pmod(col("c_custkey"), lit(90)) + 10,
+            pmod(col("c_custkey"), lit(900)) + 100,
+            pmod(col("c_custkey"), lit(9000)) + 1000))
+        val noEmail = regexp_replace(col("raw"), emailPat, "<EMAIL>")
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), raw.as("raw"))
+          .select(col("c_custkey"),
+            regexp_count(col("raw"), lit(emailPat)).as("n_emails"),
+            regexp_count(noEmail, lit(phonePat)).as("n_phones"),
+            regexp_replace(noEmail, phonePat, "<PHONE>").as("clean"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT c_custkey,
+            c_name || ' of ' || c_mktsegment ||
+            ' reachable at user' || c_custkey || '@example.com or ' ||
+            printf('+%02d-%03d-%04d',
+                   c_custkey % 90 + 10, c_custkey % 900 + 100,
+                   c_custkey % 9000 + 1000) AS raw
+          FROM customer),
+        ne AS (
+          SELECT c_custkey,
+            CAST(len(regexp_extract_all(raw,
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT)
+              AS n_emails,
+            regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                           '<EMAIL>', 'g') AS no_email
+          FROM raw)
+        SELECT c_custkey, n_emails,
+          CAST(len(regexp_extract_all(no_email,
+            '\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+          regexp_replace(no_email, '\+[0-9]{2}-[0-9]{3}-[0-9]{4}',
+                         '<PHONE>', 'g') AS clean
+        FROM ne
+        ORDER BY c_custkey"""))
   )
 }

@@ -244,6 +244,33 @@ class DedupSpec extends SparkSpec {
     assert(found == truth, s"missing: ${truth -- found}, extra: ${found -- truth}")
   }
 
+  test("boilerplate n-grams: shared template flagged, unique docs kept") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Docs 1-3 share a 30-token template followed by 5 unique tokens;
+    // docs 4-5 are fully unique. Template-interior 5-grams (26 per
+    // doc) appear in 3 distinct docs → boilerplate; the 5 tail-touching
+    // grams and the unique docs' grams occur once.
+    val template = (1 to 30).map(i => s"boil$i").mkString(" ")
+    def tail(s: Int) = (1 to 5).map(i => s"u${s}x$i").mkString(" ")
+    def uniq(s: Int) = (1 to 30).map(i => s"v${s}x$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$template ${tail(1)}"), (2L, s"$template ${tail(2)}"),
+      (3L, s"$template ${tail(3)}"), (4L, uniq(4)), (5L, uniq(5)))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateNgrams(df, n = 5, minDocs = 2,
+      maxFrac = 0.2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    // 35 tokens → 31 grams; 26 template-interior grams are shared.
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(out(d) == ((31L, 26L, 0)), s"doc $d: ${out(d)}")
+    }
+    Seq(4L, 5L).foreach { d =>
+      assert(out(d) == ((26L, 0L, 1)), s"doc $d: ${out(d)}")
+    }
+  }
+
   test("shingles3: sliding 3-grams, short docs collapse to one shingle") {
     val sparkS = spark
     import sparkS.implicits._

@@ -309,6 +309,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("s11: IVF-PQ search broadcasts codebook and distance table; corpus ships codes + cell") {
+    val p = plan("s11_ivfpq")
+    // Residual codebook and the per-(query, cell) distance table both
+    // broadcast; the only corpus-scale joins are equi-joins — a
+    // cartesian here would mean the probed-cell pruning is gone.
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"expected >=2 broadcast hash joins, got $bhj\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // Corpus side: consumed from training checkpoints (codes + cells),
+    // and the per-(qid, vec) 4-part sum combines map-side.
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("partial_collect_list"), p)
+    // Top-k rank filter pushed below the shuffle.
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("c08: quality-weighted sampling is one scan, no shuffle, pruned read") {
     // Admission is a pure function of (doc_id, text): anything beyond
     // scan→project (a join with a stats table, a window) would mean

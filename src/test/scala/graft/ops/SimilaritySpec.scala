@@ -226,7 +226,29 @@ class SimilaritySpec extends SparkSpec {
       retrieved(Similarity.pqAdcTopk(e, rounds = 2, k = 5), "qid", "vec_id"),
       (0L until 3L), 5, l2L, descending = false)
 
-    info(f"recall@5 IVF=$ivfR%.3f  recall@3 kNN-join=$knnR%.3f  recall@5 ADC=$adcR%.3f")
+    // s11 IVF-PQ (probes=2): coarse cells = planted clusters, so the
+    // probed cells contain the true neighbors and residual-ADC ranks
+    // within them; same compressed-domain resolution limit as s08.
+    val (coarse, cells, cb, codes) = Similarity.ivfPqTrain(e, rounds = 2)
+    val q3 = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val ivfpqDf = Similarity.ivfPqSearch(
+      q3, coarse, cells, cb, codes, k = 5, probes = 2)
+    val ivfpqGot = retrieved(ivfpqDf, "qid", "vec_id")
+    val ivfpqR = recall(ivfpqGot, (0L until 3L), 5, l2L, descending = false)
+    // The jitter pattern has period 7 in the member index, so each
+    // query q has EXACT duplicates at q+7, q+14, q+21 — residual ADC
+    // must put all three at the top (their codes equal the query's
+    // own quantization, distance ≈ 0). This is the gate that matters
+    // for a dedup/similarity deployment: the true duplicates are
+    // never lost to quantization.
+    val ivfpqTop3 = retrieved(ivfpqDf.filter(col("rnk") <= 3), "qid", "vec_id")
+    (0L until 3L).foreach { q =>
+      assert(ivfpqTop3(q) == Set(q + 7, q + 14, q + 21),
+        s"IVF-PQ top-3 for $q: ${ivfpqTop3(q)}")
+    }
+
+    info(f"recall@5 IVF=$ivfR%.3f  recall@3 kNN-join=$knnR%.3f  recall@5 ADC=$adcR%.3f  recall@5 IVF-PQ=$ivfpqR%.3f")
     // Floors cited in each operator's scaladoc (measured: 1.000 /
     // 0.980 / 0.867, all deterministic). IVF is exact-complete by
     // construction (cells == planted clusters). The LSH join loses a
@@ -237,6 +259,11 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfR >= 1.0, f"IVF recall@5 $ivfR%.3f < 1.0")
     assert(knnR >= 0.95, f"kNN-join recall@3 $knnR%.3f < 0.95")
     assert(adcR >= 0.85, f"ADC recall@5 $adcR%.3f < 0.85")
+    // Measured 0.733 (deterministic): the exact-duplicate triple is
+    // always retrieved (asserted above); ranks 4-5 lose to ~0.003
+    // quantization error among the near-tied second shell — the
+    // 4-byte-code resolution limit, not a retrieval bug.
+    assert(ivfpqR >= 0.7, f"IVF-PQ recall@5 $ivfpqR%.3f < 0.7")
   }
 
   test("multi-probe IVF: recall climbs with probes on the real corpus; all cells = exact") {

@@ -53,6 +53,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t14 pii scrub: every email/phone redacted and counted, nothing else touched") {
+    val out = graft.SparkEntry.queries("t14_pii_scrub")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    val phone = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}".r
+    out.foreach { r =>
+      val (key, nE, nP, clean) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      // The synthesized corpus plants exactly one of each per row.
+      assert(nE == 1 && nP == 1, s"row $key counts ($nE, $nP)")
+      assert(email.findFirstIn(clean).isEmpty, s"row $key leaked an email")
+      assert(phone.findFirstIn(clean).isEmpty, s"row $key leaked a phone")
+      assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>"))
+      // Non-PII content survives verbatim.
+      assert(clean.startsWith(f"Customer#$key%09d of "), s"row $key: $clean")
+    }
+  }
+
   test("tfidf: rare terms outrank common ones, tf scales the score") {
     val sparkS = spark
     import sparkS.implicits._
