@@ -225,6 +225,12 @@ object ScaleSmoke {
       time(s"semantic dedup $tag")(
         Similarity.semanticDedup(e, tau = 0.3)
           .write.format("noop").mode("overwrite").save())
+      // The bounded variant (d14): same pipeline with 4-SRP-bit
+      // sub-blocks — the dial that holds when clusters outgrow the
+      // exact variant's n²/k pair budget.
+      time(s"semantic dedup blk $tag")(
+        Similarity.semanticDedupBlocked(e, tau = 0.3, blockBits = 4)
+          .write.format("noop").mode("overwrite").save())
     }
     val e1 = emb1.cache()
     run(e1, "x1")

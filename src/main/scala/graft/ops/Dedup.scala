@@ -910,6 +910,82 @@ object Dedup {
     ,
     // ----------------------------------------------------------------
     Q(
+      "d14_semantic_dedup_blocked",
+      (s, dir) => {
+        // d12 with the quadratic term bounded (see
+        // [[graft.ops.Similarity.semanticDedupBlocked]]): pairs are
+        // compared only within (cluster, 4-SRP-bit sub-block). The
+        // sub-block split is md5-parity-deterministic, so the BLOCKED
+        // semantics themselves hash-check — including exactly which
+        // borderline neighbors the blocking forgoes vs d12.
+        graft.functions.VectorExpressions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        Similarity.semanticDedupBlocked(e, tau = 0.3, blockBits = 4)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        planes AS (
+          SELECT * FROM (VALUES
+          ${Similarity.planesSqlValues}) AS t(b, w)),
+        blk AS (
+          SELECT e.vec_id,
+            CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(e.v, p.w),
+                                                       q -> q[1] * q[2])) >= 0
+                     THEN (1 << p.b) ELSE 0 END) AS INT) AS block
+          FROM e CROSS JOIN planes p WHERE p.b < 4
+          GROUP BY e.vec_id),
+        dims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label AS cluster, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM dims GROUP BY label, dim)
+          GROUP BY label),
+        sims AS (
+          SELECT e.vec_id, e.v, c.cluster,
+            list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
+          FROM e CROSS JOIN cent c),
+        assign AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cluster) AS rn
+            FROM sims) WHERE rn = 1),
+        ws AS (
+          SELECT a.vec_id, a.v, a.cluster, k.block,
+            list_sum(list_transform(list_zip(a.v, c.cv), p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS cent_sim
+          FROM assign a
+          JOIN cent c USING (cluster)
+          JOIN blk k ON a.vec_id = k.vec_id),
+        dom AS (
+          SELECT DISTINCT a.vec_id FROM ws a JOIN ws b
+            ON a.cluster = b.cluster AND a.block = b.block
+           AND a.vec_id <> b.vec_id
+           AND list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.3
+           AND (b.cent_sim < a.cent_sim OR
+                (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
+        SELECT w.vec_id, w.cluster, ROUND(w.cent_sim, 6) AS cent_sim,
+          CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+        FROM ws w LEFT JOIN dom d ON w.vec_id = d.vec_id
+        ORDER BY w.vec_id"""))
+    ,
+    // ----------------------------------------------------------------
+    Q(
       "d13_boilerplate_ngrams",
       (s, dir) =>
         // Cross-corpus boilerplate 5-grams (see [[boilerplateNgrams]]):

@@ -260,14 +260,48 @@ object Similarity {
     * Output (vec_id, cluster, cent_sim, is_kept), one row per input
     * vector.
     */
-  def semanticDedup(e: DataFrame, tau: Double): DataFrame = {
+  def semanticDedup(e: DataFrame, tau: Double): DataFrame =
+    semanticDedupImpl(e, tau, blockBits = 0)
+
+  /** [[semanticDedup]] with the quadratic term BOUNDED: vectors
+    * additionally block on their first `blockBits` SRP hyperplane
+    * sign bits (the d09 machinery — oracle-exact), and only
+    * same-(cluster, block) pairs are compared. 2^blockBits sub-blocks
+    * cut the within-cluster pair count ~4^blockBits-fold — the dial
+    * that keeps SemDeDup feasible when clusters outgrow the n²/k
+    * budget (measured: ×100 corpus, 12.5k-member clusters — 341 s
+    * exact → see README for the blocked figure).
+    *
+    * Approximation contract: an IDENTICAL pair of vectors shares every
+    * sign bit, so exact duplicates are NEVER separated — only
+    * non-identical neighbors at cosine ≥ tau can land in different
+    * sub-blocks and be missed (per-plane split probability θ/π, the
+    * SRP guarantee; pinned in SimilaritySpec). Deterministic on both
+    * engines, so the d14 oracle row hash-checks the blocked semantics
+    * directly.
+    */
+  def semanticDedupBlocked(
+      e: DataFrame, tau: Double, blockBits: Int): DataFrame = {
+    require(blockBits >= 1 && blockBits <= 16,
+      s"blockBits must be in [1, 16], got $blockBits")
+    semanticDedupImpl(e, tau, blockBits)
+  }
+
+  private def semanticDedupImpl(
+      e: DataFrame, tau: Double, blockBits: Int): DataFrame = {
     val centroids = seedCentroids(e)
-    val ws = assignClusters(e, centroids)
+    val ws0 = assignClusters(e, centroids)
       .join(broadcast(centroids), col("cluster") === col("c_label"))
       .select(col("vec_id"), col("v"), col("cluster"),
         cosine(col("v"), col("cv")).as("cent_sim"))
+    val ws =
+      if (blockBits == 0) ws0.withColumn("block", lit(0))
+      else ws0.withColumn("block",
+        (0 until blockBits).map(i => planeBit(col("v"), i, i))
+          .reduce(_ + _))
     val dominated = ws.as("a").join(ws.as("b"),
         col("a.cluster") === col("b.cluster") &&
+          col("a.block") === col("b.block") &&
           col("a.vec_id") =!= col("b.vec_id") &&
           cosine(col("a.v"), col("b.v")) >= tau &&
           (col("b.cent_sim") < col("a.cent_sim") ||
@@ -701,8 +735,15 @@ object Similarity {
     */
   def ivfPqTrain(e: DataFrame, rounds: Int = 2)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val coarse = seedCentroids(e)
-    val assigned = assignClusters(e, coarse)
+    // The coarse centroids are a corpus-wide aggregation consumed by
+    // THREE broadcasts (assignment, residual build, search probe);
+    // checkpoint the 16-row result once instead of re-aggregating per
+    // consumer. Same for the assignment: materialize it once, let the
+    // residual subvector checkpoint (inside pqTrain) and the narrow
+    // (vec_id, cluster) cells frame both read it, then free the wide
+    // intermediate — search never recomputes the corpus-wide argmax.
+    val coarse = seedCentroids(e).coalesce(1).localCheckpoint()
+    val assigned = assignClusters(e, coarse).localCheckpoint()
     val res = assigned
       .join(broadcast(coarse), col("cluster") === col("c_label"))
       .select(col("vec_id"),
@@ -710,7 +751,9 @@ object Similarity {
       .withColumn("label",
         (0 until 4).map(i => planeBit(col("v"), i, i)).reduce(_ + _))
     val (cb, codes) = pqTrain(res, rounds)
-    (coarse, assigned.select("vec_id", "cluster"), cb, codes)
+    val cells = assigned.select("vec_id", "cluster").localCheckpoint()
+    freeCheckpoint(assigned)
+    (coarse, cells, cb, codes)
   }
 
   /** IVF-PQ search against pre-trained artifacts ([[ivfPqTrain]]).

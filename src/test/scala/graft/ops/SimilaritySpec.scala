@@ -525,6 +525,44 @@ class SimilaritySpec extends SparkSpec {
       assert(byId(id)._2 == 1, s"vector $id should be kept"))
   }
 
+  test("semanticDedupBlocked: identical vectors never separate; drops ⊆ exact's drops") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // 4 planted clusters × 12 members (64-d, block structure +
+    // jitter), plus an EXACT duplicate of each cluster's first member
+    // under a high id. Identical vectors share every SRP sign bit, so
+    // sub-blocking can never separate a true duplicate pair — the
+    // contract the scaladoc states.
+    val rows = for (c <- 0 until 4; i <- 0 until 12) yield {
+      val v = (0 until 64).map(d =>
+        (if (d / 16 == c) 4.0 else 0.0) + 0.2 * ((c * 12 + i + 3 * d) % 5))
+      (c * 12L + i, c.toLong, v)
+    }
+    val dups = (0 until 4).map(c =>
+      (100L + c, c.toLong, rows.find(_._1 == c * 12L).get._3))
+    val e = (rows ++ dups).toDF("vec_id", "label", "v")
+    def keptMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val exact = keptMap(Similarity.semanticDedup(e, tau = 0.999))
+    val blocked = keptMap(
+      Similarity.semanticDedupBlocked(e, tau = 0.999, blockBits = 4))
+    assert(blocked.size == rows.size + dups.size)
+    (0 until 4).foreach { c =>
+      val (a, b) = (c * 12L, 100L + c)
+      // the identical pair is resolved (never both kept) in BOTH
+      // variants — blocking cannot hide an exact duplicate
+      assert(blocked(a) + blocked(b) <= 1, s"pair ($a,$b) both kept")
+      assert(exact(a) + exact(b) <= 1)
+    }
+    // Blocking only REMOVES comparisons: anything blocked drops, the
+    // exact variant drops too (the approximation loses recall, never
+    // invents a drop).
+    blocked.foreach { case (id, k) =>
+      if (k == 0) assert(exact(id) == 0, s"$id dropped only when blocked")
+    }
+  }
+
   test("planeWeight matches the portable SQL md5-parity derivation") {
     // The oracle side derives each ±1 weight as
     //   CASE WHEN CAST('0x'||substr(md5(b||','||j),1,1) AS INT) % 2 = 0
