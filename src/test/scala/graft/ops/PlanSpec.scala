@@ -338,6 +338,30 @@ class PlanSpec extends SparkSpec {
       p.contains("ReadSchema: struct<doc_id:bigint,source:string,text:string>"), p)
   }
 
+  test("d13: gram aggregates partial-combine; no cartesian, pruned read") {
+    // Both groupBys (per-gram frequency, per-doc rollup) must combine
+    // map-side so shuffles carry (gram, id) partial counts, the
+    // frequency join must stay an equi-join, and only (doc_id, text)
+    // may be read.
+    val p = plan("d13_boilerplate_ngrams")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val partials = "partial_count".r.findAllIn(p).size
+    assert(partials >= 2, s"expected >=2 map-side partial counts\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("t14: pii scrub is a pure projection over a pruned scan") {
+    // Redaction is per-row regexp work: any join, window, or hash
+    // exchange means the scrub stopped running at parquet-scan speed.
+    val p = plan("t14_pii_scrub")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint," +
+      "c_name:string,c_mktsegment:string>"), p)
+  }
+
   test("t13: chunking is scan->generate->project with no hash exchange") {
     // Chunk explosion must stay a pure per-row Generate (the final
     // orderBy's range exchange is the only shuffle) and read only
