@@ -803,6 +803,42 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF-PQ search with exact re-ranking (the "IVFADC+R" refinement —
+    * Jégou et al. 2011, §V): take the ADC `shortlist` per query, then
+    * recompute EXACT squared-L2 on the raw vectors for just those
+    * candidates and keep the true top-`k`. ADC recall at small k is
+    * bounded by the 4-byte quantization (measured 0.20@5 on the real
+    * sf0.01 corpus even probing every cell); the shortlist only has
+    * to CONTAIN the true neighbors, a weaker ask that the shortlist
+    * size dials directly (same corpus, all cells probed: 0.40@5 with
+    * shortlist=20 → 0.92@5 with shortlist=200 — the corpus is
+    * near-uniform, the hardest case for PQ). Scale shape: the corpus is
+    * scanned once map-side against the broadcast shortlist (|Q|·
+    * shortlist ids) — full vectors are materialized only for
+    * shortlisted candidates, so the refinement adds one scan and zero
+    * shuffles on top of [[ivfPqSearch]].
+    */
+  def ivfPqSearchRefined(
+      queries: DataFrame, coarse: DataFrame, cells: DataFrame,
+      cb: DataFrame, codes: DataFrame, corpus: DataFrame,
+      k: Int, shortlist: Int, probes: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be at least k ($k)")
+    val sl = ivfPqSearch(queries, coarse, cells, cb, codes,
+        k = shortlist, probes = probes, excludeSelf = excludeSelf)
+      .select(col("qid"), col("vec_id"))
+    corpus.select(col("vec_id"), col("v"))
+      .join(broadcast(sl), "vec_id")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(l2sq(col("qv"), col("v")), 6).as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
   /** Shared DuckDB CTE chain for the PQ oracle: subvectors, seed
     * codebook, `rounds` unrolled Lloyd rounds (ending in
     * `cent$rounds`), and the final `codes` assignment — the subspace-
@@ -890,6 +926,106 @@ object Similarity {
                                  ORDER BY d, cluster) AS rn
             FROM fsims) WHERE rn = 1)"""
   }
+
+  /** Shared DuckDB CTE chain for the IVF-PQ oracle (s11/s12): coarse
+    * cells, residual SRP labeling, PQ training on the residuals
+    * ([[sqlPqChainFromE]], 2 rounds), query probing (`probes` nearest
+    * cells), and per-candidate ADC scoring — ends in `ad`
+    * (qid, vec_id, adist) plus the reusable `raw` / `q` / `casn`
+    * CTEs. s11 ranks `ad` directly; s12 appends the exact re-rank
+    * tail. One definition, so the two oracles cannot drift.
+    */
+  private def sqlIvfPqAdCtes(probes: Int): String = s"""
+        WITH raw AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        rdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM raw, unnest(list_transform(range(1, len(v) + 1),
+                           i -> {'i': i, 'x': v[i]})) AS s(u)),
+        ccent AS (
+          SELECT label AS cluster, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                AS cx
+            FROM rdims GROUP BY label, dim)
+          GROUP BY label),
+        csims AS (
+          SELECT raw.vec_id, raw.v, c.cluster,
+            list_sum(list_transform(list_zip(raw.v, c.cv),
+                                    p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(raw.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
+          FROM raw CROSS JOIN ccent c),
+        casn AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cluster) AS rn
+            FROM csims) WHERE rn = 1),
+        res AS (
+          SELECT a.vec_id,
+            list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS v
+          FROM casn a JOIN ccent c USING (cluster)),
+        planes AS (
+          SELECT * FROM (VALUES
+          $planesSqlValues) AS t(b, w)),
+        lab AS (
+          SELECT r.vec_id,
+            CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(r.v, w),
+                                                       p -> p[1] * p[2])) >= 0
+                     THEN (1 << b) ELSE 0 END) AS INT) AS label
+          FROM res r CROSS JOIN planes WHERE b < 4
+          GROUP BY r.vec_id),
+        e AS (
+          SELECT r.vec_id, l.label, r.v
+          FROM res r JOIN lab l USING (vec_id)),
+        ${sqlPqChainFromE(2)},
+        q AS (SELECT vec_id AS qid, v AS qv FROM raw WHERE vec_id < 3),
+        qsims AS (
+          SELECT q.qid, q.qv, c.cluster, c.cv,
+            list_sum(list_transform(list_zip(q.qv, c.cv),
+                                    p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
+          FROM q CROSS JOIN ccent c),
+        qprobe AS (
+          SELECT qid, qv, cluster AS cell, cv FROM (
+            SELECT qid, qv, cluster, cv,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, cluster) AS rn
+            FROM qsims) WHERE rn <= $probes),
+        rq AS (
+          SELECT qid, cell,
+            list_transform(list_zip(qv, cv), p -> p[1] - p[2]) AS rqv
+          FROM qprobe),
+        rqdims AS (
+          SELECT qid, cell, CAST((u.i - 1) // 16 AS INT) AS m,
+            CAST((u.i - 1) % 16 AS INT) AS sdim, u.x AS x
+          FROM rq, unnest(list_transform(range(1, len(rqv) + 1),
+                          i -> {'i': i, 'x': rqv[i]})) AS s(u)),
+        rqsub AS (
+          SELECT qid, cell, m, list(x ORDER BY sdim) AS qsv
+          FROM rqdims GROUP BY qid, cell, m),
+        dtab AS (
+          SELECT r.qid, r.cell, c.m, c.cluster AS code,
+            list_sum(list_transform(list_zip(r.qsv, c.cv),
+                                    p -> (p[1]-p[2])*(p[1]-p[2]))) AS dpart
+          FROM rqsub r JOIN cent2 c ON r.m = c.m),
+        cand AS (
+          SELECT d.qid, co.vec_id, d.m, d.dpart
+          FROM codes co
+          JOIN casn a ON co.vec_id = a.vec_id
+          JOIN dtab d ON d.m = co.m AND d.code = co.code
+                     AND d.cell = a.cluster
+          WHERE co.vec_id <> d.qid),
+        ad AS (
+          SELECT qid, vec_id,
+            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                           list(dpart ORDER BY m)),
+                              (a, b) -> a + b), 6) AS adist
+          FROM cand GROUP BY qid, vec_id)"""
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -1200,102 +1336,50 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("v").as("qv"))
         ivfPqSearch(queries, coarse, cells, cb, codes, k = 5, probes = 2)
       },
-      Some(s"""
-        WITH raw AS (
-          SELECT vec_id, label,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
-        rdims AS (
-          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
-          FROM raw, unnest(list_transform(range(1, len(v) + 1),
-                           i -> {'i': i, 'x': v[i]})) AS s(u)),
-        ccent AS (
-          SELECT label AS cluster, list(cx ORDER BY dim) AS cv FROM (
-            SELECT label, dim,
-              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
-                AS cx
-            FROM rdims GROUP BY label, dim)
-          GROUP BY label),
-        csims AS (
-          SELECT raw.vec_id, raw.v, c.cluster,
-            list_sum(list_transform(list_zip(raw.v, c.cv),
-                                    p -> p[1]*p[2])) /
-            (sqrt(list_sum(list_transform(raw.v, x -> x*x))) *
-             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
-          FROM raw CROSS JOIN ccent c),
-        casn AS (
-          SELECT vec_id, v, cluster FROM (
-            SELECT vec_id, v, cluster,
-              ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY sim DESC, cluster) AS rn
-            FROM csims) WHERE rn = 1),
-        res AS (
-          SELECT a.vec_id,
-            list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS v
-          FROM casn a JOIN ccent c USING (cluster)),
-        planes AS (
-          SELECT * FROM (VALUES
-          $planesSqlValues) AS t(b, w)),
-        lab AS (
-          SELECT r.vec_id,
-            CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(r.v, w),
-                                                       p -> p[1] * p[2])) >= 0
-                     THEN (1 << b) ELSE 0 END) AS INT) AS label
-          FROM res r CROSS JOIN planes WHERE b < 4
-          GROUP BY r.vec_id),
-        e AS (
-          SELECT r.vec_id, l.label, r.v
-          FROM res r JOIN lab l USING (vec_id)),
-        ${sqlPqChainFromE(2)},
-        q AS (SELECT vec_id AS qid, v AS qv FROM raw WHERE vec_id < 3),
-        qsims AS (
-          SELECT q.qid, q.qv, c.cluster, c.cv,
-            list_sum(list_transform(list_zip(q.qv, c.cv),
-                                    p -> p[1]*p[2])) /
-            (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
-             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
-          FROM q CROSS JOIN ccent c),
-        qprobe AS (
-          SELECT qid, qv, cluster AS cell, cv FROM (
-            SELECT qid, qv, cluster, cv,
-              ROW_NUMBER() OVER (PARTITION BY qid
-                                 ORDER BY sim DESC, cluster) AS rn
-            FROM qsims) WHERE rn <= 2),
-        rq AS (
-          SELECT qid, cell,
-            list_transform(list_zip(qv, cv), p -> p[1] - p[2]) AS rqv
-          FROM qprobe),
-        rqdims AS (
-          SELECT qid, cell, CAST((u.i - 1) // 16 AS INT) AS m,
-            CAST((u.i - 1) % 16 AS INT) AS sdim, u.x AS x
-          FROM rq, unnest(list_transform(range(1, len(rqv) + 1),
-                          i -> {'i': i, 'x': rqv[i]})) AS s(u)),
-        rqsub AS (
-          SELECT qid, cell, m, list(x ORDER BY sdim) AS qsv
-          FROM rqdims GROUP BY qid, cell, m),
-        dtab AS (
-          SELECT r.qid, r.cell, c.m, c.cluster AS code,
-            list_sum(list_transform(list_zip(r.qsv, c.cv),
-                                    p -> (p[1]-p[2])*(p[1]-p[2]))) AS dpart
-          FROM rqsub r JOIN cent2 c ON r.m = c.m),
-        cand AS (
-          SELECT d.qid, co.vec_id, d.m, d.dpart
-          FROM codes co
-          JOIN casn a ON co.vec_id = a.vec_id
-          JOIN dtab d ON d.m = co.m AND d.code = co.code
-                     AND d.cell = a.cluster
-          WHERE co.vec_id <> d.qid),
-        ad AS (
-          SELECT qid, vec_id,
-            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                           list(dpart ORDER BY m)),
-                              (a, b) -> a + b), 6) AS adist
-          FROM cand GROUP BY qid, vec_id)
+      Some(sqlIvfPqAdCtes(probes = 2) + """
         SELECT qid, vec_id, adist, rnk FROM (
           SELECT qid, vec_id, adist,
             ROW_NUMBER() OVER (PARTITION BY qid
                                ORDER BY adist, vec_id) AS rnk
           FROM ad)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s12_ivfpq_refined",
+      (s, dir) => {
+        // IVFADC+R (see [[ivfPqSearchRefined]]): the s11 pipeline's
+        // ADC shortlist of 20, exact-L2 re-ranked to the true top-5.
+        // The oracle shares s11's entire CTE chain (sqlIvfPqAdCtes)
+        // and appends only the shortlist + re-rank tail, so the two
+        // rows cannot drift.
+        val e = emb(s, dir)
+        val (coarse, cells, cb, codes) = ivfPqTrain(e, rounds = 2)
+        val queries = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        ivfPqSearchRefined(queries, coarse, cells, cb, codes, e,
+          k = 5, shortlist = 20, probes = 2)
+      },
+      Some(sqlIvfPqAdCtes(probes = 2) + """,
+        sl AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY adist, vec_id) AS rnk
+            FROM ad)
+          WHERE rnk <= 20),
+        rr AS (
+          SELECT s.qid, s.vec_id,
+            ROUND(list_sum(list_transform(list_zip(q.qv, r.v),
+                           p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS dist
+          FROM sl s
+          JOIN q ON s.qid = q.qid
+          JOIN raw r ON s.vec_id = r.vec_id)
+        SELECT qid, vec_id, dist, rnk FROM (
+          SELECT qid, vec_id, dist,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY dist, vec_id) AS rnk
+          FROM rr)
         WHERE rnk <= 5
         ORDER BY qid, rnk""")),
     // ----------------------------------------------------------------

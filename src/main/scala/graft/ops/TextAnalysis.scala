@@ -70,6 +70,42 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
   }
 
+  /** Unigram LM scoring — the perplexity-proxy quality filter (the
+    * CCNet/Gopher shape, with the corpus itself as the language
+    * model): per-document mean log-probability of its tokens under
+    * the corpus unigram distribution. Low scores flag documents full
+    * of rare/garbage tokens; the classic cheap stand-in for a real
+    * LM perplexity filter. Scale shape: two token-level shuffles
+    * (term counts — map-side combined — and the term→lnp equi-join;
+    * vocab can exceed broadcast size at 100 TB, so it stays a plain
+    * equi-join for AQE to plan), the corpus total is a broadcast
+    * 1-row scalar (the t10 convention), and the per-doc fold buffers
+    * O(doc tokens) — bounded by document length, the t13 bound.
+    * Determinism: ln may differ 1 ulp across engines, so each term's
+    * lnp is ROUNDed to 6 dp FIRST (both engines then fold identical
+    * doubles); the per-doc sum is a pos-ordered sequential IEEE fold
+    * (the s08/chunkedMean convention), exact given order.
+    */
+  def unigramLogprob(documents: DataFrame): DataFrame = {
+    val tok = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val lp = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("total"))))
+      .select(col("term"),
+        round(log(col("cnt").cast("double") / col("total").cast("double")),
+          6).as("lnp"))
+    tok.join(lp, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("lnp")))).as("ps"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(
+          expr("aggregate(ps, cast(0.0 as double), (a, p) -> a + p.lnp)")
+            / col("n_tokens"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Apply ONE BPE merge (x, y) to a symbol array, greedy
     * left-to-right non-overlapping — in CLOSED FORM, no sequential
     * fold, so the identical arithmetic runs as Catalyst HOFs here and
@@ -758,6 +794,40 @@ object TextAnalysis {
           regexp_replace(no_email, '\+[0-9]{2}-[0-9]{3}-[0-9]{4}',
                          '<PHONE>', 'g') AS clean
         FROM ne
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t15_unigram_logprob",
+      (s, dir) =>
+        // Corpus-as-LM mean token log-probability per document — the
+        // cheap perplexity filter. See [[unigramLogprob]] for the
+        // determinism contract (per-term round-6 lnp, pos-ordered
+        // fold).
+        unigramLogprob(docs(s, dir)),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS l
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id, CAST(u.i AS INT) AS pos, u.t AS term
+          FROM toks, unnest(list_transform(range(1, len(l) + 1),
+                            i -> {'i': i, 't': l[i]})) AS s(u)),
+        cnt AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        tot AS (SELECT COUNT(*) AS total FROM tok),
+        lp AS (
+          SELECT term,
+            ROUND(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+              AS lnp
+          FROM cnt CROSS JOIN tot)
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                         list(l.lnp ORDER BY t.pos)),
+                            (a, b) -> a + b) / COUNT(*), 6)
+            AS avg_logprob
+        FROM tok t JOIN lp l USING (term)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id"""))
   )
 }

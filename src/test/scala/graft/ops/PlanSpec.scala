@@ -325,6 +325,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("s12: refined search broadcasts the shortlist and queries; corpus never shuffles") {
+    val p = plan("s12_ivfpq_refined")
+    // s11's shape (codebook + distance table broadcast) plus the
+    // re-rank stage's two broadcasts: the |Q|·shortlist id frame and
+    // the query vectors. The corpus side of the re-rank is one
+    // map-side scan — a hash exchange of raw vectors or a cartesian
+    // would mean the refinement stopped being shortlist-bounded.
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected >=4 broadcast hash joins, got $bhj\n$p")
+    // (The one BroadcastNestedLoopJoin is the probe stage's 16-row
+    // coarse-centroid crossJoin — the s11 convention.)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("c08: quality-weighted sampling is one scan, no shuffle, pruned read") {
     // Admission is a pure function of (doc_id, text): anything beyond
     // scan→project (a join with a stats table, a window) would mean
@@ -348,6 +363,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     val partials = "partial_count".r.findAllIn(p).size
     assert(partials >= 2, s"expected >=2 map-side partial counts\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("t15: unigram logprob combines map-side; token joins stay equi; pruned read") {
+    // The term-count aggregate and the per-doc fold must both combine
+    // map-side (shuffles carry partials, never documents), the
+    // term→lnp join must be an equi-join (the corpus total is the one
+    // 1-row broadcast), and only (doc_id, text) may be read.
+    val p = plan("t15_unigram_logprob")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_collect_list"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 

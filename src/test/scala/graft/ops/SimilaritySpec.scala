@@ -525,6 +525,77 @@ class SimilaritySpec extends SparkSpec {
       assert(byId(id)._2 == 1, s"vector $id should be kept"))
   }
 
+  test("IVF-PQ: recall climbs with probes on the real corpus") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // Exact squared-L2 baseline under the operator's published
+    // contract (distances rounded to 6 dp, ties by vec_id).
+    val vecs = e.select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def exactTop(q: Long, k: Int): Set[Long] =
+      vecs.filter(_._1 != q).map { case (id, v) =>
+        (id, BigDecimal(vecs(q).zip(v).map(p => (p._1 - p._2) * (p._1 - p._2)).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.sortBy(p => (p._2, p._1)).take(k).map(_._1).toSet
+    val (coarse, cells, cb, codes) = Similarity.ivfPqTrain(e, rounds = 2)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val nCells = e.select("label").distinct().count().toInt
+    def recallAt(probes: Int): Double = {
+      val got = Similarity.ivfPqSearch(
+        queries, coarse, cells, cb, codes, k = 5, probes = probes)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      (0L until 5L).map { q =>
+        got.getOrElse(q, Set.empty[Long]).intersect(exactTop(q, 5)).size / 5.0
+      }.sum / 5
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    val rAll = recallAt(nCells)
+    info(f"IVF-PQ recall@5 on sf0.01: probes=1 $r1%.3f, probes=4 $r4%.3f, " +
+      f"probes=$nCells%d (all) $rAll%.3f")
+    // The real corpus is weakly clustered (single-probe IVF recall is
+    // 0.12 there — the s09 measurement), so the probes dial, not the
+    // cell structure, carries recall; and even at all-cells the raw
+    // ADC ranking is bounded by the 4-byte quantization (measured
+    // 0.20@5 here — which is WHY ivfPqSearchRefined exists). The raw
+    // path gets monotonicity gates; the refined path gets the floor.
+    assert(r4 >= r1, f"probes=4 recall $r4%.3f below probes=1 $r1%.3f")
+    assert(rAll >= r4, f"all-cells recall $rAll%.3f below probes=4 $r4%.3f")
+    def refinedRecall(probes: Int, shortlist: Int): Double = {
+      val got = Similarity.ivfPqSearchRefined(
+        queries, coarse, cells, cb, codes, e,
+        k = 5, shortlist = shortlist, probes = probes)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      (0L until 5L).map { q =>
+        got.getOrElse(q, Set.empty[Long]).intersect(exactTop(q, 5)).size / 5.0
+      }.sum / 5
+    }
+    // The refinement's dial is the SHORTLIST: re-ranked recall is
+    // exactly "did the ADC shortlist contain the true neighbors", so
+    // it climbs with shortlist size where raw ADC@5 stays pinned at
+    // the quantization bound. Measured here (all cells probed):
+    // 0.40 @ 20, 0.48 @ 50, 0.76 @ 100, 0.92 @ 200 — gates set one
+    // step below each measurement to absorb tie-order jitter.
+    val sweep = Seq(20, 50, 100, 200).map(s => s -> refinedRecall(nCells, s))
+    sweep.foreach { case (s, r) =>
+      info(f"IVFADC+R recall@5 (all cells, shortlist=$s%d): $r%.3f") }
+    val bySl = sweep.toMap
+    assert(bySl(20) >= rAll,
+      f"re-ranked recall ${bySl(20)}%.3f below raw ADC $rAll%.3f")
+    sweep.sliding(2).foreach { case Seq((s1, r1s), (s2, r2s)) =>
+      assert(r2s >= r1s,
+        f"recall fell growing shortlist $s1%d→$s2%d: $r1s%.3f→$r2s%.3f") }
+    assert(bySl(100) >= 0.6, f"recall@shortlist=100 ${bySl(100)}%.3f < 0.6")
+    assert(bySl(200) >= 0.8, f"recall@shortlist=200 ${bySl(200)}%.3f < 0.8")
+  }
+
   test("semanticDedupBlocked: identical vectors never separate; drops ⊆ exact's drops") {
     val sparkS = spark
     import sparkS.implicits._

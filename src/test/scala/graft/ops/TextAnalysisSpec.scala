@@ -143,4 +143,28 @@ class TextAnalysisSpec extends SparkSpec {
     // lex tie-break picks lhs 'a', rhs 'a' < 'ab'.
     assert(steps(2) == ("a", "a", 3L), s"got ${steps(2)}")
   }
+
+  test("t15 unigram logprob: hand-computed scores; rare-token docs score lower") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Corpus: 6 tokens total — 'the' ×3, 'cat' ×2, 'zyx' ×1.
+    //   p(the)=1/2, p(cat)=1/3, p(zyx)=1/6.
+    val df = Seq(
+      (1L, "the cat the"), (2L, "the cat"), (3L, "zyx"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogprob(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnThe = r6(math.log(3.0 / 6)) // per-term round-6 FIRST,
+    val lnCat = r6(math.log(2.0 / 6)) // then the ordered fold
+    val lnZyx = r6(math.log(1.0 / 6))
+    assert(got(1) == ((3L, r6((lnThe + lnCat + lnThe) / 3))), got(1))
+    assert(got(2) == ((2L, r6((lnThe + lnCat) / 2))), got(2))
+    assert(got(3) == ((1L, r6(lnZyx))), got(3))
+    assert(!got.contains(4L), "null-text doc must not be scored")
+    // the rare-token doc is the quality outlier the filter exists for
+    assert(got(3)._2 < got(1)._2 && got(3)._2 < got(2)._2)
+  }
 }
