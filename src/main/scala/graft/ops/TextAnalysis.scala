@@ -106,6 +106,79 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition signals — the Gopher repetition
+    * filters (Rae et al. 2021, appendix A1) at token granularity
+    * (this corpus has no newlines, so the line-based variants are
+    * degenerate): duplicate-token fraction, the most-frequent
+    * 2-gram's and 3-gram's token-coverage fractions, and the
+    * fraction of token positions covered by 5-grams that repeat
+    * WITHIN the document — the within-doc complement of d13's
+    * cross-corpus boilerplate grams. A document is kept when every
+    * signal is at or below its Gopher-shaped threshold
+    * (0.20 / 0.18 / 0.30). Scale shape: the token stats are
+    * closed-form HOFs over one pruned scan; each n-gram top is a
+    * (doc_id, gram) groupBy with map-side partial count plus a
+    * top-1 window (WindowGroupLimit); the duplicated-5-gram
+    * coverage is a (doc_id, gram)-keyed self-join then a distinct
+    * count of positions — every shuffle carries grams or (doc_id,
+    * pos) pairs bounded by document length, never whole documents.
+    * Determinism: every fraction divides exact integers (the round
+    * to 6 dp is cosmetic); gram ties break lexicographically.
+    */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val base = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("tl"))
+    val stats = base.select(col("doc_id"),
+      size(col("tl")).cast("long").as("n_tokens"),
+      round((size(col("tl")) - size(array_distinct(col("tl"))))
+        .cast("double") / size(col("tl")), 6).as("dup_token_frac"))
+    // All starts of n-grams as (doc_id, 0-based start, gram text).
+    def gramStarts(n: Int): DataFrame = base
+      .where(size(col("tl")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(tl) - ${n - 1}), " +
+            s"i -> array_join(slice(tl, i, $n), ' '))"))
+          .as(Seq("p0", "gram")))
+    def top(n: Int, gramCol: String, cntCol: String): DataFrame = {
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("cnt").desc, col("gram"))
+      gramStarts(n).groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .select(col("doc_id"), col("gram").as(gramCol),
+          col("cnt").as(cntCol))
+    }
+    val g5 = gramStarts(5)
+    val dup5 = g5.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      .select("doc_id", "gram")
+    val cov = g5.join(dup5, Seq("doc_id", "gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("p0") + 1, col("p0") + 5)).as("pos"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("pos")).as("cov"))
+    stats
+      .join(top(2, "top_2gram", "cnt2"), Seq("doc_id"), "left")
+      .join(top(3, "top_3gram", "cnt3"), Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("top_2gram"),
+        round(coalesce(col("cnt2") * 2, lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("top_2gram_frac"),
+        col("top_3gram"),
+        round(coalesce(col("cnt3") * 3, lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("top_3gram_frac"),
+        round(coalesce(col("cov"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_5gram_frac"))
+      .withColumn("is_kept",
+        (col("top_2gram_frac") <= 0.20 &&
+          col("top_3gram_frac") <= 0.18 &&
+          col("dup_5gram_frac") <= 0.30).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Apply ONE BPE merge (x, y) to a symbol array, greedy
     * left-to-right non-overlapping — in CLOSED FORM, no sequential
     * fold, so the identical arithmetic runs as Catalyst HOFs here and
@@ -828,6 +901,81 @@ object TextAnalysis {
             AS avg_logprob
         FROM tok t JOIN lp l USING (term)
         GROUP BY t.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t16_gopher_filter",
+      (s, dir) =>
+        // Gopher-style within-doc repetition filters (see
+        // [[repetitionSignals]]): dup-token fraction, top-2/3-gram
+        // coverage, duplicated-5-gram position coverage, and the
+        // keep decision at the 0.20/0.18/0.30 thresholds.
+        repetitionSignals(docs(s, dir)),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        stats AS (
+          SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens,
+            ROUND(CAST(len(tl) - len(list_distinct(tl)) AS DOUBLE)
+                  / len(tl), 6) AS dup_token_frac
+          FROM toks),
+        g2 AS (
+          SELECT doc_id, array_to_string(tl[i:i+1], ' ') AS gram
+          FROM toks, unnest(range(1, len(tl))) AS s(i)
+          WHERE len(tl) >= 2),
+        t2 AS (
+          SELECT doc_id, gram AS top_2gram, cnt AS cnt2 FROM (
+            SELECT doc_id, gram, COUNT(*) AS cnt,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY COUNT(*) DESC, gram) AS rn
+            FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+        g3 AS (
+          SELECT doc_id, array_to_string(tl[i:i+2], ' ') AS gram
+          FROM toks, unnest(range(1, len(tl) - 1)) AS s(i)
+          WHERE len(tl) >= 3),
+        t3 AS (
+          SELECT doc_id, gram AS top_3gram, cnt AS cnt3 FROM (
+            SELECT doc_id, gram, COUNT(*) AS cnt,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY COUNT(*) DESC, gram) AS rn
+            FROM g3 GROUP BY doc_id, gram) WHERE rn = 1),
+        g5 AS (
+          SELECT doc_id, CAST(i AS INT) AS p,
+            array_to_string(tl[i:i+4], ' ') AS gram
+          FROM toks, unnest(range(1, len(tl) - 3)) AS s(i)
+          WHERE len(tl) >= 5),
+        d5 AS (
+          SELECT doc_id, gram FROM g5
+          GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+        cov AS (
+          SELECT doc_id, COUNT(DISTINCT pos) AS cov FROM (
+            SELECT g.doc_id, g.p + CAST(u.o AS INT) AS pos
+            FROM g5 g JOIN d5 USING (doc_id, gram),
+                 unnest(range(0, 5)) AS u(o))
+          GROUP BY doc_id)
+        SELECT doc_id, n_tokens, dup_token_frac, top_2gram,
+          top_2gram_frac, top_3gram, top_3gram_frac, dup_5gram_frac,
+          CAST(top_2gram_frac <= CAST(0.20 AS DOUBLE)
+               AND top_3gram_frac <= CAST(0.18 AS DOUBLE)
+               AND dup_5gram_frac <= CAST(0.30 AS DOUBLE) AS INT)
+            AS is_kept
+        FROM (
+          SELECT s.doc_id, s.n_tokens, s.dup_token_frac,
+            t2.top_2gram,
+            ROUND(CAST(COALESCE(t2.cnt2 * 2, 0) AS DOUBLE)
+                  / s.n_tokens, 6) AS top_2gram_frac,
+            t3.top_3gram,
+            ROUND(CAST(COALESCE(t3.cnt3 * 3, 0) AS DOUBLE)
+                  / s.n_tokens, 6) AS top_3gram_frac,
+            ROUND(CAST(COALESCE(cov.cov, 0) AS DOUBLE)
+                  / s.n_tokens, 6) AS dup_5gram_frac
+          FROM stats s
+          LEFT JOIN t2 USING (doc_id)
+          LEFT JOIN t3 USING (doc_id)
+          LEFT JOIN cov USING (doc_id))
+        ORDER BY doc_id"""))
   )
 }

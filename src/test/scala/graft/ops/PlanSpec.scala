@@ -378,6 +378,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("t16: repetition signals combine map-side, top-1 windows group-limit, pruned read") {
+    // Every gram count must combine map-side (shuffles carry grams,
+    // never documents), the per-doc top-1 windows must run under
+    // WindowGroupLimit (rank pushdown — no full per-doc sort
+    // survives), and only (doc_id, text) may be read.
+    val p = plan("t16_gopher_filter")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("t14: pii scrub is a pure projection over a pruned scan") {
     // Redaction is per-row regexp work: any join, window, or hash
     // exchange means the scrub stopped running at parquet-scan speed.

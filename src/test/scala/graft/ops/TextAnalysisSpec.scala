@@ -167,4 +167,42 @@ class TextAnalysisSpec extends SparkSpec {
     // the rare-token doc is the quality outlier the filter exists for
     assert(got(3)._2 < got(1)._2 && got(3)._2 < got(2)._2)
   }
+
+  test("t16 repetition signals: hand-computed fractions, tie-breaks, and coverage union") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(
+      // doc 1: "a b" x3 + trailing c. 2-grams: "a b"x3, "b a"x2,
+      // "b c"x1. 3-grams tie at 2 ("a b a", "b a b") -> lexicographic
+      // pick. 5-grams all distinct -> zero coverage.
+      (1L, "a b a b a b c"),
+      // doc 2: "x y z" x3 + w. Dup 5-grams "x y z x y" (starts 1,4)
+      // and "y z x y z" (starts 2,5) cover positions 1-8 U 2-9 = 1-9.
+      // 2-gram tie ("x y" vs "y z", both 3) -> lexicographic pick.
+      (2L, "x y z x y z x y z w"),
+      // doc 3: single token -> no n-grams at all (left-join path).
+      (3L, "q"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(4L), "null-text doc must not be scored")
+    val d1 = got(1L)
+    assert(d1.getLong(1) == 7L && d1.getDouble(2) == r6(4.0 / 7), d1)
+    assert(d1.getString(3) == "a b" && d1.getDouble(4) == r6(6.0 / 7), d1)
+    assert(d1.getString(5) == "a b a" && d1.getDouble(6) == r6(6.0 / 7), d1)
+    assert(d1.getDouble(7) == 0.0 && d1.getInt(8) == 0, d1)
+    val d2 = got(2L)
+    assert(d2.getLong(1) == 10L && d2.getDouble(2) == 0.6, d2)
+    assert(d2.getString(3) == "x y" && d2.getDouble(4) == 0.6, d2)
+    assert(d2.getString(5) == "x y z" && d2.getDouble(6) == 0.9, d2)
+    assert(d2.getDouble(7) == 0.9 && d2.getInt(8) == 0, d2)
+    val d3 = got(3L)
+    assert(d3.getLong(1) == 1L && d3.getDouble(2) == 0.0, d3)
+    assert(d3.isNullAt(3) && d3.getDouble(4) == 0.0, d3)
+    assert(d3.isNullAt(5) && d3.getDouble(6) == 0.0, d3)
+    assert(d3.getDouble(7) == 0.0 && d3.getInt(8) == 1, d3)
+  }
 }
