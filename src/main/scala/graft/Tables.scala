@@ -1,20 +1,31 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated test tables (see TESTDATA.md).
   *
-  * All tables are plain parquet; `events.ts` is written as
-  * TIMESTAMP(NANOS) which Spark cannot map to its microsecond
-  * TimestampType directly, so we read it via the
-  * `spark.sql.legacy.parquet.nanosAsLong` escape hatch and convert.
-  * The conversion intentionally truncates sub-microsecond nanos
-  * (Spark's TimestampType tops out at µs); `ts div 1000` floors, which
-  * is consistent with DuckDB's TIMESTAMP_NS → TIMESTAMP cast for
-  * positive epochs, so µs-level oracle compares agree. Oracles over
-  * `events.ts` must cast to µs (`CAST(ts AS TIMESTAMP)`) on the DuckDB
-  * side too.
+  * All tables are plain parquet. `events.ts` has shipped in two
+  * different physical layouts across testdata generations:
+  *
+  *   - TIMESTAMP(NANOS): Spark cannot map nanos to its microsecond
+  *     TimestampType, so the session must set the
+  *     `spark.sql.legacy.parquet.nanosAsLong` escape hatch; the column
+  *     then reads as LongType nanos and we floor-divide to µs (the
+  *     floor matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast for
+  *     positive epochs, so µs-level oracle compares agree).
+  *   - TIMESTAMP(MICROS) without the UTC-adjusted flag: reads natively
+  *     as TimestampNTZType; we cast to the session-zone TimestampType
+  *     (identity on the stored micros under the UTC session every
+  *     graft entrypoint pins), which is the type the DuckDB oracle's
+  *     naive TIMESTAMP compares against.
+  *
+  * Rather than hard-code either layout, [[repairEventsTs]] inspects the
+  * dtype the scan actually produced and applies the matching repair —
+  * a data drift now surfaces as a loud unknown-layout error, never a
+  * silently rescaled clock. [[Canary]] additionally sanity-bounds the
+  * decoded values before the full verification gates run.
   *
   * At 100 TB these would be partitioned/bucketed external tables; the
   * loader keeps the scan declarative (`spark.read.parquet`) so
@@ -28,26 +39,47 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Load one table. `events` gets its ns-timestamp repaired to
-    * Spark's native TimestampType (µs).
+  /** Normalise an `events` frame so `ts` is Spark's native
+    * TimestampType (µs), whatever physical layout the scan produced.
+    * Shared by the batch loader and the streaming source — the single
+    * source of truth for the ts repair.
+    */
+  def repairEventsTs(df: DataFrame): DataFrame = {
+    val repaired: Column = df.schema("ts").dataType match {
+      // nanosAsLong escape hatch (TIMESTAMP(NANOS) layout): floor ns→µs.
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      // TIMESTAMP(MICROS) without isAdjustedToUTC: cast is identity on
+      // the stored micros under the pinned UTC session.
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts read as unexpected type $other — unknown parquet layout; " +
+          "extend Tables.repairEventsTs for this testdata generation")
+    }
+    df.withColumn("ts", repaired)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** The on-disk schema of `events` as the current session would scan
+    * it (footer-only read — cheap). Streaming sources need an explicit
+    * schema up front; deriving it here keeps the stream and batch paths
+    * reading identically.
+    */
+  def eventsOnDiskSchema(spark: SparkSession, dir: String): StructType = {
+    // Keep the NANOS escape hatch available for old-layout data; a
+    // no-op for MICROS files. Must stay set for the lifetime of plans
+    // scanning a NANOS file (the scan consults SQLConf at action time).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(dir, "events")).schema
+  }
+
+  /** Load one table. `events` gets `ts` normalised to TimestampType
+    * via [[repairEventsTs]].
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // The NANOS escape hatch must stay set for the lifetime of any
-      // plan that scans `events` (the scan consults SQLConf again at
-      // action time, so save/restore around the read would break lazy
-      // execution). Session builders in Verify/Bench/tests set it at
-      // construction; this set is an idempotent backstop for ad-hoc
-      // sessions. Known trade-off: after this, other NANOS parquet
-      // columns in the same session would read as LongType instead of
-      // failing loudly — only `events` uses NANOS in this dataset.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path(dir, name))
-      // ts arrives as LongType nanos; integer-divide to µs (floor,
-      // drops sub-µs nanos — see class doc) and rebuild a proper
-      // timestamp column in place.
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      repairEventsTs(spark.read.parquet(path(dir, name)))
     } else {
       spark.read.parquet(path(dir, name))
     }

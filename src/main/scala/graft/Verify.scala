@@ -27,6 +27,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Data-contract preflight: name any testdata drift up front (round
+    // 9's ts-layout change cost 18 queries before being diagnosed).
+    // Warn-and-continue — partial correctness is still worth recording.
+    Canary.check(spark, sfDir) match {
+      case Seq() => System.err.println(s"[canary] data contract OK for $sfDir")
+      case ps => ps.foreach(p => System.err.println(s"[canary] CONTRACT DRIFT: $p"))
+    }
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.contains) }
       .foreach { case (name, fn) =>
