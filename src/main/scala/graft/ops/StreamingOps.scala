@@ -26,12 +26,18 @@ object StreamingOps {
       "st02_stream_sessions",
       (s, dir) => EventStream.runSessions(s, dir),
       // Closed sessions = every (user, session) except each user's
-      // LAST session (it stays open in state under NoTimeout). Gap
-      // rule matches sessionize: a gap >= 30 min closes.
+      // LAST session (gap rule: >= 30 min to the next event closes,
+      // µs precision), PLUS the last session where the final watermark
+      // passed its end: EventTimeTimeout fires on strict
+      // `lastSeen_ms + 30 min < watermark_ms`, with watermark_ms =
+      // floor(max µs over ALL events / 1000) − 1 h (Spark floors event
+      // times to ms before the max) — emitting AND evicting the state.
       Some("""
         WITH e AS (
           SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
           FROM events),
+        wm AS (
+          SELECT MAX(us) // 1000 - 3600000 AS wms FROM e),
         g AS (
           SELECT user_id, us, event_id,
             CASE WHEN us - LAG(us, 1) OVER (PARTITION BY user_id
@@ -40,17 +46,18 @@ object StreamingOps {
                  THEN 1 ELSE 0 END AS brk
           FROM e),
         s AS (
-          SELECT user_id,
+          SELECT user_id, us,
             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
           FROM g),
         sess AS (
-          SELECT user_id, sid, COUNT(*) AS n_events
+          SELECT user_id, sid, COUNT(*) AS n_events, MAX(us) AS last_us
           FROM s GROUP BY user_id, sid)
         SELECT user_id, n_events, TRUE AS closed
-        FROM sess
+        FROM sess, wm
         WHERE sid < (SELECT MAX(s2.sid) FROM sess s2
                      WHERE s2.user_id = sess.user_id)
+           OR last_us // 1000 + 1800000 < wm.wms
         ORDER BY user_id, n_events""")),
     // ------------------------------------------------------------------
     Q(

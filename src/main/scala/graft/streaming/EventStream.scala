@@ -23,27 +23,19 @@ import graft.ops.D.{dbl, m}
   */
 object EventStream {
 
-  /** Raw parquet schema of events under nanosAsLong (ts: INT64 nanos). */
-  val rawSchema: StructType = StructType(Seq(
+  /** Post-repair schema — what st08's file sink holds. Read-back needs
+    * it explicitly: an empty source stream writes NO parquet files, and
+    * schema inference on an empty directory throws. Layout-independent:
+    * whatever the on-disk ts encoding, `Tables.repairEventsTs`
+    * normalises the stream to exactly this shape.
+    */
+  val repairedSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
-
-  /** ns→µs repair, same floor rule as Tables.load. */
-  def repairTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-
-  /** Post-repair schema — what st08's file sink holds. Read-back needs
-    * it explicitly: an empty source stream writes NO parquet files, and
-    * schema inference on an empty directory throws.
-    */
-  val repairedSchema: StructType = StructType(rawSchema.map {
-    case StructField("ts", _, n, m) => StructField("ts", TimestampType, n, m)
-    case f => f
-  })
 
   /** Shared transformation: hourly tumbling windows per event_type.
     * Works identically on a batch DataFrame or a streaming one.
@@ -102,14 +94,19 @@ object EventStream {
     out
   }
 
-  /** File-source stream over the events parquet. */
+  /** File-source stream over the events parquet. The stream schema is
+    * derived from the parquet footer via the same adaptive path as the
+    * batch loader (`Tables.eventsOnDiskSchema` + `repairEventsTs`), so
+    * a testdata layout change can never make the stream read a
+    * different clock than the batch queries the oracle checks against.
+    */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = graft.Tables.eventsOnDiskSchema(spark, dir)
     // File stream sources want a directory; select just the events
     // file out of the sf dir via glob filter.
-    repairTs(
+    graft.Tables.repairEventsTs(
       spark.readStream
-        .schema(rawSchema)
+        .schema(onDisk)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
   }
@@ -136,17 +133,27 @@ object EventStream {
 
   /** Run the flatMapGroupsWithState sessionization as a REAL streaming
     * query over the events file stream and return the emitted (closed)
-    * sessions. With NoTimeout, each user's final session stays open in
-    * state — so the batch-SQL oracle is "every session except each
-    * user's last one" (st02's recursive-free window restatement).
+    * sessions. Sessions close two ways: a later event of the same user
+    * arrives ≥ 30 min after the previous one (gap rule), or the
+    * EventTimeTimeout fires once the watermark passes last-seen +
+    * 30 min — emitting AND EVICTING the session, so no user's state
+    * lives forever (the r9 NoTimeout leak). The batch-SQL oracle is
+    * "every session except each user's last, plus the last where
+    * last_ms + 30 min < final watermark" — watermark semantics stated
+    * in SQL (final watermark = floor(max µs / 1000) ms − 1 h, timeout
+    * fires on strict <, Spark's eviction rule).
     */
   def runSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = "st_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // The watermarked ts column must survive into the stateful
+    // operator's input (Spark's EventTimeTimeout requirement) — SEv
+    // carries it alongside the µs value the gap arithmetic uses.
     val evs = readStream(spark, dir)
+      .withWatermark("ts", "1 hour")
       .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("us"))
-      .as[Ev]
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .as[SEv]
     withStreamShufflePartitions(spark, 8) {
       val q = sessionize(evs)
         .writeStream
@@ -351,6 +358,15 @@ object EventStream {
   // ------------------------------------------------------------------
 
   final case class Ev(event_id: Long, user_id: Long, us: Long)
+
+  /** Sessionization input: like [[Ev]] but carrying the watermarked
+    * `ts` column itself — Spark's EventTimeTimeout check requires the
+    * watermark ATTRIBUTE (not just the node) to reach the
+    * flatMapGroupsWithState input, so it cannot be projected away.
+    * `us` duplicates ts at µs precision for the gap arithmetic.
+    */
+  final case class SEv(
+      event_id: Long, user_id: Long, us: Long, ts: java.sql.Timestamp)
   final case class UserCount(user_id: Long, n_events: Long)
   final case class Session(user_id: Long, n_events: Long, closed: Boolean)
 
@@ -391,32 +407,58 @@ object EventStream {
   }
 
   /** Streaming sessionization via flatMapGroupsWithState: a session
-    * closes after 30 min (event time) without activity; closed
-    * sessions are emitted, the open one is carried in state. State per
-    * key is one (lastSeen, count) pair — bounded, store-partitioned.
+    * closes after 30 min (event time) without activity. Two close
+    * paths: a later event of the same user ≥ 30 min after the previous
+    * (gap rule, µs precision), or the EventTimeTimeout fires once the
+    * watermark passes lastSeen + 30 min (ms precision, Spark's strict
+    * `timeout < watermark` eviction rule) — which emits the session
+    * AND REMOVES the state, so an idle user costs nothing forever.
+    * Requires a watermark upstream (callers attach
+    * `withWatermark("ts", …)` before projecting to [[Ev]]; the
+    * EventTimeWatermarkExec node observes the column there, so the
+    * projection dropping it is harmless). State per key is one
+    * (lastSeen µs, count) pair — bounded, store-partitioned, evicted.
     */
-  def sessionize(ds: Dataset[Ev]): Dataset[Session] = {
+  def sessionize(ds: Dataset[SEv]): Dataset[Session] = {
     import ds.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
+    val gapMs = gapUs / 1000
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long), Session](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
-        (user: Long, evs: Iterator[Ev], state: GroupState[(Long, Long)]) =>
-          // Within a micro-batch events may arrive unordered: sort.
-          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
-          var (last, n) = state.getOption.getOrElse((Long.MinValue, 0L))
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            if (n > 0 && e.us - last >= gapUs) {
-              closed += Session(user, n, closed = true)
-              n = 0
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[SEv], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed lastSeen + gap: the open session is
+            // definitively closed (any still-admissible late event
+            // would have ts ≥ watermark > lastSeen + gap, i.e. it
+            // starts a NEW session). Emit and evict.
+            val (_, n) = state.get
+            state.remove()
+            Iterator.single(Session(user, n, closed = true))
+          } else {
+            // Within a micro-batch events may arrive unordered: sort.
+            val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
+            var (last, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              if (n > 0 && e.us - last >= gapUs) {
+                closed += Session(user, n, closed = true)
+                n = 0
+              }
+              n += 1
+              last = e.us
             }
-            n += 1
-            last = e.us
+            state.update((last, n))
+            // Close the open session when the watermark passes
+            // lastSeen + gap. Spark rejects a timeout at or below the
+            // current watermark; the max() clamp covers the multi-
+            // batch case where the session is already overdue — it
+            // then fires on the next watermark advance.
+            state.setTimeoutTimestamp(
+              math.max(last / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.result().iterator
           }
-          state.update((last, n))
-          closed.result().iterator
       }
   }
 }

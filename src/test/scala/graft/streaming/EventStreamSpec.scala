@@ -50,34 +50,64 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
-  test("flatMapGroupsWithState closes sessions across micro-batches") {
+  test("flatMapGroupsWithState closes sessions across micro-batches " +
+      "and the timeout evicts idle users") {
     val sparkS = spark
     import sparkS.implicits._
     implicit val sqlCtx = spark.sqlContext
     val halfHourUs = 30L * 60 * 1000000
+    val hourUs = 3600L * 1000000
+    // Keep event times away from epoch 0: the initial watermark is 0
+    // and the stateful operator's late-row filter drops rows at or
+    // below it, which would silently eat a t=0 event. Real data is
+    // decades past the epoch; the test should be too.
+    val baseUs = 86400L * 1000000
 
     val input = MemoryStream[Ev]
-    val q = sessionize(input.toDS())
+    // EventTimeTimeout needs the watermarked COLUMN to reach the
+    // stateful operator, so derive ts, watermark it, and keep it (SEv).
+    val q = sessionize(
+        input.toDS()
+          .withColumn("ts", expr("timestamp_micros(us)"))
+          .withWatermark("ts", "1 hour")
+          .as[SEv])
       .writeStream.format("memory").queryName("sessions_test")
       .outputMode(OutputMode.Append()).start()
 
     // Batch 1: two events 1 min apart — one open session, nothing out.
-    input.addData(Ev(1, 7, 0), Ev(2, 7, 60L * 1000000))
+    input.addData(Ev(1, 7, baseUs), Ev(2, 7, baseUs + 60L * 1000000))
     q.processAllAvailable()
     assert(spark.table("sessions_test").count() == 0)
 
     // Batch 2: an event 40 min later closes the first session (2
     // events) and opens a new one.
-    input.addData(Ev(3, 7, 60L * 1000000 + halfHourUs + 600L * 1000000))
+    input.addData(
+      Ev(3, 7, baseUs + 60L * 1000000 + halfHourUs + 600L * 1000000))
     q.processAllAvailable()
     val out = spark.table("sessions_test").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(out.toSeq == Seq((7L, 2L, true)))
 
-    // Batch 3: another gap closes the second session (1 event).
-    input.addData(Ev(4, 7, 2 * (halfHourUs + 3600L * 1000000)))
+    // Batch 3: another gap (event at t=3h) closes the second session
+    // (1 event). Watermark after this batch: 3h − 1h = 2h, short of
+    // the open session's 3.5h timeout — it stays in state.
+    input.addData(Ev(4, 7, baseUs + 2 * (halfHourUs + hourUs)))
     q.processAllAvailable()
     assert(spark.table("sessions_test").count() == 2)
+
+    // Batch 4: a DIFFERENT user at t=10h pushes the watermark to 9h,
+    // past user 7's 3.5h timeout — the timeout path emits user 7's
+    // last session and EVICTS it; only user 99's open session remains
+    // in the store. This is the r9 NoTimeout leak, fixed and pinned.
+    input.addData(Ev(5, 99, baseUs + 10 * hourUs))
+    q.processAllAvailable()
+    val all = spark.table("sessions_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(all.sorted.toSeq ==
+      Seq((7L, 1L, true), (7L, 1L, true), (7L, 2L, true)), all.toSeq)
+    assert(EventStream.lastStateRows(q) == 1,
+      s"expected exactly user 99's open session in state, " +
+        s"got ${EventStream.lastStateRows(q)} rows")
     q.stop()
   }
 
