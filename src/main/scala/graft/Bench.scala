@@ -25,47 +25,74 @@ object Bench {
     // recorded as -1 (a sentinel the sum skips) and listed in
     // "failed" — never as a silent ~0s success that would inflate
     // the bench.
-    def pass(): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            // noop sink forces full materialization of every output column
-            // (count() lets Catalyst prune the projections being measured).
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            true
-          } catch {
-            case t: Throwable =>
-              System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-              false
-          }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
-      }
-    val byName = pass().zip(pass()).map { case ((n, t1, ok1), (_, t2, ok2)) =>
-      // min over the successful attempts; failed only if BOTH failed
-      val ts = Seq(t1 -> ok1, t2 -> ok2).collect { case (t, true) => t }
-      (n, if (ts.nonEmpty) ts.min else -1.0, ts.nonEmpty,
-        if (ok1) t1 else -1.0, if (ok2) t2 else -1.0)
+    def timed(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          // noop sink forces full materialization of every output column
+          // (count() lets Catalyst prune the projections being measured).
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+            false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = byName
-    val qs = results.map { case (k, v, ok, _, _) =>
+    // Dev-only: restrict to queries whose name contains the filter —
+    // for re-measuring a single query on a quiet machine without
+    // paying the full 2×-the-surface bench. The driver never sets it.
+    val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+    def pass(): Seq[(String, Double, Boolean)] =
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => name.contains(nameFilter) }
+        .map { case (name, fn) =>
+          val (t, ok) = timed(name, fn)
+          (name, t, ok)
+        }
+    val twoPass = pass().zip(pass()).map { case ((n, t1, ok1), (_, t2, ok2)) =>
+      (n, if (ok1) t1 else -1.0, if (ok2) t2 else -1.0)
+    }
+    // Bounded third pass: a query whose two timings disagree by > 2×
+    // was measured under a noisy neighbor on at least one of them (the
+    // engine is deterministic; r9's q15 measured 39.1 s vs 3.3 s on
+    // identical plans). One retry for the ≤ 5 worst-spread queries
+    // keeps the reported min honest without re-paying the whole bench.
+    val retrySet = twoPass
+      .collect { case (n, t1, t2) if t1 > 0 && t2 > 0 &&
+        math.max(t1, t2) / math.min(t1, t2) > 2.0 =>
+        (n, math.max(t1, t2) / math.min(t1, t2)) }
+      .sortBy(-_._2).take(5).map(_._1).toSet
+    val fns = SparkEntry.queries
+    val results = twoPass.map { case (n, t1, t2) =>
+      val t3 =
+        if (retrySet(n)) { val (t, ok) = timed(n, fns(n)); if (ok) t else -1.0 }
+        else -1.0
+      val ts = Seq(t1, t2, t3).filter(_ >= 0)
+      (n, if (ts.nonEmpty) ts.min else -1.0, ts.nonEmpty, t1, t2, t3)
+    }
+    val qs = results.map { case (k, v, ok, _, _, _) =>
       s"\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
-    // BOTH raw passes, per query (-1 = that pass failed): a contended
-    // machine inflates p1 AND p2 together (BENCH_r08's head queries
-    // measured 6× their clean times), and with only the min in the
-    // artifact nothing lets a reader tell contention from regression.
-    // "queries" stays the min-of-2 the driver compares; "passes" is
-    // the self-diagnosis. Locale-pinned %.3f: a comma-decimal locale
-    // would corrupt the JSON.
+    // ALL raw passes, per query (-1 = failed or, for p3, not retried):
+    // a contended machine inflates p1 AND p2 together (BENCH_r08's
+    // head queries measured 6× their clean times), and with only the
+    // min in the artifact nothing lets a reader tell contention from
+    // regression. "queries" stays the min the driver compares;
+    // "passes" is the self-diagnosis. Locale-pinned %.3f: a
+    // comma-decimal locale would corrupt the JSON.
     def d3(t: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
-    val passes = results.map { case (k, _, _, t1, t2) =>
-      s""""$k":{"p1":${d3(t1)},"p2":${d3(t2)}}"""
+    val passes = results.map { case (k, _, _, t1, t2, t3) =>
+      val p3 = if (t3 >= 0) s""","p3":${d3(t3)}""" else ""
+      s""""$k":{"p1":${d3(t1)},"p2":${d3(t2)}$p3}"""
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
