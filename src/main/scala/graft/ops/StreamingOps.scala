@@ -61,6 +61,43 @@ object StreamingOps {
         ORDER BY user_id, n_events""")),
     // ------------------------------------------------------------------
     Q(
+      "st13_stream_session_window",
+      (s, dir) => EventStream.runSessionWindows(s, dir),
+      // Native session_window, Append mode: a session emits iff its
+      // window end (last event + 30 min) is at or before the final
+      // watermark, wm_µs = (floor(max_µs/1000) − 1 h) × 1000 (Spark
+      // floors event times to ms for watermark tracking, then the
+      // eviction predicate compares µs). Session identity = the same
+      // 30-min-gap grouping as st02's CTE chain; start = MIN(us).
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        wm AS (
+          SELECT (MAX(us) // 1000 - 3600000) * 1000 AS wus FROM e),
+        g AS (
+          SELECT user_id, us, event_id,
+            CASE WHEN us - LAG(us, 1) OVER (PARTITION BY user_id
+                                            ORDER BY us, event_id)
+                      >= 1800000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM e),
+        s AS (
+          SELECT user_id, us,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+        sess AS (
+          SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS last_us,
+            COUNT(*) AS n_events
+          FROM s GROUP BY user_id, sid)
+        SELECT user_id, make_timestamp(start_us) AS session_start,
+          n_events
+        FROM sess, wm
+        WHERE last_us + 1800000000 <= wm.wus
+        ORDER BY user_id, session_start""")),
+    // ------------------------------------------------------------------
+    Q(
       "st03_stream_interval_join",
       (s, dir) => EventStream.runIntervalJoin(s, dir),
       Some("""

@@ -197,6 +197,39 @@ object EventStream {
     drainMemoryTable(spark, name, "purchase_id", "view_event_id")
   }
 
+  /** Run sessionization with Spark's NATIVE `session_window` operator
+    * as a REAL streaming query — the compose-existing-ops counterpart
+    * to [[sessionize]]'s custom flatMapGroupsWithState: merging
+    * session windows are a built-in stateful aggregation (state-store
+    * backed, watermark-evicted), so a per-user event count per session
+    * needs no hand-written state machine at all. Same 30-min gap rule:
+    * `session_window(ts, g)` spans [ts, ts+g) and merges overlapping
+    * spans, so a gap of exactly g starts a new session — identical to
+    * [[sessionize]]'s `>= gapUs` break. Append mode emits only
+    * sessions FINALIZED by the watermark (window end at or before the
+    * final watermark), which the oracle states directly.
+    */
+  def runSessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamShufflePartitions(spark, 8) {
+      val q = readStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemoryTable(spark, name, "user_id", "session_start")
+  }
+
   /** Run streaming dedup (`dropDuplicatesWithinWatermark`) as a REAL
     * streaming query: first occurrence of each (user_id, event_type)
     * passes, later ones are dropped, and key state is evicted once the

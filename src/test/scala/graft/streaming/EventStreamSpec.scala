@@ -111,6 +111,44 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("native session_window emits a session only after the watermark " +
+      "passes its end") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000000
+    val baseUs = 86400L * 1000000
+
+    val input = MemoryStream[Ev]
+    val q = input.toDS()
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sesswin_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // Batch 1: two events 1 min apart — the merged session's window
+    // end (t+1min+30min) is ahead of the watermark: nothing emits.
+    input.addData(Ev(1, 7, baseUs), Ev(2, 7, baseUs + 60L * 1000000))
+    q.processAllAvailable()
+    assert(spark.table("sesswin_test").isEmpty)
+
+    // Batch 2: an event at t=3h pushes the watermark to 2h, past the
+    // first session's end — it finalizes with both events; the new
+    // session (end 3.5h) stays open.
+    input.addData(Ev(3, 7, baseUs + 3 * hourUs))
+    q.processAllAvailable()
+    val rows = spark.table("sesswin_test").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toEpochMilli,
+        r.getLong(2)))
+    assert(rows.toSeq == Seq((7L, baseUs / 1000, 2L)), rows.toSeq)
+    q.stop()
+    spark.catalog.dropTempView("sesswin_test")
+  }
+
   test("stream-stream interval join matches purchases to recent views") {
     val sparkS = spark
     import sparkS.implicits._
