@@ -16,6 +16,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same warn-and-continue data-contract preflight as Verify: a
+    // testdata drift should be named here, not inferred from a wall of
+    // BENCH FAIL lines.
+    Canary.check(spark, sfDir) match {
+      case Seq() => System.err.println(s"[canary] data contract OK for $sfDir")
+      case ps => ps.foreach(p => System.err.println(s"[canary] CONTRACT DRIFT: $p"))
+    }
     // TWO timed passes, report the per-query MINIMUM. Pass 1 doubles
     // as the warm pass (codegen compilation + JIT of the hash/digest
     // hot paths land somewhere in it); min-of-2 makes each query's

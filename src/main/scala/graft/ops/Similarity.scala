@@ -633,6 +633,23 @@ object Similarity {
     * Deterministic by the s05/s06 arithmetic conventions, so the
     * DuckDB oracle unrolls the identical rounds.
     */
+  /** Session-scoped memo of [[pqTrain]] artifacts on the RAW corpus,
+    * keyed like [[ivfPqArtifacts]]: s07 (training output) and s08
+    * (ADC search) consume one flat-PQ index build per session instead
+    * of each re-paying the 2-round Lloyd training. The memo covers
+    * only the raw-embedding build — [[ivfPqTrain]]'s internal pqTrain
+    * call runs on coarse-cell RESIDUALS and is memoized at its own
+    * level.
+    */
+  private val pqArtifacts = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+
+  /** [[pqTrain]] with the per-session artifact memo above. */
+  def pqTrainShared(
+      spark: SparkSession, dir: String, e: => DataFrame, rounds: Int = 2)
+      : (DataFrame, DataFrame) =
+    pqArtifacts.getOrElseUpdate((spark, dir, rounds), pqTrain(e, rounds))
+
   def pqTrain(e0: DataFrame, rounds: Int = 2): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"need at least one round, got $rounds")
     val sub = subVectors(e0).localCheckpoint()
@@ -1504,8 +1521,9 @@ object Similarity {
       (s, dir) =>
         // PQ codebook training, 2 pinned Lloyd rounds per subspace
         // (all M subspaces in the same distributed job); output is
-        // each vector's 4 subspace codes. See [[pqTrain]].
-        pqTrain(emb(s, dir), rounds = 2)._2
+        // each vector's 4 subspace codes. See [[pqTrain]]; the build
+        // is the shared per-session index s08 also consumes.
+        pqTrainShared(s, dir, emb(s, dir))._2
           .withColumnRenamed("m", "subspace")
           .orderBy("vec_id", "subspace"),
       Some(sqlPqCtes(2) + """
@@ -1514,12 +1532,18 @@ object Similarity {
     // ----------------------------------------------------------------
     Q(
       "s08_pq_adc_topk",
-      (s, dir) =>
+      (s, dir) => {
         // ADC top-5 over the PQ codes for queries vec_id < 3: 4 table
         // lookups + an ordered 4-term sum per (query, vector) — the
         // compressed-domain search that makes PQ the 100 TB ANN
-        // memory path. See [[pqAdcTopk]].
-        pqAdcTopk(emb(s, dir), rounds = 2, k = 5),
+        // memory path. See [[pqAdcTopk]]; consumes the same
+        // per-session index build as s07 instead of re-training.
+        val e = emb(s, dir)
+        val (cent, codes) = pqTrainShared(s, dir, e)
+        val queries = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        pqAdcSearch(queries, cent, codes, k = 5)
+      },
       Some(sqlPqCtes(2) + """,
         q AS (
           SELECT vec_id AS qid, m, sv AS qv FROM sub WHERE vec_id < 3),
