@@ -19,7 +19,8 @@ object ScaleSmoke {
       |  q56 [f]       N pruned scans vs one-scan Expand on lineitem ×f
       |  sim [f]       PQ/ADC/IVF/k-means converge on embeddings ×1 and ×f
       |  ttl [chunks]  st11 state size per micro-batch at sf0.1
-      |  stjoin [chunks]  st03 interval-join state per micro-batch at sf0.1""".stripMargin
+      |  stjoin [chunks]  st03 interval-join state per micro-batch at sf0.1
+      |  sessions [chunks]  st02/st13 session state per micro-batch at sf0.1""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -374,8 +375,77 @@ object ScaleSmoke {
     }
   }
 
+  /** Session-state plateau: feed sf0.1's events through BOTH
+    * sessionization operators (st02's EventTimeTimeout
+    * flatMapGroupsWithState and st13's native session_window) in
+    * event-time-ordered micro-batches and sample the state store per
+    * batch. The r9 NoTimeout shape held one state row per user EVER
+    * SEEN (monotone growth, ~10k rows by stream end); with eviction
+    * live state is one row (st02) / one merging window (st13) per
+    * RECENTLY ACTIVE user — the plateau that makes year-long
+    * continuous sessionization run in bounded memory.
+    */
+  def runSessionsScale(spark: SparkSession, chunks: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Dev-tool-only collect (the ttl/stjoin-mode pattern):
+    // hand-controlled micro-batch boundaries need MemoryStream.
+    val all = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[EventStream.Ev].collect().sortBy(e => (e.us, e.event_id))
+    val users = all.map(_.user_id).distinct.length
+    val (minUs, maxUs) = (all.head.us, all.last.us)
+    println(f"[sessions] ${all.length} events, $users distinct users over " +
+      f"${(maxUs - minUs) / 3600e6 / 24}%.1f days; 30 min gap + 1h lateness")
+    def drive(tag: String)(start: MemoryStream[EventStream.Ev] =>
+        org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val in = MemoryStream[EventStream.Ev]
+      val q = start(in)
+      try {
+        var maxState = -1L
+        val step = (maxUs - minUs) / chunks + 1
+        (0 until chunks).foreach { i =>
+          val lo = minUs + i * step
+          val chunk = all.filter(e => e.us >= lo && e.us < lo + step)
+          if (chunk.nonEmpty) in.addData(chunk.toSeq)
+          q.processAllAvailable()
+          val st = EventStream.lastStateRows(q)
+          maxState = math.max(maxState, st)
+          println(f"[sessions] $tag batch ${i + 1}%3d: +${chunk.length}%6d" +
+            f" events, state rows $st%6d")
+        }
+        println(s"[sessions] $tag max state $maxState vs $users lifetime" +
+          s" users (bounded: ${maxState < users / 2})")
+      } finally q.stop()
+    }
+    def withTs(ds: org.apache.spark.sql.Dataset[EventStream.Ev]) =
+      ds.withColumn("ts", expr("timestamp_micros(us)"))
+        .withWatermark("ts", "1 hour")
+    EventStream.withStreamShufflePartitions(spark, 8) {
+      drive("st02 fMGWS ") { in =>
+        val q = EventStream.sessionize(withTs(in.toDS()).as[EventStream.SEv])
+          .writeStream.format("noop")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        q
+      }
+      drive("st13 native") { in =>
+        val q = withTs(in.toDS())
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.format("noop")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        q
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val modes = Set("skew", "q56", "sim", "ttl", "stjoin")
+    val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -400,6 +470,7 @@ object ScaleSmoke {
         case "scale" => 10
         case "ttl" => 20
         case "stjoin" => 30
+        case "sessions" => 30
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -417,6 +488,7 @@ object ScaleSmoke {
     if (mode == "sim") { runSim(spark, factor); spark.stop(); return }
     if (mode == "ttl") { runTtl(spark, factor); spark.stop(); return }
     if (mode == "stjoin") { runStJoin(spark, factor); spark.stop(); return }
+    if (mode == "sessions") { runSessionsScale(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)

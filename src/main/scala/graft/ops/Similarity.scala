@@ -881,6 +881,70 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  // ------------------------------------------------------------------
+  // Scalar quantization (SQ8).
+  // ------------------------------------------------------------------
+
+  /** Per-dimension affine grid for 8-bit scalar quantization: the
+    * corpus min/max of every coordinate, packed into two broadcast-
+    * sized arrays. One narrow shuffle of (dim, x) pairs with map-side
+    * partial MIN/MAX into exactly `dim` groups — at 100 TB this is a
+    * single cheap training aggregation, no iteration.
+    */
+  def sq8Params(e: DataFrame): DataFrame =
+    e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo"), col("hi"))))
+        .as("ps"))
+      .select(expr("transform(ps, p -> p.lo)").as("los"),
+        expr("transform(ps, p -> p.hi)").as("his"))
+
+  /** Quantize every coordinate onto its dimension's 255-step grid:
+    * code = floor((x − lo) · 255 / (hi − lo) + 0.5), one byte of
+    * information per coordinate (stored as int — Spark arrays have no
+    * i8 element type; a production sink would pack to binary).
+    * Constant dimensions (hi = lo) code to 0. The grid rides along as
+    * a broadcast 1-row cross join.
+    */
+  def sq8Encode(e: DataFrame, params: DataFrame): DataFrame =
+    e.crossJoin(broadcast(params))
+      .select(col("vec_id"),
+        expr("""transform(sequence(0, size(v) - 1), i ->
+            cast(floor(CASE WHEN his[i] = los[i] THEN 0.0D
+              ELSE (v[i] - los[i]) * 255.0D / (his[i] - los[i]) END
+              + 0.5D) as int))""").as("c"))
+
+  /** SQ8 brute-force top-k (the FAISS `SQ8` flat index; Douze et al.
+    * 2024 §4.1): complements PQ on the compression axis — 64 B/vector
+    * (vs 512 B raw, vs PQ's 4 B + cell id) with NO codebook training
+    * and NO join at search time. Search is s01's brute-force shape at
+    * 1/8 the memory traffic: one map-side corpus scan against the
+    * broadcast quantized queries, distances in pure INTEGER arithmetic
+    * (symmetric SQ distance — query and corpus on the same grid), so
+    * the DuckDB oracle is exact by construction with no FP ordering
+    * conventions. The asymmetric variant (raw query vs reconstructed
+    * corpus) buys ~nothing at 8 bits/dim; integer symmetric keeps the
+    * whole distance kernel codegen-able multiply-add on ints.
+    */
+  def sq8Topk(e: DataFrame, k: Int): DataFrame = {
+    // 1-row grid: checkpoint so the min/max aggregation runs once,
+    // not once per consumer (corpus encode + query encode).
+    val params = sq8Params(e).coalesce(1).localCheckpoint()
+    val codes = sq8Encode(e, params)
+    val qcodes = codes.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("c").as("qc"))
+    codes.crossJoin(broadcast(qcodes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("""aggregate(zip_with(qc, c, (a, b) ->
+              cast(a - b as bigint) * cast(a - b as bigint)),
+            0L, (acc, d) -> acc + d)""").as("idist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("idist"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
   /** Shared DuckDB CTE chain for the PQ oracle: subvectors, seed
     * codebook, `rounds` unrolled Lloyd rounds (ending in
     * `cent$rounds`), and the final `codes` assignment — the subspace-
@@ -1425,6 +1489,50 @@ object Similarity {
             ROW_NUMBER() OVER (PARTITION BY qid
                                ORDER BY dist, vec_id) AS rnk
           FROM rr)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s13_sq8_topk",
+      (s, dir) =>
+        // 8-bit scalar-quantized brute-force top-5 (see [[sq8Topk]]):
+        // per-dimension min/max grid, one byte per coordinate,
+        // all-integer symmetric distances — the no-training
+        // compression point between raw floats and PQ.
+        sq8Topk(emb(s, dir), k = 5),
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim),
+        grid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM stats),
+        codes AS (
+          SELECT vec_id,
+            list_transform(range(1, len(v) + 1), i ->
+              CAST(FLOOR(CASE WHEN his[i] = los[i] THEN 0.0
+                ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
+                + 0.5) AS INT)) AS c
+          FROM e, grid),
+        q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 3),
+        scored AS (
+          SELECT q.qid, k.vec_id,
+            CAST(list_sum(list_transform(list_zip(q.qc, k.c),
+              p -> CAST(p[1] - p[2] AS BIGINT)
+                   * CAST(p[1] - p[2] AS BIGINT))) AS BIGINT) AS idist
+          FROM codes k, q WHERE k.vec_id <> q.qid)
+        SELECT qid, vec_id, idist, rnk FROM (
+          SELECT qid, vec_id, idist,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY idist, vec_id) AS rnk
+          FROM scored)
         WHERE rnk <= 5
         ORDER BY qid, rnk""")),
     // ----------------------------------------------------------------

@@ -309,6 +309,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("s13: SQ8 search is one corpus scan against broadcast quantized queries") {
+    val p = plan("s13_sq8_topk")
+    // The 1-row min/max grid is checkpointed (training ran once, the
+    // plan reads it back), and the 3 quantized queries broadcast onto
+    // the corpus scan — brute force done map-side, like s01, at 1/8
+    // the memory traffic. A CartesianProduct or a shuffled join here
+    // would mean the corpus is being repartitioned to meet 3 rows.
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // Column pruning: the embeddings scan reads only (vec_id,
+    // embedding) — `label` never leaves the parquet.
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+    // Top-k rank filter pushed below the shuffle.
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("s11: IVF-PQ search broadcasts codebook and distance table; corpus ships codes + cell") {
     val p = plan("s11_ivfpq")
     // Residual codebook and the per-(query, cell) distance table both
