@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the dense dot product.
   *
@@ -63,15 +63,80 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the SQ8 integer distance: the sum of
+  * squared differences of two `array<int>` quantization codes, as a
+  * long. Same rationale as [[DotProduct]]: the composable
+  * `aggregate(zip_with(...))` form is an interpreted HOF with one
+  * array allocation per pair, and SQ8 search evaluates this once per
+  * (query, corpus vector) — the hot kernel of the scan. Integer
+  * multiply-add in a tight codegen loop; arithmetic is exact, so the
+  * value is bit-identical to the HOF form and the DuckDB oracle's
+  * `list_sum(list_transform(list_zip(...)))` by construction.
+  */
+case class Sq8Dist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must be array<int> (the sq8Encode output).
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_sq8dist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = (x.getInt(i) - y.getInt(i)).toLong
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          long $d = (long) ($a.getInt($i) - $b.getInt($i));
+          $s += $d * $d;
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Idempotently register graft's native expressions on a session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8dist",
+      (exprs: Seq[Expression]) => Sq8Dist(exprs(0), exprs(1)),
+      "built-in")
+  }
 
   /** Dot product of two array<double> columns (requires `register`). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** SQ8 integer distance of two array<int> code columns (requires
+    * `register`).
+    */
+  def sq8dist(a: Column, b: Column): Column =
+    call_function("graft_sq8dist", a, b)
 }

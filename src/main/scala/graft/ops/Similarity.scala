@@ -936,9 +936,10 @@ object Similarity {
     codes.crossJoin(broadcast(qcodes))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        expr("""aggregate(zip_with(qc, c, (a, b) ->
-              cast(a - b as bigint) * cast(a - b as bigint)),
-            0L, (acc, d) -> acc + d)""").as("idist"))
+        // Native codegen integer kernel (see Sq8Dist) — bit-identical
+        // to the aggregate(zip_with(...)) HOF it replaces, without the
+        // per-pair interpretation and allocation.
+        VectorExpressions.sq8dist(col("qc"), col("c")).as("idist"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("idist"), col("vec_id"))))
       .filter(col("rnk") <= k)
