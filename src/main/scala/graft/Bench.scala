@@ -64,12 +64,19 @@ object Bench {
       (n, if (ok1) t1 else -1.0, if (ok2) t2 else -1.0)
     }
     // Bounded third pass: a query whose two timings disagree by > 2×
-    // was measured under a noisy neighbor on at least one of them (the
-    // engine is deterministic; r9's q15 measured 39.1 s vs 3.3 s on
-    // identical plans). One retry for the ≤ 5 worst-spread queries
-    // keeps the reported min honest without re-paying the whole bench.
+    // was measured under a noisy neighbor on at least one of them
+    // (r9's q15 measured 39.1 s vs 3.3 s on identical plans). One
+    // retry for the ≤ 5 worst-spread queries keeps the reported min
+    // honest without re-paying the whole bench. The index-build
+    // queries are EXCLUDED: their p1 pays training and p2 reuses the
+    // per-session memo (pqTrainShared/ivfPqTrainShared), so their
+    // inter-pass spread is structural information, not noise — a
+    // retry would only reproduce p2 and waste a slot a genuinely
+    // contended query needs.
+    val memoizedBuilds = Set(
+      "s07_pq_train", "s08_pq_adc_topk", "s11_ivfpq", "s12_ivfpq_refined")
     val retrySet = twoPass
-      .collect { case (n, t1, t2) if t1 > 0 && t2 > 0 &&
+      .collect { case (n, t1, t2) if !memoizedBuilds(n) && t1 > 0 && t2 > 0 &&
         math.max(t1, t2) / math.min(t1, t2) > 2.0 =>
         (n, math.max(t1, t2) / math.min(t1, t2)) }
       .sortBy(-_._2).take(5).map(_._1).toSet
@@ -100,8 +107,13 @@ object Bench {
     val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _, _) => v }.sum
+    // A filtered run must be self-describing: without the marker a
+    // stray SPARK_GRAFT_BENCH_FILTER in the environment would emit a
+    // dramatically smaller "total" indistinguishable from a full run.
+    val filterField =
+      if (nameFilter.isEmpty) "" else s""","filter":"$nameFilter""""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed$filterField,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line — console tails have truncated the
     // head of long JSON lines in past rounds.

@@ -88,14 +88,30 @@ object Canary {
         }
       loaded.foreach { df =>
         val actual = df.schema.fields.map(f => f.name -> f.dataType).toSeq
-        expectedSchemas(name).zipAll(actual, ("<missing>", Nil), ("<extra>", NullType))
-          .foreach { case ((expName, expTypes), (actName, actType)) =>
-            if (expName != actName)
-              problems += s"$name: column order/name drift — expected $expName, found $actName"
-            else if (expTypes.nonEmpty && !expTypes.exists(sameType(_, actType)))
-              problems += s"$name.$actName: type drift — expected one of " +
-                s"${expTypes.map(_.simpleString).mkString("/")}, found ${actType.simpleString}"
-          }
+        expectedSchemas.get(name) match {
+          case None =>
+            // Unguarded apply here would throw and abort the whole
+            // preflight — the opposite of the warn-and-continue
+            // contract. An uncontracted table is itself a finding.
+            problems += s"$name: no data contract defined — " +
+              "add it to Canary.expectedSchemas"
+          case Some(exp) =>
+            exp.map(Some(_)).zipAll(actual.map(Some(_)), None, None).foreach {
+              case (None, Some((actName, _))) =>
+                problems += s"$name: unexpected extra column $actName"
+              case (Some((expName, _)), None) =>
+                problems += s"$name: missing column $expName"
+              case (Some((expName, expTypes)), Some((actName, actType))) =>
+                if (expName != actName)
+                  problems += s"$name: column order/name drift — " +
+                    s"expected $expName, found $actName"
+                else if (expTypes.nonEmpty && !expTypes.exists(sameType(_, actType)))
+                  problems += s"$name.$actName: type drift — expected one of " +
+                    s"${expTypes.map(_.simpleString).mkString("/")}, " +
+                    s"found ${actType.simpleString}"
+              case (None, None) => ()
+            }
+        }
         if (df.isEmpty) problems += s"$name: table is empty"
       }
     }

@@ -207,6 +207,15 @@ object ScaleSmoke {
         Similarity.ivfPqSearch(adcQueries, ivfpq._1, ivfpq._2, ivfpq._3,
           ivfpq._4, k = 5, probes = 2)
           .write.format("noop").mode("overwrite").save())
+      // The two training-free quantization rungs: both are single
+      // map-side corpus scans (broadcast queries), so their curves
+      // should stay linear-in-corpus with no shuffle growth.
+      time(s"sq8 top-k $tag")(
+        Similarity.sq8Topk(e, k = 5)
+          .write.format("noop").mode("overwrite").save())
+      time(s"bq hamming top-k $tag")(
+        Similarity.bqTopk(e, k = 5)
+          .write.format("noop").mode("overwrite").save())
       // Convergence loop: report rounds and per-round time separately
       // — the scale claim is that per-ROUND cost stays flat (broadcast
       // assignment + the three-level chunked mean fold, every buffer

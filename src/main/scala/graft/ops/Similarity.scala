@@ -648,7 +648,7 @@ object Similarity {
   def pqTrainShared(
       spark: SparkSession, dir: String, e: => DataFrame, rounds: Int = 2)
       : (DataFrame, DataFrame) =
-    pqArtifacts.getOrElseUpdate((spark, dir, rounds), pqTrain(e, rounds))
+    memoized(pqArtifacts, (spark, dir, rounds))(pqTrain(e, rounds))
 
   def pqTrain(e0: DataFrame, rounds: Int = 2): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"need at least one round, got $rounds")
@@ -766,14 +766,26 @@ object Similarity {
     .empty[(SparkSession, String, Int),
       (DataFrame, DataFrame, DataFrame, DataFrame)]
 
+  /** Memo insert that first drops entries belonging to OTHER sessions:
+    * their checkpointed frames died with their session, and keeping
+    * the entry would pin the stopped session (and its plans) for the
+    * JVM lifetime. One live session at a time is the actual usage
+    * (Verify/Bench/tests), so this keeps the maps at O(dirs) entries.
+    */
+  private def memoized[V](
+      map: scala.collection.concurrent.TrieMap[(SparkSession, String, Int), V],
+      key: (SparkSession, String, Int))(build: => V): V = {
+    map.keys.filter(_._1 ne key._1).foreach(map.remove)
+    map.getOrElseUpdate(key, build)
+  }
+
   /** [[ivfPqTrain]] with the per-session artifact memo above. `e` is
     * passed by-name: cache hits never build the source frame.
     */
   def ivfPqTrainShared(
       spark: SparkSession, dir: String, e: => DataFrame, rounds: Int = 2)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    ivfPqArtifacts.getOrElseUpdate((spark, dir, rounds),
-      ivfPqTrain(e, rounds))
+    memoized(ivfPqArtifacts, (spark, dir, rounds))(ivfPqTrain(e, rounds))
 
   def ivfPqTrain(e: DataFrame, rounds: Int = 2)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -942,6 +954,62 @@ object Similarity {
         VectorExpressions.sq8dist(col("qc"), col("c")).as("idist"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("idist"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
+  // ------------------------------------------------------------------
+  // Binary (sign-bit) quantization.
+  // ------------------------------------------------------------------
+
+  /** Binary quantization: ONE bit per coordinate (its sign), packed
+    * into 32-bit words — 8 B total at 64-d, the most compressed rung
+    * of the quantization ladder (raw s01 → SQ8 s13 → PQ s07/s08 →
+    * IVF-PQ s11/s12 → binary s14). 32-bit words, not 64: the DuckDB
+    * oracle's BIGINT `<<` rejects bit 63. The packing is hard-wired to
+    * exactly 64 dimensions (the corpus's embedding width) and LOUDLY
+    * rejects anything else at runtime — a silent wrong-width encode
+    * would return wrong neighbors with no error. Encode is a
+    * per-vector HOF (once per corpus row, not per pair); the per-pair
+    * kernel is `bit_count(xor)` — a codegen'd builtin, the cheapest
+    * distance in the engine.
+    */
+  def bqEncode(e: DataFrame): DataFrame = {
+    // NULL vector → NULL code (the other encoders' convention; a NULL
+    // guard first, or size(NULL) = 64 is NULL and the IF would fall
+    // into raise_error with a NULL message). Wrong WIDTH still raises.
+    def word(lo: Int): String =
+      s"""CASE WHEN v IS NULL THEN CAST(NULL AS BIGINT)
+          WHEN size(v) = 64 THEN
+            aggregate(sequence($lo, ${lo + 31}), 0L, (acc, i) ->
+              acc + IF(v[i] > 0.0D, shiftleft(1L, i - $lo), 0L))
+          ELSE raise_error(concat('bqEncode packs exactly 64 dims; got ',
+            CAST(size(v) AS STRING))) END"""
+    e.select(col("vec_id"),
+      expr(word(0)).as("w0"),
+      expr(word(32)).as("w1"))
+  }
+
+  /** Hamming top-k over the sign-bit codes: one map-side corpus scan
+    * against the broadcast query codes (s01's brute-force shape at
+    * 1/64 the memory traffic). Integer throughout ⇒ oracle exact by
+    * construction. Binary codes are the standard RECALL layer — cheap
+    * candidate generation that a re-ranker (s12's exact pass) refines;
+    * at 1 bit/dim absolute ranking quality is intentionally coarse.
+    */
+  def bqTopk(e: DataFrame, k: Int): DataFrame = {
+    val codes = bqEncode(e)
+    val q = codes.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"),
+        col("w0").as("q0"), col("w1").as("q1"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+          bit_count(col("w1").bitwiseXOR(col("q1")))).cast("int")
+          .as("hamming"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("hamming"), col("vec_id"))))
       .filter(col("rnk") <= k)
       .orderBy("qid", "rnk")
   }
@@ -1533,6 +1601,44 @@ object Similarity {
           SELECT qid, vec_id, idist,
             ROW_NUMBER() OVER (PARTITION BY qid
                                ORDER BY idist, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s14_bq_hamming",
+      (s, dir) =>
+        // Sign-bit binary quantization + Hamming top-5 (see
+        // [[bqTopk]]): 1 bit per coordinate in 32-bit words, the
+        // recall-layer rung of the quantization ladder.
+        bqTopk(emb(s, dir), k = 5),
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        codes AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(range(1, 33), i ->
+              CASE WHEN v[i] > 0.0 THEN (1::BIGINT << (i - 1))
+                   ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+            CAST(list_sum(list_transform(range(33, 65), i ->
+              CASE WHEN v[i] > 0.0 THEN (1::BIGINT << (i - 33))
+                   ELSE 0::BIGINT END)) AS BIGINT) AS w1
+          FROM e),
+        q AS (
+          SELECT vec_id AS qid, w0 AS q0, w1 AS q1
+          FROM codes WHERE vec_id < 3),
+        scored AS (
+          SELECT q.qid, c.vec_id,
+            CAST(bit_count(CAST(xor(c.w0, q.q0) AS BIT))
+               + bit_count(CAST(xor(c.w1, q.q1) AS BIT)) AS INT)
+              AS hamming
+          FROM codes c, q WHERE c.vec_id <> q.qid)
+        SELECT qid, vec_id, hamming, rnk FROM (
+          SELECT qid, vec_id, hamming,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY hamming, vec_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
         ORDER BY qid, rnk""")),

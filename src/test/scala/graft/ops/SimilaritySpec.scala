@@ -403,18 +403,18 @@ class SimilaritySpec extends SparkSpec {
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val q = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val exactRows = e.crossJoin(broadcast(q))
+    // ONE full exact-distance pass; the per-query top-5 and the
+    // distance lookups for the ratio check both derive from it in
+    // driver code (3 queries × corpus — small enough to hold).
+    val dMap = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         Similarity.l2sq(col("qv"), col("v")).as("d"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))))
-      .filter(col("rnk") <= 5)
-      .collect()
-    val exact = exactRows.groupBy(_.getLong(0))
-      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val trueD = exactRows.map(r => (r.getLong(0), r.getLong(1))).zip(
-      exactRows.map(_.getDouble(2))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val exact = dMap.groupBy(_._1._1).view.mapValues(
+      _.toSeq.map { case ((_, v), d) => (d, v) }.sorted.take(5)
+        .map(_._2).toSet).toMap
     val got = Similarity.sq8Topk(e, k = 5)
       .collect().groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
@@ -423,15 +423,9 @@ class SimilaritySpec extends SparkSpec {
     // The sharper property than recall: whatever SQ8 retrieves must be
     // nearly as CLOSE (in true L2) as the exact top-5 — quantization
     // may flip near-ties, never fetch a genuinely distant vector.
-    val dMap = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        Similarity.l2sq(col("qv"), col("v")).as("d"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
-      .toMap
     val ratio = (0L until 3L).map { qid =>
       val gotMean = got(qid).toSeq.map(v => dMap((qid, v))).sum / 5.0
-      val exactMean = exact(qid).toSeq.map(v => trueD((qid, v))).sum / 5.0
+      val exactMean = exact(qid).toSeq.map(v => dMap((qid, v))).sum / 5.0
       gotMean / exactMean
     }.max
     info(f"SQ8 recall@5 vs exact L2 = $recall%.3f, worst distance ratio = $ratio%.4f")
@@ -443,6 +437,33 @@ class SimilaritySpec extends SparkSpec {
     // makes (vs PQ's 4 B codes at 0.20 ADC recall on the same data).
     assert(recall >= 0.7, f"SQ8 recall@5 $recall%.3f < 0.7")
     assert(ratio <= 1.02, f"SQ8 worst mean-distance ratio $ratio%.4f > 1.02")
+  }
+
+  test("binary quantization: a planted duplicate ranks first at Hamming 0 (s14)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    // Query 0's exact duplicate (vec 10) must land rank 1 at distance
+    // 0; its sign-flipped negation (vec 11) must land LAST of any
+    // candidate — the two invariants sign-bit codes always honor.
+    // Remaining vectors get alternating-sign patterns at varying
+    // agreement so ranks in between are fully determined.
+    val dim = 64
+    def vec(signs: Int => Double): Seq[Double] =
+      (0 until dim).map(i => signs(i))
+    val base = vec(i => if (i % 2 == 0) 1.0 else -1.0)
+    val rows = Seq(
+      0L -> base,
+      10L -> base, // exact duplicate
+      11L -> base.map(-_), // all 64 bits flipped
+      12L -> base.updated(0, -base(0)), // 1 bit off
+      13L -> base.updated(0, -base(0)).updated(1, -base(1))) // 2 bits off
+    val e = rows.toDF("vec_id", "v")
+    val got = Similarity.bqTopk(e, k = 4)
+      .filter(col("qid") === 0)
+      .select("vec_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((10L, 0), (12L, 1), (13L, 2), (11L, 64)), got)
   }
 
   test("chunked mean fold bounds per-group state on a 100k-member cluster") {

@@ -136,10 +136,15 @@ class EventStreamSpec extends SparkSpec {
     q.processAllAvailable()
     assert(spark.table("sesswin_test").isEmpty)
 
-    // Batch 2: an event at t=3h pushes the watermark to 2h, past the
-    // first session's end — it finalizes with both events; the new
-    // session (end 3.5h) stays open.
-    input.addData(Ev(3, 7, baseUs + 3 * hourUs))
+    // Batch 2: an event from ANOTHER user at t=91min pushes the
+    // watermark to EXACTLY the first session's end (60s+30min... no:
+    // end = 1min+30min = 31min; 91min − 1h = 31min). Emission at
+    // wm == end pins Spark's eviction predicate as NON-STRICT
+    // (end <= watermark) — which is exactly what the st13 oracle's
+    // `last_us + 30min <= wm` states; a strict predicate would hold
+    // the session one batch longer and the oracle would be wrong at
+    // the ms-aligned boundary.
+    input.addData(Ev(3, 99, baseUs + 91 * 60L * 1000000))
     q.processAllAvailable()
     val rows = spark.table("sesswin_test").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toEpochMilli,
