@@ -328,6 +328,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("s14: binary-quantized search is one corpus scan, pruned to (vec_id, embedding)") {
+    val p = plan("s14_bq_hamming")
+    // Sign-bit codes are computed in-line on the scan (no training, no
+    // checkpoint); the 3 query codes broadcast onto it. Any shuffled
+    // join or cartesian here would mean the 8-byte-per-vector scan
+    // stopped being map-side.
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("s11: IVF-PQ search broadcasts codebook and distance table; corpus ships codes + cell") {
     val p = plan("s11_ivfpq")
     // Residual codebook and the per-(query, cell) distance table both
