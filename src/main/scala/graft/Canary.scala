@@ -135,6 +135,20 @@ object Canary {
     } catch { case e: Exception =>
       problems += s"events.ts clock check failed: ${e.getMessage}"
     }
+    // Embedding width: the quantization tier assumes 64-d (bqEncode
+    // rejects others at runtime; PQ subspaces divide it). A regenerated
+    // corpus with a new width should be named here, not mid-query.
+    try {
+      val widths = Tables.load(spark, dir, "embeddings")
+        .select(size(col("embedding")).as("w")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (widths.nonEmpty && widths.toSeq != Seq(64))
+        problems += "embeddings.embedding: width(s) " +
+          s"${widths.mkString("/")} != 64 — the quantization tier " +
+          "(s07-s14) assumes 64-d; adapt before trusting those rows"
+    } catch { case e: Exception =>
+      problems += s"embeddings width check failed: ${e.getMessage}"
+    }
     problems.result()
   }
 }
