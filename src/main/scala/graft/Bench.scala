@@ -49,13 +49,16 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // Dev-only: restrict to queries whose name contains the filter —
-    // for re-measuring a single query on a quiet machine without
-    // paying the full 2×-the-surface bench. The driver never sets it.
+    // Dev-only: restrict to queries whose name contains any of the
+    // comma-separated filter terms — for re-measuring a handful of
+    // queries on a quiet machine without paying the full
+    // 2×-the-surface bench. The driver never sets it.
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+    val filterTerms = nameFilter.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     def pass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq
-        .filter { case (name, _) => name.contains(nameFilter) }
+        .filter { case (name, _) =>
+          filterTerms.isEmpty || filterTerms.exists(name.contains) }
         .map { case (name, fn) =>
           val (t, ok) = timed(name, fn)
           (name, t, ok)
