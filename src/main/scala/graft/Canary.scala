@@ -149,6 +149,20 @@ object Canary {
     } catch { case e: Exception =>
       problems += s"embeddings width check failed: ${e.getMessage}"
     }
+    // Null embeddings: every similarity ranking assumes non-null
+    // vectors (NULL codes now sort last via asc_nulls_last, but a
+    // corpus that grew null rows deserves a named heads-up, not a
+    // silent ranking convention).
+    try {
+      val nulls = Tables.load(spark, dir, "embeddings")
+        .filter(col("embedding").isNull).count()
+      if (nulls > 0)
+        problems += s"embeddings.embedding: $nulls null vector(s) — " +
+          "similarity rankings place them last (asc_nulls_last); " +
+          "confirm that is the intended corpus shape"
+    } catch { case e: Exception =>
+      problems += s"embeddings null check failed: ${e.getMessage}"
+    }
     problems.result()
   }
 }

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the dense dot product.
   *
@@ -24,9 +25,21 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // Inputs must be array<double>; callers (VectorExpressions.dot) cast
-  // upstream. (AbstractDataType/ExpectsInputTypes is private[sql] in
-  // Spark 4, so no declarative input-type contract here.)
+  // upstream. ExpectsInputTypes is private[sql] in Spark 4, so the
+  // input contract is enforced via checkInputDataTypes instead: the
+  // function is registered session-wide as `graft_dot`, and without
+  // this an SQL caller passing e.g. array<int> would read misaligned
+  // bytes through getDouble and get garbage with no error.
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires (array<double>, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
 
   override def prettyName: String = "graft_dot"
 
@@ -76,8 +89,20 @@ case class DotProduct(left: Expression, right: Expression)
 case class Sq8Dist(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<int> (the sq8Encode output).
+  // Inputs must be array<int> (the sq8Encode output). Registered
+  // session-wide as `graft_sq8dist`, so misuse must fail at analysis
+  // time — on a non-array<int> column, UnsafeArrayData.getInt would
+  // read misaligned bytes and return garbage with no error.
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sq8dist requires (array<int>, array<int>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
 
   override def prettyName: String = "graft_sq8dist"
 

@@ -309,21 +309,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("s13: SQ8 search is one corpus scan against broadcast quantized queries") {
+  test("s13: SQ8 search is one code scan against broadcast quantized queries") {
     val p = plan("s13_sq8_topk")
-    // The 1-row min/max grid is checkpointed (training ran once, the
-    // plan reads it back), and the 3 quantized queries broadcast onto
-    // the corpus scan — brute force done map-side, like s01, at 1/8
-    // the memory traffic. A CartesianProduct or a shuffled join here
+    // The search plan reads the CHECKPOINTED code rows (the shared
+    // per-session index build — grid + encode ran once inside
+    // sq8TrainShared; no parquet scan and no encode HOF appears in
+    // the per-query plan), and the 3 quantized queries broadcast onto
+    // that scan — brute force done map-side, like s01, at 1/8 the
+    // memory traffic. A CartesianProduct or a shuffled join here
     // would mean the corpus is being repartitioned to meet 3 rows.
     assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // Column pruning: the embeddings scan reads only (vec_id,
-    // embedding) — `label` never leaves the parquet.
-    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
     // Top-k rank filter pushed below the shuffle.
     assert(p.contains("WindowGroupLimit"), p)
   }
