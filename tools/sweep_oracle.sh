@@ -9,6 +9,16 @@
 set -u
 cd "$(dirname "$0")/.."
 if [ $# -gt 0 ]; then SFS=("$@"); else SFS=(0.001 0.01 0.1); fi
+# Fail fast on data-contract drift BEFORE paying three multi-minute
+# Verify runs: the pyarrow canary names the drift in ~1 s (the JVM
+# canary inside Verify would only surface it in $out.log). See
+# tools/canary.py; the round-9 ts-layout drift is the motivating case.
+DIRS=()
+for sf in "${SFS[@]}"; do DIRS+=("/root/testdata/sf$sf"); done
+if ! python3 tools/canary.py "${DIRS[@]}"; then
+  echo "SWEEP: FAIL (data-contract canary, see CANARY lines above)"
+  exit 1
+fi
 FAILED=0
 for sf in "${SFS[@]}"; do
   out="/tmp/graft_sweep_sf$sf"
