@@ -131,6 +131,77 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-passage REMOVAL (the exact-substring-dedup step of
+    * RefinedWeb/Dolma-class pipelines): where [[boilerplateNgrams]]
+    * (d13) only FLAGS documents, this rewrites their text — every
+    * token position covered by an n-gram that occurs in ≥ `minDocs`
+    * distinct documents is excised, and the document is rebuilt from
+    * the surviving tokens in order. Unique text survives
+    * byte-identical (modulo whitespace normalization: the rebuild
+    * joins tokens with single spaces — tokens are ORIGINAL-case
+    * whitespace splits, the t13 convention, because removal output is
+    * training text, not a normalized signature).
+    *
+    * Scale shape — d13's gram machinery plus one map-only expansion:
+    * grams build as post-explode projections (the shingleRows rule),
+    * the frequency side dedups (gram, doc_id) before counting, the
+    * gram join is a plain equi-join carrying (gram, start) pairs, and
+    * coverage (gram start → n covered positions) explodes a constant
+    * ≤ n-row sequence per duplicated gram. The rebuild groups once on
+    * doc_id; the anti-join that drops covered positions is keyed
+    * (doc_id, pos) — shuffles carry token rows, never documents. At
+    * 100 TB the gram join key would be xxhash64(gram) (d13's note);
+    * the string key keeps the oracle bit-checkable.
+    *
+    * Output (doc_id, n_tokens, n_removed, clean_text), one row per
+    * non-null-text document.
+    */
+  def removePassages(
+      documents: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    require(n >= 2, s"n-gram width must be at least 2, got $n")
+    val toks = col("toks")
+    val base = documents
+      .filter(col("text").isNotNull)
+      .repartition(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("toks",
+        filter(split(col("text"), "\\s+"), t => length(t) > 0))
+    val tok = base
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val grams = base
+      .filter(size(toks) >= n)
+      .select(col("doc_id"), toks,
+        explode(sequence(lit(1), size(toks) - (n - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ",
+          (0 until n).map(j => element_at(toks, col("i") + j)): _*)
+          .as("gram"))
+    val dupGrams = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val covered = grams.join(dupGrams, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            p => p.getField("tok"))).as("clean_text"))
+    base.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Carter-Wegman modulus for the seeded minhash family (prime just
     * under 2^28, so `a + 31*b` stays far below 2^63).
     */
@@ -1019,5 +1090,52 @@ object Dedup {
             AS is_kept
         FROM per
         ORDER BY doc_id"""))
+    ,
+    // ----------------------------------------------------------------
+    Q(
+      "d15_remove_passages",
+      (s, dir) =>
+        // Duplicated-passage REMOVAL (see [[removePassages]]): token
+        // positions covered by a corpus-duplicated 5-gram are excised
+        // and the text rebuilt from the survivors — the rewrite
+        // counterpart of d13's flag-only filter. At sf0.01 this
+        // rewrites 71/500 docs.
+        removePassages(docs(s, dir), n = 5, minDocs = 2),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'),
+                        x -> len(x) > 0) AS toks
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id, u.i AS pos, u.t AS tok
+          FROM d, unnest(list_transform(range(1, len(toks) + 1),
+                         i -> {'i': i, 't': toks[i]})) AS s(u)),
+        grams AS (
+          SELECT doc_id, CAST(i AS INT) AS i,
+            array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ')
+              AS gram
+          FROM d, unnest(range(1, len(toks) - 3)) AS t(i)
+          WHERE len(toks) >= 5),
+        dup AS (
+          SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+          GROUP BY gram HAVING COUNT(*) >= 2),
+        covered AS (
+          SELECT DISTINCT g.doc_id, CAST(g.i + o AS INT) AS pos
+          FROM grams g JOIN dup USING (gram), unnest(range(0, 5)) AS t(o)),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok FROM tok t
+          LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+          WHERE c.doc_id IS NULL),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+            array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+          CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+            AS n_removed,
+          COALESCE(a.clean_text, '') AS clean_text
+        FROM d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }

@@ -265,24 +265,12 @@ object TextAnalysis {
     out.result().toDF("step", "lhs", "rhs", "n")
   }
 
-  /** DuckDB restatement of [[bpeInduce]] with the round unrolled `n`
-    * times — each round's top pair is a 1-row CTE the next round
-    * cross-joins as its merge literal, and the closed-form
-    * [[applyMerge]] rule is the same integer/string arithmetic as
-    * list lambdas.
+  /** The closed-form greedy-merge rule ([[applyMerge]]) as a DuckDB
+    * list-lambda over a `syms` column, the merge pair read from alias
+    * `t` — factored out so the t12 induction oracle and the t17
+    * encode oracle restate the IDENTICAL arithmetic and cannot drift.
     */
-  def sqlBpeUnrolled(n: Int): String = {
-    val rounds = (1 to n).map { k =>
-      s"""
-        pc$k AS (
-          SELECT syms[i] AS lhs, syms[i+1] AS rhs, SUM(freq) AS n
-          FROM v${k - 1}, unnest(range(1, len(syms))) AS t(i)
-          WHERE len(syms) >= 2
-          GROUP BY 1, 2),
-        top$k AS (SELECT lhs, rhs, n FROM pc$k
-                  ORDER BY n DESC, lhs, rhs LIMIT 1),
-        v$k AS (
-          SELECT flatten(list_transform(range(1, len(syms) + 1), i ->
+  private def sqlMergeExpr: String = """flatten(list_transform(range(1, len(syms) + 1), i ->
             CASE WHEN syms[i] = t.lhs AND i < len(syms)
                       AND syms[i+1] = t.rhs
                       AND (t.lhs <> t.rhs OR
@@ -296,9 +284,39 @@ object TextAnalysis {
                               range(1, i - 1), j -> syms[j] <> t.lhs)), 0))
                            % 2 = 0)
                  THEN []
-                 ELSE [syms[i]] END)) AS syms, freq
+                 ELSE [syms[i]] END))"""
+
+  /** The per-round CTE triple (pair counts → 1-row top pair → merged
+    * vocab) shared by the induction and encode oracles. `carry` lists
+    * extra v-table columns to thread through each round (the encode
+    * chain keeps the word `w` so the final table is a word→tokens
+    * map; the induction chain carries nothing).
+    */
+  private def sqlBpeRounds(n: Int, carry: Seq[String] = Nil): String = {
+    val keep = carry.map(c => s"$c, ").mkString
+    (1 to n).map { k =>
+      s"""
+        pc$k AS (
+          SELECT syms[i] AS lhs, syms[i+1] AS rhs, SUM(freq) AS n
+          FROM v${k - 1}, unnest(range(1, len(syms))) AS t(i)
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2),
+        top$k AS (SELECT lhs, rhs, n FROM pc$k
+                  ORDER BY n DESC, lhs, rhs LIMIT 1),
+        v$k AS (
+          SELECT $keep$sqlMergeExpr AS syms, freq
           FROM v${k - 1}, top$k t)"""
     }.mkString(",")
+  }
+
+  /** DuckDB restatement of [[bpeInduce]] with the round unrolled `n`
+    * times — each round's top pair is a 1-row CTE the next round
+    * cross-joins as its merge literal, and the closed-form
+    * [[applyMerge]] rule is the same integer/string arithmetic as
+    * list lambdas.
+    */
+  def sqlBpeUnrolled(n: Int): String = {
+    val rounds = sqlBpeRounds(n)
     val union = (1 to n).map(k =>
       s"SELECT $k AS step, lhs, rhs, CAST(n AS BIGINT) AS n FROM top$k")
       .mkString("\n        UNION ALL ")
@@ -312,6 +330,82 @@ object TextAnalysis {
           FROM w GROUP BY w),$rounds
         SELECT * FROM ($union)
         ORDER BY step"""
+  }
+
+  /** BPE ENCODE — tokenize the corpus with the vocabulary [[bpeInduce]]
+    * induces: the missing half of tokenization (t12 builds the merge
+    * table; this consumes it). Encoding replays the merge chain in
+    * learned order — each [[applyMerge]] round is closed-form greedy
+    * non-overlapping, so one pass per merge is exact, and a word's
+    * tokenization depends only on the word.
+    *
+    * Scale shape: the chain is applied to the DISTINCT-word table
+    * (the classic trainer-side dedup — Zipf makes distinct words
+    * orders of magnitude smaller than corpus tokens), all `merges`
+    * rounds map-only with the merge pairs as plan literals; the
+    * word→tokens map then joins back to per-document occurrences on
+    * the word — a plain shuffle equi-join carrying (word, short
+    * symbol array), never documents (at 100 TB the key would be
+    * xxhash64(w), the d13 rule). Per-doc reassembly groups once on
+    * doc_id with map-side partial aggregation.
+    *
+    * Output per document: word count, BPE token count (what c04's
+    * packer would consume instead of whitespace counts), and an md5
+    * digest of the full token sequence in document order (the t13
+    * repr-safe convention: digest + counts, never the text).
+    */
+  def bpeEncode(documents: DataFrame, merges: Int): DataFrame = {
+    val ms = bpeInduce(documents, merges).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = documents.filter(col("text").isNotNull)
+      .repartition(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val vocab0 = words.select("w").distinct()
+      .select(col("w"),
+        filter(split(col("w"), ""), c => length(c) > 0).as("syms"))
+    val vocab = ms.foldLeft(vocab0) { case (v, (x, y)) =>
+      v.select(col("w"), applyMerge(col("syms"), x, y).as("syms"))
+    }
+    words.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_tokens"),
+        md5(concat_ws("\u0001",
+          flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("syms")))),
+            p => p.getField("syms")))).cast("binary")).as("toks_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB restatement of [[bpeEncode]]: the identical induction
+    * chain ([[sqlBpeRounds]], word `w` carried through so the final
+    * round is a word→tokens map), then per-document word positions
+    * joined to it and reassembled in document order.
+    */
+  def sqlBpeEncode(n: Int): String = {
+    val rounds = sqlBpeRounds(n, carry = Seq("w"))
+    s"""
+        WITH wd AS (
+          SELECT doc_id, u.i AS pos, u.w FROM (
+            SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\\s+'),
+                          x -> len(x) > 0) AS ws
+            FROM documents WHERE text IS NOT NULL),
+            unnest(list_transform(range(1, len(ws) + 1),
+                                  i -> {'i': i, 'w': ws[i]})) AS t(u)),
+        w AS (SELECT w FROM wd),
+        v0 AS (
+          SELECT w, string_split(w, '') AS syms, COUNT(*) AS freq
+          FROM w GROUP BY w),$rounds
+        SELECT doc_id, COUNT(*) AS n_words,
+          CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+          md5(array_to_string(flatten(list(v.syms ORDER BY pos)), chr(1)))
+            AS toks_digest
+        FROM wd JOIN v$n v USING (w)
+        GROUP BY doc_id
+        ORDER BY doc_id"""
   }
 
   val all: Seq[Q] = Seq(
@@ -715,6 +809,16 @@ object TextAnalysis {
         // closed-form greedy merge both engines share.
         bpeInduce(docs(s, dir), merges = 5),
       Some(sqlBpeUnrolled(5))),
+    // ----------------------------------------------------------------
+    Q(
+      "t17_bpe_encode",
+      (s, dir) =>
+        // BPE APPLY — tokenize the corpus with t12's induced merges
+        // (see [[bpeEncode]]): distinct-word encode with the merge
+        // pairs as plan literals, equi-join back to per-doc word
+        // positions, per-doc token counts + an order-exact digest.
+        bpeEncode(docs(s, dir), merges = 5),
+      Some(sqlBpeEncode(5))),
     // ----------------------------------------------------------------
     Q(
       "t13_chunk_documents",

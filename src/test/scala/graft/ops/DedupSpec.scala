@@ -271,6 +271,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d15 passage removal: planted duplicates excised, unique text byte-identical") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.col
+    // Docs 1 and 2 share a planted 7-token passage (covered by
+    // duplicated 5-grams at every position); their unique halves
+    // differ. Doc 3 is entirely unique. Doc 4 IS the passage — fully
+    // excised. Doc 5 is below the gram width and survives whole.
+    val passage = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq(
+      (1L, s"one two three four five $passage"),
+      (2L, s"$passage six seven eight nine ten"),
+      (3L, "completely unique text with no shared grams at all"),
+      (4L, passage),
+      (5L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removePassages(df, n = 5, minDocs = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((12L, 7L, "one two three four five")))
+    assert(out(2L) == ((12L, 7L, "six seven eight nine ten")))
+    assert(out(3L) ==
+      ((9L, 0L, "completely unique text with no shared grams at all")))
+    assert(out(4L) == ((7L, 7L, "")))
+    assert(out(5L) == ((2L, 0L, "tiny doc")))
+  }
+
   test("shingles3: sliding 3-grams, short docs collapse to one shingle") {
     val sparkS = spark
     import sparkS.implicits._

@@ -386,6 +386,29 @@ class PlanSpec extends SparkSpec {
       p.contains("ReadSchema: struct<doc_id:bigint,source:string,text:string>"), p)
   }
 
+  test("t17: encode applies merges to the distinct-word table; doc rebuild partial-combines") {
+    val p = plan("t17_bpe_encode")
+    // The 5 merge rounds run over the DISTINCT words (HashAggregate on
+    // w), never per occurrence; the word→tokens map joins back as an
+    // equi-join; the per-doc reassembly partial-aggregates map-side.
+    assert(p.contains("HashAggregate(keys=[w#"), p)
+    assert(p.contains("partial_collect_list"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("d15: gram frequency dedups before counting; covered-position drop is an anti equi-join") {
+    val p = plan("d15_remove_passages")
+    // Dedup-then-count (two-level HashAggregate, no Expand), the
+    // duplicated-gram join and the (doc_id, pos) anti-join both stay
+    // equi — a cartesian here would mean corpus-×-corpus text pairs.
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("d13: gram aggregates partial-combine; no cartesian, pruned read") {
     // Both groupBys (per-gram frequency, per-doc rollup) must combine
     // map-side so shuffles carry (gram, id) partial counts, the

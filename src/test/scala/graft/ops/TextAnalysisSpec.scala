@@ -144,6 +144,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(steps(2) == ("a", "a", 3L), s"got ${steps(2)}")
   }
 
+  test("t17 bpe encode matches an independent sequential implementation on sf0.001") {
+    // The closed-form applyMerge is DESIGNED to equal greedy
+    // left-to-right sequential merging — re-derive every document's
+    // tokenization with a plain sequential loop over the same merges
+    // and compare counts + digests. An arithmetic drift in the
+    // closed form (or in the per-doc reassembly order) fails here
+    // with the doc named.
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = graft.Tables.load(spark, dir, "documents")
+    val merges = TextAnalysis.bpeInduce(docsDf, merges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def mergeOnce(s: Vector[String], x: String, y: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == x && s(i + 1) == y) {
+          out += (x + y); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docsDf.select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map { r =>
+        val words = r.getString(1).toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).toVector
+        val encoded = words.map { w =>
+          merges.foldLeft(w.map(_.toString).toVector) {
+            case (s, (x, y)) => mergeOnce(s, x, y)
+          }
+        }
+        r.getLong(0) -> ((words.size.toLong, encoded.map(_.size.toLong).sum,
+          md5hex(encoded.flatten.mkString("\u0001"))))
+      }.toMap
+    val got = TextAnalysis.bpeEncode(docsDf, merges = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id: got ${got(id)}, want $w")
+    }
+  }
+
   test("t15 unigram logprob: hand-computed scores; rare-token docs score lower") {
     val sparkS = spark
     import sparkS.implicits._
