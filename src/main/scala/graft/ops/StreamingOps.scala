@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.streaming.{DocumentStream, EventStream}
+import graft.streaming.{DocumentStream, EmbeddingStream, EventStream}
 
 /** Streaming entries in the query surface. st01 runs a REAL
   * Structured Streaming query (readStream → watermark → windowed agg
@@ -236,6 +236,58 @@ object StreamingOps {
         SELECT t.doc_id,
           CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS admitted
         FROM toks t LEFT JOIN rejected r USING (doc_id)
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st14_stream_admission_bq",
+      (s, dir) => EmbeddingStream.runStreamAdmissionQuantized(s, dir),
+      // EMBEDDING-quantized admission (see [[EmbeddingStream]]): the
+      // s14 sign-bit codes reach the streaming surface. vec_b is
+      // rejected iff an earlier vector within the 120 s event-time
+      // horizon (event_ts = epoch + vec_id sec → plain vec_id
+      // arithmetic) shares one of the 8 × 8-bit sign bands, agrees on
+      // a strict majority of sign bits (Hamming ≤ 31), and verifies
+      // at exact cosine > 0.25 (d06's bit-exact arithmetic). The code
+      // CTEs are s14's restated; bands are byte-slices of the words.
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        codes AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(range(1, 33), i ->
+              CASE WHEN v[i] > 0.0 THEN (1::BIGINT << (i - 1))
+                   ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+            CAST(list_sum(list_transform(range(33, 65), i ->
+              CASE WHEN v[i] > 0.0 THEN (1::BIGINT << (i - 33))
+                   ELSE 0::BIGINT END)) AS BIGINT) AS w1
+          FROM e),
+        bands AS (
+          SELECT vec_id, w0, w1, CAST(b AS INT) AS band_id,
+            CASE WHEN b < 4 THEN (w0 >> (CAST(b AS INT) * 8)) & 255
+                 ELSE (w1 >> ((CAST(b AS INT) - 4) * 8)) & 255
+            END AS band_key
+          FROM codes, unnest(range(0, 8)) AS t(b)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 120
+          WHERE bit_count(CAST(xor(a.w0, b.w0) AS BIT))
+              + bit_count(CAST(xor(a.w1, b.w1) AS BIT)) <= 31),
+        rejected AS (
+          SELECT DISTINCT c.vec_b AS vec_id
+          FROM cand c
+          JOIN e x ON x.vec_id = c.vec_a
+          JOIN e y ON y.vec_id = c.vec_b
+          WHERE list_sum(list_transform(list_zip(x.v, y.v),
+                                        p -> p[1] * p[2])) /
+                (sqrt(list_sum(list_transform(x.v, q -> q * q))) *
+                 sqrt(list_sum(list_transform(y.v, q -> q * q)))) > 0.25)
+        SELECT e.vec_id,
+          CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS admitted
+        FROM e LEFT JOIN rejected r USING (vec_id)
+        ORDER BY e.vec_id"""))
   )
 }

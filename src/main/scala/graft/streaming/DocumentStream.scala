@@ -182,14 +182,16 @@ object DocumentStream {
       }
   }
 
-  /** Start a near-dup pair stream into a memory sink (8 shuffle
+  /** Start a (pair-emitting) stream into a memory sink (8 shuffle
     * partitions — EventStream's state-store sizing rationale), await
-    * AvailableNow termination, and return the emitted pair table
-    * (dropped from the catalog; analysis is eager, so the returned
-    * plan keeps the rows alive — EventStream's drain pattern).
+    * AvailableNow termination, and return the emitted table (dropped
+    * from the catalog; analysis is eager, so the returned plan keeps
+    * the rows alive — EventStream's drain pattern). Shared by the
+    * document SimHash streams here and [[EmbeddingStream]]'s
+    * binary-code admission stream.
     */
-  private def runPairsToTable(
-      spark: SparkSession, pairs: Dataset[NearPair]): DataFrame = {
+  private[streaming] def drainToTable[T](
+      spark: SparkSession, pairs: Dataset[T]): DataFrame = {
     val name = "st_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     EventStream.withStreamShufflePartitions(spark, 8) {
       val q = pairs
@@ -223,7 +225,7 @@ object DocumentStream {
     */
   def runStreamAdmissionUnbounded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = runPairsToTable(spark, nearDupPairsUnbounded(
+    val pairs = drainToTable(spark, nearDupPairsUnbounded(
       bandedSignatures(
         readStream(spark, dir).filter(col("n_chars") >= 100)).as[DocSig]))
     val rejected = pairs
@@ -252,7 +254,7 @@ object DocumentStream {
       spark: SparkSession, dir: String,
       horizonSeconds: Long = 120L): DataFrame = {
     import spark.implicits._
-    val pairs = runPairsToTable(spark, nearDupPairsTtl(
+    val pairs = drainToTable(spark, nearDupPairsTtl(
       bandedSignaturesWithTime(
         readStream(spark, dir).filter(col("n_chars") >= 100)).as[DocSigT],
       java.time.Duration.ofSeconds(horizonSeconds)))
@@ -278,7 +280,7 @@ object DocumentStream {
     */
   def runStreamNearDupUnbounded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    runPairsToTable(spark,
+    drainToTable(spark,
       nearDupPairsUnbounded(bandedSignatures(readStream(spark, dir)).as[DocSig]))
       .distinct().orderBy("doc_a", "doc_b")
   }
@@ -295,7 +297,7 @@ object DocumentStream {
       spark: SparkSession, dir: String,
       horizonSeconds: Long = 120L): DataFrame = {
     import spark.implicits._
-    runPairsToTable(spark,
+    drainToTable(spark,
       nearDupPairsTtl(
         bandedSignaturesWithTime(readStream(spark, dir)).as[DocSigT],
         java.time.Duration.ofSeconds(horizonSeconds)))

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class EmbeddingStreamSpec extends SparkSpec {
+
+  import EmbeddingStream._
+
+  test("st14 quantized admission equals the batch band+Hamming+cosine restatement") {
+    val dir = "/root/testdata/sf0.001"
+    val got = runStreamAdmissionQuantized(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // Batch restatement from the SAME projections: banded codes on the
+    // batch frame, band-bucket self-join within the horizon, Hamming
+    // gate, exact-cosine verify — what the oracle SQL states, derived
+    // independently through the batch planner.
+    val codes = bandedCodes(graft.Tables.load(spark, dir, "embeddings"))
+    val pairs = codes.as("a").join(codes.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          col("b.vec_id") - col("a.vec_id") <= 120)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (bit_count(col("a.w0").bitwiseXOR(col("b.w0"))) +
+          bit_count(col("a.w1").bitwiseXOR(col("b.w1")))).as("ham"))
+      .filter(col("ham") <= 31)
+      .select("vec_a", "vec_b").distinct()
+    val dot = graft.functions.VectorExpressions.dot _
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val rejected = pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) > 0.25)
+      .select("vec_b").distinct().collect().map(_.getLong(0)).toSet
+
+    val want = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => id -> (if (rejected(id)) 0 else 1)).toMap
+    assert(got == want)
+    // Non-vacuity: the gate must actually reject something, and admit
+    // most of the corpus.
+    assert(rejected.nonEmpty, "no rejections — the gate is vacuous")
+    assert(rejected.size < got.size / 2, s"${rejected.size} rejections")
+  }
+
+  test("st14 TTL state is bounded: members expire, idle buckets are removed") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Offset above epoch (the initial watermark is 1970 and the late
+    // filter is inclusive — the DocumentStreamSpec rule).
+    def ts(sec: Long) = new java.sql.Timestamp((sec + 10) * 1000L)
+    val input = MemoryStream[VecSigT]
+    val q = candPairsTtl(input.toDS(),
+        java.time.Duration.ofSeconds(100), maxHamming = 31)
+      .writeStream.format("memory").queryName("st14_ttl_test")
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long = q.recentProgress
+      .filter(_.stateOperators.nonEmpty)
+      .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+
+    // Batch 1: identical codes in bucket (0, 5), 1 s apart → Hamming 0
+    // candidate. A third member 40 bits away fails the gate.
+    input.addData(
+      VecSigT(1, 0L, 0L, 0, 5, ts(0)),
+      VecSigT(2, 0L, 0L, 0, 5, ts(1)),
+      VecSigT(9, 0xFFFFFL, 0xFFFFFL, 0, 5, ts(2)))
+    q.processAllAvailable()
+    assert(spark.table("st14_ttl_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      Set((1L, 2L, 0)))
+
+    // Batch 2: same code, same bucket, 500 s later — members are past
+    // the horizon, no pair emits (member-level eviction is live).
+    input.addData(VecSigT(3, 0L, 0L, 0, 5, ts(500)))
+    q.processAllAvailable()
+    assert(spark.table("st14_ttl_test").count() == 1)
+
+    // Batches 3+4: advance the watermark past bucket (0,5)'s last
+    // arrival + horizon — whole buckets leave the state store, so
+    // live state stays bounded despite 3 lifetime buckets. (A
+    // trailing no-data cleanup batch may fire timeouts one step
+    // early — the DocumentStreamSpec rule — so assert the bound, not
+    // the exact schedule.)
+    input.addData(VecSigT(4, 0L, 0L, 1, 7, ts(1000)))
+    q.processAllAvailable()
+    val afterB3 = stateRows
+    input.addData(VecSigT(5, 0L, 0L, 2, 9, ts(2000)))
+    q.processAllAvailable()
+    val afterB4 = stateRows
+    assert(afterB3 >= 1L && afterB3 <= 2L,
+      s"bucket (0,5) must expire by watermark, got $afterB3")
+    assert(afterB4 >= 1L && afterB4 <= 2L,
+      s"idle buckets must be removed, got $afterB4")
+    q.stop()
+    spark.catalog.dropTempView("st14_ttl_test")
+  }
+}
