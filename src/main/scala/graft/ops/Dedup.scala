@@ -202,6 +202,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The d15 oracle's CTE chain (original-case tokens with positions,
+    * duplicated grams, covered positions, kept tokens, the per-doc
+    * rebuild `agg`) — shared with p04's composed pipeline, which
+    * consumes the cleaned text instead of the final roster.
+    */
+  val sqlRemovePassagesCtes: String = """d AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'),
+                        x -> len(x) > 0) AS toks
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id, u.i AS pos, u.t AS tok
+          FROM d, unnest(list_transform(range(1, len(toks) + 1),
+                         i -> {'i': i, 't': toks[i]})) AS s(u)),
+        grams AS (
+          SELECT doc_id, CAST(i AS INT) AS i,
+            array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ')
+              AS gram
+          FROM d, unnest(range(1, len(toks) - 3)) AS t(i)
+          WHERE len(toks) >= 5),
+        dup AS (
+          SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+          GROUP BY gram HAVING COUNT(*) >= 2),
+        covered AS (
+          SELECT DISTINCT g.doc_id, CAST(g.i + o AS INT) AS pos
+          FROM grams g JOIN dup USING (gram), unnest(range(0, 5)) AS t(o)),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok FROM tok t
+          LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+          WHERE c.doc_id IS NULL),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+            array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+          FROM kept GROUP BY doc_id)"""
+
   /** Carter-Wegman modulus for the seeded minhash family (prime just
     * under 2^28, so `a + 31*b` stays far below 2^63).
     */
@@ -1101,36 +1136,8 @@ object Dedup {
         // counterpart of d13's flag-only filter. At sf0.01 this
         // rewrites 71/500 docs.
         removePassages(docs(s, dir), n = 5, minDocs = 2),
-      Some("""
-        WITH d AS (
-          SELECT doc_id,
-            list_filter(string_split_regex(text, '\s+'),
-                        x -> len(x) > 0) AS toks
-          FROM documents WHERE text IS NOT NULL),
-        tok AS (
-          SELECT doc_id, u.i AS pos, u.t AS tok
-          FROM d, unnest(list_transform(range(1, len(toks) + 1),
-                         i -> {'i': i, 't': toks[i]})) AS s(u)),
-        grams AS (
-          SELECT doc_id, CAST(i AS INT) AS i,
-            array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ')
-              AS gram
-          FROM d, unnest(range(1, len(toks) - 3)) AS t(i)
-          WHERE len(toks) >= 5),
-        dup AS (
-          SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
-          GROUP BY gram HAVING COUNT(*) >= 2),
-        covered AS (
-          SELECT DISTINCT g.doc_id, CAST(g.i + o AS INT) AS pos
-          FROM grams g JOIN dup USING (gram), unnest(range(0, 5)) AS t(o)),
-        kept AS (
-          SELECT t.doc_id, t.pos, t.tok FROM tok t
-          LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
-          WHERE c.doc_id IS NULL),
-        agg AS (
-          SELECT doc_id, COUNT(*) AS n_kept,
-            array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
-          FROM kept GROUP BY doc_id)
+      Some(s"""
+        WITH $sqlRemovePassagesCtes
         SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
           CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
             AS n_removed,

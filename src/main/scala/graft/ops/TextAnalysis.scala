@@ -379,26 +379,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** DuckDB restatement of [[bpeEncode]]: the identical induction
-    * chain ([[sqlBpeRounds]], word `w` carried through so the final
-    * round is a word→tokens map), then per-document word positions
-    * joined to it and reassembled in document order.
+  /** The encode CTE chain (per-doc word positions `wd`, the induction
+    * over them, `w`-carried so `v$n` is a word→tokens map), FROM a
+    * caller-named (doc_id, text) relation — shared by the t17 oracle
+    * (over `documents`) and p04's composed pipeline (over its cleaned
+    * corpus CTE).
     */
-  def sqlBpeEncode(n: Int): String = {
+  def sqlBpeEncodeChain(n: Int, from: String): String = {
     val rounds = sqlBpeRounds(n, carry = Seq("w"))
-    s"""
-        WITH wd AS (
+    s"""wd AS (
           SELECT doc_id, u.i AS pos, u.w FROM (
             SELECT doc_id,
               list_filter(string_split_regex(lower(text), '\\s+'),
                           x -> len(x) > 0) AS ws
-            FROM documents WHERE text IS NOT NULL),
+            FROM $from WHERE text IS NOT NULL),
             unnest(list_transform(range(1, len(ws) + 1),
                                   i -> {'i': i, 'w': ws[i]})) AS t(u)),
         w AS (SELECT w FROM wd),
         v0 AS (
           SELECT w, string_split(w, '') AS syms, COUNT(*) AS freq
-          FROM w GROUP BY w),$rounds
+          FROM w GROUP BY w),$rounds"""
+  }
+
+  /** DuckDB restatement of [[bpeEncode]]: the identical induction
+    * chain ([[sqlBpeRounds]], word `w` carried through so the final
+    * round is a word→tokens map), then per-document word positions
+    * joined to it and reassembled in document order.
+    */
+  def sqlBpeEncode(n: Int): String =
+    s"""
+        WITH ${sqlBpeEncodeChain(n, "documents")}
         SELECT doc_id, COUNT(*) AS n_words,
           CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
           md5(array_to_string(flatten(list(v.syms ORDER BY pos)), chr(1)))
@@ -406,7 +416,6 @@ object TextAnalysis {
         FROM wd JOIN v$n v USING (w)
         GROUP BY doc_id
         ORDER BY doc_id"""
-  }
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------

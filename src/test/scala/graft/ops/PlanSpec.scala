@@ -409,6 +409,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("p04: composed clean->tokenize->pack keeps every stage's audited shape") {
+    val p = plan("p04_tokenized_corpus")
+    // The cleaned corpus is checkpointed (d15's gram machinery — its
+    // own audited plan — ran once, eagerly; the final plan reads the
+    // RDD back), t17's distinct-word merge chain and the c04
+    // running-sum window compose on top without a cartesian at any
+    // seam, and the remaining documents scan is pruned to
+    // (doc_id, source).
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate(keys=[w#"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
+  }
+
   test("d13: gram aggregates partial-combine; no cartesian, pruned read") {
     // Both groupBys (per-gram frequency, per-doc rollup) must combine
     // map-side so shuffles carry (gram, id) partial counts, the
