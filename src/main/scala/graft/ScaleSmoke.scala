@@ -20,7 +20,8 @@ object ScaleSmoke {
       |  sim [f]       PQ/ADC/IVF/k-means converge on embeddings ×1 and ×f
       |  ttl [chunks]  st11 state size per micro-batch at sf0.1
       |  stjoin [chunks]  st03 interval-join state per micro-batch at sf0.1
-      |  sessions [chunks]  st02/st13 session state per micro-batch at sf0.1""".stripMargin
+      |  sessions [chunks]  st02/st13 session state per micro-batch at sf0.1
+      |  text [f]      d15 removal + t17 BPE encode on documents ×1 and ×f""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -453,8 +454,38 @@ object ScaleSmoke {
     }
   }
 
+  /** `runMain graft.ScaleSmoke text [factor]`: the round-11 text
+    * rewriting/tokenization ops on a ×factor near-duplicated corpus —
+    * an ADVERSARIAL shape for d15 (every interior 5-gram becomes
+    * corpus-duplicated across the replicas, so the dup-gram join and
+    * the coverage expansion both run at full fan-out) and the
+    * demonstration case for t17's distinct-word encode (replicas add
+    * almost no new words, so the merge chain's input stays ~constant
+    * while the corpus grows ×factor — the Zipf win the design banks
+    * on). Both should scale ~linearly in corpus size.
+    */
+  def runText(spark: SparkSession, factor: Int): Unit = {
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val docsN = scaled(docs1, "doc_id", factor).cache()
+    println(s"[scale] documents: ${docsN.count()} rows (×$factor)")
+    time("d15 remove passages ×1")(
+      ops.Dedup.removePassages(docs1, n = 5, minDocs = 2)
+        .write.format("noop").mode("overwrite").save())
+    time(s"d15 remove passages ×$factor")(
+      ops.Dedup.removePassages(docsN, n = 5, minDocs = 2)
+        .write.format("noop").mode("overwrite").save())
+    time("t17 bpe encode ×1")(
+      ops.TextAnalysis.bpeEncode(docs1, merges = 5)
+        .write.format("noop").mode("overwrite").save())
+    time(s"t17 bpe encode ×$factor")(
+      ops.TextAnalysis.bpeEncode(docsN, merges = 5)
+        .write.format("noop").mode("overwrite").save())
+    docsN.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
-    val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions")
+    val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions", "text")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -480,6 +511,7 @@ object ScaleSmoke {
         case "ttl" => 20
         case "stjoin" => 30
         case "sessions" => 30
+        case "text" => 20
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -498,6 +530,7 @@ object ScaleSmoke {
     if (mode == "ttl") { runTtl(spark, factor); spark.stop(); return }
     if (mode == "stjoin") { runStJoin(spark, factor); spark.stop(); return }
     if (mode == "sessions") { runSessionsScale(spark, factor); spark.stop(); return }
+    if (mode == "text") { runText(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)
