@@ -70,6 +70,67 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
   }
 
+  /** BM25 (Robertson/Okapi) document ranking against a fixed query
+    * term set — the retrieval-side counterpart of t10's TF-IDF
+    * profiling: given query terms T, score(d) = Σ_{t∈T} idf(t) ·
+    * tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl)) with the
+    * always-positive idf(t) = ln((N−df+0.5)/(df+0.5)+1).
+    *
+    * Scale shape: the token explode FILTERS to the query terms
+    * immediately (everything downstream carries only docs matching ≥1
+    * query term — at 100 TB that's the inverted-list size, not the
+    * corpus); tf is one groupBy(doc, term) with map-side combine; df
+    * and the (N, avgdl) scalars are tiny broadcasts; doc length joins
+    * on doc_id (AQE-broadcastable since the tf side is
+    * posting-list-sized). The final global top-k window is bounded by
+    * InferWindowGroupLimit (the q09 pattern).
+    *
+    * Determinism: avgdl = exact-decimal token sum / exact count, one
+    * double division; each per-term contribution is a fixed-order IEEE
+    * expression ROUNDed to 6 dp (the t10 ln convention) and summed
+    * EXACTLY as DECIMAL(18,6) — so the per-doc score is
+    * order-independent and engine-identical. Ties rank by doc_id.
+    */
+  def bm25Rank(documents: DataFrame, terms: Seq[String], k1: Double,
+      b: Double, topK: Int): DataFrame = {
+    val base = documents
+      .filter(col("text").isNotNull)
+      .repartition(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+    val dl = base.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast("decimal(20,0)")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms.map(t => t: Any): _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val contrib = round(
+      idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * (col("dl").cast("double") / col("avgdl")))),
+      6)
+    val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.cast("decimal(18,6)").as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("double").as("bm25"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .orderBy("rnk")
+  }
+
   /** Unigram LM scoring — the perplexity-proxy quality filter (the
     * CCNet/Gopher shape, with the corpus itself as the language
     * model): per-document mean log-probability of its tokens under
@@ -1089,6 +1150,54 @@ object TextAnalysis {
           LEFT JOIN t2 USING (doc_id)
           LEFT JOIN t3 USING (doc_id)
           LEFT JOIN cov USING (doc_id))
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t18_bm25_rank",
+      (s, dir) =>
+        // BM25 retrieval ranking (see [[bm25Rank]]): top 10 documents
+        // for the fixed query {spark, join, window} at the standard
+        // k1=1.2, b=0.75.
+        bm25Rank(docs(s, dir), Seq("spark", "join", "window"),
+          k1 = 1.2, b = 0.75, topK = 10),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        dl AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS dl FROM d),
+        stats AS (
+          SELECT COUNT(*) AS n_docs,
+            CAST(SUM(CAST(dl AS DECIMAL(20,0))) AS DOUBLE) / COUNT(*)
+              AS avgdl
+          FROM dl),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(tl) AS term FROM d)
+          WHERE term IN ('spark', 'join', 'window')
+          GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT t.doc_id,
+            CAST(ROUND(
+              ln((CAST(s.n_docs - f.df AS DOUBLE) + 0.5) /
+                 (CAST(f.df AS DOUBLE) + 0.5) + 1.0) *
+              (CAST(t.tf AS DOUBLE) * 2.2) /
+              (CAST(t.tf AS DOUBLE) +
+               1.2 * (1.0 - 0.75 +
+                      0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl))), 6)
+              AS DECIMAL(18,6)) AS c
+          FROM tf t
+          JOIN dl l USING (doc_id)
+          JOIN df f USING (term)
+          CROSS JOIN stats s)
+        SELECT doc_id, bm25, rnk FROM (
+          SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25,
+            ROW_NUMBER() OVER (ORDER BY CAST(SUM(c) AS DOUBLE) DESC,
+                               doc_id) AS rnk
+          FROM contrib GROUP BY doc_id)
+        WHERE rnk <= 10
+        ORDER BY rnk"""))
   )
 }

@@ -251,4 +251,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d3.isNullAt(5) && d3.getDouble(6) == 0.0, d3)
     assert(d3.getDouble(7) == 0.0 && d3.getInt(8) == 1, d3)
   }
+
+  test("t18 BM25: hand-computed scores, tf saturation, and idf down-weighting") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 4 docs, query {q, z}. 'q' occurs in all 3 non-null docs (low
+    // idf), 'z' only in doc 3 (high idf). dl = 4,2,4; avgdl = 10/3.
+    val df = Seq(
+      (1L, "q q q pad"), // tf(q)=3, saturating
+      (2L, "q pad"), // tf(q)=1, short doc (length normalization)
+      (3L, "z q pad pad"), // the only 'z' doc
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bm25Rank(df, Seq("q", "z"), k1 = 1.2, b = 0.75, topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2)))
+      .toMap
+    val avgdl = 10.0 / 3
+    def contrib(tf: Double, df: Double, dl: Double, n: Double): Double =
+      r6(math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+    val s1 = contrib(3, 3, 4, 3)
+    val s2 = contrib(1, 3, 2, 3)
+    val s3 = contrib(1, 3, 4, 3) + contrib(1, 1, 4, 3)
+    assert(got(1L)._1 == s1, (got(1L), s1))
+    assert(got(2L)._1 == s2, (got(2L), s2))
+    assert(got(3L)._1 == s3, (got(3L), s3))
+    assert(!got.contains(4L), "null-text doc must not be ranked")
+    // the rare-term doc outranks everything; saturation keeps tf=3
+    // below 3x the tf=1 contribution
+    assert(got(3L)._2 == 1 && s1 < 3 * s2, (s1, s2, s3))
+  }
 }
