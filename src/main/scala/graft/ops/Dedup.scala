@@ -356,6 +356,47 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Edit-distance-VERIFIED near-duplicates — the fine-grained rung
+    * below d03's set-Jaccard verify: LSH candidate pairs admitted at a
+    * permissive Jaccard gate are re-verified with character-level
+    * Levenshtein distance over a fixed `prefixLen`-char text prefix,
+    * normalized by the longer prefix ("norm_ed"). Jaccard over shingle
+    * SETS is blind to ordering and multiplicity; edit distance catches
+    * both, so this is the standard precision pass over an LSH recall
+    * stage.
+    *
+    * Scale shape: candidate generation is d03's banded-LSH machinery
+    * unchanged (skew-cappable, shuffles signatures not text); the
+    * verify join ships only the FIXED-LENGTH prefixes of the candidate
+    * docs (never full documents), and Levenshtein runs once per
+    * candidate pair — O(prefixLen²) each, bounded by construction, on
+    * a pair set already thinned to near-certain duplicates. At 100 TB
+    * the pair count tracks the true duplicate count (LSH property),
+    * so the quadratic-per-pair cost never multiplies against the
+    * corpus.
+    */
+  def editDistanceNearDup(documents: DataFrame, minJaccard: Double,
+      prefixLen: Int, maxNormEd: Double): DataFrame = {
+    val cand = lshCandidatePairs(documents, minJaccard)
+    val pref = documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("p"))
+    cand
+      .join(pref.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(pref.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("ta.p"), col("tb.p")).as("edit_dist"),
+        greatest(length(col("ta.p")), length(col("tb.p"))).as("mx"))
+      .withColumn("norm_ed",
+        when(col("mx") > 0,
+          round(col("edit_dist").cast("double") / col("mx").cast("double"),
+            6))
+          .otherwise(lit(0.0)))
+      .filter(col("norm_ed") <= maxNormEd)
+      .select("doc_a", "doc_b", "jaccard", "edit_dist", "norm_ed")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Transitive LSH dedup closure: connected components over the
     * doc↔bucket bipartite graph via iterative min-label propagation
     * (doc label ← min over its buckets of the bucket's min member
@@ -1143,6 +1184,62 @@ object Dedup {
             AS n_removed,
           COALESCE(a.clean_text, '') AS clean_text
         FROM d LEFT JOIN agg a USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d16_editdist_neardup",
+      (s, dir) =>
+        // Edit-distance verify over LSH candidates (see
+        // [[editDistanceNearDup]]): Jaccard gate relaxed to 0.3 so the
+        // Levenshtein pass is the decisive filter (<= 40% of the
+        // 500-char prefix edited).
+        editDistanceNearDup(docs(s, dir), minJaccard = 0.3,
+          prefixLen = 500, maxNormEd = 0.4),
+      Some(s"""
+        $sqlBandsCte,
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+        shd AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              CASE WHEN len(tl) >= 3
+                THEN list_transform(range(1, len(tl) - 1),
+                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+                ELSE [array_to_string(tl, ' ')] END,
+              t -> substr(md5(t), 1, 16))) AS sl
+          FROM toks),
+        cand AS (
+          SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+              CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE) /
+              CAST(len(sa.sl) + len(sb.sl)
+                   - len(list_intersect(sa.sl, sb.sl)) AS DOUBLE)
+                AS jaccard
+            FROM pairs
+            JOIN shd sa ON doc_a = sa.doc_id
+            JOIN shd sb ON doc_b = sb.doc_id)
+          WHERE jaccard >= 0.3),
+        pref AS (
+          SELECT doc_id, substr(text, 1, 500) AS p
+          FROM documents WHERE text IS NOT NULL),
+        ed AS (
+          SELECT c.doc_a, c.doc_b, c.jaccard,
+            CAST(levenshtein(pa.p, pb.p) AS INT) AS edit_dist,
+            GREATEST(len(pa.p), len(pb.p)) AS mx
+          FROM cand c
+          JOIN pref pa ON c.doc_a = pa.doc_id
+          JOIN pref pb ON c.doc_b = pb.doc_id)
+        SELECT doc_a, doc_b, jaccard, edit_dist,
+          CASE WHEN mx > 0
+            THEN ROUND(CAST(edit_dist AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+            ELSE 0.0 END AS norm_ed
+        FROM ed
+        WHERE (CASE WHEN mx > 0
+                 THEN ROUND(CAST(edit_dist AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+                 ELSE 0.0 END) <= 0.4
+        ORDER BY doc_a, doc_b"""))
   )
 }

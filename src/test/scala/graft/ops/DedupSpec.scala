@@ -298,6 +298,41 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, "tiny doc")))
   }
 
+  test("d16 edit-distance verify: reorder-blind Jaccard caught, near-identical kept") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Character-DISJOINT halves (letters a..j vs m..v), so the block
+    // swap cannot cheaply align token-by-token: its edit distance is
+    // ~the full text length, while the shingle sets stay ~identical.
+    def enc(pre: Char, base: Char, i: Int): String =
+      s"$pre${(base + i / 10).toChar}${(base + i % 10).toChar}"
+    val half1 = (0 until 20).map(i => enc('q', 'a', i)).mkString(" ")
+    val half2 = (0 until 20).map(i => enc('z', 'm', i)).mkString(" ")
+    val base = s"$half1 $half2"
+    val df = Seq(
+      (1L, base),
+      // one token's tail chars swapped -> edit distance 2, kept
+      (2L, base.replace("qaf", "qfa")),
+      // halves SWAPPED: shingle set ~identical (Jaccard blind to
+      // order) but every character must move -> rejected by ED
+      (3L, s"$half2 $half1"))
+      .toDF("doc_id", "text")
+    // premise: the swapped doc IS an LSH candidate at the 0.3 gate
+    val cand = Dedup.lshCandidatePairs(df, minJaccard = 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.contains((1L, 3L)), s"LSH premise broken: ${cand.toSeq}")
+    val out = Dedup
+      .editDistanceNearDup(df, minJaccard = 0.3, prefixLen = 500,
+        maxNormEd = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    // the one-token edit survives with exactly 2 swapped chars
+    assert(out((1L, 2L)) == 2, out)
+    // the block swap is a candidate but fails the edit-distance verify
+    assert(!out.contains((1L, 3L)), out)
+    assert(!out.contains((2L, 3L)), out)
+  }
+
   test("shingles3: sliding 3-grams, short docs collapse to one shingle") {
     val sparkS = spark
     import sparkS.implicits._
