@@ -44,6 +44,61 @@ object Curation {
     conv(substring(md5(key.cast("string")), 1, 7), 16, 10)
       .cast("long") % 100
 
+  /** FUZZY benchmark decontamination — c05's exact-gram overlap
+    * misses paraphrased/partially-edited benchmark leakage; this is
+    * the standard MinHash-LSH upgrade: corpus docs that share a full
+    * minhash band with any benchmark doc (source 'src0' stands in for
+    * the eval set, as in c05) are verified by exact shingle-set
+    * Jaccard, and each contaminated doc reports its single
+    * best-matching benchmark doc (ties break to the smaller id).
+    *
+    * Scale shape: the benchmark is small BY DEFINITION, so its band
+    * signatures AND its shingle sets are broadcast (c05's discipline);
+    * the corpus side streams through one map-side band join + one
+    * map-side verify join — per corpus doc the work is O(its
+    * candidates), there is no corpus×bench product anywhere, and
+    * shuffles carry (id, 16-char hash) rows, never text. Signatures
+    * and the Jaccard verify reuse the oracle-proven d02/d03 machinery
+    * unchanged.
+    */
+  def fuzzyContamination(documents: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val d = documents.filter(col("text").isNotNull)
+    val sh0 = Dedup.shingleRows(d).localCheckpoint()
+    val src = d.select(col("doc_id"), col("source"))
+    val bands = Dedup.minhashBandsFrom(sh0).join(src, "doc_id")
+    val bb = bands.filter(col("source") === "src0")
+      .select(col("doc_id").as("bench_id"), col("band_id"),
+        col("band_hash"))
+    val cb = bands.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+    val cand = cb.join(broadcast(bb), Seq("band_id", "band_hash"))
+      .select("doc_id", "bench_id").distinct()
+    val sets = sh0.groupBy("doc_id")
+      .agg(collect_set(substring(md5(col("t")), 1, 16)).as("sl"))
+    // Only the BENCH docs' sets are broadcast — the corpus-side sets
+    // stay distributed and join by id.
+    val benchSets = sets.join(
+      src.filter(col("source") === "src0").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val inter = size(array_intersect(col("sa.sl"), col("sb.sl")))
+    val jac = inter.cast("double") /
+      (size(col("sa.sl")) + size(col("sb.sl")) - inter).cast("double")
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("jaccard").desc, col("bench_id"))
+    cand.as("c")
+      .join(sets.as("sa"), col("c.doc_id") === col("sa.doc_id"))
+      .join(broadcast(benchSets.as("sb")),
+        col("c.bench_id") === col("sb.doc_id"))
+      .select(col("c.doc_id").as("doc_id"),
+        col("c.bench_id").as("bench_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -337,6 +392,56 @@ object Curation {
                AS BIGINT) % 100 < CAST(floor(quality * 100) AS INT)
                AS INT) AS admitted
         FROM q
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c09_fuzzy_contamination",
+      (s, dir) =>
+        // Fuzzy decontamination (see [[fuzzyContamination]]): corpus
+        // docs sharing a minhash band with a benchmark ('src0') doc,
+        // verified at shingle-Jaccard >= 0.3, each reporting its
+        // best-matching benchmark doc.
+        fuzzyContamination(docs(s, dir), minJaccard = 0.3),
+      Some(s"""
+        ${Dedup.sqlBandsCte},
+        src AS (
+          SELECT doc_id, source FROM documents WHERE text IS NOT NULL),
+        bb AS (
+          SELECT b.doc_id AS bench_id, b.band_id, b.band_hash
+          FROM bands b JOIN src USING (doc_id)
+          WHERE src.source = 'src0'),
+        cb AS (
+          SELECT b.doc_id, b.band_id, b.band_hash
+          FROM bands b JOIN src USING (doc_id)
+          WHERE src.source <> 'src0'),
+        cand AS (
+          SELECT DISTINCT cb.doc_id, bb.bench_id
+          FROM cb JOIN bb
+            ON cb.band_id = bb.band_id AND cb.band_hash = bb.band_hash),
+        shd AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              CASE WHEN len(tl) >= 3
+                THEN list_transform(range(1, len(tl) - 1),
+                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+                ELSE [array_to_string(tl, ' ')] END,
+              t -> substr(md5(t), 1, 16))) AS sl
+          FROM toks),
+        jac AS (
+          SELECT c.doc_id, c.bench_id,
+            CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE) /
+            CAST(len(sa.sl) + len(sb.sl)
+                 - len(list_intersect(sa.sl, sb.sl)) AS DOUBLE)
+              AS jaccard
+          FROM cand c
+          JOIN shd sa ON c.doc_id = sa.doc_id
+          JOIN shd sb ON c.bench_id = sb.doc_id)
+        SELECT doc_id, bench_id, jaccard FROM (
+          SELECT doc_id, bench_id, jaccard,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, bench_id) AS rn
+          FROM jac WHERE jaccard >= 0.3)
+        WHERE rn = 1
         ORDER BY doc_id"""))
   )
 }

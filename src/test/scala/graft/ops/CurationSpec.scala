@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Functional checks for the curation operators whose semantics have
+  * interesting edge cases beyond the DuckDB oracle gate (which runs
+  * them at three SFs against real data).
+  */
+class CurationSpec extends SparkSpec {
+
+  test("c09 fuzzy contamination: paraphrased leak flagged with its best bench match") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val bench = (1 to 30).map(i => f"w$i%02d").mkString(" ")
+    // A "paraphrased" leak: the bench text with a token replaced —
+    // the 3-grams around the edit all differ (exact-gram c05 loses
+    // them), but minhash banding still collides.
+    val leaked = bench.replace("w15", "edited")
+    val df = Seq(
+      (1L, "src0", bench), // the benchmark doc
+      (2L, "src0", (100 to 130).map(i => s"b$i").mkString(" ")),
+      (3L, "src1", leaked), // contaminated corpus doc
+      (4L, "src1", (200 to 230).map(i => s"c$i").mkString(" ")),
+      (5L, "src2", bench)) // verbatim copy in another source
+      .toDF("doc_id", "source", "text")
+    val out = Curation.fuzzyContamination(df, minJaccard = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // the verbatim copy reports Jaccard 1.0 against bench doc 1
+    assert(out(5L) == ((1L, 1.0)), out)
+    // the paraphrase is flagged against doc 1 with partial overlap
+    assert(out(3L)._1 == 1L && out(3L)._2 > 0.3 && out(3L)._2 < 1.0, out)
+    // clean corpus text and bench docs themselves are not reported
+    assert(!out.contains(4L) && !out.contains(1L) && !out.contains(2L), out)
+  }
+
+  test("c09: best-match tie-break picks the smaller bench id") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val t = (1 to 25).map(i => f"q$i%02d").mkString(" ")
+    // two IDENTICAL bench docs -> identical Jaccard; the report must
+    // deterministically pick bench_id 1.
+    val df = Seq(
+      (1L, "src0", t), (2L, "src0", t), (3L, "src1", t))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.fuzzyContamination(df, minJaccard = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 1L), out)
+  }
+}

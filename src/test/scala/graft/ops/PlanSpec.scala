@@ -109,6 +109,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftOuter"), p)
   }
 
+  test("t18: BM25 combines map-side; df and corpus stats broadcast; pruned read") {
+    val p = plan("t18_bm25_rank")
+    // tf/df shuffles carry partial counts, not exploded token rows
+    assert(p.contains("partial_count"), p)
+    // (N, avgdl) is a broadcast 1-row scalar (the t10 convention)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the global top-k is bounded below the final sort — Catalyst
+    // turns the global rank filter into a TakeOrderedAndProject
+    // (limit pushdown), which is even tighter than WindowGroupLimit
+    assert(p.contains("TakeOrderedAndProject") ||
+      p.contains("WindowGroupLimit"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("d16: edit-distance verify joins stay equi; only fixed prefixes ship") {
+    val p = plan("d16_editdist_neardup")
+    // candidate generation and the prefix joins must never plan a
+    // cross product — the O(prefix^2) Levenshtein runs once per
+    // candidate pair only.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("c09: bench bands and bench sets broadcast; corpus side streams") {
+    val p = plan("c09_fuzzy_contamination")
+    // two broadcasts: the bench band signatures (candidate join) and
+    // the bench shingle sets (verify join)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d11: simhash pair generation is an equi-join, never a cross product") {
     // The band self-join must plan as an equi-join on
     // (band_id, band_key) — a nested-loop/cartesian here would mean
