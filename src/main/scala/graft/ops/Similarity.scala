@@ -194,6 +194,139 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Exact cosine RANGE search — all corpus vectors with cosine ≥
+    * `minCosine` of each query (the radius-query counterpart of the
+    * top-k ladder), with LOSSLESS IVF-cell pruning. For unit vectors
+    * cos(q,x) ≥ θ ⇔ ‖q̂−x̂‖ ≤ √(2(1−θ)); a cell with centroid c and
+    * radius r = max ‖x̂−c‖ can contain a match only if
+    * ‖q̂−c‖ − r ≤ √(2(1−θ)) (triangle inequality), so cells failing
+    * the bound are skipped WITHOUT being scanned. Pruning affects only
+    * WHICH cells are read — matches always come from the exact s01
+    * arithmetic over raw vectors — so the result is provably identical
+    * to the brute-force oracle; a θ-side epsilon absorbs float noise
+    * and the final 6-dp rounding.
+    *
+    * Scale shape: centroids + radii are one aggregation over the
+    * normalized corpus (map-side combined); the query×cell bound test
+    * is a tiny broadcast cross; the search itself is an equi-join on
+    * the cell key — with the corpus PARTITIONED by cell (the IVF
+    * layout s03 documents), a pruned cell is a parquet partition never
+    * read. On tightly-clustered corpora that is most of them
+    * (SimilaritySpec asserts both the pruning and the exactness on a
+    * planted corpus); on diffuse vectors the bound honestly keeps
+    * every cell and the op degrades to the exact scan it must never
+    * under-report. Input (vec_id, label, v); queries (qid, qv, qnrm).
+    * Output (qid, vec_id, cos_sim).
+    */
+  private def withNormalized(e: DataFrame): DataFrame = e
+    .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+
+  private def euclid(a: Column, b: Column): Column = {
+    val diff = zip_with(a, b, (x, y) => x - y)
+    sqrt(dot(diff, diff))
+  }
+
+  /** [[rangeSearch]]'s pruning stage, factored out so SimilaritySpec
+    * can assert cells are actually SKIPPED on a clustered corpus:
+    * (qid, qv, qnrm, klabel) — the (query, cell) pairs the triangle-
+    * inequality bound could not prove empty.
+    */
+  private[graft] def rangeKeptCells(e: DataFrame, queries: DataFrame,
+      minCosine: Double): DataFrame = {
+    val en = withNormalized(e)
+    // Per-cell pivot + radius over NORMALIZED vectors (pruning-side
+    // only — plain double means suffice, any pivot is sound).
+    val cent = en
+      .select(col("label"), posexplode(col("vn")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg(col("x")).as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
+        .as("pairs"))
+      .select(col("label"), transform(col("pairs"),
+        p => p.getField("cx")).as("cv"))
+    val cells = en.join(cent, "label")
+      .groupBy("label", "cv")
+      .agg(max(euclid(col("vn"), col("cv"))).as("r"))
+    // ε on the θ side: covers IEEE noise in the bound arithmetic AND
+    // the final round-to-6dp admitting a cos up to 5e-7 below θ.
+    val bound = math.sqrt(2.0 * (1.0 - minCosine + 1e-6))
+    queries
+      .withColumn("qn", transform(col("qv"), x => x / col("qnrm")))
+      .crossJoin(broadcast(cells))
+      .filter(euclid(col("qn"), col("cv")) - col("r") <= lit(bound))
+      .select(col("qid"), col("qv"), col("qnrm"),
+        col("label").as("klabel"))
+  }
+
+  def rangeSearch(e: DataFrame, queries: DataFrame,
+      minCosine: Double): DataFrame = {
+    val en = withNormalized(e)
+    val kept = rangeKeptCells(e, queries, minCosine)
+    en.join(broadcast(kept),
+        col("label") === col("klabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+      .orderBy("qid", "vec_id")
+  }
+
+  /** MaxSim late-interaction retrieval (the ColBERT scoring rule,
+    * Khattab & Zaharia 2020): treat each vector as `subs` contiguous
+    * sub-vectors (the multi-vector stand-in — a real late-interaction
+    * corpus stores per-token vectors) and score
+    * maxsim(q,d) = Σᵢ maxⱼ cos(qᵢ, dⱼ): each query sub-vector is
+    * matched to its best document sub-vector independently, which is
+    * what lets late interaction capture partial/topical matches that
+    * one pooled vector averages away.
+    *
+    * Scale shape: a pure map-side broadcast scan — subs² fixed-width
+    * native dot products per (query, doc) pair, no explode, no
+    * shuffle but the per-query top-k window (WindowGroupLimit-
+    * bounded). Determinism: each sub-cos is the s01 double arithmetic
+    * ROUNDed to 6 dp, max and the fixed-order Σ over ≤`subs` such
+    * doubles are engine-identical. Output (qid, vec_id, maxsim, rnk).
+    */
+  def maxSimTopk(e: DataFrame, queries: DataFrame, subs: Int,
+      k: Int): DataFrame = {
+    val dims = 64 / subs
+    require(subs * dims == 64, s"subs must divide 64, got $subs")
+    def sub(c: Column, i: Int): Column = slice(c, i * dims + 1, dims)
+    val maxsim = (0 until subs).map { i =>
+      val qi = sub(col("qv"), i)
+      greatest((0 until subs).map { j =>
+        val dj = sub(col("v"), j)
+        round(dot(qi, dj) / (sqrt(dot(qi, qi)) * sqrt(dot(dj, dj))), 6)
+      }: _*)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+    e.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), maxsim.as("maxsim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
+  /** DuckDB mirror of [[maxSimTopk]]'s scoring at subs=4: the same
+    * Σᵢ maxⱼ over 6-dp-rounded sub-vector cosines, generated from one
+    * loop so the 16 slice bounds cannot drift from the Spark side.
+    */
+  val sqlMaxSim4: String = {
+    def subCos(i: Int, j: Int): String = {
+      val (qa, qb) = (i * 16 + 1, i * 16 + 16)
+      val (xa, xb) = (j * 16 + 1, j * 16 + 16)
+      s"""ROUND(list_sum(list_transform(
+            list_zip(q.qv[$qa:$qb], e.v[$xa:$xb]), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform(q.qv[$qa:$qb], x -> x * x))) *
+             sqrt(list_sum(list_transform(e.v[$xa:$xb], x -> x * x)))), 6)"""
+    }
+    (0 until 4).map(i =>
+      "GREATEST(" + (0 until 4).map(j => subCos(i, j)).mkString(", ") +
+        ")").mkString(" + ")
+  }
+
   /** One distributed k-means Lloyd iteration over (vec_id, label, v)
     * rows: seeds = per-label exact-decimal mean vectors, assignment =
     * nearest seed by cosine (broadcast argmax, label tie-break),
@@ -1824,6 +1957,65 @@ object Similarity {
           SELECT qid, vec_id, adist,
             ROW_NUMBER() OVER (PARTITION BY qid
                                ORDER BY adist, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s15_range_search",
+      (s, dir) => {
+        // Exact cosine RANGE search at θ=0.25 with lossless IVF-cell
+        // pruning (see [[rangeSearch]]): every vector within the
+        // radius, not a fixed k — the dedup-threshold query shape.
+        val e = emb(s, dir).withColumn("nrm",
+          sqrt(dot(col("v"), col("v"))))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        rangeSearch(e, queries, minCosine = 0.25)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5)
+        SELECT qid, vec_id, cos_sim FROM (
+          SELECT q.qid, e.vec_id,
+            ROUND(
+              list_sum(list_transform(list_zip(q.qv, e.v),
+                                      p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6)
+              AS cos_sim
+          FROM e JOIN q ON e.vec_id <> q.qid)
+        WHERE cos_sim >= 0.25
+        ORDER BY qid, vec_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s16_maxsim_topk",
+      (s, dir) => {
+        // MaxSim late-interaction top-5 (see [[maxSimTopk]]): 4
+        // contiguous 16-d sub-vectors per side, each query sub
+        // matched to its best document sub.
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        maxSimTopk(e, queries, subs = 4, k = 5)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        scored AS (
+          SELECT q.qid, e.vec_id, $sqlMaxSim4 AS maxsim
+          FROM e JOIN q ON e.vec_id <> q.qid)
+        SELECT qid, vec_id, maxsim, rnk FROM (
+          SELECT qid, vec_id, maxsim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY maxsim DESC, vec_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
         ORDER BY qid, rnk"""))

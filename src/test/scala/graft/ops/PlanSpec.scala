@@ -406,6 +406,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("s15: range search joins cells equi + broadcast; stats combine map-side") {
+    val p = plan("s15_range_search")
+    // the cell-restricted search is a broadcast equi-join on the cell
+    // key — never a corpus-wide cross product
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // centroid/radius aggregations combine map-side
+    assert(p.contains("partial_avg"), p)
+    assert(p.contains("partial_max"), p)
+  }
+
+  test("s16: MaxSim is one broadcast map-side scan with a bounded top-k") {
+    val p = plan("s16_maxsim_topk")
+    // 3 query rows against the corpus: broadcast nested-loop (the
+    // <> predicate), never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-query top-k bounded below the rank shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+    // only (vec_id, embedding) is read — label is pruned away
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
+
   test("c08: quality-weighted sampling is one scan, no shuffle, pruned read") {
     // Admission is a pure function of (doc_id, text): anything beyond
     // scan→project (a join with a stats table, a window) would mean

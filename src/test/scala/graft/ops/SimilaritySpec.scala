@@ -42,6 +42,72 @@ class SimilaritySpec extends SparkSpec {
   private def SparkEntry_queries(name: String) =
     graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
 
+  test("s15 range search: cell pruning skips far clusters, result stays exact") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    // 3 tight clusters around near-orthogonal directions in R^64.
+    def base(c: Int): Seq[Double] =
+      (0 until 64).map(d => if (d / 8 == c) 1.0 else 0.01)
+    val rows = for (c <- Seq(0, 3, 7); i <- 0 until 10)
+      yield ((c * 100 + i).toLong, c,
+        base(c).zipWithIndex.map { case (x, d) => x + 0.001 * ((i + d) % 5) })
+    val e = rows.toDF("vec_id", "label", "v")
+    val queries = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        sqrt(Similarity.dot(col("v"), col("v"))).as("qnrm"))
+    // the triangle-inequality bound proves the two FAR cells empty
+    val kept = Similarity.rangeKeptCells(e, queries, minCosine = 0.8)
+      .select("klabel").collect().map(_.getInt(0)).toSet
+    assert(kept == Set(0), s"expected only the query's cluster kept: $kept")
+    // ...and the pruned result equals the unpruned brute force
+    val brute = e.join(queries, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val got = Similarity.rangeSearch(e, queries, minCosine = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == brute && got.nonEmpty, (got, brute))
+    assert(got.forall(_._2 < 100), "matches must come from cluster 0")
+  }
+
+  test("s16 MaxSim: sub-vector permutation scores full marks where pooled cosine cannot") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    def pat(k: Int): Seq[Double] =
+      (0 until 16).map(d => if (d == k) 1.0 else 0.05)
+    val (a, b, c, d) = (pat(0), pat(3), pat(7), pat(11))
+    val q = a ++ b ++ c ++ d
+    val rows = Seq(
+      (0L, 0, q), // the query itself (excluded from its results)
+      (1L, 0, d ++ c ++ b ++ a), // same subs, PERMUTED
+      (2L, 0, a ++ b ++ pat(13) ++ pat(14)), // half the subs match
+      (3L, 0, pat(2) ++ pat(5) ++ pat(9) ++ pat(12))) // none match
+    val e = rows.toDF("vec_id", "label", "v")
+    val queries = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val got = Similarity.maxSimTopk(e, queries, subs = 4, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // permuted doc: every query sub finds its identical counterpart
+    // -> exactly 4 x cos 1.0; a POOLED cosine of the same pair is far
+    // from 1 (the averaging late interaction exists to avoid)
+    assert(got.head == ((1L, 4.0, 1)), got.toSeq)
+    val pooled = e.filter(col("vec_id") === 1L)
+      .join(queries)
+      .select(Similarity.cosine(col("qv"), col("v")))
+      .head().getDouble(0)
+    assert(pooled < 0.9, s"pooled cosine should blur the permutation: $pooled")
+    // half-match ranks above no-match, with a score near 2
+    assert(got(1)._1 == 2L && got(1)._2 > 1.9 && got(1)._2 < 3.0, got.toSeq)
+    assert(got(2)._1 == 3L && got(2)._2 < 1.0, got.toSeq)
+  }
+
   test("kmeans iteration reassigns mislabeled vectors to the near cluster") {
     val sparkS = spark
     import sparkS.implicits._
