@@ -288,6 +288,36 @@ object StreamingOps {
         SELECT e.vec_id,
           CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS admitted
         FROM e LEFT JOIN rejected r USING (vec_id)
-        ORDER BY e.vec_id"""))
+        ORDER BY e.vec_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st15_stream_window_topk",
+      (s, dir) => EventStream.runWindowTopK(s, dir),
+      // Top-3 users per FINALIZED hourly window (see
+      // [[EventStream.windowTopK]]): a window emits iff its end is
+      // strictly before the final watermark, wm_ms =
+      // floor(max µs / 1000) − 1 h (the st02 strict-< timeout rule);
+      // within a window users rank by (count desc, user_id).
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        wm AS (SELECT MAX(us) // 1000 - 3600000 AS wms FROM e),
+        wc AS (
+          SELECT us - us % 3600000000 AS ws, user_id,
+            COUNT(*) AS n_events
+          FROM e GROUP BY 1, 2),
+        fin AS (
+          SELECT wc.ws, wc.user_id, wc.n_events FROM wc, wm
+          WHERE (wc.ws // 1000) + 3600000 < wm.wms)
+        SELECT make_timestamp(ws) AS window_start, user_id, n_events,
+          rnk
+        FROM (
+          SELECT ws, user_id, n_events,
+            ROW_NUMBER() OVER (PARTITION BY ws
+                               ORDER BY n_events DESC, user_id) AS rnk
+          FROM fin)
+        WHERE rnk <= 3
+        ORDER BY window_start, rnk"""))
   )
 }

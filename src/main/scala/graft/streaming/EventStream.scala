@@ -386,6 +386,31 @@ object EventStream {
     drainMemoryTable(spark, name, "day", "event_type")
   }
 
+  /** Run the per-window top-k as a REAL streaming query (see
+    * [[windowTopK]]): top-3 users by event count per hourly tumbling
+    * window, emitted once the watermark finalizes the window.
+    */
+  def runWindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "st_wintopk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val evs = readStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .as[SEv]
+    withStreamShufflePartitions(spark, 8) {
+      val q = windowTopK(evs, k = 3)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemoryTable(spark, name, "window_start", "rnk")
+  }
+
   // ------------------------------------------------------------------
   // Custom state: running per-user counts via mapGroupsWithState.
   // ------------------------------------------------------------------
@@ -437,6 +462,61 @@ object EventStream {
       col("user_id") === col("view_user") &&
         col("view_ts") <= col("ts") &&
         col("view_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+  }
+
+  final case class WindowTopUser(
+      window_start: java.sql.Timestamp, user_id: Long, n_events: Long,
+      rnk: Int)
+
+  /** Streaming per-window TOP-K via flatMapGroupsWithState — rank
+    * functions are unsupported on streaming DataFrames, so the
+    * finalize-then-rank step is a custom stateful operator: events
+    * group by their hourly window start (µs arithmetic — the key IS
+    * the window), state accumulates per-user counts for that window,
+    * and when the EventTimeTimeout fires at window end (i.e. the
+    * watermark finalized the window: no admissible event can still
+    * arrive for it) the top `k` users by (count desc, user_id) are
+    * emitted with ranks and the state EVICTED in the same breath.
+    *
+    * State per open window is one (user → count) map, bounded by the
+    * watermark to ≤ (window + lateness) of open windows at a time;
+    * within a window it is O(distinct users). A deployment with
+    * unbounded per-window key cardinality would swap the exact map for
+    * a Misra-Gries budget (the q60 sketch) at the cost of approximate
+    * tail ranks — the operator shape is unchanged. Keyed by window,
+    * the state store partitions windows across executors; per-key work
+    * is one hash-map fold per micro-batch.
+    */
+  def windowTopK(ds: Dataset[SEv], k: Int): Dataset[WindowTopUser] = {
+    import ds.sparkSession.implicits._
+    val hourUs = 3600L * 1000000
+    ds.groupByKey(e => e.us - e.us % hourUs)
+      .flatMapGroupsWithState[Map[Long, Long], WindowTopUser](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, evs: Iterator[SEv],
+            state: GroupState[Map[Long, Long]]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed window end: finalized. Rank and evict.
+            val counts = state.get
+            state.remove()
+            val ts = new java.sql.Timestamp(wstart / 1000)
+            counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(k)
+              .zipWithIndex.iterator
+              .map { case ((u, n), i) => WindowTopUser(ts, u, n, i + 1) }
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[Long, Long])
+            evs.foreach(e =>
+              m = m.updated(e.user_id, m.getOrElse(e.user_id, 0L) + 1L))
+            state.update(m)
+            // Fire once the watermark passes window end (the same
+            // strict-< clamp discipline as sessionize).
+            state.setTimeoutTimestamp(
+              math.max(wstart / 1000 + 3600000,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
   }
 
   /** Streaming sessionization via flatMapGroupsWithState: a session

@@ -154,6 +154,52 @@ class EventStreamSpec extends SparkSpec {
     spark.catalog.dropTempView("sesswin_test")
   }
 
+  test("windowTopK emits a window's ranked top-k only after the watermark " +
+      "finalizes it, then evicts the window's state") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000000
+    val baseUs = 86400L * 1000000 // hour-aligned, away from epoch 0
+
+    val input = MemoryStream[Ev]
+    val q = EventStream.windowTopK(
+        input.toDS()
+          .withColumn("ts", expr("timestamp_micros(us)"))
+          .withWatermark("ts", "1 hour")
+          .as[SEv],
+        k = 2)
+      .writeStream.format("memory").queryName("wintopk_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // Batch 1: one open window [base, base+1h): user 7 x3, user 9 x2,
+    // user 8 x1. The watermark is behind the window end: nothing out.
+    input.addData(
+      Ev(1, 7, baseUs), Ev(2, 7, baseUs + 1000000),
+      Ev(3, 7, baseUs + 2000000), Ev(4, 8, baseUs + 3000000),
+      Ev(5, 9, baseUs + 4000000), Ev(6, 9, baseUs + 5000000))
+    q.processAllAvailable()
+    assert(spark.table("wintopk_test").isEmpty)
+
+    // Batch 2: an event at base+3h pushes the watermark to base+2h,
+    // past the first window's end — it finalizes: top-2 of 3 users
+    // emit with ranks (user 8's single event is cut by k), and only
+    // the NEW window's state remains in the store.
+    input.addData(Ev(7, 50, baseUs + 3 * hourUs))
+    q.processAllAvailable()
+    val rows = spark.table("wintopk_test").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toEpochMilli,
+        r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.sorted.toSeq == Seq(
+      (baseUs / 1000, 7L, 3L, 1), (baseUs / 1000, 9L, 2L, 2)),
+      rows.toSeq)
+    assert(EventStream.lastStateRows(q) == 1,
+      s"expected only the open window in state, got " +
+        s"${EventStream.lastStateRows(q)}")
+    q.stop()
+    spark.catalog.dropTempView("wintopk_test")
+  }
+
   test("stream-stream interval join matches purchases to recent views") {
     val sparkS = spark
     import sparkS.implicits._
