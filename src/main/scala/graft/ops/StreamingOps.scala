@@ -318,6 +318,37 @@ object StreamingOps {
                                ORDER BY n_events DESC, user_id) AS rnk
           FROM fin)
         WHERE rnk <= 3
-        ORDER BY window_start, rnk"""))
+        ORDER BY window_start, rnk""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st16_stream_decontaminate",
+      (s, dir) => DocumentStream.runStreamDecontaminate(s, dir),
+      // Stream-static fuzzy decontamination (see
+      // [[DocumentStream.runStreamDecontaminate]]): a corpus doc is
+      // rejected iff it shares a SimHash band bucket with a benchmark
+      // ('src0') doc at Hamming <= 3. Stateless, so the streaming run
+      // equals this batch statement exactly.
+      Some(Dedup.sqlSimhashBandsCte("WHERE text IS NOT NULL") + """,
+        src AS (
+          SELECT doc_id, source FROM documents WHERE text IS NOT NULL),
+        bb AS (
+          SELECT b.doc_id AS bench_id, b.simhash AS bsim, b.band_id,
+            b.band_key
+          FROM bands b JOIN src USING (doc_id)
+          WHERE src.source = 'src0'),
+        cb AS (
+          SELECT b.doc_id, b.simhash, b.band_id, b.band_key
+          FROM bands b JOIN src USING (doc_id)
+          WHERE src.source <> 'src0'),
+        rejected AS (
+          SELECT DISTINCT cb.doc_id
+          FROM cb JOIN bb
+            ON cb.band_id = bb.band_id AND cb.band_key = bb.band_key
+          WHERE bit_count(CAST(xor(cb.simhash, bb.bsim) AS BIT)) <= 3)
+        SELECT s.doc_id,
+          CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS admitted
+        FROM src s LEFT JOIN rejected r USING (doc_id)
+        WHERE s.source <> 'src0'
+        ORDER BY s.doc_id"""))
   )
 }

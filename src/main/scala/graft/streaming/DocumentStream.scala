@@ -285,6 +285,44 @@ object DocumentStream {
       .distinct().orderBy("doc_a", "doc_b")
   }
 
+  /** Streaming benchmark DECONTAMINATION gate — c09's fuzzy
+    * contamination check moved to the ingest path, as a
+    * stream-STATIC join: each arriving document's banded SimHash
+    * signature (pure per-row projection) joins the static benchmark
+    * side's signatures (source 'src0', broadcast — re-read per
+    * micro-batch by Structured Streaming's contract, so a benchmark
+    * refresh is picked up for free), and the document is rejected iff
+    * it shares a band bucket with a bench doc at Hamming ≤ 3
+    * (pigeonhole-exact, the d11 rule). STATELESS: the bench side is
+    * static and no cross-event comparison exists, so there is no
+    * state store at all — the gate is map-side at any ingest rate,
+    * the cheapest possible streaming operator shape. The stream emits
+    * the match DECISIONS; the final batch read renders the gated
+    * roster (the st09 pattern — decisions, not payloads).
+    */
+  def runStreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bench = graft.Tables.load(spark, dir, "documents")
+      .filter(col("source") === "src0")
+    val benchSig = bandedSignatures(bench)
+      .select(col("doc_id").as("bench_id"), col("simhash").as("bsim"),
+        col("band_id"), col("band_key"))
+    val sig = bandedSignatures(
+      readStream(spark, dir).filter(col("source") =!= "src0"))
+    val matched = sig
+      .join(broadcast(benchSig), Seq("band_id", "band_key"))
+      .filter(hamming64(col("simhash"), col("bsim")) <= 3)
+      .select(col("doc_id"))
+    val rejected = drainToTable(spark, matched)
+      .distinct().withColumn("rej", lit(1))
+    graft.Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("source") =!= "src0")
+      .select(col("doc_id"))
+      .join(rejected, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("rej"), lit(0)) === 0).cast("int").as("admitted"))
+      .orderBy("doc_id")
+  }
+
   /** The PRIMARY near-dup runner: TTL'd streaming near-dup end-to-end
     * with a 120 s horizon
     * over the 1-doc/sec synthetic clock: only pairs whose arrivals are

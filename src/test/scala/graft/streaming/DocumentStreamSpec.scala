@@ -20,6 +20,27 @@ class DocumentStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static decontamination gate equals its batch statement") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = runStreamDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // batch restatement from the same building blocks
+    val d = graft.Tables.load(spark, dir, "documents")
+    val bench = bandedSignatures(d.filter(col("source") === "src0"))
+      .select(col("simhash").as("bsim"), col("band_id"), col("band_key"))
+    val corp = bandedSignatures(d.filter(col("source") =!= "src0"))
+    val rej = corp.join(bench, Seq("band_id", "band_key"))
+      .filter(graft.functions.TextFunctions
+        .hamming64(col("simhash"), col("bsim")) <= 3)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    got.foreach { case (id, adm) =>
+      assert(adm == (if (rej(id)) 0 else 1), s"doc $id") }
+    // the gate actually fires both ways on the testdata
+    assert(got.values.exists(_ == 0) && got.values.exists(_ == 1))
+  }
+
   test("bucket state accumulates across micro-batches; blocking respected") {
     val sparkS = spark
     import sparkS.implicits._
