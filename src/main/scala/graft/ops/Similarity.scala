@@ -1190,6 +1190,36 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Binary-recall + exact-refine search — the re-rank rung on the
+    * CHEAPEST codes (s12's IVFADC+R shape applied to s14): the
+    * sign-bit Hamming scan produces a per-query `shortlist` of
+    * candidates, and ONLY those are exact-cosine re-ranked in one
+    * map-side corpus pass. This is the recall/precision split every
+    * production ANN stack runs: the 8-byte codes answer "who is
+    * plausibly close" at memory-bandwidth speed, the raw vectors are
+    * touched for `shortlist` rows per query instead of N. `shortlist`
+    * is the recall dial (s12's argument verbatim); at 100 TB the
+    * refine join ships (qid, vec_id) pairs and broadcasts them into
+    * the corpus scan — the corpus never shuffles.
+    */
+  def bqRefinedTopk(e: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    val short = bqTopk(e, shortlist).select(col("qid"), col("vec_id"))
+    val withNrm = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = withNrm.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc_nulls_last, col("vec_id"))
+    withNrm.join(broadcast(short), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
   /** Shared DuckDB CTE chain for the PQ oracle: subvectors, seed
     * codebook, `rounds` unrolled Lloyd rounds (ending in
     * `cent$rounds`), and the final `codes` assignment — the subspace-
@@ -1818,6 +1848,63 @@ object Similarity {
             ROW_NUMBER() OVER (PARTITION BY qid
                                ORDER BY hamming, vec_id) AS rnk
           FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s17_bq_refined",
+      (s, dir) =>
+        // Binary-recall + exact-refine (see [[bqRefinedTopk]]):
+        // Hamming shortlist of 20 per query, exact cosine re-rank to
+        // top-5 — the recall/precision split on the cheapest codes.
+        bqRefinedTopk(emb(s, dir), shortlist = 20, k = 5),
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        codes AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(range(1, 33), i ->
+              CASE WHEN v[i] > 0.0 THEN (1::BIGINT << (i - 1))
+                   ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+            CAST(list_sum(list_transform(range(33, 65), i ->
+              CASE WHEN v[i] > 0.0 THEN (1::BIGINT << (i - 33))
+                   ELSE 0::BIGINT END)) AS BIGINT) AS w1
+          FROM e),
+        q AS (
+          SELECT vec_id AS qid, w0 AS q0, w1 AS q1
+          FROM codes WHERE vec_id < 3),
+        hscored AS (
+          SELECT q.qid, c.vec_id,
+            CAST(bit_count(CAST(xor(c.w0, q.q0) AS BIT))
+               + bit_count(CAST(xor(c.w1, q.q1) AS BIT)) AS INT)
+              AS hamming
+          FROM codes c, q WHERE c.vec_id <> q.qid),
+        short AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY hamming, vec_id) AS rn
+            FROM hscored)
+          WHERE rn <= 20),
+        qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        rer AS (
+          SELECT s.qid, s.vec_id,
+            ROUND(
+              list_sum(list_transform(list_zip(b.qv, e.v),
+                                      p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(b.qv, x -> x * x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6)
+              AS cos_sim
+          FROM short s
+          JOIN e ON e.vec_id = s.vec_id
+          JOIN qv b ON b.qid = s.qid)
+        SELECT qid, vec_id, cos_sim, rnk FROM (
+          SELECT qid, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM rer)
         WHERE rnk <= 5
         ORDER BY qid, rnk""")),
     // ----------------------------------------------------------------

@@ -429,6 +429,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
   }
 
+  test("s17: refine broadcasts the shortlist into the corpus scan; no cartesian") {
+    val p = plan("s17_bq_refined")
+    // the shortlist and the query vectors broadcast — the raw-vector
+    // corpus scan is touched once, map-side, and never shuffles
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("c08: quality-weighted sampling is one scan, no shuffle, pruned read") {
     // Admission is a pure function of (doc_id, text): anything beyond
     // scan→project (a join with a stats table, a window) would mean

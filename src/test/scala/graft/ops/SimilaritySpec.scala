@@ -108,6 +108,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2)._1 == 3L && got(2)._2 < 1.0, got.toSeq)
   }
 
+  test("s17 refine: exact re-rank fixes orderings the 1-bit codes cannot see") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    // Query 0 and two docs in the SAME orthant (identical sign bits,
+    // Hamming 0 to the query for both): doc 5 is magnitude-skewed
+    // (lower cosine), doc 10 is nearly aligned. The Hamming layer must
+    // tie them (tie-break puts 5 first — the wrong answer); the exact
+    // refine must put 10 first.
+    val q = (0 until 64).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val near = q.zipWithIndex.map { case (x, i) => x * (1.0 + 0.001 * i) }
+    val skew = q.zipWithIndex.map { case (x, i) =>
+      x * (if (i < 32) 5.0 else 0.2) }
+    val far = q.map(-_) // opposite orthant: Hamming 64
+    val e = Seq((0L, 0, q), (5L, 0, skew), (10L, 0, near), (20L, 0, far))
+      .toDF("vec_id", "label", "v")
+    val bq = Similarity.bqTopk(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(bq.take(2).map(_._2).toSeq == Seq(5L, 10L),
+      s"premise: Hamming ties, id tie-break -> 5 first: ${bq.toSeq}")
+    val refined = Similarity.bqRefinedTopk(e, shortlist = 3, k = 3)
+      .filter(col("qid") === 0L).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(refined.toSeq == Seq((10L, 1), (5L, 2), (20L, 3)),
+      refined.toSeq)
+  }
+
   test("kmeans iteration reassigns mislabeled vectors to the near cluster") {
     val sparkS = spark
     import sparkS.implicits._
