@@ -229,6 +229,79 @@ object Multimodal {
           CAST(16 + ((hv // 16) % 16) * 16 AS INT) AS height,
           n_bytes,
           CAST((hv % 256) / 128.0 - 1.0 AS FLOAT) AS feat0
-        FROM acc ORDER BY doc_id"""))
+        FROM acc ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m05_feature_neardup",
+      (s, dir) => {
+        // Multimodal near-dup REPORT: candidates BLOCK on the payload
+        // byte length (the pre-decode block key an image-dedup pass
+        // uses before touching pixels — same file size), then every
+        // blocked pair is scored by decoded-feature cosine and
+        // flagged `is_dup` at ≥ 0.999 (the stub's hash features make
+        // exact-payload clones score 1.0 and everything else ~random).
+        // The block join is an equi-join on n_bytes; per-block
+        // populations are small (matching byte lengths), so the pair
+        // expansion is bounded — at sf0.1 the whole report is ~25k
+        // pairs from 50k docs. Features come from the same
+        // mapPartitions decode boundary as m02 (stub decoder, real
+        // plumbing); hash-derived features are exact 1/128-multiples,
+        // so the cosine column is oracle-exact.
+        val spark = s
+        import spark.implicits._
+        graft.functions.VectorExpressions.register(s)
+        val dec = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .filter(col("payload").isNotNull)
+          .as[Blob]
+          .mapPartitions(_.grouped(64).flatMap(batch => fakeDecodeBatch(batch)))
+          .toDF()
+          .select(col("doc_id"), col("n_bytes"),
+            transform(col("features"), x => x.cast("double")).as("v"))
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          graft.functions.VectorExpressions.dot(a, b)
+        dec.as("a").join(dec.as("b"),
+            col("a.n_bytes") === col("b.n_bytes") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .filter(dot(col("a.v"), col("a.v")) > 0 &&
+            dot(col("b.v"), col("b.v")) > 0)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.n_bytes").as("n_bytes"),
+            round(dot(col("a.v"), col("b.v")) /
+              (sqrt(dot(col("a.v"), col("a.v"))) *
+                sqrt(dot(col("b.v"), col("b.v")))), 6).as("cos_sim"))
+          .withColumn("is_dup", (col("cos_sim") >= 0.999).cast("int"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        // feats[i] = ((h >>> 8i) & 0xff)/128 - 1, restated per byte
+        // field of the HUGEINT residue.
+        val feats = (0 until 8).map { i =>
+          val div = java.math.BigInteger.valueOf(256L).pow(i)
+          s"(hv // CAST('$div' AS HUGEINT)) % 256 / 128.0 - 1.0"
+        }.mkString("[", ",\n             ", "]")
+        s"""
+        WITH $sqlDecodeAcc,
+        f AS (
+          SELECT doc_id, n_bytes,
+            $feats AS v
+          FROM acc),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_bytes,
+            ROUND(
+              list_sum(list_transform(list_zip(a.v, b.v),
+                                      p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+              AS cos_sim
+          FROM f a JOIN f b
+            ON a.n_bytes = b.n_bytes AND a.doc_id < b.doc_id
+          WHERE list_sum(list_transform(a.v, x -> x * x)) > 0
+            AND list_sum(list_transform(b.v, x -> x * x)) > 0)
+        SELECT doc_a, doc_b, n_bytes, cos_sim,
+          CAST(cos_sim >= 0.999 AS INT) AS is_dup
+        FROM pairs
+        ORDER BY doc_a, doc_b"""
+      })
   )
 }
