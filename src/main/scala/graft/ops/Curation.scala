@@ -442,6 +442,61 @@ object Curation {
                                ORDER BY jaccard DESC, bench_id) AS rn
           FROM jac WHERE jaccard >= 0.3)
         WHERE rn = 1
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c10_curriculum_stages",
+      (s, dir) => {
+        // Curriculum construction: order the corpus by the quality
+        // score (highest first — the easy/clean stage leads) and cut
+        // it into 4 equal stages with per-stage stats — the manifest
+        // a curriculum-learning schedule trains from. Composes t02's
+        // oracle-proven quality expressions (c08's discipline).
+        // Scale shape: the ntile is one range-partitioned global sort
+        // over (quality, doc_id) — a report-sized reduction, and at
+        // 100 TB the same manifest would come from quantile THRESHOLDS
+        // (q49's sketch) instead of a total order; stats combine
+        // map-side. Determinism: quality is engine-identical doubles
+        // (integer-ratio arithmetic), rounded to 6 dp before the
+        // decimal-exact stage sums; doc_id breaks ordering ties.
+        docs(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("toks", tokens(col("text")))
+          .select(Seq(col("doc_id")) ++
+            qualitySignals(col("text"), col("toks")): _*)
+          .filter(col("n_tokens") >= 1)
+          .withColumn("q",
+            round(qualityScore(col("n_chars"), col("n_tokens"),
+              col("n_stop"), col("n_punct")), 6))
+          .withColumn("stage", ntile(4).over(
+            Window.orderBy(col("q").desc, col("doc_id"))))
+          .groupBy("stage")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("q")).as("min_q"),
+            max(col("q")).as("max_q"),
+            (sum(col("q").cast("decimal(16,6)")).cast("double") /
+              count(lit(1))).as("avg_q"))
+          .orderBy("stage")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+            $sqlQualitySignals
+          FROM documents WHERE text IS NOT NULL),
+        q AS (
+          SELECT doc_id, ROUND($sqlQuality, 6) AS q
+          FROM c WHERE n_tokens >= 1),
+        staged AS (
+          SELECT doc_id, q,
+            NTILE(4) OVER (ORDER BY q DESC, doc_id) AS stage
+          FROM q)
+        SELECT stage, COUNT(*) AS n_docs,
+          MIN(q) AS min_q, MAX(q) AS max_q,
+          CAST(SUM(CAST(q AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*)
+            AS avg_q
+        FROM staged
+        GROUP BY stage
+        ORDER BY stage"""))
   )
 }

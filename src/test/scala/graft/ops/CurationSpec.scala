@@ -47,4 +47,20 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(3L -> 1L), out)
   }
+
+  test("c10: curriculum stages are balanced and monotone in quality") {
+    val got = graft.SparkEntry
+      .queries("c10_curriculum_stages")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3, 4), got.toSeq)
+    // ntile balance: stage sizes differ by at most 1
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1, got.toSeq)
+    // quality is non-increasing across stages: each stage's max is at
+    // most the previous stage's min (desc ordering)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._3, s"stage ${b._1} max > stage ${a._1} min: $a $b")
+    }
+  }
 }
