@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** Every registered query, from all modules. */
   val registry: Seq[Q] =
-    ops.Relational.all ++ ops.Relational2.all ++ ops.Dedup.all ++
+    ops.Relational.all ++ ops.Relational2.all ++ ops.Relational3.all ++
+      ops.Dedup.all ++
       ops.TextAnalysis.all ++ ops.Similarity.all ++ ops.Multimodal.all ++
       ops.StreamingOps.all ++ ops.Pipeline.all ++ ops.SourceSinks.all ++
       ops.Curation.all ++ etl.EtlParity.all

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -452,6 +453,36 @@ object Dedup {
       .groupBy("doc_id")
       .agg(min(col("bucket_min")).as("keeper"))
       .withColumn("is_kept", (col("keeper") === col("doc_id")).cast("int"))
+  }
+
+  /** Quality-aware family dedup (d17): d07's one-hop LSH families,
+    * but the keeper is the HIGHEST-QUALITY member (t02's score from
+    * the shared `qualityScore` formula; ties → lowest doc_id) instead
+    * of the lowest id. This is what a real corpus pipeline does —
+    * min-id keeping throws away the best copy whenever a cleaner
+    * duplicate has a higher id. Shape: the family labels come from
+    * [[oneHopKeepers]] (two keyed shuffles over band rows); quality is
+    * a map-side projection on documents; the argmax is one window per
+    * family (family cardinality ≈ corpus, partitions are duplicate
+    * clusters — small by construction, skew-free after d03's
+    * `maxBucket` cap upstream).
+    */
+  def qualityKeepers(documents: DataFrame): DataFrame = {
+    val fam = oneHopKeepers(documents)
+      .select(col("doc_id"), col("keeper").as("family"))
+    val toksC = tokens(col("text"))
+    val quality = documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id") +: qualitySignals(col("text"), toksC): _*)
+      .select(col("doc_id"),
+        qualityScore(col("n_chars"), col("n_tokens"), col("n_stop"),
+          col("n_punct")).as("quality"))
+    val w = Window.partitionBy("family")
+      .orderBy(col("quality").desc, col("doc_id"))
+    fam.join(quality, "doc_id")
+      .withColumn("is_kept", (row_number().over(w) === 1).cast("int"))
+      .select("doc_id", "family", "quality", "is_kept")
+      .orderBy("doc_id")
   }
 
   def connectedKeepers(documents: DataFrame, maxIter: Int = 25): DataFrame = {
@@ -1240,6 +1271,33 @@ object Dedup {
         WHERE (CASE WHEN mx > 0
                  THEN ROUND(CAST(edit_dist AS DOUBLE) / CAST(mx AS DOUBLE), 6)
                  ELSE 0.0 END) <= 0.4
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d17_quality_keepers",
+      (s, dir) => qualityKeepers(docs(s, dir)),
+      Some(s"""
+        $sqlBandsCte,
+        bm AS (
+          SELECT band_id, band_hash, MIN(doc_id) AS bucket_min
+          FROM bands GROUP BY band_id, band_hash),
+        fam AS (
+          SELECT b.doc_id, MIN(bm.bucket_min) AS family
+          FROM bands b JOIN bm USING (band_id, band_hash)
+          GROUP BY b.doc_id),
+        qsig AS (
+          SELECT doc_id,
+            $sqlQualitySignals
+          FROM documents WHERE text IS NOT NULL),
+        q AS (
+          SELECT doc_id,
+            $sqlQuality AS quality
+          FROM qsig)
+        SELECT f.doc_id, f.family, q.quality,
+          CAST(ROW_NUMBER() OVER (
+            PARTITION BY f.family
+            ORDER BY q.quality DESC, f.doc_id) = 1 AS INT) AS is_kept
+        FROM fam f JOIN q USING (doc_id)
+        ORDER BY f.doc_id"""))
   )
 }

@@ -333,6 +333,25 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((2L, 3L)), out)
   }
 
+  test("d17 quality keepers: the best copy wins, not the lowest id") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // doc 2 is a near-dup of doc 1 (same 60-token prefix, all shingles
+    // shared) with a stopword-rich tail: higher stop ratio AND more
+    // chars -> strictly higher quality score, but a HIGHER doc_id —
+    // min-id keeping (d07) would throw it away.
+    val df = Seq(
+      (1L, base),
+      (2L, base + " the and of to in is"),
+      (3L, unrelated)).toDF("doc_id", "text")
+    val out = Dedup.qualityKeepers(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(3)))).toMap
+    assert(out(1L)._1 == out(2L)._1, s"1 and 2 must share a family: $out")
+    assert(out(2L)._2 == 1 && out(1L)._2 == 0,
+      s"higher-quality doc 2 must be the keeper: $out")
+    assert(out(3L)._2 == 1, s"unrelated doc is its own keeper: $out")
+  }
+
   test("shingles3: sliding 3-grams, short docs collapse to one shingle") {
     val sparkS = spark
     import sparkS.implicits._

@@ -574,6 +574,26 @@ class PlanSpec extends SparkSpec {
     assert(p60.contains("partial_heavyhittersagg"), p60)
   }
 
+  test("q61: spine joins broadcast; counts partial-combine; events scan pruned") {
+    val p = plan("q61_gap_fill")
+    // the corpus-scale agg combines map-side
+    assert(p.contains("partial_count"), p)
+    // the calendar spine and the fill join stay broadcast — no
+    // corpus-scale shuffle to densify
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // events scan reads only (ts, event_type)
+    assert(p.contains("ReadSchema: struct<ts:timestamp"), p)
+    assert(!p.contains("props"), p)
+  }
+
+  test("d17: family labels and quality join equi; argmax is one window") {
+    val p = plan("d17_quality_keepers")
+    assert(p.contains("partial_min"), p) // bucket-min combines map-side
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen'd stages render as "*(n) Op" in the plan string
     val p = plan("q02_filter_pushdown")
