@@ -349,6 +349,21 @@ object StreamingOps {
           CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS admitted
         FROM src s LEFT JOIN rejected r USING (doc_id)
         WHERE s.source <> 'src0'
-        ORDER BY s.doc_id"""))
+        ORDER BY s.doc_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st17_stream_percentiles",
+      (s, dir) => EventStream.runPercentiles(s, dir),
+      // Streaming GK percentile sketch per event_type (see
+      // [[EventStream.runPercentiles]]): sketch values are
+      // merge-order-dependent, so the emitted result is the GK rank
+      // INVARIANT (q59's convention) — the oracle states the contract
+      // as literal TRUE rows, one per (event_type, percentile).
+      Some("""
+        SELECT event_type, pct, TRUE AS rank_ok
+        FROM (SELECT DISTINCT event_type FROM events)
+        CROSS JOIN (SELECT CAST(0.5 AS DOUBLE) AS pct
+                    UNION ALL SELECT CAST(0.95 AS DOUBLE))
+        ORDER BY event_type, pct"""))
   )
 }

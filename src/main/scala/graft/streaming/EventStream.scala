@@ -519,6 +519,68 @@ object EventStream {
       }
   }
 
+  /** Streaming per-type percentile sketch (st17) — the mergeable GK
+    * sketch (q59's `PercentileSketchAgg`) reaching the streaming
+    * surface: a streaming groupBy(event_type) aggregation whose state
+    * is the O(1/ε·log εn) summary itself, merged incrementally per
+    * micro-batch by the state store. This is the streaming-quantile
+    * deployment shape — per-key state is one bounded sketch, NOT the
+    * values; a year-long stream holds the same few KB per key.
+    *
+    * Correctness contract: sketch VALUES are merge-order-dependent,
+    * so (exactly like q59/q49) the emitted result is the GK rank
+    * INVARIANT checked against the batch table — the returned value
+    * for percentile p must have true rank within ε'·n of p·n. The
+    * check runs at ε' = 2ε: the batch/partition merge tree is
+    * exercised at ε by q59, but the streaming path merges state ⊕
+    * batch as a sequential CHAIN across micro-batches, and GK merge
+    * guarantees degrade additively in the worst case — the doubled
+    * envelope states what the chain actually promises.
+    */
+  def runPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val pcts = Seq(0.5, 0.95)
+    val eps = 0.01
+    val sketch = udaf(
+      new graft.functions.PercentileSketchAgg(pcts, eps),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val name = "st_pctl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamShufflePartitions(spark, 8) {
+      val q = readStream(spark, dir)
+        .select(col("event_type"), col("value"))
+        .groupBy("event_type")
+        .agg(sketch(col("value")).as("qs"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val sk = drainMemoryTable(spark, name)
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("i", "value")))
+      .select(col("event_type"),
+        element_at(lit(pcts.toArray), col("i") + 1).as("pct"),
+        col("value"))
+    // Rank-check the sketch values with ONE pass over the batch
+    // column (q59's shape): the tiny sketch output broadcasts against
+    // the values and is conditional-counted per (type, percentile).
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value").as("x"))
+    val epsCheck = 2 * eps
+    ev.join(broadcast(sk), "event_type")
+      .groupBy("event_type", "pct", "value")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("x") < col("value"), 1)).as("rank_lo"),
+        count(when(col("x") <= col("value"), 1)).as("rank_hi"))
+      .select(col("event_type"), col("pct"),
+        (col("rank_lo") < ceil((col("pct") + epsCheck) * col("n")) &&
+          col("rank_hi") >= floor((col("pct") - epsCheck) * col("n")))
+          .as("rank_ok"))
+      .orderBy("event_type", "pct")
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: a session
     * closes after 30 min (event time) without activity. Two close
     * paths: a later event of the same user ≥ 30 min after the previous

@@ -594,6 +594,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
+  test("s18: probed-cell search is an equi-join over codes; no corpus cartesian") {
+    val p = plan("s18_ivf_sq8")
+    // in-cell candidates come from a broadcast equi-join on the cell
+    // key, never a cartesian over code rows
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the tiny queries x centroids probe
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"expected <=1 BNLJ (the centroid probe), got $bnlj\n$p")
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen'd stages render as "*(n) Op" in the plan string
     val p = plan("q02_filter_pushdown")

@@ -21,6 +21,17 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming GK sketch per type satisfies the rank contract vs batch") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = runPercentiles(spark, dir).collect()
+    // one row per (event_type, percentile), every rank check TRUE —
+    // i.e. the sketch that merged incrementally across micro-batches
+    // still honors the GK envelope against the full batch column
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)),
+      rows.filterNot(_.getBoolean(2)).mkString("\n"))
+  }
+
   test("mapGroupsWithState accumulates per-user counts across micro-batches") {
     val sparkS = spark
     import sparkS.implicits._
