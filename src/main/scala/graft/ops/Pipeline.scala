@@ -320,7 +320,75 @@ object Pipeline {
           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         FROM packed
         GROUP BY source, bin_id
-        ORDER BY source, bin_id"""))
+        ORDER BY source, bin_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "p05_data_card",
+      (s, dir) => {
+        // Per-source data card — the audit report a corpus release
+        // ships with: volume, token mass, mean quality, exact-dup
+        // mass, language spread. Three branches over the same pruned
+        // projection, each a map-side-combining aggregate, joined on
+        // the tiny source key — NO multi-countDistinct in one agg
+        // (that plans an Expand multiplying rows ×N; the q27/q56
+        // lesson): distincts are dedup-THEN-count branches instead.
+        // Determinism: token/char sums are exact longs; mean quality
+        // sums per-doc 6-dp-rounded quality as DECIMAL(10,6) (exact,
+        // associative) and divides the exact total by the exact count
+        // once; stop_frac divides two exact longs.
+        val d = Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull)
+        val toksC = tokens(col("text"))
+        val base = d.select(
+          col("source") +: col("lang") +: md5(col("text")).as("h") +:
+            qualitySignals(col("text"), toksC): _*)
+          .withColumn("q6",
+            round(qualityScore(col("n_chars"), col("n_tokens"),
+              col("n_stop"), col("n_punct")), 6).cast("decimal(10,6)"))
+        val stats = base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          (sum(col("q6")).cast("double") / count(lit(1)))
+            .as("avg_quality"),
+          (sum(col("n_stop").cast("long")).cast("double") /
+            sum(col("n_tokens").cast("long"))).as("stop_frac"))
+        val uniq = base.select("source", "h").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_uniq"))
+        val langs = base.select("source", "lang").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_langs"))
+        stats.join(uniq, "source").join(langs, "source")
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("avg_quality"), col("stop_frac"),
+            (col("n_docs") - col("n_uniq")).as("dup_docs"),
+            col("n_langs"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT source, lang, md5(text) AS h,
+            ${graft.functions.TextFunctions.sqlQualitySignals}
+          FROM documents WHERE text IS NOT NULL),
+        scored AS (
+          SELECT source, lang, h, n_tokens, n_stop,
+            CAST(ROUND(${graft.functions.TextFunctions.sqlQuality}, 6)
+                 AS DECIMAL(10,6)) AS q6
+          FROM base),
+        stats AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(SUM(q6) AS DOUBLE) / COUNT(*) AS avg_quality,
+            CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stop_frac
+          FROM scored GROUP BY source),
+        uniq AS (
+          SELECT source, COUNT(*) AS n_uniq
+          FROM (SELECT DISTINCT source, h FROM scored) GROUP BY source),
+        langs AS (
+          SELECT source, COUNT(*) AS n_langs
+          FROM (SELECT DISTINCT source, lang FROM scored) GROUP BY source)
+        SELECT s.source, s.n_docs, s.total_tokens, s.avg_quality,
+          s.stop_frac, s.n_docs - u.n_uniq AS dup_docs, l.n_langs
+        FROM stats s JOIN uniq u USING (source) JOIN langs l USING (source)
+        ORDER BY s.source"""))
   )
 
   private def sqlP01: Option[String] = Some("""

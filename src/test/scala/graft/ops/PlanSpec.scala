@@ -594,6 +594,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
+  test("p05: data card has no Expand; every branch partial-combines") {
+    val p = plan("p05_data_card")
+    // distinct counts are dedup-then-count branches, never a
+    // multi-countDistinct Expand multiplying corpus rows xN
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s18: probed-cell search is an equi-join over codes; no corpus cartesian") {
     val p = plan("s18_ivf_sq8")
     // in-cell candidates come from a broadcast equi-join on the cell
