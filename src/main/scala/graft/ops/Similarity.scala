@@ -1285,6 +1285,45 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** ANN recall evaluation (s19) — recall@k of the IVF tier against
+    * the exact brute-force baseline, as a first-class engine operator
+    * rather than a spec-only measurement: the number every ANN
+    * deployment tracks when it tunes probes/cells, computed the way
+    * the engine would at 100 TB (exact side = one broadcast-query
+    * corpus scan + per-query top-k window; approx side = the s03
+    * probe + in-cell search; the comparison joins two ≤ |Q|·k-row
+    * frames — evaluation cost is search cost, not corpus² cost).
+    * Output (qid, n_hits, recall), fully deterministic on both
+    * engines (6-dp-rounded cosines, id tie-breaks), so the oracle
+    * checks the VALUE of the recall, not an envelope.
+    */
+  def annRecall(e: DataFrame, k: Int): DataFrame = {
+    val withNrm = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val queries = withNrm.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = withNrm
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"))
+    val approx = ivfTopk(e, queries.select(col("qid"), col("qv")), k)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact.join(broadcast(approx),
+        col("qid") === col("aqid") && col("vec_id") === col("avid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("avid")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / k).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Shared DuckDB CTE chain for the PQ oracle: subvectors, seed
     * codebook, `rounds` unrolled Lloyd rounds (ending in
     * `cent$rounds`), and the final `codes` assignment — the subspace-
@@ -2238,6 +2277,72 @@ object Similarity {
                                ORDER BY idist, vec_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
-        ORDER BY qid, rnk"""))
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s19_ann_recall",
+      (s, dir) =>
+        // Recall@5 of the single-probe IVF tier vs the exact baseline
+        // (see [[annRecall]]) — the tuning metric as an operator.
+        annRecall(emb(s, dir), k = 5),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        xscored AS (
+          SELECT q.qid, e.vec_id,
+            ROUND(
+              list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cos_sim
+          FROM e JOIN q ON e.vec_id <> q.qid),
+        exact AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM xscored)
+          WHERE rnk <= 5),
+        cdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM cdims GROUP BY label, dim)
+          GROUP BY label),
+        probe AS (
+          SELECT qid, qv, label AS probe_label FROM (
+            SELECT q.qid, q.qv, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn = 1),
+        ascored AS (
+          SELECT p.qid, e.vec_id,
+            ROUND(list_sum(list_transform(list_zip(p.qv, e.v), pr -> pr[1]*pr[2])) /
+              (sqrt(list_sum(list_transform(p.qv, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos_sim
+          FROM e JOIN probe p
+            ON e.label = p.probe_label AND e.vec_id <> p.qid),
+        approx AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM ascored)
+          WHERE rnk <= 5)
+        SELECT x.qid, CAST(COUNT(a.qid) AS BIGINT) AS n_hits,
+          CAST(COUNT(a.qid) AS DOUBLE) / 5 AS recall
+        FROM exact x LEFT JOIN approx a
+          ON x.qid = a.qid AND x.vec_id = a.vec_id
+        GROUP BY x.qid
+        ORDER BY x.qid"""))
   )
 }

@@ -364,6 +364,24 @@ object StreamingOps {
         FROM (SELECT DISTINCT event_type FROM events)
         CROSS JOIN (SELECT CAST(0.5 AS DOUBLE) AS pct
                     UNION ALL SELECT CAST(0.95 AS DOUBLE))
-        ORDER BY event_type, pct"""))
+        ORDER BY event_type, pct""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st18_stream_heavy_hitters",
+      (s, dir) => EventStream.runHeavyHitters(s, dir),
+      // Streaming Misra-Gries per-batch merged sketch (see
+      // [[EventStream.runHeavyHitters]]): sketch contents are
+      // merge-order-dependent, so the emitted result is the MG
+      // frequency invariant vs the batch exact counts (q60's
+      // convention) — a literal TRUE row per heavy event type.
+      Some("""
+        WITH c AS (
+          SELECT event_type, COUNT(*) AS f FROM events
+          WHERE event_type IS NOT NULL GROUP BY event_type),
+        t AS (
+          SELECT COUNT(*) AS n FROM events WHERE event_type IS NOT NULL)
+        SELECT event_type, TRUE AS found, TRUE AS est_ok
+        FROM c, t WHERE f * 5 > n
+        ORDER BY event_type"""))
   )
 }

@@ -581,6 +581,53 @@ object EventStream {
       .orderBy("event_type", "pct")
   }
 
+  /** Streaming Misra-Gries heavy hitters (st18) — q60's mergeable MG
+    * sketch AS streaming state: a global streaming aggregation whose
+    * state is ONE capacity-k counter table, merged per micro-batch by
+    * the state store (MG summaries merge losslessly — Agarwal et al.
+    * 2012, "Mergeability of summaries" — so the sequential state ⊕
+    * batch chain keeps the exact same guarantee as q60's partition
+    * tree: every item with true frequency > n/(k+1) is present,
+    * estimated within [f − n/(k+1), f]). Capacity 4 over the 5-valued
+    * event_type forces eviction every batch. The emitted result is
+    * the invariant checked against the batch exact counts (q60's
+    * integer-exact formulation), so the oracle is a literal TRUE row
+    * per heavy type.
+    */
+  def runHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val sketch = udaf(new graft.functions.HeavyHittersAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val name = "st_hh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamShufflePartitions(spark, 8) {
+      val q = readStream(spark, dir)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_type"))
+        .agg(sketch(col("event_type")).as("hh"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val est = drainMemoryTable(spark, name)
+      .select(explode(col("hh")).as(Seq("event_type", "est")))
+    val d = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull).select(col("event_type"))
+    val heavy = d.groupBy("event_type").agg(count(lit(1)).as("f"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+      .filter(col("f") * (k + 1) > col("n"))
+    heavy.join(broadcast(est), Seq("event_type"), "left")
+      .select(col("event_type"),
+        col("est").isNotNull.as("found"),
+        (col("est").isNotNull && col("est") <= col("f") &&
+          col("est") * (k + 1) >= col("f") * (k + 1) - col("n"))
+          .as("est_ok"))
+      .orderBy("event_type")
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: a session
     * closes after 30 min (event time) without activity. Two close
     * paths: a later event of the same user ≥ 30 min after the previous

@@ -32,6 +32,13 @@ class EventStreamSpec extends SparkSpec {
       rows.filterNot(_.getBoolean(2)).mkString("\n"))
   }
 
+  test("streaming MG sketch finds every heavy hitter within its bound") {
+    val rows = runHeavyHitters(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(1) && r.getBoolean(2)),
+      rows.mkString("\n"))
+  }
+
   test("mapGroupsWithState accumulates per-user counts across micro-batches") {
     val sparkS = spark
     import sparkS.implicits._
