@@ -214,6 +214,17 @@ object ScaleSmoke {
       time(s"sq8 top-k $tag")(
         Similarity.sq8Topk(e, k = 5)
           .write.format("noop").mode("overwrite").save())
+      // IVF-SQ8 (s18): build = centroid agg + grid + one encode pass;
+      // search = one probed-cell equi-join over 64 B code rows — the
+      // curve that should stay ~flat in corpus size, like IVF-PQ's.
+      var ivfsq8: (DataFrame, DataFrame) = null
+      time(s"ivfsq8 build $tag") {
+        ivfsq8 = Similarity.ivfSq8Train(e)
+        ivfsq8._2.write.format("noop").mode("overwrite").save()
+      }
+      time(s"ivfsq8 search $tag")(
+        Similarity.ivfSq8Search(e, ivfsq8._1, ivfsq8._2, k = 5)
+          .write.format("noop").mode("overwrite").save())
       time(s"bq hamming top-k $tag")(
         Similarity.bqTopk(e, k = 5)
           .write.format("noop").mode("overwrite").save())

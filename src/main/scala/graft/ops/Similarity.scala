@@ -1239,15 +1239,20 @@ object Similarity {
 
   def ivfSq8TrainShared(spark: SparkSession, dir: String, e: => DataFrame)
       : (DataFrame, DataFrame) =
-    memoized(ivfSq8Artifacts, (spark, dir, 0)) {
-      val corpus = e
-      val centroids = seedCentroids(corpus).coalesce(1).localCheckpoint()
-      val params = sq8Params(corpus).coalesce(1).localCheckpoint()
-      val codes = sq8Encode(corpus, params)
-        .join(corpus.select(col("vec_id"), col("label")), "vec_id")
-        .localCheckpoint()
-      (centroids, codes)
-    }
+    memoized(ivfSq8Artifacts, (spark, dir, 0))(ivfSq8Train(e))
+
+  /** The un-memoized IVF-SQ8 build — (centroids, labeled codes),
+    * both checkpointed. ScaleSmoke times this separately from the
+    * search it serves.
+    */
+  def ivfSq8Train(e: DataFrame): (DataFrame, DataFrame) = {
+    val centroids = seedCentroids(e).coalesce(1).localCheckpoint()
+    val params = sq8Params(e).coalesce(1).localCheckpoint()
+    val codes = sq8Encode(e, params)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .localCheckpoint()
+    (centroids, codes)
+  }
 
   /** IVF-SQ8 search: raw query vectors probe the broadcast centroid
     * table (s03's cosine rule); in-cell candidates rank by the
