@@ -42,6 +42,33 @@ object Relational3 {
       .orderBy("event_type", "hour_ts")
   }
 
+  /** Referential-integrity audit (q62) — the dangling-reference check
+    * a multi-table corpus release runs: documents without an
+    * embedding, embeddings without a document, and the intersection,
+    * reported as one long-form summary. Shape: two single-column key
+    * projections (pruned scans), ONE full-outer equi-join on the key,
+    * then a map-side-combining conditional aggregate — no distinct
+    * explosion, no second pass. At 100 TB both sides shuffle once on
+    * the id; the output is 3 rows.
+    */
+  def integrityAudit(documents: DataFrame, embeddings: DataFrame)
+      : DataFrame = {
+    val d = documents.select(col("doc_id")).withColumn("has_d", lit(1))
+    val e = embeddings.select(col("vec_id").as("doc_id"))
+      .withColumn("has_e", lit(1))
+    d.join(e, Seq("doc_id"), "full_outer")
+      .agg(
+        count(when(col("has_d").isNotNull && col("has_e").isNotNull, 1))
+          .as("matched"),
+        count(when(col("has_e").isNull, 1)).as("docs_only"),
+        count(when(col("has_d").isNull, 1)).as("embeddings_only"))
+      .select(expr("stack(3, " +
+        "'matched', matched, " +
+        "'docs_only', docs_only, " +
+        "'embeddings_only', embeddings_only) AS (side, n)"))
+      .orderBy("side")
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -66,6 +93,27 @@ object Relational3 {
         FROM hours h CROSS JOIN types t
         LEFT JOIN counts c
           ON c.event_type = t.event_type AND c.hour_ts = h.hour_ts
-        ORDER BY t.event_type, h.hour_ts"""))
+        ORDER BY t.event_type, h.hour_ts""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q62_integrity_audit",
+      (s, dir) => integrityAudit(
+        t(s, dir)("documents"), t(s, dir)("embeddings")),
+      Some("""
+        WITH j AS (
+          SELECT d.doc_id AS did, e.vec_id AS eid
+          FROM documents d FULL OUTER JOIN embeddings e
+            ON d.doc_id = e.vec_id)
+        SELECT side, n FROM (
+          SELECT 'matched' AS side,
+            COUNT(CASE WHEN did IS NOT NULL AND eid IS NOT NULL
+                  THEN 1 END) AS n FROM j
+          UNION ALL
+          SELECT 'docs_only',
+            COUNT(CASE WHEN eid IS NULL THEN 1 END) FROM j
+          UNION ALL
+          SELECT 'embeddings_only',
+            COUNT(CASE WHEN did IS NULL THEN 1 END) FROM j)
+        ORDER BY side"""))
   )
 }
