@@ -388,8 +388,62 @@ object Pipeline {
         SELECT s.source, s.n_docs, s.total_tokens, s.avg_quality,
           s.stop_frac, s.n_docs - u.n_uniq AS dup_docs, l.n_langs
         FROM stats s JOIN uniq u USING (source) JOIN langs l USING (source)
-        ORDER BY s.source"""))
+        ORDER BY s.source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "p06_release_manifest",
+      (s, dir) => {
+        val path = new java.io.File(SourceSinks.tmp("graft_p06"),
+          "release").getAbsolutePath
+        releaseManifest(s, Tables.load(s, dir, "documents"), path)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, text,
+            len(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) > 0)) AS n_tokens
+          FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT * FROM toks WHERE n_tokens >= 20)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+            AS digest
+        FROM g GROUP BY source
+        ORDER BY source"""))
   )
+
+  /** The release/export step (p06): the gated corpus WRITTEN as a
+    * source-partitioned parquet release, read BACK from the release
+    * files, and summarized as the manifest a release ships with —
+    * per-source rows, token mass, content digest. Everything in the
+    * manifest is computed from the files a consumer will actually
+    * read, so a lost partition or truncated write shows up as a
+    * digest/count mismatch against the oracle (which computes from
+    * the source tables directly). The digest is an order-independent
+    * XOR of each doc's 60-bit md5 prefix (the simhash60 hash family)
+    * — file and row order can't move it, and it can't overflow, so
+    * it needs no width escape hatch at any corpus size. `partitionBy`
+    * gives the release the layout a 100 TB consumer needs: per-source
+    * directories a filtered read prunes without opening
+    * (PartitionFilters — spec-pinned).
+    */
+  def releaseManifest(s: SparkSession, documents: DataFrame,
+      path: String): DataFrame = {
+    documents
+      .filter(col("text").isNotNull)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .filter(col("n_tokens") >= 20)
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+      .write.mode("overwrite").partitionBy("source").parquet(path)
+    s.read.parquet(path)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10)" +
+          " as bigint))").as("digest"))
+      .orderBy("source")
+  }
 
   private def sqlP01: Option[String] = Some("""
         WITH scored AS (

@@ -614,6 +614,22 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected <=1 BNLJ (the centroid probe), got $bnlj\n$p")
   }
 
+  test("p06: a filtered read of the release prunes source partitions") {
+    val path = new java.io.File(
+      SourceSinks.tmp("graft_p06spec"), "release").getAbsolutePath
+    val docs = graft.Tables.load(spark, dir, "documents")
+    Pipeline.releaseManifest(spark, docs, path)
+      .write.format("noop").mode("overwrite").save()
+    val filtered = spark.read.parquet(path)
+      .filter(col("source") === "src1")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(source"), p)
+    // and the pruned read returns only that partition's rows
+    val all = spark.read.parquet(path)
+      .filter(col("source") === "src1").count()
+    assert(filtered.count() == all && all > 0)
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen'd stages render as "*(n) Op" in the plan string
     val p = plan("q02_filter_pushdown")
