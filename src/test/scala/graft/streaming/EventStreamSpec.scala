@@ -21,6 +21,66 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("restart from checkpoint resumes state and offsets, not from zero") {
+    // The fault-tolerance contract a cluster deployment rests on:
+    // stop a stateful streaming query, add more source files, restart
+    // with the SAME checkpoint — the restarted query must (a) not
+    // reprocess already-committed files (source offsets), and (b)
+    // carry window state forward (state store), so the two-run result
+    // equals a single uninterrupted run over all the data.
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_ckpt_restart")
+    val src = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val mid = ev.agg(
+      percentile_approx(unix_micros(col("ts")), lit(0.5), lit(100)))
+      .head().getLong(0)
+    def runToFiles(): Unit = {
+      val q = EventStream.hourlyCounts(
+        spark.readStream.schema(EventStream.repairedSchema).parquet(src))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // phase 1: first half arrives, query runs to completion and stops
+    ev.filter(unix_micros(col("ts")) < mid)
+      .coalesce(1).write.mode("append").parquet(src)
+    runToFiles()
+    val afterP1 = spark.read.schema(
+      "hour TIMESTAMP, event_type STRING, n BIGINT, sum_value DOUBLE")
+      .parquet(out).count()
+    // phase 2: the rest arrives, the query RESTARTS on the same ckpt
+    ev.filter(unix_micros(col("ts")) >= mid)
+      .coalesce(1).write.mode("append").parquet(src)
+    runToFiles()
+    val restarted = spark.read.parquet(out)
+      .orderBy("hour", "event_type").collect()
+    // control: one uninterrupted run over the identical source dir
+    val ckpt2 = base.resolve("ckpt2").toString
+    val out2 = base.resolve("out2").toString
+    val q2 = EventStream.hourlyCounts(
+      spark.readStream.schema(EventStream.repairedSchema).parquet(src))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt2).option("path", out2)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val single = spark.read.parquet(out2)
+      .orderBy("hour", "event_type").collect()
+    assert(restarted.nonEmpty)
+    assert(restarted.length > afterP1,
+      s"restart emitted nothing new (p1=$afterP1, total=${restarted.length})")
+    assert(restarted.toSeq == single.toSeq,
+      "two-run (restart) result differs from the uninterrupted run")
+  }
+
   test("streaming GK sketch per type satisfies the rank contract vs batch") {
     val dir = "/root/testdata/sf0.001"
     val rows = runPercentiles(spark, dir).collect()
