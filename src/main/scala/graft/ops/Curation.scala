@@ -497,6 +497,85 @@ object Curation {
             AS avg_q
         FROM staged
         GROUP BY stage
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c11_zorder_shards",
+      (s, dir) => {
+        // Z-order (Morton-curve) shard manifest — the data-LAYOUT
+        // optimization for multi-dimensional file skipping: docs are
+        // ordered by the bit-interleave of two curation dimensions
+        // (length bucket × quality bucket, 4 bits each) and cut into
+        // 8 equal shards. Because the z-curve keeps both dimensions
+        // locally bounded, each shard's manifest row carries a tight
+        // (bx, by) bounding box — a range query on EITHER dimension
+        // skips shards whose box misses it, which a single-column
+        // sort only provides for its own column. The manifest IS the
+        // evidence: per-shard min/max of both dims. At 100 TB the
+        // shard cut comes from `repartitionByRange(z)` straight into
+        // the writer (and the quality quantiles from q49's sketch);
+        // NTILE here makes the boundaries deterministic for the
+        // oracle (c10's convention). z stays pure integer arithmetic
+        // — div/mod bit extraction, identical in both engines; the
+        // encode/decode bijection is property-tested in CurationSpec.
+        val b = docs(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("toks", tokens(col("text")))
+          .select(Seq(col("doc_id")) ++
+            qualitySignals(col("text"), col("toks")): _*)
+          .filter(col("n_tokens") >= 1)
+          .select(col("doc_id"),
+            least(floor(col("n_chars") / 128), lit(15)).cast("int")
+              .as("bx"),
+            least(floor(
+              round(qualityScore(col("n_chars"), col("n_tokens"),
+                col("n_stop"), col("n_punct")), 6) * 16), lit(15))
+              .cast("int").as("by"))
+          .withColumn("z", expr(zFormula("div")))
+        b.withColumn("shard", ntile(8).over(
+            Window.orderBy(col("z"), col("doc_id"))))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("z")).as("min_z"), max(col("z")).as("max_z"),
+            min(col("bx")).as("min_bx"), max(col("bx")).as("max_bx"),
+            min(col("by")).as("min_by"), max(col("by")).as("max_by"))
+          .orderBy("shard")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+            $sqlQualitySignals
+          FROM documents WHERE text IS NOT NULL),
+        b AS (
+          SELECT doc_id,
+            CAST(LEAST(FLOOR(n_chars / 128), 15) AS INT) AS bx,
+            CAST(LEAST(FLOOR(ROUND($sqlQuality, 6) * 16), 15) AS INT)
+              AS by
+          FROM c WHERE n_tokens >= 1),
+        zv AS (
+          SELECT doc_id, bx, by, ${zFormula("//")} AS z FROM b),
+        sh AS (
+          SELECT bx, by, z,
+            NTILE(8) OVER (ORDER BY z, doc_id) AS shard
+          FROM zv)
+        SELECT shard, COUNT(*) AS n_docs,
+          MIN(z) AS min_z, MAX(z) AS max_z,
+          MIN(bx) AS min_bx, MAX(bx) AS max_bx,
+          MIN(by) AS min_by, MAX(by) AS max_by
+        FROM sh
+        GROUP BY shard
+        ORDER BY shard"""))
   )
+
+  /** The 8-bit Morton interleave of two 4-bit buckets as pure
+    * integer-arithmetic SQL, rendered with the engine's integer-div
+    * operator (`div` Spark, `//` DuckDB) — ONE definition for both
+    * sides so the bit layout can't drift. bx owns the odd bits, by
+    * the even: z = Σᵢ ((bx div 2ⁱ) % 2)·2^(2i+1) + ((by div 2ⁱ) % 2)·2^(2i).
+    */
+  private[ops] def zFormula(intDiv: String): String =
+    (0 until 4).map { i =>
+      val (pb, qb) = (1 << i, 1 << (2 * i + 1))
+      s"((bx $intDiv $pb) % 2) * $qb + ((by $intDiv $pb) % 2) * ${qb / 2}"
+    }.mkString(" + ")
 }

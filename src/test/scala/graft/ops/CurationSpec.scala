@@ -48,6 +48,40 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(3L -> 1L), out)
   }
 
+  test("c11: the Morton interleave is a bijection over all 256 bucket pairs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val pairs = for (bx <- 0 to 15; by <- 0 to 15) yield (bx, by)
+    val z = pairs.toDF("bx", "by")
+      .withColumn("z",
+        org.apache.spark.sql.functions.expr(Curation.zFormula("div")))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2).toInt).toMap
+    // injective onto [0, 255] — every pair gets a distinct z
+    assert(z.values.toSet == (0 to 255).toSet, "z not a bijection")
+    // bit layout: bx owns the odd bits, by the even — decode restores
+    def decode(v: Int): (Int, Int) = {
+      var (bx, by) = (0, 0)
+      for (i <- 0 until 4) {
+        bx |= ((v >> (2 * i + 1)) & 1) << i
+        by |= ((v >> (2 * i)) & 1) << i
+      }
+      (bx, by)
+    }
+    z.foreach { case (p, v) => assert(decode(v) == p, s"$p -> $v") }
+    // locality on the curve: an ALIGNED 16-long z-block is exactly
+    // one 4x4 cell — both dims span exactly 4 consecutive values.
+    // This is the property file skipping rests on (and why a writer
+    // aligns shard boundaries to cell boundaries: unaligned ranges
+    // cross the curve's quadrant jumps and lose the tight box).
+    val byZ = z.map(_.swap)
+    (0 until 256 by 16).foreach { lo =>
+      val cells = (lo until lo + 16).map(byZ)
+      assert(cells.map(_._1).max - cells.map(_._1).min == 3, s"block $lo")
+      assert(cells.map(_._2).max - cells.map(_._2).min == 3, s"block $lo")
+    }
+  }
+
   test("c10: curriculum stages are balanced and monotone in quality") {
     val got = graft.SparkEntry
       .queries("c10_curriculum_stages")(spark, "/root/testdata/sf0.001")
