@@ -435,7 +435,12 @@ object Pipeline {
       .filter(col("n_tokens") >= 20)
       .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
       .write.mode("overwrite").partitionBy("source").parquet(path)
-    s.read.parquet(path)
+    // Explicit read schema: an all-filtered (empty) corpus writes NO
+    // part files, and schema inference on an empty release dir throws
+    // (the st08 empty-stream lesson, caught by EmptyInputSpec here).
+    s.read
+      .schema("doc_id BIGINT, text STRING, n_tokens INT, source STRING")
+      .parquet(path)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
