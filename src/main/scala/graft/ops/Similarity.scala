@@ -1290,6 +1290,39 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Incremental index append (s20) — the append-only ingest path
+    * for a deployed vector index: a NEW batch of vectors is admitted
+    * into the EXISTING layout — nearest existing coarse cell by
+    * cosine, SQ8 codes on the existing grid — without retraining
+    * anything and without touching a single base row. This is how a
+    * 100 TB index absorbs a daily delta: the (tiny, broadcast)
+    * artifacts serve assignment; the only corpus-scale work is one
+    * map-side pass over the batch itself. Out-of-grid coordinates
+    * (the batch may exceed the base's min/max) SATURATE to the grid
+    * ends — stated in the oracle identically, so drift between
+    * engines is impossible.
+    */
+  def indexAppend(base: DataFrame, batch: DataFrame): DataFrame = {
+    val cent = seedCentroids(base)
+    val params = sq8Params(base)
+    val assigned = batch.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("c_label"),
+        cosine(col("v"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_label").as("cell"))
+    assigned.crossJoin(broadcast(params))
+      .select(col("vec_id"), col("cell"),
+        expr("""transform(sequence(0, size(v) - 1), i ->
+            cast(least(greatest(floor(
+              CASE WHEN his[i] = los[i] THEN 0.0D
+              ELSE (v[i] - los[i]) * 255.0D / (his[i] - los[i]) END
+              + 0.5D), 0.0D), 255.0D) as int))""").as("c"))
+      .orderBy("vec_id")
+  }
+
   /** ANN recall evaluation (s19) — recall@k of the IVF tier against
     * the exact brute-force baseline, as a first-class engine operator
     * rather than a spec-only measurement: the number every ANN
@@ -2348,6 +2381,61 @@ object Similarity {
         FROM exact x LEFT JOIN approx a
           ON x.qid = a.qid AND x.vec_id = a.vec_id
         GROUP BY x.qid
-        ORDER BY x.qid"""))
+        ORDER BY x.qid""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s20_index_append",
+      (s, dir) => {
+        // Append a new batch (every 10th vector) into the index
+        // layout trained on the REST (see [[indexAppend]]): nearest
+        // existing cell + codes on the existing grid, no retraining.
+        val e = emb(s, dir)
+        indexAppend(
+          base = e.filter(col("vec_id") % 10 =!= 0),
+          batch = e.filter(col("vec_id") % 10 === 0))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        base AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        batch AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        cdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM base, unnest(list_transform(range(1, len(v) + 1),
+                                           i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM cdims GROUP BY label, dim)
+          GROUP BY label),
+        gdims AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
+          FROM base, unnest(list_transform(range(1, len(v) + 1),
+                            i -> {'i': i, 'x': v[i]})) AS s(u)),
+        stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM gdims GROUP BY dim),
+        grid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM stats),
+        assigned AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT b.vec_id, b.v, c.label AS cell,
+              ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                (list_sum(list_transform(list_zip(b.v, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(b.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM batch b CROSS JOIN cent c) WHERE rn = 1)
+        SELECT vec_id, cell,
+          list_transform(range(1, len(v) + 1), i ->
+            CAST(LEAST(GREATEST(FLOOR(
+              CASE WHEN his[i] = los[i] THEN 0.0
+              ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
+              + 0.5), 0.0), 255.0) AS INT)) AS c
+        FROM assigned, grid
+        ORDER BY vec_id"""))
   )
 }

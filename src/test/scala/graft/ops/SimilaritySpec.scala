@@ -560,6 +560,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((10L, 0), (12L, 1), (13L, 2), (11L, 64)), got)
   }
 
+  test("s20 index append: out-of-grid batch vectors saturate, cells assigned (no retrain)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions._
+    def frame(rows: Seq[(Long, Int, Seq[Float])]) =
+      rows.toDF("vec_id", "label", "embedding")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+    // base grid per dim: [0, 1]; two cells around (1,0) and (0,1)
+    val base = frame(Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.9f, 0.1f)),
+      (3L, 1, Seq(0f, 1f)), (4L, 1, Seq(0.1f, 0.9f))))
+    // batch: one in-grid vector near cell 0, one far OUTSIDE the grid
+    val batch = frame(Seq(
+      (10L, 9, Seq(0.8f, 0.2f)),
+      (11L, 9, Seq(5f, -3f)))) // beyond hi on dim 0, below lo on dim 1
+    val out = Similarity.indexAppend(base, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    // in-grid vector: nearest cell by cosine is cell 0, codes in range
+    assert(out(10L)._1 == 0)
+    assert(out(10L)._2.forall(c => c >= 0 && c <= 255))
+    // out-of-grid vector: codes SATURATE to the grid ends, cell still 0
+    assert(out(11L)._1 == 0)
+    assert(out(11L)._2 == Seq(255, 0), out(11L)._2)
+  }
+
   test("chunked mean fold bounds per-group state on a 100k-member cluster") {
     val sparkS = spark
     import sparkS.implicits._
