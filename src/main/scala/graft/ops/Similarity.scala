@@ -1323,6 +1323,37 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Metadata-filtered top-k (s21) — the "filtered search" problem
+    * every vector deployment hits: return nearest neighbors only
+    * among vectors whose DOCUMENT passes a metadata predicate. This
+    * is PRE-filter semantics: the gate semi-joins the corpus BEFORE
+    * ranking, so the full k survivors are guaranteed — post-filtering
+    * a top-k can come back short (or empty) whenever the predicate is
+    * selective, which is exactly when users filter. Scale shape: the
+    * gate is a doc-id semi-join (broadcastable when selective, plain
+    * hash join otherwise — Catalyst/AQE's call), then s01's one
+    * broadcast-query corpus scan + per-query top-k window over the
+    * SURVIVORS only; a selective filter makes the search cheaper,
+    * never weaker.
+    */
+  def filteredTopk(e: DataFrame, gateIds: DataFrame, k: Int): DataFrame = {
+    val withNrm = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val queries = withNrm.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val gated = withNrm.join(gateIds,
+      withNrm("vec_id") === gateIds("doc_id"), "left_semi")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    gated.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
   /** ANN recall evaluation (s19) — recall@k of the IVF tier against
     * the exact brute-force baseline, as a first-class engine operator
     * rather than a spec-only measurement: the number every ANN
@@ -2436,6 +2467,40 @@ object Similarity {
               ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
               + 0.5), 0.0), 255.0) AS INT)) AS c
         FROM assigned, grid
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s21_filtered_topk",
+      (s, dir) => {
+        // Pre-filtered search (see [[filteredTopk]]): top-5 among
+        // vectors whose document is English — queries come from the
+        // FULL corpus (a query needn't pass its own filter).
+        val gate = Tables.load(s, dir, "documents")
+          .filter(col("lang") === "en").select(col("doc_id"))
+        filteredTopk(emb(s, dir), gate, k = 5)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        gate AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        g AS (
+          SELECT e.* FROM e
+          WHERE EXISTS (SELECT 1 FROM gate WHERE gate.doc_id = e.vec_id)),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        scored AS (
+          SELECT q.qid, g.vec_id,
+            ROUND(
+              list_sum(list_transform(list_zip(q.qv, g.v), p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+               sqrt(list_sum(list_transform(g.v, x -> x * x)))), 6) AS cos_sim
+          FROM g JOIN q ON g.vec_id <> q.qid)
+        SELECT qid, vec_id, cos_sim, rnk FROM (
+          SELECT qid, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk"""))
   )
 }

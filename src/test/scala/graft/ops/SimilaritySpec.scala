@@ -560,6 +560,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((10L, 0), (12L, 1), (13L, 2), (11L, 64)), got)
   }
 
+  test("s21 filtered top-k: pre-filter returns full k where post-filter starves") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions._
+    // query 0 points at +x; vectors 1-3 are the UNGATED near
+    // neighbors (any post-filtered top-3 would be exactly these, and
+    // the gate would empty it); 5-7 are gated but farther
+    val e = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0.99f, 0.01f)), (2L, Seq(0.98f, 0.02f)),
+      (3L, Seq(0.97f, 0.03f)),
+      (5L, Seq(0.5f, 0.5f)), (6L, Seq(0.4f, 0.6f)), (7L, Seq(0.3f, 0.7f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val gate = Seq(5L, 6L, 7L).toDF("doc_id")
+    val out = Similarity.filteredTopk(e, gate, k = 3)
+      .filter(col("qid") === 0).collect()
+    assert(out.length == 3, s"pre-filter must fill k: ${out.toSeq}")
+    assert(out.map(_.getLong(1)).toSet == Set(5L, 6L, 7L), out.toSeq)
+    // ranked by cosine among the SURVIVORS
+    assert(out.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq == Seq(5L, 6L, 7L))
+  }
+
   test("s20 index append: out-of-grid batch vectors saturate, cells assigned (no retrain)") {
     val sparkS = spark
     import sparkS.implicits._
