@@ -225,6 +225,12 @@ object ScaleSmoke {
       time(s"ivfsq8 search $tag")(
         Similarity.ivfSq8Search(e, ivfsq8._1, ivfsq8._2, k = 5)
           .write.format("noop").mode("overwrite").save())
+      // This is the UN-memoized build: free the O(corpus) code blocks
+      // now, or each per-scale build stays resident while later ops
+      // are timed (the memoized ivfSq8TrainShared path is pinned by
+      // design and not touched here).
+      Similarity.freeCheckpoint(ivfsq8._1)
+      Similarity.freeCheckpoint(ivfsq8._2)
       time(s"bq hamming top-k $tag")(
         Similarity.bqTopk(e, k = 5)
           .write.format("noop").mode("overwrite").save())

@@ -173,12 +173,15 @@ object Curation {
         // Pack docs into 4096-token bins per source: running token
         // total in deterministic doc_id order; a doc's bin is the
         // budget-quotient of the tokens packed before it. Output is
-        // the per-bin manifest (what a batch loader consumes).
-        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        docs(s, dir)
-          .withColumn("n_tokens", size(tokens(col("text"))))
-          .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+        // the per-bin manifest (what a batch loader consumes). The
+        // running total is [[packedCum]]'s two-pass parallel prefix
+        // sum, not a per-source window — the oracle states the same
+        // semantics as one SQL window (identical by associativity).
+        packedCum(
+          docs(s, dir)
+            .withColumn("n_tokens", size(tokens(col("text"))))
+            .select(col("source"), col("doc_id"), col("n_tokens")),
+          "n_tokens")
           .withColumn("bin_id", expr("(cum - n_tokens) div 4096"))
           .groupBy("source", "bin_id")
           .agg(count(lit(1)).as("n_docs"),
@@ -452,31 +455,53 @@ object Curation {
         // it into 4 equal stages with per-stage stats — the manifest
         // a curriculum-learning schedule trains from. Composes t02's
         // oracle-proven quality expressions (c08's discipline).
-        // Scale shape: the ntile is one range-partitioned global sort
-        // over (quality, doc_id) — a report-sized reduction, and at
-        // 100 TB the same manifest would come from quantile THRESHOLDS
-        // (q49's sketch) instead of a total order; stats combine
-        // map-side. Determinism: quality is engine-identical doubles
+        // Scale shape: NO corpus-wide sort or window anywhere — the
+        // 6-dp quality domain is BOUNDED (≤ 1e6+1 values in [0,1]),
+        // so stage boundaries come from cumulative counts over the
+        // distinct-value table via [[tileSlices]]: one corpus-scale
+        // groupBy(q) (map-side combined), then everything downstream
+        // is domain-sized. Value offsets are two-level — a ≤1001-row
+        // coarse-bucket table (floor(q·1000), monotone in q, so FP
+        // rounding can never reorder it) offset by a broadcast
+        // non-equi self-join, plus a within-bucket running count
+        // PARTITIONED by bucket. The oracle states the same stages
+        // with NTILE; the per-stage aggregates are functions of q
+        // only, so doc_id tie order inside a value cannot move them.
+        // Determinism: quality is engine-identical doubles
         // (integer-ratio arithmetic), rounded to 6 dp before the
-        // decimal-exact stage sums; doc_id breaks ordering ties.
-        docs(s, dir)
+        // decimal-exact stage sums.
+        val qv = docs(s, dir)
           .filter(col("text").isNotNull)
           .withColumn("toks", tokens(col("text")))
           .select(Seq(col("doc_id")) ++
             qualitySignals(col("text"), col("toks")): _*)
           .filter(col("n_tokens") >= 1)
-          .withColumn("q",
-            round(qualityScore(col("n_chars"), col("n_tokens"),
-              col("n_stop"), col("n_punct")), 6))
-          .withColumn("stage", ntile(4).over(
-            Window.orderBy(col("q").desc, col("doc_id"))))
+          .select(round(qualityScore(col("n_chars"), col("n_tokens"),
+            col("n_stop"), col("n_punct")), 6).as("q"))
+        val byVal = qv.groupBy("q").agg(count(lit(1)).as("cnt"))
+          .withColumn("qb", floor(col("q") * 1000).cast("int"))
+        val bTot = byVal.groupBy("qb").agg(sum(col("cnt")).as("btot"))
+        // DESC order: a bucket's offset is the mass of HIGHER buckets
+        val bOff = bTot.as("a")
+          .join(broadcast(bTot.as("b")), col("b.qb") > col("a.qb"), "left")
+          .groupBy(col("a.qb"))
+          .agg(coalesce(sum(col("b.btot")), lit(0L)).as("boff"))
+        val wIn = Window.partitionBy(col("qb")).orderBy(col("q").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withOff = byVal.join(broadcast(bOff), "qb")
+          .withColumn("off",
+            col("boff") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+          .select(col("q"), col("cnt"), col("off"))
+        tileSlices(withOff, 4)
           .groupBy("stage")
           .agg(
-            count(lit(1)).as("n_docs"),
+            sum(col("rows_in")).as("n_docs"),
             min(col("q")).as("min_q"),
             max(col("q")).as("max_q"),
-            (sum(col("q").cast("decimal(16,6)")).cast("double") /
-              count(lit(1))).as("avg_q"))
+            (sum(col("q").cast("decimal(16,6)") * col("rows_in"))
+              .cast("double") / sum(col("rows_in"))).as("avg_q"))
+          .select(col("stage").cast("int").as("stage"), col("n_docs"),
+            col("min_q"), col("max_q"), col("avg_q"))
           .orderBy("stage")
       },
       Some(s"""
@@ -511,13 +536,18 @@ object Curation {
         // (bx, by) bounding box — a range query on EITHER dimension
         // skips shards whose box misses it, which a single-column
         // sort only provides for its own column. The manifest IS the
-        // evidence: per-shard min/max of both dims. At 100 TB the
-        // shard cut comes from `repartitionByRange(z)` straight into
-        // the writer (and the quality quantiles from q49's sketch);
-        // NTILE here makes the boundaries deterministic for the
-        // oracle (c10's convention). z stays pure integer arithmetic
-        // — div/mod bit extraction, identical in both engines; the
-        // encode/decode bijection is property-tested in CurationSpec.
+        // evidence: per-shard min/max of both dims. Scale shape: z
+        // has ≤256 values, so NO corpus-scale sort or window exists —
+        // one map-side-combined groupBy(z, bx, by) reduces the corpus
+        // to ≤256 rows, value offsets are a broadcast non-equi
+        // self-join over that table, and [[tileSlices]] restates
+        // NTILE's boundaries as integer arithmetic (the oracle keeps
+        // NTILE; aggregates are functions of z alone, so row order
+        // inside a value is irrelevant). A writer would follow with
+        // `repartitionByRange(z)` using these cuts. z stays pure
+        // integer arithmetic — div/mod bit extraction, identical in
+        // both engines; the encode/decode bijection is
+        // property-tested in CurationSpec.
         val b = docs(s, dir)
           .filter(col("text").isNotNull)
           .withColumn("toks", tokens(col("text")))
@@ -532,13 +562,23 @@ object Curation {
                 col("n_stop"), col("n_punct")), 6) * 16), lit(15))
               .cast("int").as("by"))
           .withColumn("z", expr(zFormula("div")))
-        b.withColumn("shard", ntile(8).over(
-            Window.orderBy(col("z"), col("doc_id"))))
-          .groupBy("shard")
-          .agg(count(lit(1)).as("n_docs"),
+        val byVal = b.groupBy("z", "bx", "by")
+          .agg(count(lit(1)).as("cnt"))
+        // ASC order: a value's offset is the mass of LOWER z values —
+        // a ≤256×256 broadcast non-equi self-join, corpus-independent
+        val withOff = byVal.as("a")
+          .join(broadcast(byVal.as("b")), col("b.z") < col("a.z"), "left")
+          .groupBy(col("a.z"), col("a.bx"), col("a.by"), col("a.cnt"))
+          .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+        tileSlices(withOff, 8)
+          .groupBy("stage")
+          .agg(sum(col("rows_in")).as("n_docs"),
             min(col("z")).as("min_z"), max(col("z")).as("max_z"),
             min(col("bx")).as("min_bx"), max(col("bx")).as("max_bx"),
             min(col("by")).as("min_by"), max(col("by")).as("max_by"))
+          .select(col("stage").cast("int").as("shard"), col("n_docs"),
+            col("min_z"), col("max_z"), col("min_bx"), col("max_bx"),
+            col("min_by"), col("max_by"))
           .orderBy("shard")
       },
       Some(s"""
@@ -566,6 +606,105 @@ object Curation {
         GROUP BY shard
         ORDER BY shard"""))
   )
+
+  /** NTILE(k) tile assignment computed from a DISTINCT-VALUE table —
+    * the scale-safe replacement for a corpus-wide `ntile` window
+    * (the r11 verdict's c10/c11 fix). Input: one row per distinct
+    * ordering value with `cnt` (rows carrying the value) and `off`
+    * (rows strictly before it in the total order) plus any carry
+    * columns; rows of one value occupy global positions
+    * [off+1, off+cnt]. Output: the input exploded to one row per
+    * (value, tile) it overlaps, with `stage` (1-based tile) and
+    * `rows_in` (how many of the value's rows land in that tile) —
+    * exactly NTILE's first-(n mod k)-tiles-get-one-extra boundaries,
+    * restated as pure integer arithmetic against a broadcast 1-row
+    * total. No row-level sort anywhere: the corpus-scale work is the
+    * groupBy that built the distinct table; everything here is sized
+    * by the VALUE DOMAIN (bounded — 6-dp quality, 8-bit z), not the
+    * corpus. Per-tile aggregates of functions of the value are then
+    * exact: each overlapping value contributes ≥1 row to the tile, so
+    * min/max over values equal min/max over rows, and weighted sums
+    * use `rows_in`.
+    */
+  private[ops] def tileSlices(valsWithOff: DataFrame, k: Int): DataFrame = {
+    // tile of global position p: the first (n mod k) tiles hold
+    // floor(n/k)+1 rows, the rest floor(n/k) — NTILE's contract. The
+    // CASE guards the szs=0 division (n < k ⇒ every p sits in the
+    // first branch).
+    def stageOf(p: String) = expr(
+      s"""CASE WHEN $p <= big * (szs + 1)
+            THEN ($p - 1) div (szs + 1) + 1
+            ELSE big + ($p - big * (szs + 1) - 1) div szs + 1 END""")
+    val tot = valsWithOff.agg(sum(col("cnt")).as("n_total"))
+    valsWithOff.crossJoin(broadcast(tot))
+      .withColumn("p1", col("off") + 1)
+      .withColumn("p2", col("off") + col("cnt"))
+      .withColumn("big", col("n_total") % k)
+      .withColumn("szs", expr(s"n_total div $k"))
+      // a value overlaps the contiguous tile range [stageOf(first),
+      // stageOf(last)] — at most k entries per value
+      .withColumn("stage", explode(sequence(stageOf("p1"), stageOf("p2"))))
+      .withColumn("rows_in",
+        least(col("stage") * col("szs") + least(col("stage"), col("big")),
+          col("p2")) -
+          greatest((col("stage") - 1) * col("szs") +
+            least(col("stage") - 1, col("big")) + 1, col("p1")) + 1)
+      .drop("p1", "p2", "big", "szs", "n_total")
+  }
+
+  /** Distributed per-source running token total in doc_id order — the
+    * packing prefix sum (c04/p04) WITHOUT the per-source sequential
+    * window (the r11 verdict's c04 fix: source cardinality is tiny,
+    * so `Window.partitionBy(source)` streams one source's entire doc
+    * list through one task at 100×). Classic two-pass parallel prefix
+    * sum: range-partition by (source, doc_id) — so each physical
+    * chunk holds a contiguous key range — stamp the chunk id and
+    * localCheckpoint (freezing chunk membership so both passes see
+    * identical chunks; the checkpointed frame is the NARROW
+    * (source, doc_id, tokens) projection, not the corpus), then
+    * (pass 1) per-(chunk, source) running sums — every chunk packs in
+    * parallel — and (pass 2) a chunk-offset table of ≤ P·|sources|
+    * rows (P = parallelism) turned into per-chunk starting offsets
+    * and broadcast back. cum = chunk offset + local running sum is
+    * BIT-IDENTICAL to the single-window formulation (long sums are
+    * associative; chunk boundaries move work, never values — pinned
+    * by CurationSpec's equality test).
+    */
+  def packedCum(tok: DataFrame, tokCol: String): DataFrame = {
+    val p = tok.sparkSession.sparkContext.defaultParallelism
+    val chunked = tok
+      .repartitionByRange(p, col("source"), col("doc_id"))
+      .withColumn("chunk", spark_partition_id())
+      .localCheckpoint()
+    val localW = Window.partitionBy(col("chunk"), col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // chunk ids ascend with the (source, doc_id) ranges, so the
+    // offset of a chunk is the subtotal of lower-id chunks of the
+    // same source — a window over the TINY subtotal table only.
+    val offW = Window.partitionBy(col("source")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = chunked.groupBy("chunk", "source")
+      .agg(sum(col(tokCol).cast("long")).as("subtot"),
+        count(col(tokCol)).as("subcnt"))
+      .withColumn("off", coalesce(sum(col("subtot")).over(offW), lit(0L)))
+      .withColumn("offcnt",
+        coalesce(sum(col("subcnt")).over(offW), lit(0L)))
+      .select(col("chunk"), col("source"), col("off"), col("offcnt"))
+    // SQL window SUM skips NULL token counts and is NULL only while
+    // the frame holds no non-null value yet — reproduce that exactly
+    // with non-null-seen counts (a chunk-leading NULL must inherit
+    // the previous chunks' total, and a source-leading NULL must stay
+    // NULL, not 0).
+    chunked
+      .withColumn("lcum", sum(col(tokCol).cast("long")).over(localW))
+      .withColumn("lcnt", count(col(tokCol)).over(localW))
+      .join(broadcast(offsets), Seq("chunk", "source"))
+      .withColumn("cum",
+        when(col("lcnt") + col("offcnt") > 0,
+          coalesce(col("lcum"), lit(0L)) + col("off")))
+      .drop("chunk", "lcum", "lcnt", "off", "offcnt")
+  }
 
   /** The 8-bit Morton interleave of two 4-bit buckets as pure
     * integer-arithmetic SQL, rendered with the engine's integer-div

@@ -103,6 +103,66 @@ object Multimodal {
       n, feats)
   }
 
+  /** The m05/m06-shared near-dup candidate frame: payloads blocked on
+    * byte length, every blocked pair scored by decoded-feature cosine
+    * (6-dp, oracle-exact — hash features are 1/128-multiples).
+    * Returns (doc_a, doc_b, n_bytes, cos_sim).
+    */
+  private def featurePairFrame(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val dec = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .filter(col("payload").isNotNull)
+      .as[Blob]
+      .mapPartitions(_.grouped(64).flatMap(batch => fakeDecodeBatch(batch)))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        transform(col("features"), x => x.cast("double")).as("v"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpressions.dot(a, b)
+    dec.as("a").join(dec.as("b"),
+        col("a.n_bytes") === col("b.n_bytes") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(dot(col("a.v"), col("a.v")) > 0 &&
+        dot(col("b.v"), col("b.v")) > 0)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_bytes").as("n_bytes"),
+        round(dot(col("a.v"), col("b.v")) /
+          (sqrt(dot(col("a.v"), col("a.v"))) *
+            sqrt(dot(col("b.v"), col("b.v")))), 6).as("cos_sim"))
+  }
+
+  /** DuckDB restatement of [[featurePairFrame]] as CTEs `f` (feature
+    * vectors per byte field of the decode residue) + `pairs` — append
+    * after [[sqlDecodeAcc]]. Shared by the m05 and m06 oracles.
+    */
+  private val sqlFeaturePairsCtes: String = {
+    // feats[i] = ((h >>> 8i) & 0xff)/128 - 1, restated per byte
+    // field of the HUGEINT residue.
+    val feats = (0 until 8).map { i =>
+      val div = java.math.BigInteger.valueOf(256L).pow(i)
+      s"(hv // CAST('$div' AS HUGEINT)) % 256 / 128.0 - 1.0"
+    }.mkString("[", ",\n             ", "]")
+    s"""f AS (
+          SELECT doc_id, n_bytes,
+            $feats AS v
+          FROM acc),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_bytes,
+            ROUND(
+              list_sum(list_transform(list_zip(a.v, b.v),
+                                      p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+              AS cos_sim
+          FROM f a JOIN f b
+            ON a.n_bytes = b.n_bytes AND a.doc_id < b.doc_id
+          WHERE list_sum(list_transform(a.v, x -> x * x)) > 0
+            AND list_sum(list_transform(b.v, x -> x * x)) > 0)"""
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -247,61 +307,106 @@ object Multimodal {
         // mapPartitions decode boundary as m02 (stub decoder, real
         // plumbing); hash-derived features are exact 1/128-multiples,
         // so the cosine column is oracle-exact.
-        val spark = s
-        import spark.implicits._
-        graft.functions.VectorExpressions.register(s)
-        val dec = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-          .filter(col("payload").isNotNull)
-          .as[Blob]
-          .mapPartitions(_.grouped(64).flatMap(batch => fakeDecodeBatch(batch)))
-          .toDF()
-          .select(col("doc_id"), col("n_bytes"),
-            transform(col("features"), x => x.cast("double")).as("v"))
-        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          graft.functions.VectorExpressions.dot(a, b)
-        dec.as("a").join(dec.as("b"),
-            col("a.n_bytes") === col("b.n_bytes") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .filter(dot(col("a.v"), col("a.v")) > 0 &&
-            dot(col("b.v"), col("b.v")) > 0)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.n_bytes").as("n_bytes"),
-            round(dot(col("a.v"), col("b.v")) /
-              (sqrt(dot(col("a.v"), col("a.v"))) *
-                sqrt(dot(col("b.v"), col("b.v")))), 6).as("cos_sim"))
+        featurePairFrame(s, dir)
           .withColumn("is_dup", (col("cos_sim") >= 0.999).cast("int"))
           .orderBy("doc_a", "doc_b")
       },
-      Some {
-        // feats[i] = ((h >>> 8i) & 0xff)/128 - 1, restated per byte
-        // field of the HUGEINT residue.
-        val feats = (0 until 8).map { i =>
-          val div = java.math.BigInteger.valueOf(256L).pow(i)
-          s"(hv // CAST('$div' AS HUGEINT)) % 256 / 128.0 - 1.0"
-        }.mkString("[", ",\n             ", "]")
-        s"""
+      Some(s"""
         WITH $sqlDecodeAcc,
-        f AS (
-          SELECT doc_id, n_bytes,
-            $feats AS v
-          FROM acc),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_bytes,
-            ROUND(
-              list_sum(list_transform(list_zip(a.v, b.v),
-                                      p -> p[1] * p[2])) /
-              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-               sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
-              AS cos_sim
-          FROM f a JOIN f b
-            ON a.n_bytes = b.n_bytes AND a.doc_id < b.doc_id
-          WHERE list_sum(list_transform(a.v, x -> x * x)) > 0
-            AND list_sum(list_transform(b.v, x -> x * x)) > 0)
+        $sqlFeaturePairsCtes
         SELECT doc_a, doc_b, n_bytes, cos_sim,
           CAST(cos_sim >= 0.999 AS INT) AS is_dup
         FROM pairs
-        ORDER BY doc_a, doc_b"""
-      })
+        ORDER BY doc_a, doc_b""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m06_multimodal_data_card",
+      (s, dir) => {
+        // Multimodal data card — p05's per-source audit shape over
+        // the BINARY tier: payload volume, decoded-format spread, and
+        // both dup tiers (exact payload digests + m05's feature
+        // near-dups) per source. The report a multimodal corpus
+        // release ships beside p05's text card. Scale shape: three
+        // map-side-combining aggregate branches joined on the tiny
+        // source key (p05's no-Expand discipline — distincts are
+        // dedup-THEN-count branches), the decode is m02's
+        // mapPartitions batch boundary, and the near-dup leg reuses
+        // m05's byte-length-blocked pairs (never all-pairs).
+        val spark = s
+        import spark.implicits._
+        val d = Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            encode(col("text"), "UTF-8").as("payload"))
+        val meta = d.select(col("doc_id"), col("source"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("digest"))
+        val stats = meta.groupBy("source").agg(
+          count(lit(1)).as("n_payloads"),
+          sum(col("n_bytes").cast("long")).as("total_bytes"))
+        val uniq = meta.select("source", "digest").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_uniq"))
+        val dims = d.select(col("doc_id"), col("payload")).as[Blob]
+          .mapPartitions(_.grouped(64).flatMap(b => fakeDecodeBatch(b)))
+          .toDF().select(col("doc_id"), col("width"), col("height"))
+        val formats = dims
+          .join(meta.select("doc_id", "source"), "doc_id")
+          .select("source", "width", "height").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_formats"))
+        val nearDup = featurePairFrame(s, dir)
+          .filter(col("cos_sim") >= 0.999)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+          .join(meta.select("doc_id", "source"), "doc_id")
+          .groupBy("source").agg(count(lit(1)).as("n_near_dup"))
+        stats.join(uniq, "source").join(formats, "source")
+          .join(nearDup, Seq("source"), "left")
+          .select(col("source"), col("n_payloads"), col("total_bytes"),
+            col("n_formats"),
+            (col("n_payloads") - col("n_uniq")).as("dup_docs"),
+            coalesce(col("n_near_dup"), lit(0L)).as("near_dup_docs"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH $sqlDecodeAcc,
+        $sqlFeaturePairsCtes,
+        meta AS (
+          SELECT doc_id, source,
+            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+            md5(text) AS digest
+          FROM documents WHERE text IS NOT NULL),
+        stats AS (
+          SELECT source, COUNT(*) AS n_payloads,
+            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+          FROM meta GROUP BY source),
+        uniq AS (
+          SELECT source, COUNT(*) AS n_uniq FROM (
+            SELECT DISTINCT source, digest FROM meta)
+          GROUP BY source),
+        dims AS (
+          SELECT doc_id,
+            CAST(16 + (hv % 16) * 16 AS INT) AS width,
+            CAST(16 + ((hv // 16) % 16) * 16 AS INT) AS height
+          FROM acc),
+        formats AS (
+          SELECT source, COUNT(*) AS n_formats FROM (
+            SELECT DISTINCT m.source, d.width, d.height
+            FROM dims d JOIN meta m USING (doc_id))
+          GROUP BY source),
+        nd AS (
+          SELECT m.source, COUNT(*) AS n_near_dup FROM (
+            SELECT doc_a AS doc_id FROM pairs WHERE cos_sim >= 0.999
+            UNION
+            SELECT doc_b FROM pairs WHERE cos_sim >= 0.999) p
+          JOIN meta m USING (doc_id)
+          GROUP BY m.source)
+        SELECT s.source, s.n_payloads, s.total_bytes, f.n_formats,
+          s.n_payloads - u.n_uniq AS dup_docs,
+          COALESCE(nd.n_near_dup, 0) AS near_dup_docs
+        FROM stats s
+        JOIN uniq u USING (source)
+        JOIN formats f USING (source)
+        LEFT JOIN nd USING (source)
+        ORDER BY s.source"""))
   )
 }

@@ -284,13 +284,13 @@ object Pipeline {
           .localCheckpoint()
         val enc = TextAnalysis.bpeEncode(cleaned, merges = 5)
           .select("doc_id", "n_tokens")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("doc_id"))
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        enc.join(d.select("doc_id", "source"), "doc_id")
-          .withColumn("cum", sum(col("n_tokens")).over(w))
+        // Packing prefix sum via Curation.packedCum's two-pass
+        // parallel form (c04's plan) — not a per-source sequential
+        // window; the oracle states the same semantics as one window.
+        Curation.packedCum(
+          enc.join(d.select("doc_id", "source"), "doc_id")
+            .select(col("source"), col("doc_id"), col("n_tokens")),
+          "n_tokens")
           .withColumn("bin_id", expr("(cum - n_tokens) div 1024"))
           .groupBy("source", "bin_id")
           .agg(count(lit(1)).as("n_docs"),

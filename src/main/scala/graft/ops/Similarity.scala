@@ -1393,6 +1393,70 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Recall-vs-probes CURVE (s22) — [[annRecall]] generalized to the
+    * tuning artifact every ANN deployment actually wants: recall@k at
+    * each probes setting, in ONE search pass. Instead of re-running
+    * the IVF search per setting, the probe ranking runs once at the
+    * DEEPEST setting, every candidate carries the probe RANK of its
+    * cell, and a row replicates only to the settings that include it
+    * (probe_rn ≤ p) — so the corpus is scanned once, the scoring
+    * cosine computes once per candidate, and the per-setting top-k is
+    * one window over the probe-bounded candidate frame keyed
+    * (probes, qid). Evaluation cost ≈ one deepest-probe search, not
+    * |settings| searches. Fully deterministic (6-dp cosines, id
+    * tie-breaks), so the oracle checks the VALUES of the whole curve.
+    */
+  def annRecallCurve(e: DataFrame, k: Int,
+      probesList: Seq[Int]): DataFrame = {
+    val settings = probesList.distinct.sorted
+    val pmax = settings.max
+    val withNrm = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val queries = withNrm.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = withNrm
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"))
+    val probe = queries.crossJoin(broadcast(seedCentroids(e)))
+      .select(col("qid"), col("qv"), col("c_label"),
+        cosine(col("qv"), col("cv")).as("c_sim"))
+      .withColumn("probe_rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("c_sim").desc, col("c_label"))))
+      .filter(col("probe_rn") <= pmax)
+      .select(col("qid"), col("qv"), col("c_label").as("probe_label"),
+        col("probe_rn"))
+    val scored = e.join(broadcast(probe),
+        col("label") === col("probe_label") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("probe_rn"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val perSetting = scored
+      .withColumn("probes", explode(
+        filter(typedLit(settings.toArray), p => p >= col("probe_rn"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probes"), col("qid"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("probes").as("aprobes"), col("qid").as("aqid"),
+        col("vec_id").as("avid"))
+    exact.withColumn("probes", explode(typedLit(settings.toArray)))
+      .join(broadcast(perSetting),
+        col("probes") === col("aprobes") && col("qid") === col("aqid") &&
+          col("vec_id") === col("avid"), "left")
+      .groupBy("probes", "qid")
+      .agg(count(col("avid")).as("n_hits"))
+      .select(col("probes"), col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / k).as("recall"))
+      .orderBy("probes", "qid")
+  }
+
   /** Shared DuckDB CTE chain for the PQ oracle: subvectors, seed
     * codebook, `rounds` unrolled Lloyd rounds (ending in
     * `cent$rounds`), and the final `codes` assignment — the subspace-
@@ -2420,10 +2484,20 @@ object Similarity {
         // Append a new batch (every 10th vector) into the index
         // layout trained on the REST (see [[indexAppend]]): nearest
         // existing cell + codes on the existing grid, no retraining.
+        // The codes sequence ships as a scalar md5 digest (the
+        // EtlParity repr-safe convention — the driver's comparator
+        // hash-sorts cells, so no nested columns in oracle output);
+        // [[indexAppend]] itself keeps the raw array for spec /
+        // ScaleSmoke use.
         val e = emb(s, dir)
         indexAppend(
-          base = e.filter(col("vec_id") % 10 =!= 0),
-          batch = e.filter(col("vec_id") % 10 === 0))
+            base = e.filter(col("vec_id") % 10 =!= 0),
+            batch = e.filter(col("vec_id") % 10 === 0))
+          .select(col("vec_id"), col("cell"),
+            size(col("c")).as("n_dims"),
+            md5(concat_ws(",", col("c").cast("array<string>")))
+              .as("codes_digest"))
+          .orderBy("vec_id")
       },
       Some("""
         WITH e AS (
@@ -2461,11 +2535,13 @@ object Similarity {
                 c.label) AS rn
             FROM batch b CROSS JOIN cent c) WHERE rn = 1)
         SELECT vec_id, cell,
-          list_transform(range(1, len(v) + 1), i ->
-            CAST(LEAST(GREATEST(FLOOR(
-              CASE WHEN his[i] = los[i] THEN 0.0
-              ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
-              + 0.5), 0.0), 255.0) AS INT)) AS c
+          CAST(len(v) AS INT) AS n_dims,
+          md5(array_to_string(
+            list_transform(range(1, len(v) + 1), i ->
+              CAST(LEAST(GREATEST(FLOOR(
+                CASE WHEN his[i] = los[i] THEN 0.0
+                ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
+                + 0.5), 0.0), 255.0) AS INT)), ',')) AS codes_digest
         FROM assigned, grid
         ORDER BY vec_id""")),
     // ----------------------------------------------------------------
@@ -2501,6 +2577,75 @@ object Similarity {
                                ORDER BY cos_sim DESC, vec_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
-        ORDER BY qid, rnk"""))
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s22_recall_probes_curve",
+      (s, dir) =>
+        // The probes tuning curve (see [[annRecallCurve]]): recall@5
+        // at probes ∈ {1,2,4,8} from ONE deepest-probe search pass.
+        annRecallCurve(emb(s, dir), k = 5, probesList = Seq(1, 2, 4, 8)),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        xscored AS (
+          SELECT q.qid, e.vec_id,
+            ROUND(
+              list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cos_sim
+          FROM e JOIN q ON e.vec_id <> q.qid),
+        exact AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM xscored)
+          WHERE rnk <= 5),
+        cdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM cdims GROUP BY label, dim)
+          GROUP BY label),
+        probe AS (
+          SELECT qid, qv, label AS probe_label, rn AS probe_rn FROM (
+            SELECT q.qid, q.qv, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 8),
+        ascored AS (
+          SELECT p.qid, p.probe_rn, e.vec_id,
+            ROUND(list_sum(list_transform(list_zip(p.qv, e.v), pr -> pr[1]*pr[2])) /
+              (sqrt(list_sum(list_transform(p.qv, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos_sim
+          FROM e JOIN probe p
+            ON e.label = p.probe_label AND e.vec_id <> p.qid),
+        ps AS (SELECT unnest([1, 2, 4, 8]) AS probes),
+        approx AS (
+          SELECT probes, qid, vec_id FROM (
+            SELECT ps.probes, a.qid, a.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY ps.probes, a.qid
+                                 ORDER BY a.cos_sim DESC, a.vec_id) AS rnk
+            FROM ascored a JOIN ps ON a.probe_rn <= ps.probes)
+          WHERE rnk <= 5),
+        exactp AS (
+          SELECT ps.probes, x.qid, x.vec_id FROM exact x CROSS JOIN ps)
+        SELECT x.probes, x.qid, CAST(COUNT(a.qid) AS BIGINT) AS n_hits,
+          CAST(COUNT(a.qid) AS DOUBLE) / 5 AS recall
+        FROM exactp x LEFT JOIN approx a
+          ON x.probes = a.probes AND x.qid = a.qid AND x.vec_id = a.vec_id
+        GROUP BY x.probes, x.qid
+        ORDER BY x.probes, x.qid"""))
   )
 }

@@ -361,7 +361,8 @@ object StreamingOps {
       // as literal TRUE rows, one per (event_type, percentile).
       Some("""
         SELECT event_type, pct, TRUE AS rank_ok
-        FROM (SELECT DISTINCT event_type FROM events)
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE event_type IS NOT NULL)
         CROSS JOIN (SELECT CAST(0.5 AS DOUBLE) AS pct
                     UNION ALL SELECT CAST(0.95 AS DOUBLE))
         ORDER BY event_type, pct""")),
@@ -382,6 +383,27 @@ object StreamingOps {
           SELECT COUNT(*) AS n FROM events WHERE event_type IS NOT NULL)
         SELECT event_type, TRUE AS found, TRUE AS est_ok
         FROM c, t WHERE f * 5 > n
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st19_stream_gap_detect",
+      (s, dir) => EventStream.runGapDetect(s, dir),
+      // Timer-driven silence alerts (see [[EventStream.gapDetect]]):
+      // one data batch + the closing no-data batch means an alert
+      // fires iff the user's last event predates the final watermark
+      // (floor(max µs/1000) ms − 1 h) by more than the 2 h threshold
+      // — stated batch-side with identical integer ms arithmetic.
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        la AS (
+          SELECT user_id, MAX(us) AS last_us FROM ev GROUP BY user_id),
+        wm AS (
+          SELECT MAX(us) // 1000 - 3600000 AS w FROM ev)
+        SELECT user_id, last_us, w - (last_us // 1000) AS silent_ms
+        FROM la, wm
+        WHERE (last_us // 1000) + 7200000 < w
+        ORDER BY user_id"""))
   )
 }

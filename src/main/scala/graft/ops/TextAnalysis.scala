@@ -119,15 +119,22 @@ object TextAnalysis {
           lit(k1) * (lit(1.0) - lit(b) +
             lit(b) * (col("dl").cast("double") / col("avgdl")))),
       6)
-    val w = Window.orderBy(col("bm25").desc, col("doc_id"))
-    tf.join(dl, "doc_id")
+    val scored = tf.join(dl, "doc_id")
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), contrib.cast("decimal(18,6)").as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).cast("double").as("bm25"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
+    // Global top-K as orderBy+limit → TakeOrderedAndProject: each
+    // partition keeps a topK-sized heap and the driver merges heaps —
+    // never the full posting-list-sized candidate frame through one
+    // window task (the t11 plan discipline; an unpartitioned
+    // row_number here was the r11 scale-killer). rnk is then derived
+    // by a window whose input is the ≤topK survivor set only.
+    scored.orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
       .orderBy("rnk")
   }
 
@@ -416,6 +423,25 @@ object TextAnalysis {
     * repr-safe convention: digest + counts, never the text).
     */
   def bpeEncode(documents: DataFrame, merges: Int): DataFrame = {
+    val (words, vocab) = bpeWordsVocab(documents, merges)
+    words.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_tokens"),
+        md5(concat_ws("\u0001",
+          flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("syms")))),
+            p => p.getField("syms")))).cast("binary")).as("toks_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** The encode machinery t17/t19 share: per-document word positions
+    * and the distinct-word→token-sequence map after `merges` learned
+    * rounds ([[bpeInduce]]'s chain applied to the distinct-word table
+    * — the Zipf dedup — with each merge pair a plan literal).
+    */
+  private def bpeWordsVocab(documents: DataFrame,
+      merges: Int): (DataFrame, DataFrame) = {
     val ms = bpeInduce(documents, merges).orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2)))
     val words = documents.filter(col("text").isNotNull)
@@ -429,14 +455,37 @@ object TextAnalysis {
     val vocab = ms.foldLeft(vocab0) { case (v, (x, y)) =>
       v.select(col("w"), applyMerge(col("syms"), x, y).as("syms"))
     }
-    words.join(vocab, "w")
+    (words, vocab)
+  }
+
+  /** BPE DETOKENIZE round trip (t19) — the losslessness check t17
+    * never ran: decode every document's token sequence back to text
+    * and compare byte-for-byte with the canonical (whitespace-
+    * normalized, lowercased — exactly what the tokenizer consumed)
+    * input. BPE merges only ever CONCATENATE adjacent symbols, so a
+    * word decodes as the concatenation of its symbols and a document
+    * as its words joined by single spaces — if any merge rule or the
+    * greedy application were wrong, round_trip_ok would break, which
+    * is the q43–q45/q50 round-trip discipline applied to the
+    * tokenizer. Scale shape: identical to t17 (decode is one more
+    * projection over the distinct-word map; the comparison digests
+    * are per-doc scalars, the t13 repr-safe convention — the decoded
+    * text itself never leaves the executors).
+    */
+  def bpeRoundTrip(documents: DataFrame, merges: Int): DataFrame = {
+    val (words, vocab) = bpeWordsVocab(documents, merges)
+    val decoded = words.join(vocab, "w")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum(size(col("syms"))).as("n_tokens"),
-        md5(concat_ws("\u0001",
-          flatten(transform(
-            array_sort(collect_list(struct(col("pos"), col("syms")))),
-            p => p.getField("syms")))).cast("binary")).as("toks_digest"))
+      .agg(sum(size(col("syms"))).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          p => array_join(p.getField("syms"), ""))).as("dec"))
+    val canon = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", tokens(col("text"))).as("canon"))
+    decoded.join(canon, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("dec") === col("canon")).cast("int").as("round_trip_ok"),
+        md5(col("canon").cast("binary")).as("text_digest"))
       .orderBy("doc_id")
   }
 
@@ -1198,6 +1247,36 @@ object TextAnalysis {
                                doc_id) AS rnk
           FROM contrib GROUP BY doc_id)
         WHERE rnk <= 10
-        ORDER BY rnk"""))
+        ORDER BY rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t19_bpe_round_trip",
+      (s, dir) =>
+        // DETOKENIZE round trip (see [[bpeRoundTrip]]): decode t17's
+        // token sequences back to text; round_trip_ok must be 1 for
+        // every document (encode is lossless by construction — this
+        // VERIFIES it, per doc, against the canonical input).
+        bpeRoundTrip(docs(s, dir), merges = 5),
+      Some(s"""
+        WITH ${sqlBpeEncodeChain(5, "documents")},
+        dec AS (
+          SELECT doc_id,
+            CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+            array_to_string(
+              list(array_to_string(v.syms, '') ORDER BY pos), ' ')
+              AS dec
+          FROM wd JOIN v5 v USING (w)
+          GROUP BY doc_id),
+        canon AS (
+          SELECT doc_id,
+            array_to_string(
+              list_filter(string_split_regex(lower(text), '\\s+'),
+                          x -> len(x) > 0), ' ') AS canon
+          FROM documents WHERE text IS NOT NULL)
+        SELECT d.doc_id, d.n_tokens,
+          CAST(d.dec = c.canon AS INT) AS round_trip_ok,
+          md5(c.canon) AS text_digest
+        FROM dec d JOIN canon c USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }

@@ -519,6 +519,96 @@ object EventStream {
       }
   }
 
+  /** Gap-detector input: user key + event time (µs) + the watermarked
+    * ts column (must survive into the stateful operator's input —
+    * Spark's EventTimeTimeout requirement, the SEv rule).
+    */
+  final case class GEv(user_id: Long, us: Long, ts: java.sql.Timestamp)
+
+  /** A silence alert: the user went quiet — no event for more than the
+    * threshold, measured against the event-time watermark.
+    */
+  final case class GapAlert(user_id: Long, last_us: Long, silent_ms: Long)
+
+  /** Streaming gap/silence detector (st19) — the one GroupState-timer
+    * pattern the st01–st18 surface lacked: an operator that EMITS ON
+    * ABSENCE. Every other stateful op here reacts to events arriving;
+    * this one's output row exists precisely because NOTHING arrived —
+    * only a timer can produce it. Per user, state is the last-seen
+    * event time (one long); each event re-arms an EventTimeTimeout at
+    * last-seen + threshold, and if the watermark passes that point
+    * with no newer event the alert fires — carrying how long the
+    * source has been silent, measured against the watermark at fire
+    * time — and the state EVICTS in the same breath (no key outlives
+    * its alert). This is q61's gap-fill as a live operator: q61
+    * densifies missing hours after the fact; st19 raises "source went
+    * quiet" while the stream runs.
+    *
+    * Determinism: over a single-file AvailableNow run there is one
+    * data micro-batch, so timers fire in the closing no-data batch
+    * against the FINAL watermark (floor(max µs/1000) ms − 1 h, the
+    * sessionize constant) — an alert fires iff the user's LAST event
+    * predates watermark − threshold, which is exactly what the batch
+    * oracle states (in a long-running deployment the same operator
+    * also fires mid-stream, whenever a batch boundary lands inside a
+    * gap). State per key is one long, evicted on firing — bounded by
+    * ACTIVE users, not history.
+    */
+  def gapDetect(ds: Dataset[GEv], thresholdMs: Long): Dataset[GapAlert] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, GapAlert](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[GEv], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // The ABSENCE fired: watermark passed last-seen +
+            // threshold with no event. Alert and evict.
+            val lastUs = state.get
+            val silent = state.getCurrentWatermarkMs() - lastUs / 1000
+            state.remove()
+            Iterator.single(GapAlert(user, lastUs, silent))
+          } else {
+            val lastUs = math.max(
+              state.getOption.getOrElse(Long.MinValue),
+              evs.map(_.us).max)
+            state.update(lastUs)
+            // Re-arm: fire once the watermark passes last-seen +
+            // threshold (strict-< clamp, the sessionize discipline).
+            state.setTimeoutTimestamp(
+              math.max(lastUs / 1000 + thresholdMs,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Run the gap detector as a REAL streaming query (2 h silence
+    * threshold, 1 h watermark) and return the alerts. The oracle is
+    * the batch reconstruction: users whose last event sits more than
+    * the threshold before the final watermark, with the same
+    * silent-duration arithmetic in ms.
+    */
+  def runGapDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "st_gaps_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val evs = readStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[GEv]
+    withStreamShufflePartitions(spark, 8) {
+      val q = gapDetect(evs, thresholdMs = 7200000L)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemoryTable(spark, name, "user_id")
+  }
+
   /** Streaming per-type percentile sketch (st17) — the mergeable GK
     * sketch (q59's `PercentileSketchAgg`) reaching the streaming
     * surface: a streaming groupBy(event_type) aggregation whose state
@@ -547,6 +637,10 @@ object EventStream {
     withStreamShufflePartitions(spark, 8) {
       val q = readStream(spark, dir)
         .select(col("event_type"), col("value"))
+        // NULL event_type would key a sketch row the rank-check join
+        // drops while the oracle's DISTINCT emits it — filter both
+        // sides explicitly (st18/q60's convention).
+        .filter(col("event_type").isNotNull)
         .groupBy("event_type")
         .agg(sketch(col("value")).as("qs"))
         .writeStream
@@ -566,6 +660,7 @@ object EventStream {
     // column (q59's shape): the tiny sketch output broadcasts against
     // the values and is conditional-counted per (type, percentile).
     val ev = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull)
       .select(col("event_type"), col("value").as("x"))
     val epsCheck = 2 * eps
     ev.join(broadcast(sk), "event_type")

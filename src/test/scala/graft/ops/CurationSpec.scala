@@ -97,4 +97,68 @@ class CurationSpec extends SparkSpec {
       assert(b._4 <= a._3, s"stage ${b._1} max > stage ${a._1} min: $a $b")
     }
   }
+
+  test("packedCum equals the per-source running-sum window bit-for-bit") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // Three sources × 211 docs, token counts varied, and every 17th
+    // count NULL — the null-skip semantics (chunk-leading NULL must
+    // inherit the prior chunks' total; source-leading NULL stays
+    // NULL) are the subtle part of the two-pass equivalence.
+    val df = (for (s <- Seq("sa", "sb", "sc"); i <- 0 until 211)
+      yield (s, i.toLong, (i * 37) % 101))
+      .toDF("source", "doc_id", "n")
+      .withColumn("n",
+        when(col("doc_id") % 17 === 0, lit(null)).otherwise(col("n")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) Long.MinValue else r.getLong(2))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("cum", sum(col("n").cast("long")).over(w))
+      .select("source", "doc_id", "cum").collect().map(key).toMap
+    val got = Curation.packedCum(df, "n")
+      .select("source", "doc_id", "cum").collect().map(key).toMap
+    assert(got.size == expect.size)
+    assert(got == expect,
+      got.toSeq.sorted.zip(expect.toSeq.sorted)
+        .filter(p => p._1 != p._2).take(10).toString)
+  }
+
+  test("tileSlices reproduces NTILE boundaries for every n/k shape") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // Values with heavy ties (so runs span tile boundaries), sizes
+    // covering n<k, n=k, n%k!=0, n%k==0.
+    for (n <- Seq(2, 4, 10, 23, 96); k <- Seq(4, 8)) {
+      val rows = (0 until n).map(i => ((i * 7) % 5).toLong)
+      val df = rows.toDF("v")
+      val expect = df
+        .withColumn("stage",
+          ntile(k).over(Window.orderBy(col("v"))).cast("long"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val byVal = df.groupBy("v").agg(count(lit(1)).as("cnt"))
+      val withOff = byVal.as("a")
+        .join(broadcast(byVal.as("b")), col("b.v") < col("a.v"), "left")
+        .groupBy(col("a.v"), col("a.cnt"))
+        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+      val got = Curation.tileSlices(withOff, k)
+        .groupBy("stage")
+        .agg(sum(col("rows_in")).as("n_rows"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expect, s"n=$n k=$k: $got vs $expect")
+    }
+  }
 }

@@ -40,4 +40,54 @@ class MultimodalSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("m06: per-source card counts volume, formats, exact dups and near-dups") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("m06spec").toFile
+    try {
+      // srcA: an exact clone pair (dup_docs=1, both near-dup) + one
+      // odd-length doc; srcB: two distinct same-length payloads (a
+      // blocked pair that does NOT flag) + a null payload (skipped).
+      Seq(
+        (1L, "hello world", "srcA"),
+        (2L, "hello world", "srcA"), // exact clone of 1
+        (3L, "tiny", "srcA"),
+        (4L, "jello wurld", "srcB"), // same length as 1/2, diff bytes
+        (5L, "mello warld", "srcB"),
+        (6L, null.asInstanceOf[String], "srcB"))
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")).cast("long"))
+        .write.mode("overwrite")
+        .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+      val out = graft.SparkEntry
+        .queries("m06_multimodal_data_card")(spark, dir.getAbsolutePath)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+      // (n_payloads, total_bytes, n_formats, dup_docs, near_dup_docs)
+      val a = out("srcA")
+      assert(a._1 == 3 && a._2 == 11 + 11 + 4, a)
+      // clones share one format; doc 3 adds another unless its hash
+      // dims collide -> 1..2
+      assert(a._3 >= 1 && a._3 <= 2, a)
+      assert(a._4 == 1, a) // one exact dup (the clone)
+      assert(a._5 == 2, a) // both clone members are near-dup docs
+      val b = out("srcB")
+      assert(b._1 == 2 && b._2 == 22, b) // null payload skipped
+      assert(b._4 == 0, b)
+      // 4/5 pair with 1/2 by length but hash features ~never reach
+      // 0.999 for different payloads; 4-vs-5 likewise
+      assert(b._5 == 0, b)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

@@ -612,6 +612,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out(11L)._2 == Seq(255, 0), out(11L)._2)
   }
 
+  test("s22 recall curve: probes=1 equals s19; recall monotone in probes") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val curve = Similarity.annRecallCurve(e, k = 5, probesList = Seq(1, 2, 4, 8))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // one row per (probes, qid)
+    assert(curve.size == 4 * 5, curve)
+    // the probes=1 column of the curve IS s19's recall
+    val s19 = Similarity.annRecall(e, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for (q <- s19.keys)
+      assert(curve((1, q)) == s19(q), s"qid $q: ${curve((1, q))} vs ${s19(q)}")
+    // recall never decreases as probes widen (cells are disjoint —
+    // a deeper probe only ADDS candidates)
+    for (q <- 0L until 5L; Seq(p1, p2) <- Seq(1, 2, 4, 8).sliding(2))
+      assert(curve((p1, q)) <= curve((p2, q)),
+        s"qid $q: recall@$p1=${curve((p1, q))} > recall@$p2=${curve((p2, q))}")
+    // and widening probes genuinely helps somewhere on the real corpus
+    assert((0L until 5L).exists(q => curve((8, q)) > curve((1, q))), curve)
+  }
+
   test("chunked mean fold bounds per-group state on a 100k-member cluster") {
     val sparkS = spark
     import sparkS.implicits._

@@ -284,4 +284,35 @@ class TextAnalysisSpec extends SparkSpec {
     // below 3x the tf=1 contribution
     assert(got(3L)._2 == 1 && s1 < 3 * s2, (s1, s2, s3))
   }
+
+  test("t19 bpe round trip: every doc decodes back to its canonical text") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Mixed case + irregular whitespace: decode must reproduce the
+    // CANONICAL form (lowercased, single-space-joined) — exactly what
+    // the tokenizer consumed — and repeated words exercise the
+    // distinct-word map fan-out.
+    val df = Seq(
+      (1L, "Low low lower lowest"),
+      (2L, "  spaced\tout\n text  "),
+      (3L, "low lower low lower"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeRoundTrip(df, merges = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), got)
+    // losslessness: every document round-trips
+    assert(got.values.forall(_._2 == 1), got)
+    // the digest is of the canonical text, independent of merges
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L)._3 == md5hex("low low lower lowest"), got(1L))
+    assert(got(2L)._3 == md5hex("spaced out text"), got(2L))
+    // merges really applied: token count < character count
+    val chars1 = "lowlowlowerlowest".length
+    assert(got(1L)._1 < chars1, got(1L))
+  }
 }

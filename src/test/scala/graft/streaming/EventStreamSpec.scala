@@ -81,6 +81,53 @@ class EventStreamSpec extends SparkSpec {
       "two-run (restart) result differs from the uninterrupted run")
   }
 
+  test("gap detector fires MID-STREAM on silence, computes duration from " +
+      "the watermark, and evicts on firing") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000000
+    val baseUs = 86400L * 1000000 // away from the epoch-0 watermark
+    val input = MemoryStream[Ev]
+    val q = gapDetect(
+        input.toDS()
+          .withColumn("ts", expr("timestamp_micros(us)"))
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("us"), col("ts"))
+          .as[GEv],
+        thresholdMs = 7200000L)
+      .writeStream.format("memory").queryName("gaps_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // Batch 1: users 7 and 8 both active. No silence yet.
+    input.addData(Ev(1, 8, baseUs), Ev(2, 7, baseUs + hourUs / 2))
+    q.processAllAvailable()
+    assert(spark.table("gaps_test").count() == 0)
+
+    // Batch 2: user 7 returns at t=3h (re-arming its timer at 5h);
+    // watermark after the batch = 2h — user 8's 2h timer has NOT been
+    // strictly passed, so still no alert.
+    input.addData(Ev(3, 7, baseUs + 3 * hourUs))
+    q.processAllAvailable()
+    assert(spark.table("gaps_test").count() == 0)
+
+    // Batch 3: user 99 at t=10h pushes the watermark to 9h — BOTH
+    // stale timers fire mid-stream: user 8 silent since t=0 (9h),
+    // user 7 silent since t=3h (6h), durations measured against the
+    // watermark at fire time.
+    input.addData(Ev(4, 99, baseUs + 10 * hourUs))
+    q.processAllAvailable()
+    val alerts = spark.table("gaps_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(alerts == Set(
+      (8L, baseUs, 9L * 3600000),
+      (7L, baseUs + 3 * hourUs, 6L * 3600000)), alerts)
+    // fired keys EVICTED: only user 99's state row remains
+    assert(EventStream.lastStateRows(q) == 1,
+      s"expected 1 state row, got ${EventStream.lastStateRows(q)}")
+    q.stop()
+  }
+
   test("streaming GK sketch per type satisfies the rank contract vs batch") {
     val dir = "/root/testdata/sf0.001"
     val rows = runPercentiles(spark, dir).collect()
