@@ -21,7 +21,8 @@ object ScaleSmoke {
       |  ttl [chunks]  st11 state size per micro-batch at sf0.1
       |  stjoin [chunks]  st03 interval-join state per micro-batch at sf0.1
       |  sessions [chunks]  st02/st13 session state per micro-batch at sf0.1
-      |  text [f]      d15 removal + t17 BPE encode on documents ×1 and ×f""".stripMargin
+      |  text [f]      d15 removal + t17 BPE encode on documents ×1 and ×f
+      |  curation [f]  c04/c10/c11 de-weaked plans vs window forms ×1 and ×f""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -501,8 +502,97 @@ object ScaleSmoke {
     docsN.unpersist()
   }
 
+  /** `runMain graft.ScaleSmoke curation [factor]`: the round-12
+    * de-weaked curation plans on a ×factor corpus — c04's two-pass
+    * packing prefix sum and c10/c11's distinct-value-table NTILE
+    * boundaries, measured at ×1 and ×factor beside the single-window
+    * formulations they replaced (the r11 verdict's scale-killers:
+    * every row through one global or per-source sort task). The new
+    * plans should scale ~linearly with full parallelism; the old
+    * ones serialize.
+    */
+  def runCuration(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.{tokens, qualitySignals, qualityScore}
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "source", "text")
+    val docsN = scaled(docs1, "doc_id", factor).cache()
+    println(s"[curation] documents: ${docsN.count()} rows (×$factor)")
+    // The replaced formulations, verbatim, for the comparison only.
+    def windowPacking(d: DataFrame) = {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+        .withColumn("bin_id", expr("(cum - n_tokens) div 4096"))
+        .groupBy("source", "bin_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens"))
+    }
+    def ntileStages(d: DataFrame) = d
+      .filter(col("text").isNotNull)
+      .withColumn("toks", tokens(col("text")))
+      .select(Seq(col("doc_id")) ++
+        qualitySignals(col("text"), col("toks")): _*)
+      .filter(col("n_tokens") >= 1)
+      .withColumn("q", round(qualityScore(col("n_chars"),
+        col("n_tokens"), col("n_stop"), col("n_punct")), 6))
+      .withColumn("stage", org.apache.spark.sql.functions.ntile(4).over(
+        Window.orderBy(col("q").desc, col("doc_id"))))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"))
+    for ((d, tag) <- Seq((docs1, "x1"), (docsN, s"x$factor"))) {
+      time(s"c04 packing two-pass $tag")(
+        ops.Curation.packingManifest(d)
+          .write.format("noop").mode("overwrite").save())
+      time(s"c04 packing window   $tag")(
+        windowPacking(d).write.format("noop").mode("overwrite").save())
+      time(s"c10 stages tileSlices $tag")(
+        ops.Curation.curriculumStages(d)
+          .write.format("noop").mode("overwrite").save())
+      time(s"c10 stages ntile      $tag")(
+        ntileStages(d).write.format("noop").mode("overwrite").save())
+      time(s"c11 shards $tag")(
+        ops.Curation.zorderShards(d)
+          .write.format("noop").mode("overwrite").save())
+    }
+    // The STRUCTURAL metric smoke-scale wall-clock cannot show (at
+    // 100k in-memory rows a single sort task is trivially fast):
+    // rows through the LARGEST single window task. The old forms
+    // funnel the whole corpus (global ntile) or a whole source (the
+    // per-source packing window) through ONE task — linear in corpus
+    // — while the new forms bound it by chunk (corpus/parallelism)
+    // or by the bounded value domain, independent of corpus size.
+    val n = docsN.count()
+    val maxSource = docsN.groupBy("source").count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    val p = spark.sparkContext.defaultParallelism
+    val qTab = docsN.filter(col("text").isNotNull)
+      .withColumn("toks",
+        graft.functions.TextFunctions.tokens(col("text")))
+      .select(graft.functions.TextFunctions
+        .qualitySignals(col("text"), col("toks")): _*)
+      .filter(col("n_tokens") >= 1)
+      .select(round(graft.functions.TextFunctions.qualityScore(
+        col("n_chars"), col("n_tokens"), col("n_stop"), col("n_punct")),
+        6).as("q"))
+      .groupBy("q").count()
+    val qValues = qTab.count()
+    val maxBucket = qTab.groupBy(floor(col("q") * 1000)).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    println(s"[curation] max rows through ONE window task at x$factor:")
+    println(s"[curation]   c04 window (per source):  $maxSource  — grows with corpus")
+    println(s"[curation]   c04 two-pass (per chunk): ~${n / p}  — corpus/parallelism")
+    println(s"[curation]   c10 ntile (global):       $n  — the whole corpus")
+    println(s"[curation]   c10 tileSlices (bucket):  $maxBucket of $qValues distinct" +
+      " 6-dp values — bounded by the value domain, not the corpus")
+    docsN.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
-    val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions", "text")
+    val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
+      "text", "curation")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -529,6 +619,7 @@ object ScaleSmoke {
         case "stjoin" => 30
         case "sessions" => 30
         case "text" => 20
+        case "curation" => 20
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -548,6 +639,7 @@ object ScaleSmoke {
     if (mode == "stjoin") { runStJoin(spark, factor); spark.stop(); return }
     if (mode == "sessions") { runSessionsScale(spark, factor); spark.stop(); return }
     if (mode == "text") { runText(spark, factor); spark.stop(); return }
+    if (mode == "curation") { runCuration(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)

@@ -169,7 +169,7 @@ object Curation {
     // ----------------------------------------------------------------
     Q(
       "c04_sequence_packing",
-      (s, dir) => {
+      (s, dir) =>
         // Pack docs into 4096-token bins per source: running token
         // total in deterministic doc_id order; a doc's bin is the
         // budget-quotient of the tokens packed before it. Output is
@@ -177,17 +177,7 @@ object Curation {
         // running total is [[packedCum]]'s two-pass parallel prefix
         // sum, not a per-source window — the oracle states the same
         // semantics as one SQL window (identical by associativity).
-        packedCum(
-          docs(s, dir)
-            .withColumn("n_tokens", size(tokens(col("text"))))
-            .select(col("source"), col("doc_id"), col("n_tokens")),
-          "n_tokens")
-          .withColumn("bin_id", expr("(cum - n_tokens) div 4096"))
-          .groupBy("source", "bin_id")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).cast("long").as("bin_tokens"))
-          .orderBy("source", "bin_id")
-      },
+        packingManifest(docs(s, dir)),
       Some("""
         WITH tok AS (
           SELECT source, doc_id,
@@ -470,39 +460,7 @@ object Curation {
         // Determinism: quality is engine-identical doubles
         // (integer-ratio arithmetic), rounded to 6 dp before the
         // decimal-exact stage sums.
-        val qv = docs(s, dir)
-          .filter(col("text").isNotNull)
-          .withColumn("toks", tokens(col("text")))
-          .select(Seq(col("doc_id")) ++
-            qualitySignals(col("text"), col("toks")): _*)
-          .filter(col("n_tokens") >= 1)
-          .select(round(qualityScore(col("n_chars"), col("n_tokens"),
-            col("n_stop"), col("n_punct")), 6).as("q"))
-        val byVal = qv.groupBy("q").agg(count(lit(1)).as("cnt"))
-          .withColumn("qb", floor(col("q") * 1000).cast("int"))
-        val bTot = byVal.groupBy("qb").agg(sum(col("cnt")).as("btot"))
-        // DESC order: a bucket's offset is the mass of HIGHER buckets
-        val bOff = bTot.as("a")
-          .join(broadcast(bTot.as("b")), col("b.qb") > col("a.qb"), "left")
-          .groupBy(col("a.qb"))
-          .agg(coalesce(sum(col("b.btot")), lit(0L)).as("boff"))
-        val wIn = Window.partitionBy(col("qb")).orderBy(col("q").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val withOff = byVal.join(broadcast(bOff), "qb")
-          .withColumn("off",
-            col("boff") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
-          .select(col("q"), col("cnt"), col("off"))
-        tileSlices(withOff, 4)
-          .groupBy("stage")
-          .agg(
-            sum(col("rows_in")).as("n_docs"),
-            min(col("q")).as("min_q"),
-            max(col("q")).as("max_q"),
-            (sum(col("q").cast("decimal(16,6)") * col("rows_in"))
-              .cast("double") / sum(col("rows_in"))).as("avg_q"))
-          .select(col("stage").cast("int").as("stage"), col("n_docs"),
-            col("min_q"), col("max_q"), col("avg_q"))
-          .orderBy("stage")
+        curriculumStages(docs(s, dir))
       },
       Some(s"""
         WITH c AS (
@@ -548,38 +506,7 @@ object Curation {
         // integer arithmetic — div/mod bit extraction, identical in
         // both engines; the encode/decode bijection is
         // property-tested in CurationSpec.
-        val b = docs(s, dir)
-          .filter(col("text").isNotNull)
-          .withColumn("toks", tokens(col("text")))
-          .select(Seq(col("doc_id")) ++
-            qualitySignals(col("text"), col("toks")): _*)
-          .filter(col("n_tokens") >= 1)
-          .select(col("doc_id"),
-            least(floor(col("n_chars") / 128), lit(15)).cast("int")
-              .as("bx"),
-            least(floor(
-              round(qualityScore(col("n_chars"), col("n_tokens"),
-                col("n_stop"), col("n_punct")), 6) * 16), lit(15))
-              .cast("int").as("by"))
-          .withColumn("z", expr(zFormula("div")))
-        val byVal = b.groupBy("z", "bx", "by")
-          .agg(count(lit(1)).as("cnt"))
-        // ASC order: a value's offset is the mass of LOWER z values —
-        // a ≤256×256 broadcast non-equi self-join, corpus-independent
-        val withOff = byVal.as("a")
-          .join(broadcast(byVal.as("b")), col("b.z") < col("a.z"), "left")
-          .groupBy(col("a.z"), col("a.bx"), col("a.by"), col("a.cnt"))
-          .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
-        tileSlices(withOff, 8)
-          .groupBy("stage")
-          .agg(sum(col("rows_in")).as("n_docs"),
-            min(col("z")).as("min_z"), max(col("z")).as("max_z"),
-            min(col("bx")).as("min_bx"), max(col("bx")).as("max_bx"),
-            min(col("by")).as("min_by"), max(col("by")).as("max_by"))
-          .select(col("stage").cast("int").as("shard"), col("n_docs"),
-            col("min_z"), col("max_z"), col("min_bx"), col("max_bx"),
-            col("min_by"), col("max_by"))
-          .orderBy("shard")
+        zorderShards(docs(s, dir))
       },
       Some(s"""
         WITH c AS (
@@ -704,6 +631,113 @@ object Curation {
         when(col("lcnt") + col("offcnt") > 0,
           coalesce(col("lcum"), lit(0L)) + col("off")))
       .drop("chunk", "lcum", "lcnt", "off", "offcnt")
+  }
+
+  /** c04's packing manifest from a (doc_id, source, text) frame —
+    * 4096-token bins per source in doc_id order, running total via
+    * [[packedCum]]. Named so ScaleSmoke can drive it on scaled
+    * corpora.
+    */
+  def packingManifest(documents: DataFrame): DataFrame =
+    packedCum(
+      documents
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .select(col("source"), col("doc_id"), col("n_tokens")),
+      "n_tokens")
+      .withColumn("bin_id", expr("(cum - n_tokens) div 4096"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("bin_tokens"))
+      .orderBy("source", "bin_id")
+
+  /** c10's curriculum-stage manifest — quality-ordered NTILE(4) cut
+    * computed from the bounded 6-dp distinct-value table via
+    * [[tileSlices]] (no corpus-wide sort or window anywhere; see the
+    * c10 registration comment for the full scale story).
+    */
+  def curriculumStages(documents: DataFrame): DataFrame = {
+    val qv = documents
+      .filter(col("text").isNotNull)
+      .withColumn("toks", tokens(col("text")))
+      .select(Seq(col("doc_id")) ++
+        qualitySignals(col("text"), col("toks")): _*)
+      .filter(col("n_tokens") >= 1)
+      .select(round(qualityScore(col("n_chars"), col("n_tokens"),
+        col("n_stop"), col("n_punct")), 6).as("q"))
+    // The distinct-value table is consumed by FIVE branches (bucket
+    // totals ×2 via the self-join, the offset join, and tileSlices'
+    // total + main) — materialize the ONE corpus-scale reduction once
+    // or every branch re-runs the quality scan (measured 17.6 s → 3 s
+    // at ×20 in ScaleSmoke curation). The table is domain-bounded
+    // (≤ 1e6+1 six-dp values), so the checkpoint is tiny.
+    val byVal = qv.groupBy("q").agg(count(lit(1)).as("cnt"))
+      .withColumn("qb", floor(col("q") * 1000).cast("int"))
+      .localCheckpoint()
+    val bTot = byVal.groupBy("qb").agg(sum(col("cnt")).as("btot"))
+    // DESC order: a bucket's offset is the mass of HIGHER buckets
+    val bOff = bTot.as("a")
+      .join(broadcast(bTot.as("b")), col("b.qb") > col("a.qb"), "left")
+      .groupBy(col("a.qb"))
+      .agg(coalesce(sum(col("b.btot")), lit(0L)).as("boff"))
+    val wIn = Window.partitionBy(col("qb")).orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = byVal.join(broadcast(bOff), "qb")
+      .withColumn("off",
+        col("boff") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+      .select(col("q"), col("cnt"), col("off"))
+    tileSlices(withOff, 4)
+      .groupBy("stage")
+      .agg(
+        sum(col("rows_in")).as("n_docs"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"),
+        (sum(col("q").cast("decimal(16,6)") * col("rows_in"))
+          .cast("double") / sum(col("rows_in"))).as("avg_q"))
+      .select(col("stage").cast("int").as("stage"), col("n_docs"),
+        col("min_q"), col("max_q"), col("avg_q"))
+      .orderBy("stage")
+  }
+
+  /** c11's z-order shard manifest — windowless NTILE(8) cut over the
+    * ≤256-value z table via [[tileSlices]] (see the c11 registration
+    * comment).
+    */
+  def zorderShards(documents: DataFrame): DataFrame = {
+    val b = documents
+      .filter(col("text").isNotNull)
+      .withColumn("toks", tokens(col("text")))
+      .select(Seq(col("doc_id")) ++
+        qualitySignals(col("text"), col("toks")): _*)
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"),
+        least(floor(col("n_chars") / 128), lit(15)).cast("int")
+          .as("bx"),
+        least(floor(
+          round(qualityScore(col("n_chars"), col("n_tokens"),
+            col("n_stop"), col("n_punct")), 6) * 16), lit(15))
+          .cast("int").as("by"))
+      .withColumn("z", expr(zFormula("div")))
+    // ≤256 rows consumed by four branches — materialize the one
+    // corpus-scale reduction once (the c10 discipline).
+    val byVal = b.groupBy("z", "bx", "by")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // ASC order: a value's offset is the mass of LOWER z values —
+    // a ≤256×256 broadcast non-equi self-join, corpus-independent
+    val withOff = byVal.as("a")
+      .join(broadcast(byVal.as("b")), col("b.z") < col("a.z"), "left")
+      .groupBy(col("a.z"), col("a.bx"), col("a.by"), col("a.cnt"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    tileSlices(withOff, 8)
+      .groupBy("stage")
+      .agg(sum(col("rows_in")).as("n_docs"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"),
+        min(col("bx")).as("min_bx"), max(col("bx")).as("max_bx"),
+        min(col("by")).as("min_by"), max(col("by")).as("max_by"))
+      .select(col("stage").cast("int").as("shard"), col("n_docs"),
+        col("min_z"), col("max_z"), col("min_bx"), col("max_bx"),
+        col("min_by"), col("max_by"))
+      .orderBy("shard")
   }
 
   /** The 8-bit Morton interleave of two 4-bit buckets as pure

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -134,17 +135,29 @@ object Multimodal {
             sqrt(dot(col("b.v"), col("b.v")))), 6).as("cos_sim"))
   }
 
+  /** feats[i] = ((h >>> 8i) & 0xff)/128 - 1, restated per byte field
+    * of the HUGEINT residue — the DuckDB form of the stub features.
+    */
+  private val sqlFeatsList: String = (0 until 8).map { i =>
+    val div = java.math.BigInteger.valueOf(256L).pow(i)
+    s"(hv // CAST('$div' AS HUGEINT)) % 256 / 128.0 - 1.0"
+  }.mkString("[", ",\n             ", "]")
+
+  /** The 8-bit feature sign code in DuckDB: bit i set iff feature i
+    * ≥ 0 ⇔ its residue byte ≥ 128 (features are exact 1/128-
+    * multiples, so the sign test is integer-exact on both engines).
+    */
+  private val sqlSigExpr: String = (0 until 8).map { i =>
+    val div = java.math.BigInteger.valueOf(256L).pow(i)
+    s"CASE WHEN (hv // CAST('$div' AS HUGEINT)) % 256 >= 128 THEN ${1 << i} ELSE 0 END"
+  }.mkString(" + ")
+
   /** DuckDB restatement of [[featurePairFrame]] as CTEs `f` (feature
     * vectors per byte field of the decode residue) + `pairs` — append
     * after [[sqlDecodeAcc]]. Shared by the m05 and m06 oracles.
     */
   private val sqlFeaturePairsCtes: String = {
-    // feats[i] = ((h >>> 8i) & 0xff)/128 - 1, restated per byte
-    // field of the HUGEINT residue.
-    val feats = (0 until 8).map { i =>
-      val div = java.math.BigInteger.valueOf(256L).pow(i)
-      s"(hv // CAST('$div' AS HUGEINT)) % 256 / 128.0 - 1.0"
-    }.mkString("[", ",\n             ", "]")
+    val feats = sqlFeatsList
     s"""f AS (
           SELECT doc_id, n_bytes,
             $feats AS v
@@ -407,6 +420,102 @@ object Multimodal {
         JOIN uniq u USING (source)
         JOIN formats f USING (source)
         LEFT JOIN nd USING (source)
-        ORDER BY s.source"""))
+        ORDER BY s.source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m07_perceptual_neardup",
+      (s, dir) => {
+        // PERCEPTUAL near-dup audit — the size-INDEPENDENT tier m05
+        // lacks: m05 blocks on payload byte length, so the same
+        // content re-encoded at a different size is invisible to it.
+        // Here blocking uses the DECODED representation instead — the
+        // (width, height) format block, with an 8-bit sign code over
+        // the feature vector (the s14/SRP binary-signature idea
+        // applied to the perceptual embedding) carried as the
+        // candidate gate — and the report is each format block's BEST
+        // pair by feature cosine with its sig-match and is_dup
+        // verdicts: the audit a multimodal dedup pass reads to decide
+        // whether a format family needs the expensive tier. With a
+        // REAL decoder a re-encoded image keeps its dims and feature
+        // signs and lands in the same block regardless of file size;
+        // the stub's features are byte-derived, so only byte-exact
+        // clones reach cos 1.0 here — the oracle checks the machinery
+        // (blocking, signature, verify, per-block ranking); the
+        // decoder swap point is m02's. Scale shape: signature is a
+        // pure projection; the self-join is an equi-join on the
+        // format key with per-block populations bounded by format
+        // cardinality (and in production the sig joins the block key
+        // — 65k+ keys — exactly as the gate column shows); the best
+        // pair is one partitioned window.
+        val spark = s
+        import spark.implicits._
+        graft.functions.VectorExpressions.register(s)
+        val dec = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .filter(col("payload").isNotNull)
+          .as[Blob]
+          .mapPartitions(_.grouped(64).flatMap(b => fakeDecodeBatch(b)))
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            transform(col("features"), x => x.cast("double")).as("v"))
+        val signC = (0 until 8).map(i =>
+          when(element_at(col("v"), i + 1) >= 0, lit(1 << i))
+            .otherwise(lit(0))).reduce(_ + _).cast("int")
+        val sig = dec.withColumn("sig", signC)
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          graft.functions.VectorExpressions.dot(a, b)
+        val w = Window.partitionBy(col("width"), col("height"))
+          .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
+        sig.as("a").join(sig.as("b"),
+            col("a.width") === col("b.width") &&
+              col("a.height") === col("b.height") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .filter(dot(col("a.v"), col("a.v")) > 0 &&
+            dot(col("b.v"), col("b.v")) > 0)
+          .select(col("a.width").as("width"), col("a.height").as("height"),
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            (col("a.sig") === col("b.sig")).cast("int").as("sig_match"),
+            round(dot(col("a.v"), col("b.v")) /
+              (sqrt(dot(col("a.v"), col("a.v"))) *
+                sqrt(dot(col("b.v"), col("b.v")))), 6).as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("width"), col("height"), col("doc_a"), col("doc_b"),
+            col("sig_match"), col("cos_sim"),
+            (col("cos_sim") >= 0.999).cast("int").as("is_dup"))
+          .orderBy("width", "height")
+      },
+      Some(s"""
+        WITH $sqlDecodeAcc,
+        f AS (
+          SELECT doc_id,
+            CAST(16 + (hv % 16) * 16 AS INT) AS width,
+            CAST(16 + ((hv // 16) % 16) * 16 AS INT) AS height,
+            $sqlFeatsList AS v,
+            CAST($sqlSigExpr AS INT) AS sig
+          FROM acc),
+        pairs AS (
+          SELECT a.width, a.height,
+            a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(a.sig = b.sig AS INT) AS sig_match,
+            ROUND(
+              list_sum(list_transform(list_zip(a.v, b.v),
+                                      p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+              AS cos_sim
+          FROM f a JOIN f b
+            ON a.width = b.width AND a.height = b.height
+            AND a.doc_id < b.doc_id
+          WHERE list_sum(list_transform(a.v, x -> x * x)) > 0
+            AND list_sum(list_transform(b.v, x -> x * x)) > 0)
+        SELECT width, height, doc_a, doc_b, sig_match, cos_sim,
+          CAST(cos_sim >= 0.999 AS INT) AS is_dup
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY width, height
+            ORDER BY cos_sim DESC, doc_a, doc_b) AS rn
+          FROM pairs)
+        WHERE rn = 1
+        ORDER BY width, height"""))
   )
 }

@@ -147,6 +147,54 @@ object SourceSinks {
       Some("""
         SELECT n_nationkey, n_name, n_regionkey
         FROM nation
-        ORDER BY n_nationkey"""))
+        ORDER BY n_nationkey""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q63_bucketed_join",
+      (s, dir) => {
+        // Bucketed CO-LOCATED join — the table-LAYOUT optimization
+        // for repeated 100 TB fact-fact joins: both sides bucketed
+        // (and sorted) by the join key into the same bucket count, so
+        // the SortMergeJoin reads bucket i of each side in task i
+        // with ZERO join-side Exchange (plan-pinned; the merge hint
+        // keeps the small-SF side from degenerating to a broadcast,
+        // which would hide the property under test — at real scale
+        // neither fact side broadcasts anyway). Bucketed copies are
+        // written once per session+SF (ivfSq8TrainShared's shared-
+        // artifact discipline); a deployment maintains them as the
+        // table's standing layout, amortized over every consumer.
+        import D.{dbl, m, r}
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val lt = s"li_bucketed_$tag"
+        val ot = s"ord_bucketed_$tag"
+        this.synchronized {
+          if (!s.catalog.tableExists(lt)) {
+            t(s, dir)("lineitem")
+              .select(col("l_orderkey"), col("l_extendedprice"),
+                col("l_discount"))
+              .write.format("parquet").bucketBy(8, "l_orderkey")
+              .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
+            t(s, dir)("orders")
+              .select(col("o_orderkey"), col("o_orderpriority"))
+              .write.format("parquet").bucketBy(8, "o_orderkey")
+              .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
+          }
+        }
+        s.table(lt).hint("merge")
+          .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            dbl(sum(m(col("l_extendedprice")) *
+              (lit(1) - r(col("l_discount"))))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+            AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 }

@@ -90,4 +90,42 @@ class MultimodalSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("m07: perceptual blocking needs no byte-length match; only true clones emit") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("m07spec").toFile
+    try {
+      Seq(
+        (1L, "hello world"),
+        (2L, "hello world"), // clone: same dims, same sign code, cos 1.0
+        (3L, "jello wurld"), // same byte LENGTH, different content
+        (4L, "tiny"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("src1"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")).cast("long"))
+        .write.mode("overwrite")
+        .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+      val rows = graft.SparkEntry
+        .queries("m07_perceptual_neardup")(spark, dir.getAbsolutePath)
+        .collect()
+        .map(r => ((r.getLong(2), r.getLong(3)),
+          (r.getInt(4), r.getDouble(5), r.getInt(6))))
+      // the clone pair tops its format block: cos 1.0, matching sign
+      // codes, flagged dup — blocked WITHOUT any byte-length key
+      val clone = rows.toMap.get((1L, 2L))
+      assert(clone.contains((1, 1.0, 1)), rows.toSeq)
+      // no other best-pair reaches the dup verdict (same-length noise
+      // included): only byte-exact content flags
+      assert(rows.count(_._2._3 == 1) == 1, rows.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

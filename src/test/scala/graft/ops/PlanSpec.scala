@@ -170,6 +170,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q63: bucketed co-located join plans with no join-side exchange") {
+    val p = plan("q63_bucketed_join")
+    // both sides bucketed+sorted by the join key: SortMergeJoin reads
+    // bucket i of each side in task i — the ONLY hash exchange in the
+    // plan is the tiny post-join aggregation
+    assert(p.contains("SortMergeJoin"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected only the post-join agg exchange, got $exchanges\n$p")
+  }
+
   test("t19: decode reuses the distinct-word map; no cartesian at any seam") {
     val p = plan("t19_bpe_round_trip")
     // the merge chain applies to the DISTINCT-word table (t17's pin)
@@ -187,6 +198,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     // per-(probes, qid) top-k bounded below the shuffle
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("m07: perceptual block join stays equi on (dims, sig); no cartesian") {
+    val p = plan("m07_perceptual_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
   test("m06: card branches aggregate without Expand; no cartesian") {
