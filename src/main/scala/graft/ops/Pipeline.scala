@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -409,7 +410,77 @@ object Pipeline {
           bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
             AS digest
         FROM g GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "p07_incremental_refresh",
+      (s, dir) => {
+        // Incremental corpus REFRESH — the ingest-side composition
+        // s20/s23 mirror on the index side: a new delta (d10's src19
+        // batch convention) flows through content-hash dedup against
+        // the EXISTING corpus, within-batch dedup, and the t02
+        // quality gate, and the output is the refresh audit a daily
+        // ingest run reports: how much of the delta was admitted and
+        // why the rest was dropped, with token mass per verdict.
+        // Rejection precedence (already-in-corpus ≻ duplicate-within-
+        // batch ≻ low-quality) is stated identically in the oracle.
+        // Scale shape: the corpus side ships ONLY distinct 32-char
+        // hashes (d10's rule — the batch never rescans corpus text);
+        // within-batch dedup is a window keyed by content hash (group
+        // size = duplicate family size); quality is map-side; the
+        // audit aggregate map-side-combines.
+        val d = Tables.load(s, dir, "documents")
+        val index = d.filter(col("source") =!= "src19")
+          .select(md5(col("text")).as("h")).distinct()
+          .withColumn("seen", lit(1))
+        val wDup = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        val batch = d.filter(col("source") === "src19")
+          .filter(col("text").isNotNull)
+          .withColumn("toks", tokens(col("text")))
+          .select(Seq(col("doc_id"), md5(col("text")).as("h")) ++
+            qualitySignals(col("text"), col("toks")): _*)
+          .withColumn("q", when(col("n_tokens") >= 1,
+            round(qualityScore(col("n_chars"), col("n_tokens"),
+              col("n_stop"), col("n_punct")), 6)).otherwise(lit(0.0)))
+        batch.join(broadcast(index), Seq("h"), "left")
+          .withColumn("rn", row_number().over(wDup))
+          .select(col("n_tokens"),
+            when(col("seen") === 1, "dup_vs_base")
+              .when(col("rn") > 1, "dup_within")
+              .when(col("q") < 0.5, "low_quality")
+              .otherwise("admitted").as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"))
+          .orderBy("status")
+      },
+      Some(s"""
+        WITH index_h AS (
+          SELECT DISTINCT md5(text) AS h
+          FROM documents WHERE source <> 'src19'),
+        b0 AS (
+          SELECT doc_id, md5(text) AS h,
+            ${graft.functions.TextFunctions.sqlQualitySignals}
+          FROM documents
+          WHERE source = 'src19' AND text IS NOT NULL),
+        bq AS (
+          SELECT doc_id, h, n_tokens,
+            CASE WHEN n_tokens >= 1
+              THEN ROUND(${graft.functions.TextFunctions.sqlQuality}, 6)
+              ELSE 0.0 END AS q,
+            ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          FROM b0),
+        st AS (
+          SELECT n_tokens,
+            CASE WHEN h IN (SELECT h FROM index_h) THEN 'dup_vs_base'
+              WHEN rn > 1 THEN 'dup_within'
+              WHEN q < 0.5 THEN 'low_quality'
+              ELSE 'admitted' END AS status
+          FROM bq)
+        SELECT status, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM st GROUP BY status
+        ORDER BY status"""))
   )
 
   /** The release/export step (p06): the gated corpus WRITTEN as a

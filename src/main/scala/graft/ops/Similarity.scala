@@ -2646,6 +2646,73 @@ object Similarity {
         FROM exactp x LEFT JOIN approx a
           ON x.probes = a.probes AND x.qid = a.qid AND x.vec_id = a.vec_id
         GROUP BY x.probes, x.qid
-        ORDER BY x.probes, x.qid"""))
+        ORDER BY x.probes, x.qid""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s23_tombstoned_topk",
+      (s, dir) => {
+        // DELETE without retraining — s20's append counterpart,
+        // closing the index lifecycle: a tombstone set (every 9th
+        // vector, the deletion delta) drops out of search WITHOUT
+        // touching the trained layout — coarse centroids stay the
+        // FULL base's (no retrain; exactly how a deployed index
+        // absorbs deletions until compaction) and the dead ids are
+        // removed by an anti-join gate on the candidate side BEFORE
+        // ranking (s21's pre-filter discipline, negated), so the full
+        // k survivors are guaranteed and a deleted vector can never
+        // resurface. Scale: the gate is a vec_id anti-join
+        // (broadcastable — deletion deltas are small); the search is
+        // s03/s09's audited probe machinery unchanged.
+        val e = emb(s, dir)
+        val tomb = e.filter(col("vec_id") % 9 === 0)
+          .select(col("vec_id").as("dead_id"))
+        val live = e.join(broadcast(tomb),
+          col("vec_id") === col("dead_id"), "left_anti")
+        val queries = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        ivfTopk(live, queries, k = 5, probes = 2,
+          centroidsOpt = Some(seedCentroids(e)))
+          .orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM dims GROUP BY label, dim)
+          GROUP BY label),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        probe AS (
+          SELECT qid, qv, label AS probe_label FROM (
+            SELECT q.qid, q.qv, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 2),
+        scored AS (
+          SELECT p.qid, p.probe_label, e.vec_id,
+            ROUND(list_sum(list_transform(list_zip(p.qv, e.v), pr -> pr[1]*pr[2])) /
+              (sqrt(list_sum(list_transform(p.qv, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos_sim
+          FROM e JOIN probe p
+            ON e.label = p.probe_label AND e.vec_id <> p.qid
+          WHERE e.vec_id % 9 <> 0)
+        SELECT qid, probe_label, vec_id, cos_sim, rnk FROM (
+          SELECT qid, probe_label, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk"""))
   )
 }

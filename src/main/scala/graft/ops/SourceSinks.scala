@@ -169,6 +169,16 @@ object SourceSinks {
         val ot = s"ord_bucketed_$tag"
         this.synchronized {
           if (!s.catalog.tableExists(lt)) {
+            // A previous SESSION's managed location can linger in the
+            // warehouse dir while this session's in-memory catalog
+            // starts empty — CTAS refuses a non-empty location, so
+            // clear leftovers first.
+            val wh = new java.net.URI(
+              s.conf.get("spark.sql.warehouse.dir")).getPath
+            Seq(lt, ot).foreach { n =>
+              val f = new File(wh, n)
+              if (f.exists()) deleteRecursively(f)
+            }
             t(s, dir)("lineitem")
               .select(col("l_orderkey"), col("l_extendedprice"),
                 col("l_discount"))

@@ -215,6 +215,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("p07: refresh joins the broadcast hash index; dedup window keyed by hash") {
+    val p = plan("p07_incremental_refresh")
+    // the corpus side ships only distinct hashes, broadcast (d10's rule)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // within-batch dedup runs per content-hash family, never globally
+    assert(p.contains("windowspecdefinition(h#"), p)
+    val specs = windowSpecPrefixes(p)
+    assert(specs.forall(s => !(s.contains(" ASC") || s.contains(" DESC"))),
+      s"unpartitioned window present: $specs\n$p")
+  }
+
+  test("s23: tombstone gate is a broadcast anti-join ahead of the probe search") {
+    val p = plan("s23_tombstoned_topk")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-query top-k bounded below the shuffle, as in s09
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("d16: edit-distance verify joins stay equi; only fixed prefixes ship") {
     val p = plan("d16_editdist_neardup")
     // candidate generation and the prefix joins must never plan a
