@@ -531,7 +531,67 @@ object Curation {
           MIN(by) AS min_by, MAX(by) AS max_by
         FROM sh
         GROUP BY shard
-        ORDER BY shard"""))
+        ORDER BY shard""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c12_mixture_schedule",
+      (s, dir) => {
+        // Deterministic STRIDE schedule — the training-order schedule
+        // the c06 mixture weights imply: each source advances through
+        // its docs at stride 1/w (lottery/stride scheduling: doc r of
+        // a source schedules at key (2r−1)/(2w)), so heavier sources
+        // interleave proportionally more often, reproducibly, with
+        // NO randomness. Output is the head of the global schedule (a
+        // batch-construction preview); a trainer consumes the same
+        // ordering streamed. Scale shape: per-source ranks come from
+        // [[packedCum]] counting (chunk-parallel two-pass — NOT a
+        // per-source window), the global head is orderBy+limit →
+        // TakeOrderedAndProject (per-partition heaps), and pos is
+        // derived on the ≤50 survivors (the t18 discipline).
+        // Determinism: key = ratio of small exact integers — one
+        // IEEE division, identical in both engines; ties break by
+        // (source, doc_id). Sources with weight 0 are out of the mix.
+        val rate = (expr("CAST(substring(source, 4) AS INT)") * 37) % 100
+        val ranked = packedCum(
+          docs(s, dir)
+            .select(col("doc_id"), col("source"))
+            .withColumn("w", rate)
+            .filter(col("w") >= 1)
+            .withColumn("one", lit(1)),
+          "one")
+        ranked
+          .withColumn("sched_key",
+            (lit(2) * col("cum") - 1).cast("double") /
+              (lit(2) * col("w")).cast("double"))
+          .orderBy(col("sched_key"), col("source"), col("doc_id"))
+          .limit(50)
+          .withColumn("pos", row_number().over(
+            Window.orderBy(col("sched_key"), col("source"), col("doc_id"))))
+          .select(col("pos"), col("source"), col("doc_id"),
+            col("sched_key"))
+          .orderBy("pos")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, source,
+            (CAST(substr(source, 4, 10) AS INT) * 37) % 100 AS w
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, w,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r
+          FROM b WHERE w >= 1),
+        k AS (
+          SELECT doc_id, source,
+            CAST(2 * r - 1 AS DOUBLE) / CAST(2 * w AS DOUBLE)
+              AS sched_key
+          FROM r)
+        SELECT pos, source, doc_id, sched_key FROM (
+          SELECT ROW_NUMBER() OVER (
+              ORDER BY sched_key, source, doc_id) AS pos,
+            source, doc_id, sched_key
+          FROM k)
+        WHERE pos <= 50
+        ORDER BY pos"""))
   )
 
   /** NTILE(k) tile assignment computed from a DISTINCT-VALUE table —

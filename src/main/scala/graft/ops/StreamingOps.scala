@@ -404,6 +404,32 @@ object StreamingOps {
         SELECT user_id, last_us, w - (last_us // 1000) AS silent_ms
         FROM la, wm
         WHERE (last_us // 1000) + 7200000 < w
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st20_stream_moments",
+      (s, dir) => EventStream.runMoments(s, dir),
+      // Exact integer power sums as state (see
+      // [[EventStream.runMoments]]): order-independent, so the oracle
+      // states mean/variance as VALUES — both engines compute the
+      // integer numerators exactly and divide once (q33's
+      // convention, D's rules).
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+            CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        a AS (
+          SELECT event_type, COUNT(*) AS n,
+            SUM(c) AS s1, SUM(c * c) AS s2
+          FROM c GROUP BY event_type)
+        SELECT event_type, n,
+          CAST(s1 AS DOUBLE) / (100.0 * n) AS mean,
+          CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+               AS DOUBLE) /
+          CAST(CAST(n AS HUGEINT) * n * 10000 AS DOUBLE) AS variance
+        FROM a
+        ORDER BY event_type"""))
   )
 }

@@ -676,6 +676,69 @@ object EventStream {
       .orderBy("event_type", "pct")
   }
 
+  /** Per-type exact running moments (st20's emission). */
+  final case class TypeMoments(
+      event_type: String, n: Long, mean: Double, variance: Double)
+
+  /** Streaming exact moments (st20) — q33's exact-power-sum variance
+    * AS streaming state, completing the moments/sketch-as-state triad
+    * (st17 GK quantiles, st18 MG heavy hitters): per event_type the
+    * state is three integers (n, Σ¢, Σ¢²) over the 2-decimal value
+    * column in cents — EXACT and order-independent, so unlike a
+    * floating Welford fold the emitted mean/variance are
+    * deterministic regardless of batch boundaries or merge order, and
+    * the oracle can state them as values, not envelopes. Derivations
+    * follow the D rules: each output divides two exactly-computed
+    * numbers once (the integer numerators are computed arbitrary-
+    * precision on both sides, then cast to double). State is O(1) per
+    * key forever; at corpus scales where Σ¢² could exceed a long the
+    * state swaps to BigInt with the same semantics.
+    */
+  def runMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "st_moments_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val evs = readStream(spark, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+    withStreamShufflePartitions(spark, 8) {
+      val q = evs.groupByKey(_._1)
+        .mapGroupsWithState[(Long, Long, Long), TypeMoments](
+          GroupStateTimeout.NoTimeout) {
+          (k: String, it: Iterator[(String, Double)],
+              state: GroupState[(Long, Long, Long)]) =>
+            var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
+            it.foreach { case (_, v) =>
+              val c = math.round(v * 100)
+              n += 1; s1 += c; s2 += c * c
+            }
+            state.update((n, s1, s2))
+            val num = (BigInt(n) * BigInt(s2) - BigInt(s1) * BigInt(s1))
+              .toDouble
+            val den = (BigInt(n) * BigInt(n) * 10000).toDouble
+            TypeMoments(k, n, s1.toDouble / (100.0 * n), num / den)
+        }
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // Update mode emits one state row per (key, micro-batch); n is
+    // monotone, so the final moments are the max-n row per key (the
+    // runRunningCounts drain convention).
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("n").desc)
+    out.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n"), col("mean"), col("variance"))
+      .orderBy("event_type")
+  }
+
   /** Streaming Misra-Gries heavy hitters (st18) — q60's mergeable MG
     * sketch AS streaming state: a global streaming aggregation whose
     * state is ONE capacity-k counter table, merged per micro-batch by

@@ -215,6 +215,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("c12: stride schedule ranks via chunk windows; head is a TakeOrdered") {
+    val p = plan("c12_mixture_schedule")
+    // per-source ranks come from packedCum's chunk-parallel pass,
+    // never a per-source-only window over the whole corpus
+    assert(p.contains("windowspecdefinition(chunk"), p)
+    // the global head: per-partition heaps + driver merge, pos
+    // derived above it on the ≤50 survivors (the t18 discipline)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val wi = p.indexOf("windowspecdefinition(sched_key")
+    val ti = p.indexOf("TakeOrderedAndProject")
+    assert(wi >= 0 && ti > wi,
+      s"pos window must rank the TakeOrdered output\n$p")
+  }
+
   test("p07: refresh joins the broadcast hash index; dedup window keyed by hash") {
     val p = plan("p07_incremental_refresh")
     // the corpus side ships only distinct hashes, broadcast (d10's rule)

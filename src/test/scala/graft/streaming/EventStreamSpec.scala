@@ -128,6 +128,52 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming exact moments merge across micro-batches to the batch values") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), EventStream.TypeMoments](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (k, it, state) =>
+          var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
+          it.foreach { case (_, v) =>
+            val c = math.round(v * 100); n += 1; s1 += c; s2 += c * c
+          }
+          state.update((n, s1, s2))
+          val num =
+            (BigInt(n) * BigInt(s2) - BigInt(s1) * BigInt(s1)).toDouble
+          val den = (BigInt(n) * BigInt(n) * 10000).toDouble
+          EventStream.TypeMoments(k, n, s1.toDouble / (100.0 * n), num / den)
+      }
+      .writeStream.format("memory").queryName("moments_test")
+      .outputMode(OutputMode.Update()).start()
+    // Two micro-batches splitting the values of type 'a' — the state
+    // chain must land on EXACTLY the whole-set moments (integer
+    // power sums are order/merge independent; a float Welford chain
+    // would only be approximately equal).
+    input.addData(("a", 1.25), ("a", 2.75), ("b", 10.00))
+    q.processAllAvailable()
+    input.addData(("a", 4.00))
+    q.processAllAvailable()
+    val fin = spark.table("moments_test").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.maxBy(_.getLong(1)) }
+    // a: {1.25, 2.75, 4.00}: mean 8/3 dollars, var of cents
+    // {125, 275, 400}: exact (3*251250 - 800^2)/9 /10000
+    val a = fin("a")
+    assert(a.getLong(1) == 3)
+    assert(a.getDouble(2) == 800.0 / 300.0, a)
+    assert(a.getDouble(3) ==
+      (3.0 * (125.0 * 125 + 275 * 275 + 400 * 400) - 800.0 * 800) / 90000.0,
+      a)
+    val b = fin("b")
+    assert(b.getLong(1) == 1 && b.getDouble(2) == 10.0 && b.getDouble(3) == 0.0)
+    q.stop()
+  }
+
   test("streaming GK sketch per type satisfies the rank contract vs batch") {
     val dir = "/root/testdata/sf0.001"
     val rows = runPercentiles(spark, dir).collect()
