@@ -2713,6 +2713,43 @@ object Similarity {
                                ORDER BY cos_sim DESC, vec_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
-        ORDER BY qid, rnk"""))
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s24_compaction_manifest",
+      (s, dir) => {
+        // COMPACTION manifest — the decision artifact that closes the
+        // s20→s23 lifecycle: per coarse cell, how much of the cell is
+        // tombstoned (s23's deletion delta), the bytes a rewrite
+        // reclaims (64 B per SQ8 code row, s13/s18's layout), and the
+        // compact verdict at the standard 20% dead-fraction
+        // threshold. A deployed index runs exactly this query to pick
+        // which cells to rewrite — cells below threshold keep serving
+        // with tombstones. One map-side-combining aggregate over
+        // (vec_id, label); no vectors read.
+        emb(s, dir)
+          .groupBy(col("label").as("cell"))
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("vec_id") % 9 === 0, 1)).as("n_dead"))
+          .select(col("cell"), col("n_total"), col("n_dead"),
+            round(col("n_dead").cast("double") / col("n_total"), 6)
+              .as("dead_frac"),
+            (col("n_dead") * 64).as("bytes_reclaimed"),
+            (col("n_dead").cast("double") / col("n_total") >= 0.2)
+              .cast("int").as("compact"))
+          .orderBy("cell")
+      },
+      Some("""
+        SELECT label AS cell, COUNT(*) AS n_total,
+          COUNT(CASE WHEN vec_id % 9 = 0 THEN 1 END) AS n_dead,
+          ROUND(CAST(COUNT(CASE WHEN vec_id % 9 = 0 THEN 1 END) AS DOUBLE)
+                / COUNT(*), 6) AS dead_frac,
+          COUNT(CASE WHEN vec_id % 9 = 0 THEN 1 END) * 64
+            AS bytes_reclaimed,
+          CAST(CAST(COUNT(CASE WHEN vec_id % 9 = 0 THEN 1 END) AS DOUBLE)
+               / COUNT(*) >= 0.2 AS INT) AS compact
+        FROM embeddings
+        GROUP BY label
+        ORDER BY cell"""))
   )
 }

@@ -430,6 +430,29 @@ object StreamingOps {
                AS DOUBLE) /
           CAST(CAST(n AS HUGEINT) * n * 10000 AS DOUBLE) AS variance
         FROM a
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st21_stream_cdc_upsert",
+      (s, dir) => EventStream.runCdcUpsert(s, dir),
+      // Latest-record-wins CDC materialization (see
+      // [[EventStream.runCdcUpsert]]): the batch statement is the
+      // argmax-(us, event_id) row per user with 'error' deletes
+      // tombstoned out — exactly the compacted table.
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        last AS (
+          SELECT user_id, us AS last_us, event_type, value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us DESC, event_id DESC) AS rn
+            FROM ev)
+          WHERE rn = 1)
+        SELECT user_id, last_us, value
+        FROM last WHERE event_type <> 'error'
+        ORDER BY user_id"""))
   )
 }

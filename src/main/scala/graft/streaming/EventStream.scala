@@ -739,6 +739,71 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** st21's emission: the materialized latest row per key. */
+  final case class CdcRow(
+      user_id: Long, last_us: Long, last_event_id: Long, deleted: Int,
+      value: Double)
+
+  /** Streaming CDC materialization (st21) — LATEST-record-wins upsert
+    * compaction, the change-data-capture pattern st06's dedup is the
+    * mirror of (st06 keeps the FIRST occurrence and drops the rest;
+    * CDC keeps the LAST state and forgets history): the event stream
+    * is read as an upsert/delete feed keyed by user ('error' events
+    * delete the key, everything else upserts its value), state per
+    * key is ONE row — the latest (us, event_id) — and the drained
+    * result is the materialized table a downstream consumer would
+    * read instead of replaying the log. Update mode emits the
+    * latest-so-far each micro-batch; the final row per key is the
+    * max-(us, event_id) emission (monotone, the runRunningCounts
+    * drain). Deletes must TOMBSTONE (deleted=1), not just drop out of
+    * the output: a key whose last event is a delete still has stale
+    * earlier emissions in the update log, and only the tombstone
+    * outranks them. State is O(keys), not O(events) — the log
+    * compaction guarantee.
+    */
+  def runCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "st_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val evs = readStream(spark, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+    withStreamShufflePartitions(spark, 8) {
+      val q = evs.groupByKey(_._2)
+        .mapGroupsWithState[(Long, Long, String, Double), CdcRow](
+          GroupStateTimeout.NoTimeout) {
+          (user: Long, it: Iterator[(Long, Long, Long, String, Double)],
+              state: GroupState[(Long, Long, String, Double)]) =>
+            var cur = state.getOption.getOrElse(
+              (Long.MinValue, Long.MinValue, "", 0.0))
+            it.foreach { case (eid, _, us, etype, v) =>
+              if (us > cur._1 || (us == cur._1 && eid > cur._2))
+                cur = (us, eid, etype, v)
+            }
+            state.update(cur)
+            CdcRow(user, cur._1, cur._2,
+              if (cur._3 == "error") 1 else 0, cur._4)
+        }
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("last_us").desc, col("last_event_id").desc)
+    out.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1 && col("deleted") === 0)
+      .select(col("user_id"), col("last_us"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** Streaming Misra-Gries heavy hitters (st18) — q60's mergeable MG
     * sketch AS streaming state: a global streaming aggregation whose
     * state is ONE capacity-k counter table, merged per micro-batch by

@@ -229,6 +229,14 @@ class PlanSpec extends SparkSpec {
       s"pos window must rank the TakeOrdered output\n$p")
   }
 
+  test("s24: compaction manifest reads ids+cells only — no vectors") {
+    val p = plan("s24_compaction_manifest")
+    // one map-side-combining aggregate; the embedding column is
+    // pruned before the scan (the manifest never touches vectors)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("embedding:"), p)
+  }
+
   test("p07: refresh joins the broadcast hash index; dedup window keyed by hash") {
     val p = plan("p07_incremental_refresh")
     // the corpus side ships only distinct hashes, broadcast (d10's rule)

@@ -174,6 +174,62 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("CDC upsert: latest wins across batches; delete tombstones stale " +
+      "emissions; re-upsert resurrects") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = input.toDS()
+      .groupByKey(_._2)
+      .mapGroupsWithState[(Long, Long, String, Double), EventStream.CdcRow](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user, it, state) =>
+          var cur = state.getOption.getOrElse(
+            (Long.MinValue, Long.MinValue, "", 0.0))
+          it.foreach { case (eid, _, us, etype, v) =>
+            if (us > cur._1 || (us == cur._1 && eid > cur._2))
+              cur = (us, eid, etype, v)
+          }
+          state.update(cur)
+          EventStream.CdcRow(user, cur._1, cur._2,
+            if (cur._3 == "error") 1 else 0, cur._4)
+      }
+      .writeStream.format("memory").queryName("cdc_test")
+      .outputMode(OutputMode.Update()).start()
+    def drain(): Map[Long, (Long, Int, Double)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("last_us").desc, col("last_event_id").desc)
+      spark.table("cdc_test")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(3), r.getDouble(4))))
+        .toMap
+    }
+    // Batch 1: two upserts.
+    input.addData((1L, 7L, 100L, "view", 1.0), (2L, 8L, 100L, "click", 2.0))
+    q.processAllAvailable()
+    assert(drain() == Map(7L -> ((100L, 0, 1.0)), 8L -> ((100L, 0, 2.0))))
+    // Batch 2: user 7 deleted — the tombstone MUST outrank the stale
+    // batch-1 emission in the drained view.
+    input.addData((3L, 7L, 200L, "error", 0.0))
+    q.processAllAvailable()
+    val afterDelete = drain()
+    assert(afterDelete(7L)._2 == 1, afterDelete)
+    assert(afterDelete(8L) == ((100L, 0, 2.0)), afterDelete)
+    // Batch 3: user 7 re-upserted — resurrected with the new value;
+    // user 8 deleted last — tombstoned out of the live view.
+    input.addData((4L, 7L, 300L, "view", 3.0), (5L, 8L, 300L, "error", 0.0))
+    q.processAllAvailable()
+    val fin = drain()
+    assert(fin(7L) == ((300L, 0, 3.0)), fin)
+    assert(fin(8L)._2 == 1, fin)
+    // state is one row per key — log compaction, not history
+    assert(EventStream.lastStateRows(q) == 2)
+    q.stop()
+  }
+
   test("streaming GK sketch per type satisfies the rank contract vs batch") {
     val dir = "/root/testdata/sf0.001"
     val rows = runPercentiles(spark, dir).collect()
