@@ -640,29 +640,38 @@ object Curation {
   }
 
   /** Distributed per-source running token total in doc_id order — the
-    * packing prefix sum (c04/p04) WITHOUT the per-source sequential
-    * window (the r11 verdict's c04 fix: source cardinality is tiny,
-    * so `Window.partitionBy(source)` streams one source's entire doc
-    * list through one task at 100×). Classic two-pass parallel prefix
-    * sum: range-partition by (source, doc_id) — so each physical
-    * chunk holds a contiguous key range — stamp the chunk id and
-    * localCheckpoint (freezing chunk membership so both passes see
-    * identical chunks; the checkpointed frame is the NARROW
-    * (source, doc_id, tokens) projection, not the corpus), then
-    * (pass 1) per-(chunk, source) running sums — every chunk packs in
-    * parallel — and (pass 2) a chunk-offset table of ≤ P·|sources|
-    * rows (P = parallelism) turned into per-chunk starting offsets
-    * and broadcast back. cum = chunk offset + local running sum is
-    * BIT-IDENTICAL to the single-window formulation (long sums are
-    * associative; chunk boundaries move work, never values — pinned
-    * by CurationSpec's equality test).
+    * packing prefix sum (c04/c12/p04) WITHOUT the per-source
+    * sequential window (the r11 verdict's c04 fix: source cardinality
+    * is tiny, so `Window.partitionBy(source)` streams one source's
+    * entire doc list through one task at 100×). Classic two-pass
+    * parallel prefix sum: chunk ids are a PURE FUNCTION of doc_id
+    * (equal-width id ranges against broadcast min/max bounds), so
+    * both passes agree even when the input is recomputed — chunk
+    * membership never depends on physical planning, and the operator
+    * holds NO state or checkpoint of its own. Pass 1: per-(chunk,
+    * source) running sums — every chunk packs in parallel; pass 2: a
+    * chunk-offset table of ≤ C·|sources| rows turned into per-chunk
+    * starting offsets and broadcast back. cum = chunk offset + local
+    * running sum is BIT-IDENTICAL to the single-window formulation
+    * (long sums are associative; chunk boundaries move work, never
+    * values — pinned by CurationSpec's equality test).
+    *
+    * The input is scanned once per pass (twice total) — callers with
+    * an EXPENSIVE upstream (p04's BPE-token table) materialize the
+    * narrow (source, doc_id, tokens) projection themselves before
+    * calling. Skew note: equal-width id ranges assume ids spread
+    * across their span (true of the testdata's dense ids); a corpus
+    * with pathological id clustering would derive chunks from
+    * quantile bounds instead — same algorithm, different bound table.
     */
   def packedCum(tok: DataFrame, tokCol: String): DataFrame = {
-    val p = tok.sparkSession.sparkContext.defaultParallelism
-    val chunked = tok
-      .repartitionByRange(p, col("source"), col("doc_id"))
-      .withColumn("chunk", spark_partition_id())
-      .localCheckpoint()
+    val c = 4 * tok.sparkSession.sparkContext.defaultParallelism
+    val bounds = tok.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val chunked = tok.crossJoin(broadcast(bounds))
+      .withColumn("chunk",
+        expr(s"cast((doc_id - lo) div ((hi - lo) div $c + 1) as int)"))
+      .drop("lo", "hi")
     val localW = Window.partitionBy(col("chunk"), col("source"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -104,23 +104,34 @@ object Multimodal {
       n, feats)
   }
 
-  /** The m05/m06-shared near-dup candidate frame: payloads blocked on
-    * byte length, every blocked pair scored by decoded-feature cosine
-    * (6-dp, oracle-exact — hash features are 1/128-multiples).
-    * Returns (doc_a, doc_b, n_bytes, cos_sim).
+  /** The decoded-feature frame (doc_id, width, height, n_bytes, v) —
+    * built ONCE per query invocation and localCheckpoint'd: the
+    * decode is the expensive codec/model-inference boundary, and the
+    * m05/m07 self-joins (two sides) and m06's extra dims branch would
+    * otherwise re-run the whole corpus decode per consumer.
     */
-  private def featurePairFrame(s: SparkSession, dir: String): DataFrame = {
+  private def decodedFrame(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     graft.functions.VectorExpressions.register(s)
-    val dec = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .filter(col("payload").isNotNull)
       .as[Blob]
       .mapPartitions(_.grouped(64).flatMap(batch => fakeDecodeBatch(batch)))
       .toDF()
-      .select(col("doc_id"), col("n_bytes"),
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
         transform(col("features"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+  }
+
+  /** The m05/m06-shared near-dup candidate frame over a
+    * [[decodedFrame]]: payloads blocked on byte length, every blocked
+    * pair scored by decoded-feature cosine (6-dp, oracle-exact —
+    * hash features are 1/128-multiples).
+    * Returns (doc_a, doc_b, n_bytes, cos_sim).
+    */
+  private def featurePairFrame(dec: DataFrame): DataFrame = {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.VectorExpressions.dot(a, b)
     dec.as("a").join(dec.as("b"),
@@ -320,7 +331,7 @@ object Multimodal {
         // mapPartitions decode boundary as m02 (stub decoder, real
         // plumbing); hash-derived features are exact 1/128-multiples,
         // so the cosine column is oracle-exact.
-        featurePairFrame(s, dir)
+        featurePairFrame(decodedFrame(s, dir))
           .withColumn("is_dup", (col("cos_sim") >= 0.999).cast("int"))
           .orderBy("doc_a", "doc_b")
       },
@@ -359,14 +370,14 @@ object Multimodal {
           sum(col("n_bytes").cast("long")).as("total_bytes"))
         val uniq = meta.select("source", "digest").distinct()
           .groupBy("source").agg(count(lit(1)).as("n_uniq"))
-        val dims = d.select(col("doc_id"), col("payload")).as[Blob]
-          .mapPartitions(_.grouped(64).flatMap(b => fakeDecodeBatch(b)))
-          .toDF().select(col("doc_id"), col("width"), col("height"))
-        val formats = dims
+        // ONE decode pass feeds both the dims branch and the pair
+        // frame (decodedFrame is checkpointed).
+        val dec = decodedFrame(s, dir)
+        val formats = dec.select(col("doc_id"), col("width"), col("height"))
           .join(meta.select("doc_id", "source"), "doc_id")
           .select("source", "width", "height").distinct()
           .groupBy("source").agg(count(lit(1)).as("n_formats"))
-        val nearDup = featurePairFrame(s, dir)
+        val nearDup = featurePairFrame(dec)
           .filter(col("cos_sim") >= 0.999)
           .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .distinct()
@@ -428,36 +439,27 @@ object Multimodal {
         // PERCEPTUAL near-dup audit — the size-INDEPENDENT tier m05
         // lacks: m05 blocks on payload byte length, so the same
         // content re-encoded at a different size is invisible to it.
-        // Here blocking uses the DECODED representation instead — the
-        // (width, height) format block, with an 8-bit sign code over
-        // the feature vector (the s14/SRP binary-signature idea
-        // applied to the perceptual embedding) carried as the
-        // candidate gate — and the report is each format block's BEST
-        // pair by feature cosine with its sig-match and is_dup
-        // verdicts: the audit a multimodal dedup pass reads to decide
-        // whether a format family needs the expensive tier. With a
-        // REAL decoder a re-encoded image keeps its dims and feature
-        // signs and lands in the same block regardless of file size;
-        // the stub's features are byte-derived, so only byte-exact
-        // clones reach cos 1.0 here — the oracle checks the machinery
+        // Here blocking uses the DECODED representation instead: the
+        // equi-join key is the (width, height) format block — ≤256
+        // keys — and each pair carries an 8-bit feature SIGN-CODE
+        // match verdict (the s14/SRP binary-signature idea applied to
+        // the perceptual embedding) beside its cosine; the report is
+        // each format block's BEST pair with its sig_match and is_dup
+        // verdicts — the audit a multimodal dedup pass reads to
+        // decide whether a format family needs the expensive tier
+        // (and whether adding the sign code to the block key — the
+        // 65k-key production layout — would prune it). With a REAL
+        // decoder a re-encoded image keeps its dims and feature signs
+        // and lands in the same block regardless of file size; the
+        // stub's features are byte-derived, so only byte-exact clones
+        // reach cos 1.0 here — the oracle checks the machinery
         // (blocking, signature, verify, per-block ranking); the
         // decoder swap point is m02's. Scale shape: signature is a
         // pure projection; the self-join is an equi-join on the
         // format key with per-block populations bounded by format
-        // cardinality (and in production the sig joins the block key
-        // — 65k+ keys — exactly as the gate column shows); the best
-        // pair is one partitioned window.
-        val spark = s
-        import spark.implicits._
-        graft.functions.VectorExpressions.register(s)
-        val dec = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-          .filter(col("payload").isNotNull)
-          .as[Blob]
-          .mapPartitions(_.grouped(64).flatMap(b => fakeDecodeBatch(b)))
-          .toDF()
-          .select(col("doc_id"), col("width"), col("height"),
-            transform(col("features"), x => x.cast("double")).as("v"))
+        // cardinality; the best pair is one partitioned window.
+        val dec = decodedFrame(s, dir)
+          .select(col("doc_id"), col("width"), col("height"), col("v"))
         val signC = (0 until 8).map(i =>
           when(element_at(col("v"), i + 1) >= 0, lit(1 << i))
             .otherwise(lit(0))).reduce(_ + _).cast("int")

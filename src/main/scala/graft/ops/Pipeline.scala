@@ -288,9 +288,13 @@ object Pipeline {
         // Packing prefix sum via Curation.packedCum's two-pass
         // parallel form (c04's plan) — not a per-source sequential
         // window; the oracle states the same semantics as one window.
+        // packedCum scans its input once per pass, and THIS input
+        // carries the whole BPE encode — materialize the narrow token
+        // table once (the same checkpoint discipline as `cleaned`).
         Curation.packedCum(
           enc.join(d.select("doc_id", "source"), "doc_id")
-            .select(col("source"), col("doc_id"), col("n_tokens")),
+            .select(col("source"), col("doc_id"), col("n_tokens"))
+            .localCheckpoint(),
           "n_tokens")
           .withColumn("bin_id", expr("(cum - n_tokens) div 1024"))
           .groupBy("source", "bin_id")

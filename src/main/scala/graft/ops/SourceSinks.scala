@@ -164,30 +164,47 @@ object SourceSinks {
         // artifact discipline); a deployment maintains them as the
         // table's standing layout, amortized over every consumer.
         import D.{dbl, m, r}
-        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        // Table names carry the JVM pid: two concurrent sessions
+        // (e.g. a Bench and a Verify on the same repo) share the
+        // default warehouse dir, and a dir-only tag would let one
+        // session's leftover-location cleanup delete the OTHER's
+        // live table files out from under a running scan.
+        val tag = java.lang.Integer.toHexString(dir.hashCode) +
+          "_p" + ProcessHandle.current().pid()
         val lt = s"li_bucketed_$tag"
         val ot = s"ord_bucketed_$tag"
         this.synchronized {
-          if (!s.catalog.tableExists(lt)) {
-            // A previous SESSION's managed location can linger in the
-            // warehouse dir while this session's in-memory catalog
-            // starts empty — CTAS refuses a non-empty location, so
-            // clear leftovers first.
+          // Guard on BOTH tables: a first run that failed between the
+          // two writes must not wedge the session on the missing one.
+          if (!s.catalog.tableExists(lt) || !s.catalog.tableExists(ot)) {
+            // A dead process with OUR pid (pid reuse) can linger in
+            // the warehouse dir while this session's in-memory
+            // catalog starts empty — CTAS refuses a non-empty
+            // location, so clear OUR leftovers first (never another
+            // live session's: the pid in the name is ours).
             val wh = new java.net.URI(
               s.conf.get("spark.sql.warehouse.dir")).getPath
             Seq(lt, ot).foreach { n =>
-              val f = new File(wh, n)
-              if (f.exists()) deleteRecursively(f)
+              if (!s.catalog.tableExists(n)) {
+                val f = new File(wh, n)
+                if (f.exists()) deleteRecursively(f)
+              }
             }
-            t(s, dir)("lineitem")
-              .select(col("l_orderkey"), col("l_extendedprice"),
-                col("l_discount"))
-              .write.format("parquet").bucketBy(8, "l_orderkey")
-              .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
-            t(s, dir)("orders")
-              .select(col("o_orderkey"), col("o_orderpriority"))
-              .write.format("parquet").bucketBy(8, "o_orderkey")
-              .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
+            if (!s.catalog.tableExists(lt))
+              t(s, dir)("lineitem")
+                .select(col("l_orderkey"), col("l_extendedprice"),
+                  col("l_discount"))
+                .write.format("parquet").bucketBy(8, "l_orderkey")
+                .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
+            if (!s.catalog.tableExists(ot))
+              t(s, dir)("orders")
+                .select(col("o_orderkey"), col("o_orderpriority"))
+                .write.format("parquet").bucketBy(8, "o_orderkey")
+                .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
+            // pid-named dirs would otherwise pile up across runs —
+            // same recursive-delete-on-exit discipline as tmp().
+            Seq(lt, ot).foreach(n => sys.addShutdownHook(
+              deleteRecursively(new File(wh, n))))
           }
         }
         s.table(lt).hint("merge")

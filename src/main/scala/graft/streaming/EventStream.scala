@@ -680,6 +680,35 @@ object EventStream {
   final case class TypeMoments(
       event_type: String, n: Long, mean: Double, variance: Double)
 
+  /** The st20 stateful operator itself (factored so the spec drives
+    * THIS code across MemoryStream micro-batches, not a copy — the
+    * runningCounts/gapDetect convention): state per key is the three
+    * exact integers (n, Σ¢, Σ¢²); each micro-batch folds its cents in
+    * (half-away rounding, matching DuckDB ROUND on negatives too —
+    * current values are nonnegative 2-decimal, where all roundings
+    * agree) and emits the latest exact moments.
+    */
+  def moments(ds: Dataset[(String, Double)]): Dataset[TypeMoments] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), TypeMoments](
+        GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[(String, Double)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
+          it.foreach { case (_, v) =>
+            val c =
+              if (v >= 0) math.round(v * 100) else -math.round(-v * 100)
+            n += 1; s1 += c; s2 += c * c
+          }
+          state.update((n, s1, s2))
+          val num = (BigInt(n) * BigInt(s2) - BigInt(s1) * BigInt(s1))
+            .toDouble
+          val den = (BigInt(n) * BigInt(n) * 10000).toDouble
+          TypeMoments(k, n, s1.toDouble / (100.0 * n), num / den)
+      }
+  }
+
   /** Streaming exact moments (st20) — q33's exact-power-sum variance
     * AS streaming state, completing the moments/sketch-as-state triad
     * (st17 GK quantiles, st18 MG heavy hitters): per event_type the
@@ -702,22 +731,7 @@ object EventStream {
       .select(col("event_type"), col("value"))
       .as[(String, Double)]
     withStreamShufflePartitions(spark, 8) {
-      val q = evs.groupByKey(_._1)
-        .mapGroupsWithState[(Long, Long, Long), TypeMoments](
-          GroupStateTimeout.NoTimeout) {
-          (k: String, it: Iterator[(String, Double)],
-              state: GroupState[(Long, Long, Long)]) =>
-            var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
-            it.foreach { case (_, v) =>
-              val c = math.round(v * 100)
-              n += 1; s1 += c; s2 += c * c
-            }
-            state.update((n, s1, s2))
-            val num = (BigInt(n) * BigInt(s2) - BigInt(s1) * BigInt(s1))
-              .toDouble
-            val den = (BigInt(n) * BigInt(n) * 10000).toDouble
-            TypeMoments(k, n, s1.toDouble / (100.0 * n), num / den)
-        }
+      val q = moments(evs)
         .writeStream
         .format("memory")
         .queryName(name)
@@ -743,6 +757,33 @@ object EventStream {
   final case class CdcRow(
       user_id: Long, last_us: Long, last_event_id: Long, deleted: Int,
       value: Double)
+
+  /** The st21 stateful operator itself (factored for the same
+    * drive-the-production-code reason as [[moments]]): input rows are
+    * (event_id, user_id, us, event_type, value); state per key is ONE
+    * (us, event_id, type, value) — the latest by (us, event_id) —
+    * and each micro-batch emits the latest-so-far row with its
+    * tombstone flag.
+    */
+  def cdcUpsert(ds: Dataset[(Long, Long, Long, String, Double)])
+      : Dataset[CdcRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._2)
+      .mapGroupsWithState[(Long, Long, String, Double), CdcRow](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String, Double)],
+            state: GroupState[(Long, Long, String, Double)]) =>
+          var cur = state.getOption.getOrElse(
+            (Long.MinValue, Long.MinValue, "", 0.0))
+          it.foreach { case (eid, _, us, etype, v) =>
+            if (us > cur._1 || (us == cur._1 && eid > cur._2))
+              cur = (us, eid, etype, v)
+          }
+          state.update(cur)
+          CdcRow(user, cur._1, cur._2,
+            if (cur._3 == "error") 1 else 0, cur._4)
+      }
+  }
 
   /** Streaming CDC materialization (st21) — LATEST-record-wins upsert
     * compaction, the change-data-capture pattern st06's dedup is the
@@ -770,21 +811,7 @@ object EventStream {
         unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
       .as[(Long, Long, Long, String, Double)]
     withStreamShufflePartitions(spark, 8) {
-      val q = evs.groupByKey(_._2)
-        .mapGroupsWithState[(Long, Long, String, Double), CdcRow](
-          GroupStateTimeout.NoTimeout) {
-          (user: Long, it: Iterator[(Long, Long, Long, String, Double)],
-              state: GroupState[(Long, Long, String, Double)]) =>
-            var cur = state.getOption.getOrElse(
-              (Long.MinValue, Long.MinValue, "", 0.0))
-            it.foreach { case (eid, _, us, etype, v) =>
-              if (us > cur._1 || (us == cur._1 && eid > cur._2))
-                cur = (us, eid, etype, v)
-            }
-            state.update(cur)
-            CdcRow(user, cur._1, cur._2,
-              if (cur._3 == "error") 1 else 0, cur._4)
-        }
+      val q = cdcUpsert(evs)
         .writeStream
         .format("memory")
         .queryName(name)

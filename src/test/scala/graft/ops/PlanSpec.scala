@@ -135,13 +135,12 @@ class PlanSpec extends SparkSpec {
     "windowspecdefinition\\([^,)]*".r.findAllIn(p).toSeq
       .map(_.stripPrefix("windowspecdefinition("))
 
-  test("c04: packing prefix sum runs chunk-parallel (two-pass, frozen chunks)") {
+  test("c04: packing prefix sum runs chunk-parallel (two stateless passes)") {
     val p = plan("c04_sequence_packing")
     // pass 1: per-(chunk, source) local running sums — every chunk
-    // packs in parallel, no source's full doc list in one task
+    // packs in parallel, no source's full doc list in one task;
+    // chunk ids are a pure function of doc_id (no checkpoint needed)
     assert(p.contains("windowspecdefinition(chunk"), p)
-    // chunk ids frozen by the localCheckpoint both passes read
-    assert(p.contains("Scan ExistingRDD"), p)
     // pass 2's tiny per-chunk offsets broadcast back onto the rows
     assert(p.contains("BroadcastHashJoin"), p)
     // no unpartitioned window anywhere
@@ -200,7 +199,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("m07: perceptual block join stays equi on (dims, sig); no cartesian") {
+  test("m07: perceptual block join stays equi on the format dims; no cartesian") {
     val p = plan("m07_perceptual_neardup")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoop"), p)

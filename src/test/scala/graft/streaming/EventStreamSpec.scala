@@ -133,21 +133,10 @@ class EventStreamSpec extends SparkSpec {
     import sparkS.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
-    val q = input.toDS()
-      .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Long, Long), EventStream.TypeMoments](
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (k, it, state) =>
-          var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
-          it.foreach { case (_, v) =>
-            val c = math.round(v * 100); n += 1; s1 += c; s2 += c * c
-          }
-          state.update((n, s1, s2))
-          val num =
-            (BigInt(n) * BigInt(s2) - BigInt(s1) * BigInt(s1)).toDouble
-          val den = (BigInt(n) * BigInt(n) * 10000).toDouble
-          EventStream.TypeMoments(k, n, s1.toDouble / (100.0 * n), num / den)
-      }
+    // Drive the PRODUCTION operator (EventStream.moments) across
+    // micro-batches — the single-file oracle gate only ever sees one
+    // batch, so the cross-batch state merge is pinned here.
+    val q = EventStream.moments(input.toDS())
       .writeStream.format("memory").queryName("moments_test")
       .outputMode(OutputMode.Update()).start()
     // Two micro-batches splitting the values of type 'a' — the state
@@ -180,21 +169,9 @@ class EventStreamSpec extends SparkSpec {
     import sparkS.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, String, Double)]
-    val q = input.toDS()
-      .groupByKey(_._2)
-      .mapGroupsWithState[(Long, Long, String, Double), EventStream.CdcRow](
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (user, it, state) =>
-          var cur = state.getOption.getOrElse(
-            (Long.MinValue, Long.MinValue, "", 0.0))
-          it.foreach { case (eid, _, us, etype, v) =>
-            if (us > cur._1 || (us == cur._1 && eid > cur._2))
-              cur = (us, eid, etype, v)
-          }
-          state.update(cur)
-          EventStream.CdcRow(user, cur._1, cur._2,
-            if (cur._3 == "error") 1 else 0, cur._4)
-      }
+    // Drive the PRODUCTION operator (EventStream.cdcUpsert) across
+    // micro-batches — the moments-test rationale.
+    val q = EventStream.cdcUpsert(input.toDS())
       .writeStream.format("memory").queryName("cdc_test")
       .outputMode(OutputMode.Update()).start()
     def drain(): Map[Long, (Long, Int, Double)] = {
