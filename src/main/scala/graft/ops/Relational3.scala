@@ -114,6 +114,107 @@ object Relational3 {
           UNION ALL
           SELECT 'embeddings_only',
             COUNT(CASE WHEN did IS NULL THEN 1 END) FROM j)
-        ORDER BY side"""))
+        ORDER BY side""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q64_funnel_stages",
+      (s, dir) => {
+        // Ordered-funnel analysis — the event-analytics staple:
+        // users who viewed, then CLICKED AFTER their first view, then
+        // PURCHASED AFTER that click (strict event-time ordering, not
+        // mere co-occurrence). Shape: three per-user conditional-min
+        // aggregates chained by user_id equi-joins — each stage's
+        // frame only shrinks, every aggregate map-side-combines, and
+        // nothing is ever windowed or sorted globally. Determinism:
+        // pure µs MIN arithmetic.
+        val ev = t(s, dir)("events")
+          .filter(col("event_type").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("v_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("us") > col("v_us"))
+          .groupBy("user_id").agg(min(col("us")).as("c_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("us") > col("c_us"))
+          .groupBy("user_id").agg(min(col("us")).as("p_us"))
+        v.agg(count(lit(1)).as("n_users"))
+          .select(lit("1_view").as("stage"), col("n_users"))
+          .unionByName(p.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase_after_click").as("stage"),
+              col("n_users")))
+          .unionByName(c.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_click_after_view").as("stage"),
+              col("n_users")))
+          .orderBy("stage")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type IS NOT NULL),
+        v AS (
+          SELECT user_id, MIN(us) AS v_us FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.us) AS c_us
+          FROM ev e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.us > v.v_us
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(e.us) AS p_us
+          FROM ev e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.us > c.c_us
+          GROUP BY e.user_id)
+        SELECT stage, n_users FROM (
+          SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+          UNION ALL
+          SELECT '2_click_after_view', COUNT(*) FROM c
+          UNION ALL
+          SELECT '3_purchase_after_click', COUNT(*) FROM p)
+        ORDER BY stage""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q65_retention_cohorts",
+      (s, dir) => {
+        // Retention-cohort matrix — the other event-analytics staple:
+        // users cohorted by FIRST-seen day, counted as retained on
+        // each later day they were active (offsets 0–7). Shape: one
+        // distinct over (user, day) — map-side combined — a per-user
+        // min-day aggregate, one equi-join back, and a tiny final
+        // groupBy; the matrix is |cohorts|×8, calendar-bounded like
+        // q61's spine. Day boundaries are UTC (the session TZ) in
+        // both engines; offsets are exact integer day differences.
+        val act = t(s, dir)("events")
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        val cohort = act.groupBy("user_id")
+          .agg(min(col("day")).as("cohort_day"))
+        act.join(cohort, "user_id")
+          .select(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .filter(col("day_offset") <= 7)
+          .groupBy("cohort_day", "day_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id,
+            date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+          FROM events),
+        cohort AS (
+          SELECT user_id, MIN(day) AS cohort_day
+          FROM act GROUP BY user_id)
+        SELECT c.cohort_day,
+          CAST(date_diff('day', c.cohort_day, a.day) AS INT)
+            AS day_offset,
+          COUNT(*) AS n_users
+        FROM act a JOIN cohort c USING (user_id)
+        WHERE date_diff('day', c.cohort_day, a.day) <= 7
+        GROUP BY c.cohort_day, day_offset
+        ORDER BY c.cohort_day, day_offset"""))
   )
 }

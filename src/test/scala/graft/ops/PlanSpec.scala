@@ -228,6 +228,22 @@ class PlanSpec extends SparkSpec {
       s"pos window must rank the TakeOrdered output\n$p")
   }
 
+  test("q64: funnel stages chain per-user aggregates; all partial-combined") {
+    val p = plan("q64_funnel_stages")
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // only user_id equi-joins between stages — no window anywhere
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q65: retention matrix is distinct+join+agg — no windows, no cartesian") {
+    val p = plan("q65_retention_cohorts")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s24: compaction manifest reads ids+cells only — no vectors") {
     val p = plan("s24_compaction_manifest")
     // one map-side-combining aggregate; the embedding column is
