@@ -357,6 +357,56 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** CONTAINMENT near-dup pairs (d18) — the ASYMMETRIC relation the
+    * whole Jaccard stack is blind to: a short document fully quoted
+    * inside a much longer one has |A∩B|/|A| ≈ 1 but Jaccard ≈
+    * |A|/|B| ≈ 0, so it never collides on a full minhash band and
+    * d02/d03 can't see it. Candidates come from PREFIX FILTERING
+    * (the AllPairs/PPJoin family): grams are globally ordered by
+    * (corpus df asc, gram) — rarest first — and a doc A with
+    * containment ≥ t = 9/10 in ANY container must share one of its
+    * first |A| − ⌈t·|A|⌉ + 1 grams in that order (missing the whole
+    * prefix bounds |A∩B| ≤ ⌈t|A|⌉ − 1 < t|A|), so joining only the
+    * tiny per-doc prefix against the gram index is EXACT — no false
+    * negatives. ⌈9·sz/10⌉ is computed as (9·sz + 9) div 10: pure
+    * integer arithmetic, so the prefix boundary can never drift
+    * between engines the way ceil(0.9·sz) in doubles could. Scale
+    * shape: prefixes are df-ordered so their posting lists are the
+    * corpus's RAREST grams (short by construction); shuffles carry
+    * 16-hex gram hashes, never text; the verify ships two hashed
+    * sets per candidate (d03's discipline); the gram table feeds
+    * four consumers and is checkpointed once (the c10 lesson).
+    * Emits (doc_a ⊆-candidate, doc_b container, set sizes, exact
+    * containment) at ≥ t; mutual clones appear in both directions.
+    */
+  def containmentPairs(documents: DataFrame): DataFrame = {
+    val hashed = shingleRows(documents)
+      .select(col("doc_id"), substring(md5(col("t")), 1, 16).as("g"))
+      .distinct()
+      .localCheckpoint()
+    val gdf = hashed.groupBy("g").agg(count(lit(1)).as("df"))
+    val szs = hashed.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = hashed.join(gdf, "g")
+      .withColumn("rn", row_number().over(w))
+      .join(szs, "doc_id")
+      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("doc_id").as("doc_a"), col("g"))
+    val cand = prefix
+      .join(hashed.select(col("doc_id").as("doc_b"), col("g")), "g")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = hashed.groupBy("doc_id")
+      .agg(collect_set(col("g")).as("sl"))
+    cand.join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sa.sl")).as("n_a"), size(col("sb.sl")).as("n_b"),
+        (size(array_intersect(col("sa.sl"), col("sb.sl"))).cast("double") /
+          size(col("sa.sl")).cast("double")).as("containment"))
+      .filter(col("containment") >= 0.9)
+  }
+
   /** Edit-distance-VERIFIED near-duplicates — the fine-grained rung
     * below d03's set-Jaccard verify: LSH candidate pairs admitted at a
     * permissive Jaccard gate are re-verified with character-level
@@ -1298,6 +1348,51 @@ object Dedup {
             PARTITION BY f.family
             ORDER BY q.quality DESC, f.doc_id) = 1 AS INT) AS is_kept
         FROM fam f JOIN q USING (doc_id)
-        ORDER BY f.doc_id"""))
+        ORDER BY f.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d18_containment_pairs",
+      (s, dir) => containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        sh0 AS (
+          SELECT DISTINCT doc_id,
+            substr(md5(t), 1, 16) AS g
+          FROM (
+            SELECT doc_id, unnest(
+              CASE WHEN len(tl) >= 3
+                THEN list_transform(range(1, len(tl) - 1),
+                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+                ELSE [array_to_string(tl, ' ')] END) AS t
+            FROM toks)),
+        gdf AS (SELECT g, COUNT(*) AS df FROM sh0 GROUP BY g),
+        szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh0 GROUP BY doc_id),
+        pre AS (
+          SELECT doc_id AS doc_a, g FROM (
+            SELECT h.doc_id, h.g, s.sz,
+              ROW_NUMBER() OVER (PARTITION BY h.doc_id
+                                 ORDER BY d.df, h.g) AS rn
+            FROM sh0 h JOIN gdf d USING (g) JOIN szs s USING (doc_id))
+          WHERE rn <= sz - (9 * sz + 9) // 10 + 1),
+        cand AS (
+          SELECT DISTINCT p.doc_a, h.doc_id AS doc_b
+          FROM pre p JOIN sh0 h USING (g)
+          WHERE h.doc_id <> p.doc_a),
+        sets AS (SELECT doc_id, list(g) AS sl FROM sh0 GROUP BY doc_id)
+        SELECT c.doc_a, c.doc_b,
+          CAST(len(sa.sl) AS INT) AS n_a,
+          CAST(len(sb.sl) AS INT) AS n_b,
+          CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE)
+            / len(sa.sl) AS containment
+        FROM cand c
+        JOIN sets sa ON c.doc_a = sa.doc_id
+        JOIN sets sb ON c.doc_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE)
+              / len(sa.sl) >= 0.9
+        ORDER BY c.doc_a, c.doc_b"""))
   )
 }

@@ -489,6 +489,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** N-gram NOVELTY scoring (t20) — each document's marginal
+    * contribution to the corpus in ingestion (doc_id) order: the
+    * fraction of its distinct 3-gram shingles whose FIRST corpus
+    * occurrence is this document. Freshly-scraped batches full of
+    * already-seen content score near 0; genuinely new text scores
+    * near 1 — the number a curator reads to decide whether a source
+    * is still adding information (dedup pressure, diminishing-returns
+    * curves). Scale shape: one distinct gram table (16-hex hashes,
+    * never text), one map-side-combining min per gram, one equi-join
+    * back, one per-doc aggregate — no windows, no pair enumeration.
+    * Determinism: first-occurrence is an integer MIN; novelty is one
+    * division of exact counts.
+    */
+  def noveltyScores(documents: DataFrame): DataFrame = {
+    val grams = Dedup.shingleRows(documents)
+      .select(col("doc_id"), substring(md5(col("t")), 1, 16).as("g"))
+      .distinct()
+    val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** The encode CTE chain (per-doc word positions `wd`, the induction
     * over them, `w`-carried so `v$n` is a word→tokens map), FROM a
     * caller-named (doc_id, text) relation — shared by the t17 oracle
@@ -1277,6 +1305,36 @@ object TextAnalysis {
           CAST(d.dec = c.canon AS INT) AS round_trip_ok,
           md5(c.canon) AS text_digest
         FROM dec d JOIN canon c USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t20_ngram_novelty",
+      (s, dir) =>
+        // Marginal-contribution novelty (see [[noveltyScores]]):
+        // per-doc fraction of 3-gram shingles first seen IN this doc.
+        noveltyScores(docs(s, dir)),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        sh0 AS (
+          SELECT DISTINCT doc_id, substr(md5(t), 1, 16) AS g
+          FROM (
+            SELECT doc_id, unnest(
+              CASE WHEN len(tl) >= 3
+                THEN list_transform(range(1, len(tl) - 1),
+                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+                ELSE [array_to_string(tl, ' ')] END) AS t
+            FROM toks)),
+        fst AS (SELECT g, MIN(doc_id) AS first_doc FROM sh0 GROUP BY g)
+        SELECT s.doc_id, COUNT(*) AS n_grams,
+          COUNT(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS n_novel,
+          CAST(COUNT(CASE WHEN f.first_doc = s.doc_id THEN 1 END)
+               AS DOUBLE) / COUNT(*) AS novelty
+        FROM sh0 s JOIN fst f USING (g)
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id"""))
   )
 }

@@ -362,4 +362,29 @@ class DedupSpec extends SparkSpec {
     assert(out(0) == List("a b c", "b c d"))
     assert(out(1) == List("a b"))
   }
+
+  test("d18 containment: a quoted doc is found inside its container; " +
+      "Jaccard-style symmetry is NOT required") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val quoted = (1 to 10).map(i => f"q$i%02d").mkString(" ")
+    val container = quoted + " " +
+      (100 to 160).map(i => s"fill$i").mkString(" ")
+    val df = Seq(
+      (1L, quoted), // 8 shingles, every one inside doc 2
+      (2L, container), // much larger: Jaccard(1,2) ~ 8/69 — d03-blind
+      (3L, (200 to 240).map(i => s"oth$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // the quoted doc's shingles all appear in the container (the
+    // seam shingles q09 q10 fill100... exist only in doc 2, which
+    // only LOWERS containment of 2-in-1, never 1-in-2)
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1.0, out)
+    // the asymmetric direction is below threshold; unrelated docs
+    // never pair
+    assert(!out.contains((2L, 1L)), out)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L), out)
+  }
 }

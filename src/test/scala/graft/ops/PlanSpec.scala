@@ -228,6 +228,25 @@ class PlanSpec extends SparkSpec {
       s"pos window must rank the TakeOrdered output\n$p")
   }
 
+  test("d18: containment candidates come from prefix equi-joins, never a cross") {
+    val p = plan("d18_containment_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // the prefix rank runs per doc (bounded by doc length), and no
+    // window is unpartitioned
+    val specs = windowSpecPrefixes(p)
+    assert(specs.nonEmpty &&
+      specs.forall(s => !(s.contains(" ASC") || s.contains(" DESC"))),
+      s"unpartitioned window present: $specs\n$p")
+  }
+
+  test("t20: novelty is gram-min + join + per-doc agg — windowless, combined") {
+    val p = plan("t20_ngram_novelty")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q64: funnel stages chain per-user aggregates; all partial-combined") {
     val p = plan("q64_funnel_stages")
     assert(p.contains("partial_min"), p)
