@@ -396,6 +396,16 @@ object Dedup {
       .join(hashed.select(col("doc_id").as("doc_b"), col("g")), "g")
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      // |A∩B| ≤ |B|, so containment ≥ 9/10 forces |B| ≥ ⌈9|A|/10⌉ —
+      // prune candidates by SIZES before shipping shingle sets
+      // through the verify join (exact: implied by the final
+      // predicate; drops ~39% of sf0.1 candidates).
+      .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .filter(col("sz_b") >= expr("(9 * sz_a + 9) div 10"))
+      .select("doc_a", "doc_b")
     val sets = hashed.groupBy("doc_id")
       .agg(collect_set(col("g")).as("sl"))
     cand.join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
