@@ -22,7 +22,8 @@ object ScaleSmoke {
       |  stjoin [chunks]  st03 interval-join state per micro-batch at sf0.1
       |  sessions [chunks]  st02/st13 session state per micro-batch at sf0.1
       |  text [f]      d15 removal + t17 BPE encode on documents ×1 and ×f
-      |  curation [f]  c04/c10/c11 de-weaked plans vs window forms ×1 and ×f""".stripMargin
+      |  curation [f]  c04/c10/c11 de-weaked plans vs window forms ×1 and ×f
+      |  multimodal [f]  m07 block population: (dims) vs (dims, sig) key ×f""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -590,9 +591,51 @@ object ScaleSmoke {
     docsN.unpersist()
   }
 
+  /** `runMain graft.ScaleSmoke multimodal [factor]`: the r12
+    * verdict's m07 fix, measured structurally — per-block payload
+    * population under the OLD (width, height) pair-join key (≤256
+    * keys: within-block self-join emits ~(N/256)² pairs at corpus
+    * scale) vs the NEW (width, height, sig) key (≤65 536 keys, flip-1
+    * multi-probed). Wall-clock at smoke scale can't show the
+    * quadratic; the max-block population and the candidate-pair count
+    * the join actually emits can. The dims-only pair count is
+    * COMPUTED (Σ C(n,2) per block), never enumerated — at ×100 it
+    * would be the scale-killer being demonstrated.
+    */
+  def runMultimodal(spark: SparkSession, factor: Int): Unit = {
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val docsN = scaled(docs1, "doc_id", factor)
+    val dec = ops.Multimodal.decodeDocs(docsN)
+      .select(col("doc_id"), col("width"), col("height"), col("v"))
+      .withColumn("sig", ops.Multimodal.signCode)
+      .localCheckpoint()
+    val n = dec.count()
+    println(s"[multimodal] decoded payloads: $n (x$factor)")
+    def blockStats(keys: Seq[String], tag: String): Unit = {
+      val b = dec.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
+      val r = b.agg(count(lit(1)).as("blocks"), max(col("bn")).as("maxn"),
+        sum(col("bn") * (col("bn") - lit(1)) / 2).as("pairs")).collect()(0)
+      println(s"[multimodal]   $tag: ${r.getLong(0)} blocks, " +
+        s"max population ${r.getLong(1)}, " +
+        s"implied in-block pairs ${r.get(2)}")
+    }
+    blockStats(Seq("width", "height"), "key (dims)     ")
+    blockStats(Seq("width", "height", "sig"), "key (dims, sig)")
+    // the join the NEW m07 actually runs, at ×factor — probe-side
+    // candidates are bounded per (dims, sig) block, so the op
+    // completes where the dims-only join would enumerate the square
+    val t0 = System.nanoTime()
+    val best = ops.Multimodal.perceptualBestPairs(
+      dec.select("doc_id", "width", "height", "v")).count()
+    println(f"[multimodal]   perceptualBestPairs x$factor: $best best-pair rows " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    ops.Similarity.freeCheckpoint(dec)
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
-      "text", "curation")
+      "text", "curation", "multimodal")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -620,6 +663,7 @@ object ScaleSmoke {
         case "sessions" => 30
         case "text" => 20
         case "curation" => 20
+        case "multimodal" => 100
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -640,6 +684,7 @@ object ScaleSmoke {
     if (mode == "sessions") { runSessionsScale(spark, factor); spark.stop(); return }
     if (mode == "text") { runText(spark, factor); spark.stop(); return }
     if (mode == "curation") { runCuration(spark, factor); spark.stop(); return }
+    if (mode == "multimodal") { runMultimodal(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)

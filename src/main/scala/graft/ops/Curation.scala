@@ -269,7 +269,7 @@ object Curation {
         // threshold against a per-source rate, no shuffle at all
         // until the audit aggregation. Same auditable md5 bucket as
         // c01: a doc's fate is reproducible from its id alone.
-        val rate = (expr("CAST(substring(source, 4) AS INT)") * 37) % 100
+        val rate = (expr("CAST(substring(source, 4, 10) AS INT)") * 37) % 100
         val kept = docs(s, dir)
           .withColumn("rate_pct", rate)
           .withColumn("keep",
@@ -285,10 +285,10 @@ object Curation {
       Some("""
         WITH k AS (
           SELECT source,
-            (CAST(substr(source, 4, 10) AS INT) * 37) % 100 AS rate_pct,
+            (TRY_CAST(substr(source, 4, 10) AS INT) * 37) % 100 AS rate_pct,
             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
                            AS BIGINT) % 100
-                      < (CAST(substr(source, 4, 10) AS INT) * 37) % 100
+                      < (TRY_CAST(substr(source, 4, 10) AS INT) * 37) % 100
                  THEN 1 ELSE 0 END AS keep
           FROM documents)
         SELECT source, MAX(rate_pct) AS rate_pct,
@@ -551,7 +551,7 @@ object Curation {
         // Determinism: key = ratio of small exact integers — one
         // IEEE division, identical in both engines; ties break by
         // (source, doc_id). Sources with weight 0 are out of the mix.
-        val rate = (expr("CAST(substring(source, 4) AS INT)") * 37) % 100
+        val rate = (expr("CAST(substring(source, 4, 10) AS INT)") * 37) % 100
         val ranked = packedCum(
           docs(s, dir)
             .select(col("doc_id"), col("source"))
@@ -574,7 +574,7 @@ object Curation {
       Some("""
         WITH b AS (
           SELECT doc_id, source,
-            (CAST(substr(source, 4, 10) AS INT) * 37) % 100 AS w
+            (TRY_CAST(substr(source, 4, 10) AS INT) * 37) % 100 AS w
           FROM documents),
         r AS (
           SELECT doc_id, source, w,

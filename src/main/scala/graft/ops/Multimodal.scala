@@ -104,17 +104,38 @@ object Multimodal {
       n, feats)
   }
 
+  /** Per-(session, dir) memo of [[decodedFrame]] — the Similarity
+    * artifact-memo discipline (ivfSq8TrainShared): the decode is the
+    * expensive codec/model-inference boundary, and m05/m06/m07 each
+    * consume the SAME decoded corpus, so repeated Verify/Bench passes
+    * reuse one pinned localCheckpoint instead of stacking a fresh
+    * full-corpus checkpoint per invocation and leaving the old blocks
+    * to the ContextCleaner (the r12 ADVICE item). Entries of stopped
+    * sessions are dropped on insert — their checkpointed blocks died
+    * with the session.
+    */
+  private val decodedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** The decoded-feature frame (doc_id, width, height, n_bytes, v) —
-    * built ONCE per query invocation and localCheckpoint'd: the
-    * decode is the expensive codec/model-inference boundary, and the
+    * built ONCE per (session, dir) and localCheckpoint'd: the
     * m05/m07 self-joins (two sides) and m06's extra dims branch would
     * otherwise re-run the whole corpus decode per consumer.
     */
   private def decodedFrame(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
+    decodedMemo.keys.filter(_._1 ne s).foreach(decodedMemo.remove)
+    decodedMemo.getOrElseUpdate((s, dir),
+      decodeDocs(Tables.load(s, dir, "documents")).localCheckpoint())
+  }
+
+  /** The un-memoized decode of an arbitrary (doc_id, text) frame —
+    * factored so ScaleSmoke can drive it on scaled corpora.
+    */
+  private[graft] def decodeDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
     import spark.implicits._
-    graft.functions.VectorExpressions.register(s)
-    Tables.load(s, dir, "documents")
+    graft.functions.VectorExpressions.register(spark)
+    documents
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .filter(col("payload").isNotNull)
       .as[Blob]
@@ -122,7 +143,6 @@ object Multimodal {
       .toDF()
       .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
         transform(col("features"), x => x.cast("double")).as("v"))
-      .localCheckpoint()
   }
 
   /** The m05/m06-shared near-dup candidate frame over a
@@ -144,6 +164,67 @@ object Multimodal {
         round(dot(col("a.v"), col("b.v")) /
           (sqrt(dot(col("a.v"), col("a.v"))) *
             sqrt(dot(col("b.v"), col("b.v")))), 6).as("cos_sim"))
+  }
+
+  /** The 8-bit feature SIGN code (bit i set iff feature i ≥ 0) — the
+    * s14/SRP binary signature of the perceptual embedding, used as a
+    * BLOCK KEY component by m07/m08. Features are exact
+    * 1/128-multiples, so the sign test is integer-exact cross-engine.
+    */
+  private[graft] def signCode: org.apache.spark.sql.Column =
+    (0 until 8).map(i =>
+      when(element_at(col("v"), i + 1) >= 0, lit(1 << i))
+        .otherwise(lit(0))).reduce(_ + _).cast("int")
+
+  /** m07's pair stage, factored for direct spec coverage: per
+    * (width, height, sig) block, the best near-dup pair among pairs
+    * whose sign codes differ by AT MOST ONE BIT — enforced by
+    * construction, never by a post-join Hamming filter. The LEFT side
+    * replicates each row into its own sig bucket plus the 8 flip-1
+    * Hamming neighbors (multi-probe, the s14/d11 banding idea); the
+    * RIGHT side keys on its exact sig — so a pair (a, b) with
+    * a.doc_id < b.doc_id collides EXACTLY once (Hamming 0 via the
+    * identity probe, Hamming 1 via the single differing-bit flip) and
+    * the join key is the full (width, height, sig) block: ≤65 k keys,
+    * per-block population ~N/65 536 on hash-uniform features — the
+    * production layout the r12 verdict asked for, vs the ≤256-key
+    * (width, height) blocking whose within-block self-join was
+    * quadratic at corpus scale. Pairs at Hamming ≥ 2 are invisible by
+    * design: with a REAL decoder, a re-encode preserves dims and all
+    * (or all-but-one near-boundary) feature signs, which is exactly
+    * the recall flip-1 multi-probe recovers.
+    * Input: (doc_id, width, height, v). Output: one row per populated
+    * (width, height, sig) bucket — sig is the PROBED bucket key (the
+    * right side's exact code) — with the bucket's best pair by
+    * cosine, its sign-match verdict, and the ≥0.999 dup flag.
+    */
+  private[graft] def perceptualBestPairs(dec: DataFrame): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpressions.dot(a, b)
+    val sig = dec.withColumn("sig", signCode)
+      .filter(dot(col("v"), col("v")) > 0)
+    val probes = sig.withColumn("probe",
+      explode(array(col("sig") +: (0 until 8).map(i =>
+        col("sig").bitwiseXOR(lit(1 << i))): _*)))
+    val w = Window.partitionBy(col("width"), col("height"), col("sig"))
+      .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
+    probes.as("a").join(sig.as("b"),
+        col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.probe") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.width").as("width"), col("a.height").as("height"),
+        col("b.sig").as("sig"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.sig") === col("b.sig")).cast("int").as("sig_match"),
+        round(dot(col("a.v"), col("b.v")) /
+          (sqrt(dot(col("a.v"), col("a.v"))) *
+            sqrt(dot(col("b.v"), col("b.v")))), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("width"), col("height"), col("sig"),
+        col("doc_a"), col("doc_b"), col("sig_match"), col("cos_sim"),
+        (col("cos_sim") >= 0.999).cast("int").as("is_dup"))
   }
 
   /** feats[i] = ((h >>> 8i) & 0xff)/128 - 1, restated per byte field
@@ -435,58 +516,36 @@ object Multimodal {
     // ----------------------------------------------------------------
     Q(
       "m07_perceptual_neardup",
-      (s, dir) => {
+      (s, dir) =>
         // PERCEPTUAL near-dup audit — the size-INDEPENDENT tier m05
         // lacks: m05 blocks on payload byte length, so the same
         // content re-encoded at a different size is invisible to it.
-        // Here blocking uses the DECODED representation instead: the
-        // equi-join key is the (width, height) format block — ≤256
-        // keys — and each pair carries an 8-bit feature SIGN-CODE
-        // match verdict (the s14/SRP binary-signature idea applied to
-        // the perceptual embedding) beside its cosine; the report is
-        // each format block's BEST pair with its sig_match and is_dup
-        // verdicts — the audit a multimodal dedup pass reads to
-        // decide whether a format family needs the expensive tier
-        // (and whether adding the sign code to the block key — the
-        // 65k-key production layout — would prune it). With a REAL
-        // decoder a re-encoded image keeps its dims and feature signs
-        // and lands in the same block regardless of file size; the
-        // stub's features are byte-derived, so only byte-exact clones
-        // reach cos 1.0 here — the oracle checks the machinery
-        // (blocking, signature, verify, per-block ranking); the
+        // Here blocking uses the DECODED representation, and the pair
+        // join key is the FULL (width, height, sig) block — format
+        // dims PLUS the 8-bit feature sign code (s14/SRP binary
+        // signature), ≤65 k keys — with flip-1 Hamming multi-probe on
+        // the left side so near-boundary signs (one flipped bit) are
+        // still paired (see [[perceptualBestPairs]] for the
+        // exactly-once collision argument). The report is each
+        // populated block's BEST pair with its sig_match and is_dup
+        // verdicts — the audit a multimodal dedup pass reads to pick
+        // format families for the expensive tier. With a REAL decoder
+        // a re-encoded image keeps its dims and (near-)all feature
+        // signs and lands in a probed block regardless of file size;
+        // the stub's features are byte-derived, so only byte-exact
+        // clones reach cos 1.0 here — the oracle checks the machinery
+        // (sig blocking, multi-probe, verify, per-block ranking); the
         // decoder swap point is m02's. Scale shape: signature is a
-        // pure projection; the self-join is an equi-join on the
-        // format key with per-block populations bounded by format
-        // cardinality; the best pair is one partitioned window.
-        val dec = decodedFrame(s, dir)
-          .select(col("doc_id"), col("width"), col("height"), col("v"))
-        val signC = (0 until 8).map(i =>
-          when(element_at(col("v"), i + 1) >= 0, lit(1 << i))
-            .otherwise(lit(0))).reduce(_ + _).cast("int")
-        val sig = dec.withColumn("sig", signC)
-        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          graft.functions.VectorExpressions.dot(a, b)
-        val w = Window.partitionBy(col("width"), col("height"))
-          .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
-        sig.as("a").join(sig.as("b"),
-            col("a.width") === col("b.width") &&
-              col("a.height") === col("b.height") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .filter(dot(col("a.v"), col("a.v")) > 0 &&
-            dot(col("b.v"), col("b.v")) > 0)
-          .select(col("a.width").as("width"), col("a.height").as("height"),
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            (col("a.sig") === col("b.sig")).cast("int").as("sig_match"),
-            round(dot(col("a.v"), col("b.v")) /
-              (sqrt(dot(col("a.v"), col("a.v"))) *
-                sqrt(dot(col("b.v"), col("b.v")))), 6).as("cos_sim"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("width"), col("height"), col("doc_a"), col("doc_b"),
-            col("sig_match"), col("cos_sim"),
-            (col("cos_sim") >= 0.999).cast("int").as("is_dup"))
-          .orderBy("width", "height")
-      },
+        // pure projection; the 9× probe replication is a flat map
+        // (linear); the self-join is an equi-join on the 65 k-key
+        // block with per-block population ~N/65 536 on hash-uniform
+        // features (ScaleSmoke `multimodal` measures it at ×100 vs
+        // the old ≤256-key dims-only blocking); the best pair is one
+        // partitioned window over blocks.
+        perceptualBestPairs(
+          decodedFrame(s, dir)
+            .select(col("doc_id"), col("width"), col("height"), col("v")))
+          .orderBy("width", "height", "sig"),
       Some(s"""
         WITH $sqlDecodeAcc,
         f AS (
@@ -496,8 +555,11 @@ object Multimodal {
             $sqlFeatsList AS v,
             CAST($sqlSigExpr AS INT) AS sig
           FROM acc),
+        fz AS (
+          SELECT * FROM f
+          WHERE list_sum(list_transform(v, x -> x * x)) > 0),
         pairs AS (
-          SELECT a.width, a.height,
+          SELECT a.width, a.height, b.sig AS sig,
             a.doc_id AS doc_a, b.doc_id AS doc_b,
             CAST(a.sig = b.sig AS INT) AS sig_match,
             ROUND(
@@ -506,18 +568,17 @@ object Multimodal {
               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
               AS cos_sim
-          FROM f a JOIN f b
+          FROM fz a JOIN fz b
             ON a.width = b.width AND a.height = b.height
             AND a.doc_id < b.doc_id
-          WHERE list_sum(list_transform(a.v, x -> x * x)) > 0
-            AND list_sum(list_transform(b.v, x -> x * x)) > 0)
-        SELECT width, height, doc_a, doc_b, sig_match, cos_sim,
+            AND bit_count(xor(a.sig, b.sig)) <= 1)
+        SELECT width, height, sig, doc_a, doc_b, sig_match, cos_sim,
           CAST(cos_sim >= 0.999 AS INT) AS is_dup
         FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY width, height
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY width, height, sig
             ORDER BY cos_sim DESC, doc_a, doc_b) AS rn
           FROM pairs)
         WHERE rn = 1
-        ORDER BY width, height"""))
+        ORDER BY width, height, sig"""))
   )
 }

@@ -112,8 +112,8 @@ class MultimodalSpec extends SparkSpec {
       val rows = graft.SparkEntry
         .queries("m07_perceptual_neardup")(spark, dir.getAbsolutePath)
         .collect()
-        .map(r => ((r.getLong(2), r.getLong(3)),
-          (r.getInt(4), r.getDouble(5), r.getInt(6))))
+        .map(r => ((r.getLong(3), r.getLong(4)),
+          (r.getInt(5), r.getDouble(6), r.getInt(7))))
       // the clone pair tops its format block: cos 1.0, matching sign
       // codes, flagged dup — blocked WITHOUT any byte-length key
       val clone = rows.toMap.get((1L, 2L))
@@ -127,5 +127,44 @@ class MultimodalSpec extends SparkSpec {
       }
       rm(dir)
     }
+  }
+
+  test("m07 multi-probe: Hamming-1 sign pairs collide exactly once; Hamming-2 never") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // Hand-built decoded frame, all in ONE format block (64×64):
+    //   10 ↔ 11: identical signs (Hamming 0)
+    //   10 ↔ 12: one near-boundary sign flipped (Hamming 1) — the
+    //            pair the flip-1 probe must recover
+    //   10 ↔ 13: two signs flipped (Hamming 2) — out of reach by
+    //            design, must NOT appear
+    val base = Array.fill(8)(0.5)
+    val flip1 = base.updated(7, -0.5)
+    val flip2 = base.updated(7, -0.5).updated(6, -0.5)
+    val dec = Seq(
+      (10L, 64, 64, base.toSeq),
+      (11L, 64, 64, base.map(_ * 0.9).toSeq), // same signs, not a clone
+      (12L, 64, 64, flip1.toSeq),
+      (13L, 64, 64, flip2.toSeq))
+      .toDF("doc_id", "width", "height", "v")
+    val out = Multimodal.perceptualBestPairs(dec).collect()
+      .map(r => (r.getInt(2), (r.getLong(3), r.getLong(4)), r.getInt(5)))
+    // bucket sig=255 (all signs positive): best pair is the
+    // same-direction pair (10,11), sig_match 1 — the identity probe
+    assert(out.exists(p => p._1 == 255 && p._2 == ((10L, 11L)) &&
+      p._3 == 1), out.toSeq)
+    // Hamming-1 recovered: bucket sig=127 (12's code) pairs 12 with a
+    // flip-1 prober (tie on cosine -> doc_a asc -> 10), sig_match 0
+    assert(out.exists(p => p._1 == 127 && p._2 == ((10L, 12L)) &&
+      p._3 == 0), out.toSeq)
+    // Hamming-2 invisible by design: 13 never pairs with 10/11 (two
+    // bits apart) — only with 12 (one bit apart, bucket sig=63)
+    assert(!out.exists(p => p._2._2 == 13L && p._2._1 <= 11L), out.toSeq)
+    assert(out.exists(p => p._1 == 63 && p._2 == ((12L, 13L))), out.toSeq)
+    // exactly-once collision: a Hamming-0 pair must not double-emit
+    // through a flip probe — every (doc_a, doc_b) appears in one
+    // bucket only (here every best-pair row is a distinct pair)
+    assert(out.map(_._2).distinct.length == out.length, out.toSeq)
   }
 }

@@ -199,10 +199,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("m07: perceptual block join stays equi on the format dims; no cartesian") {
+  test("m07: pair join keys on (dims, sig) via the probe column; no cartesian") {
     val p = plan("m07_perceptual_neardup")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoop"), p)
+    // the r12 verdict's fix: the sign code is IN the equi-join key
+    // (left side probes, right side exact sig), not a post-join
+    // filter — the plan's join keys must carry probe/sig
+    assert(p.contains("probe"), p)
+    // Hamming is never computed post-join (no bit_count filter —
+    // collisions are bounded by construction)
+    assert(!p.contains("bit_count"), p)
   }
 
   test("m06: card branches aggregate without Expand; no cartesian") {
