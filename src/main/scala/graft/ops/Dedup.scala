@@ -379,7 +379,8 @@ object Dedup {
     * Emits (doc_a ⊆-candidate, doc_b container, set sizes, exact
     * containment) at ≥ t; mutual clones appear in both directions.
     */
-  def containmentPairs(documents: DataFrame): DataFrame = {
+  def containmentPairs(documents: DataFrame,
+      maxPosting: Int = Int.MaxValue): DataFrame = {
     val hashed = shingleRows(documents)
       .select(col("doc_id"), substring(md5(col("t")), 1, 16).as("g"))
       .distinct()
@@ -392,8 +393,29 @@ object Dedup {
       .join(szs, "doc_id")
       .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
       .select(col("doc_id").as("doc_a"), col("g"))
-    val cand = prefix
-      .join(hashed.select(col("doc_id").as("doc_b"), col("g")), "g")
+    // Skew guard (lshCandidatePairs' maxBucket contract, applied to
+    // prefix-gram POSTING LISTS): the candidate join emits one row
+    // per (prefix occurrence × posting entry) of a gram, so one hot
+    // gram reaching the prefixes of an adversarial corpus (tiny
+    // near-identical docs over a small shingle vocabulary) makes the
+    // enumeration quadratic however rare such grams are. With a cap
+    // set, grams whose document frequency exceeds it are semi-join-
+    // filtered out of BOTH join sides before any candidate exists —
+    // dropped grams are near-certain clone-family carriers, which the
+    // linear keeper ops (d01/d07/d08) collapse without pair
+    // enumeration; run those first on dup-heavy corpora (the d03
+    // convention). The df-asc prefix order already makes hot grams
+    // UNLIKELY in prefixes; the cap makes them BOUNDED. Default
+    // MaxValue keeps the op exact (the registered d18 oracle).
+    val coldGrams = gdf.filter(col("df") <= maxPosting).select("g")
+    val prefixCapped =
+      if (maxPosting == Int.MaxValue) prefix
+      else prefix.join(coldGrams, Seq("g"), "left_semi")
+    val postings =
+      if (maxPosting == Int.MaxValue) hashed
+      else hashed.join(coldGrams, Seq("g"), "left_semi")
+    val cand = prefixCapped
+      .join(postings.select(col("doc_id").as("doc_b"), col("g")), "g")
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       // |A∩B| ≤ |B|, so containment ≥ 9/10 forces |B| ≥ ⌈9|A|/10⌉ —
