@@ -125,6 +125,17 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // The harness that records this run keeps only the last ~2000 chars
+    // of console output; the full line above is ~9 kB at 175 queries, so
+    // its head is always cut off and the run's summary is lost to any
+    // tail-based reader (observed three rounds running). Print a compact
+    // trailer LAST — small enough to survive the tail window intact —
+    // carrying the totals plus the 10 slowest queries; the complete
+    // per-query/per-pass payload stays in the file written above.
+    val slow = results.filter(_._3).sortBy(-_._2).take(10)
+      .map { case (k, v, _, _, _, _) => s""""$k":${d3(v)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","nqueries":${results.size},"failed":$failed,"slowest":$slow$filterField,"sf":"$sfDir","full":"bench_last.json"}""")
     spark.stop()
   }
 }

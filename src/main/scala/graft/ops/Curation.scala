@@ -269,7 +269,10 @@ object Curation {
         // threshold against a per-source rate, no shuffle at all
         // until the audit aggregation. Same auditable md5 bucket as
         // c01: a doc's fate is reproducible from its id alone.
-        val rate = (expr("CAST(substring(source, 4, 10) AS INT)") * 37) % 100
+        // try_cast, not CAST: Spark 4 runs ANSI-on, so a malformed or
+        // overflowing suffix would THROW here while the DuckDB oracle's
+        // TRY_CAST yields NULL — try_cast pins the same NULL semantics.
+        val rate = (expr("try_cast(substring(source, 4, 10) AS INT)") * 37) % 100
         val kept = docs(s, dir)
           .withColumn("rate_pct", rate)
           .withColumn("keep",
@@ -551,7 +554,10 @@ object Curation {
         // Determinism: key = ratio of small exact integers — one
         // IEEE division, identical in both engines; ties break by
         // (source, doc_id). Sources with weight 0 are out of the mix.
-        val rate = (expr("CAST(substring(source, 4, 10) AS INT)") * 37) % 100
+        // try_cast, not CAST: Spark 4 runs ANSI-on, so a malformed or
+        // overflowing suffix would THROW here while the DuckDB oracle's
+        // TRY_CAST yields NULL — try_cast pins the same NULL semantics.
+        val rate = (expr("try_cast(substring(source, 4, 10) AS INT)") * 37) % 100
         val ranked = packedCum(
           docs(s, dir)
             .select(col("doc_id"), col("source"))

@@ -123,10 +123,23 @@ object Multimodal {
     * otherwise re-run the whole corpus decode per consumer.
     */
   private def decodedFrame(s: SparkSession, dir: String): DataFrame = {
-    decodedMemo.keys.filter(_._1 ne s).foreach(decodedMemo.remove)
+    // Evict only entries of STOPPED sessions: evicting any other
+    // session's entry would (a) thrash the memo when two live
+    // sessions alternate and (b) leave the evicted frame's
+    // checkpointed blocks pinned in its still-live session. A stopped
+    // session's blocks died with it, so plain removal suffices.
+    decodedMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(decodedMemo.remove)
     decodedMemo.getOrElseUpdate((s, dir),
       decodeDocs(Tables.load(s, dir, "documents")).localCheckpoint())
   }
+
+  /** Drop (and free) this session's memoized decode for `dir` — the
+    * explicit invalidation path for a corpus rewritten mid-session
+    * (the memo otherwise serves the stale decode by design).
+    */
+  def invalidateDecoded(s: SparkSession, dir: String): Unit =
+    decodedMemo.remove((s, dir)).foreach(Similarity.freeCheckpoint)
 
   /** The un-memoized decode of an arbitrary (doc_id, text) frame —
     * factored so ScaleSmoke can drive it on scaled corpora.
