@@ -387,35 +387,40 @@ object Dedup {
       .localCheckpoint()
     val gdf = hashed.groupBy("g").agg(count(lit(1)).as("df"))
     val szs = hashed.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val prefix = hashed.join(gdf, "g")
-      .withColumn("rn", row_number().over(w))
-      .join(szs, "doc_id")
-      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
-      .select(col("doc_id").as("doc_a"), col("g"))
     // Skew guard (lshCandidatePairs' maxBucket contract, applied to
     // prefix-gram POSTING LISTS): the candidate join emits one row
     // per (prefix occurrence × posting entry) of a gram, so one hot
     // gram reaching the prefixes of an adversarial corpus (tiny
     // near-identical docs over a small shingle vocabulary) makes the
     // enumeration quadratic however rare such grams are. With a cap
-    // set, grams whose document frequency exceeds it are semi-join-
-    // filtered out of BOTH join sides before any candidate exists —
-    // dropped grams are near-certain clone-family carriers, which the
-    // linear keeper ops (d01/d07/d08) collapse without pair
+    // set, grams whose document frequency exceeds it ("hot") are
+    // semi-join-filtered out of BOTH join sides BEFORE the prefix
+    // ranks are computed, so the prefix budget is spent entirely on
+    // retained ("cold") grams. With the budget kept at the FULL
+    // |A| − ⌈9|A|/10⌉ + 1 (sz counts hot grams too), the capped mode
+    // has an EXACT semantic: it emits precisely the ≥-0.9-containment
+    // pairs that share at least one cold gram. Proof sketch: with k
+    // hot grams in A and shared-cold count c ≥ max(1, ⌈9sz/10⌉ − k),
+    // missing A's whole cold prefix bounds c ≤ max(0, ⌈9sz/10⌉−1−k) —
+    // a contradiction either way. The only losses are pairs whose
+    // ENTIRE intersection is hot grams — deep clone-family members,
+    // which the linear keeper ops (d01/d07/d08) collapse without pair
     // enumeration; run those first on dup-heavy corpora (the d03
-    // convention). The df-asc prefix order already makes hot grams
-    // UNLIKELY in prefixes; the cap makes them BOUNDED. Default
-    // MaxValue keeps the op exact (the registered d18 oracle).
-    val coldGrams = gdf.filter(col("df") <= maxPosting).select("g")
-    val prefixCapped =
-      if (maxPosting == Int.MaxValue) prefix
-      else prefix.join(coldGrams, Seq("g"), "left_semi")
-    val postings =
+    // convention). d19 registers the capped mode against an oracle
+    // stating that cold-witness semantic independently; default
+    // MaxValue keeps the op fully exact (the registered d18 oracle).
+    val cold =
       if (maxPosting == Int.MaxValue) hashed
-      else hashed.join(coldGrams, Seq("g"), "left_semi")
-    val cand = prefixCapped
-      .join(postings.select(col("doc_id").as("doc_b"), col("g")), "g")
+      else hashed.join(gdf.filter(col("df") <= maxPosting).select("g"),
+        Seq("g"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = cold.join(gdf, "g")
+      .withColumn("rn", row_number().over(w))
+      .join(szs, "doc_id")
+      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("doc_id").as("doc_a"), col("g"))
+    val cand = prefix
+      .join(cold.select(col("doc_id").as("doc_b"), col("g")), "g")
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       // |A∩B| ≤ |B|, so containment ≥ 9/10 forces |B| ≥ ⌈9|A|/10⌉ —
@@ -1425,6 +1430,69 @@ object Dedup {
         JOIN sets sb ON c.doc_b = sb.doc_id
         WHERE CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE)
               / len(sa.sl) >= 0.9
+        ORDER BY c.doc_a, c.doc_b""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d19_containment_capped",
+      // The SKEW-CAPPED containment tier (maxPosting = 16 — the cap
+      // actually fires at sf0.1, where 669 grams exceed it): hot
+      // grams leave both join sides before prefix ranking, and the
+      // prefix budget is re-ranked over the retained cold grams (see
+      // [[containmentPairs]]). The oracle below does NOT mirror the
+      // capped machinery — it states the capped mode's exact SEMANTIC
+      // independently: the ≥-0.9-containment pairs (computed with
+      // d18's UNcapped construction) that share at least one gram
+      // with df ≤ 16. A hash match proves the capped plan implements
+      // that contract, at every SF, including where the cap bites.
+      (s, dir) => containmentPairs(docs(s, dir), maxPosting = 16)
+        .orderBy("doc_a", "doc_b"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        sh0 AS (
+          SELECT DISTINCT doc_id,
+            substr(md5(t), 1, 16) AS g
+          FROM (
+            SELECT doc_id, unnest(
+              CASE WHEN len(tl) >= 3
+                THEN list_transform(range(1, len(tl) - 1),
+                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+                ELSE [array_to_string(tl, ' ')] END) AS t
+            FROM toks)),
+        gdf AS (SELECT g, COUNT(*) AS df FROM sh0 GROUP BY g),
+        szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh0 GROUP BY doc_id),
+        pre AS (
+          SELECT doc_id AS doc_a, g FROM (
+            SELECT h.doc_id, h.g, s.sz,
+              ROW_NUMBER() OVER (PARTITION BY h.doc_id
+                                 ORDER BY d.df, h.g) AS rn
+            FROM sh0 h JOIN gdf d USING (g) JOIN szs s USING (doc_id))
+          WHERE rn <= sz - (9 * sz + 9) // 10 + 1),
+        cand AS (
+          SELECT DISTINCT p.doc_a, h.doc_id AS doc_b
+          FROM pre p JOIN sh0 h USING (g)
+          WHERE h.doc_id <> p.doc_a),
+        sets AS (SELECT doc_id, list(g) AS sl FROM sh0 GROUP BY doc_id),
+        colds AS (
+          SELECT h.doc_id, list(h.g) AS cl
+          FROM sh0 h JOIN gdf d USING (g)
+          WHERE d.df <= 16 GROUP BY h.doc_id)
+        SELECT c.doc_a, c.doc_b,
+          CAST(len(sa.sl) AS INT) AS n_a,
+          CAST(len(sb.sl) AS INT) AS n_b,
+          CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE)
+            / len(sa.sl) AS containment
+        FROM cand c
+        JOIN sets sa ON c.doc_a = sa.doc_id
+        JOIN sets sb ON c.doc_b = sb.doc_id
+        JOIN colds ca ON c.doc_a = ca.doc_id
+        JOIN colds cb ON c.doc_b = cb.doc_id
+        WHERE CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE)
+              / len(sa.sl) >= 0.9
+          AND len(list_intersect(ca.cl, cb.cl)) >= 1
         ORDER BY c.doc_a, c.doc_b"""))
   )
 }

@@ -387,4 +387,48 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((2L, 1L)), out)
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L), out)
   }
+
+  test("d19 capped containment: adversarial tiny-doc clone family is " +
+      "bounded out; cold-witnessed pairs survive; capped == cold-witness " +
+      "semantic") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Adversarial corpus for the UNcapped enumerator: 40 identical
+    // 5-token docs over a 5-token vocabulary. Every shingle's posting
+    // list has 40+ entries, every doc mutually contains every other →
+    // 40×39 = 1560 ordered pairs from 3 distinct grams.
+    val clones = (0L until 40L).map(i => (i, "x1 x2 x3 x4 x5"))
+    // A cold-witnessed containment pair riding on top: A's gram set is
+    // {(x1 x2 x3) — HOT, df ≥ 42; (x2 x3 r1), (x3 r1 r2) — cold,
+    // df = 2}. A ⊆ B at containment 1.0, and the witness grams are
+    // cold, so the cap must NOT lose this pair.
+    val a = (100L, "x1 x2 x3 r1 r2")
+    val b = (101L, "x1 x2 x3 r1 r2 fillb1 fillb2 fillb3")
+    val df = (clones :+ a :+ b).toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(df)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.containmentPairs(df, maxPosting = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // Uncapped: the full quadratic family plus the planted pair.
+    assert(uncapped.size == 40 * 39 + 1, uncapped.size)
+    // Capped: the clone family's grams all exceed the cap (whole
+    // intersection hot → the documented drop) — the enumeration is
+    // BOUNDED instead of quadratic — while the cold-witnessed pair
+    // survives exactly.
+    assert(capped == Set((100L, 101L)), capped)
+    // The capped mode's exact contract, checked wholesale: capped ==
+    // { uncapped pairs sharing ≥ 1 gram with df ≤ cap }.
+    val grams = Dedup.shingleRows(df)
+      .select(col("doc_id"),
+        substring(md5(col("t")), 1, 16).as("g")).distinct()
+    val cold = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 8).select("g"), Seq("g"), "left_semi")
+    val witnessed = cold.as("ca").join(cold.as("cb"),
+        col("ca.g") === col("cb.g") &&
+          col("ca.doc_id") =!= col("cb.doc_id"))
+      .select(col("ca.doc_id").as("da"), col("cb.doc_id").as("db"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(capped == uncapped.filter(witnessed), (capped, uncapped))
+  }
 }

@@ -247,6 +247,22 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window present: $specs\n$p")
   }
 
+  test("d19: the posting cap is a LeftSemi on both join sides, before " +
+      "the prefix rank") {
+    val p = plan("d19_containment_capped")
+    assert(!p.contains("CartesianProduct"), p)
+    // hot grams leave via semi-joins against the df<=cap gram table —
+    // the capped plan must carry LeftSemi where d18's exact plan has
+    // none
+    assert(p.contains("LeftSemi"), p)
+    assert(!plan("d18_containment_pairs").contains("LeftSemi"))
+    // the prefix rank window still runs per doc, never unpartitioned
+    val specs = windowSpecPrefixes(p)
+    assert(specs.nonEmpty &&
+      specs.forall(s => !(s.contains(" ASC") || s.contains(" DESC"))),
+      s"unpartitioned window present: $specs\n$p")
+  }
+
   test("t20: novelty is gram-min + join + per-doc agg — windowless, combined") {
     val p = plan("t20_ngram_novelty")
     assert(p.contains("partial_min"), p)
