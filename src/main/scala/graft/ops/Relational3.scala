@@ -176,6 +176,77 @@ object Relational3 {
         ORDER BY stage""")),
     // ----------------------------------------------------------------
     Q(
+      "q66_windowed_funnel",
+      (s, dir) => {
+        // WINDOWED funnel — q64 with per-stage CONVERSION WINDOWS,
+        // which is what funnel products actually compute: a click
+        // only converts within 48 h of the first view, a purchase
+        // only within 7 d of that qualifying click (a purchase months
+        // later is a separate journey, not funnel conversion). Same
+        // chained conditional-min shape as q64 — each stage is a
+        // per-user MIN over events inside (prev_us, prev_us + window]
+        // — so each stage's frame only shrinks, every aggregate
+        // map-side-combines, and nothing is windowed or sorted
+        // globally. Windows are exact integer µs bounds; at the
+        // testdata's 30-day span the 48 h gate drops ~40% of
+        // clickers, so the bound is exercised, not decorative.
+        val ev = t(s, dir)("events")
+          .filter(col("event_type").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val clickW = 48L * 3600L * 1000000L
+        val purchW = 7L * 24L * 3600L * 1000000L
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("v_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("us") > col("v_us") &&
+            col("us") <= col("v_us") + lit(clickW))
+          .groupBy("user_id").agg(min(col("us")).as("c_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("us") > col("c_us") &&
+            col("us") <= col("c_us") + lit(purchW))
+          .groupBy("user_id").agg(min(col("us")).as("p_us"))
+        v.agg(count(lit(1)).as("n_users"))
+          .select(lit("1_view").as("stage"), col("n_users"))
+          .unionByName(c.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_click_within_48h").as("stage"),
+              col("n_users")))
+          .unionByName(p.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase_within_7d").as("stage"),
+              col("n_users")))
+          .orderBy("stage")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type IS NOT NULL),
+        v AS (
+          SELECT user_id, MIN(us) AS v_us FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.us) AS c_us
+          FROM ev e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.us > v.v_us
+            AND e.us <= v.v_us + CAST(48 AS BIGINT) * 3600 * 1000000
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(e.us) AS p_us
+          FROM ev e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.us > c.c_us
+            AND e.us <= c.c_us + CAST(7 AS BIGINT) * 24 * 3600 * 1000000
+          GROUP BY e.user_id)
+        SELECT stage, n_users FROM (
+          SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+          UNION ALL
+          SELECT '2_click_within_48h', COUNT(*) FROM c
+          UNION ALL
+          SELECT '3_purchase_within_7d', COUNT(*) FROM p)
+        ORDER BY stage""")),
+    // ----------------------------------------------------------------
+    Q(
       "q65_retention_cohorts",
       (s, dir) => {
         // Retention-cohort matrix — the other event-analytics staple:

@@ -517,6 +517,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source NOVELTY CURVE (t21) — t20's marginal novelty
+    * aggregated by source over ingestion order: each source's docs
+    * are ranked by doc_id (the ingestion clock, t20's convention),
+    * bucketed into deciles of the source's run, and each decile
+    * reports its aggregate novelty — the diminishing-returns curve a
+    * curator reads per scrape to decide when a source stops adding
+    * information (t20 gives the per-doc number; the CURVE is what
+    * the keep-scraping decision actually consumes). Scale shape:
+    * novelty is t20's machinery unchanged; per-source ranks come
+    * from [[Curation.packedCum]]'s chunk-parallel two-pass sum — NOT
+    * a per-source window, which would stream each source's whole doc
+    * list through one task at 100× — and the decile arithmetic is
+    * pure integer math against a broadcast ≤|sources|-row count
+    * table. Determinism: ranks are integers, decile = ((rank−1)·10)
+    * div n, novelty is one division of exact long sums.
+    */
+  def noveltyCurve(documents: DataFrame): DataFrame = {
+    val nov = noveltyScores(documents)
+    val src = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"))
+    val ranked = Curation.packedCum(
+      nov.join(src, "doc_id")
+        .select(col("source"), col("doc_id"),
+          col("n_grams"), col("n_novel"))
+        .withColumn("one", lit(1)),
+      "one")
+    val cnts = ranked.groupBy("source").agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(cnts), "source")
+      .withColumn("decile",
+        expr("cast(((cum - 1) * 10) div n_src as int)"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).cast("long").as("n_grams"),
+        sum(col("n_novel")).cast("long").as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy("source", "decile")
+  }
+
   /** The encode CTE chain (per-doc word positions `wd`, the induction
     * over them, `w`-carried so `v$n` is a word→tokens map), FROM a
     * caller-named (doc_id, text) relation — shared by the t17 oracle
@@ -1335,6 +1374,50 @@ object TextAnalysis {
                AS DOUBLE) / COUNT(*) AS novelty
         FROM sh0 s JOIN fst f USING (g)
         GROUP BY s.doc_id
-        ORDER BY s.doc_id"""))
+        ORDER BY s.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t21_novelty_curve",
+      (s, dir) =>
+        // Per-source diminishing-returns curve (see [[noveltyCurve]]):
+        // t20's marginal novelty by source over ingestion-order
+        // deciles.
+        noveltyCurve(docs(s, dir)),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        sh0 AS (
+          SELECT DISTINCT doc_id, substr(md5(t), 1, 16) AS g
+          FROM (
+            SELECT doc_id, unnest(
+              CASE WHEN len(tl) >= 3
+                THEN list_transform(range(1, len(tl) - 1),
+                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+                ELSE [array_to_string(tl, ' ')] END) AS t
+            FROM toks)),
+        fst AS (SELECT g, MIN(doc_id) AS first_doc FROM sh0 GROUP BY g),
+        nov AS (
+          SELECT s.doc_id, COUNT(*) AS n_grams,
+            COUNT(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS n_novel
+          FROM sh0 s JOIN fst f USING (g)
+          GROUP BY s.doc_id),
+        ranked AS (
+          SELECT d.source, n.doc_id, n.n_grams, n.n_novel,
+            ROW_NUMBER() OVER (PARTITION BY d.source
+                               ORDER BY n.doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY d.source) AS n_src
+          FROM nov n JOIN documents d USING (doc_id))
+        SELECT source, CAST((rn - 1) * 10 // n_src AS INT) AS decile,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+          CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+          CAST(CAST(SUM(n_novel) AS BIGINT) AS DOUBLE) /
+            CAST(CAST(SUM(n_grams) AS BIGINT) AS DOUBLE) AS novelty
+        FROM ranked
+        GROUP BY source, decile
+        ORDER BY source, decile"""))
   )
 }

@@ -279,6 +279,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("q66: windowed funnel keeps q64's chained-agg shape — no windows, " +
+      "no cartesian") {
+    val p = plan("q66_windowed_funnel")
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-stage conversion windows are plain µs range predicates
+    // on the joined frames — never a window function
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("t21: novelty-curve ranks come from packedCum chunks, not a " +
+      "per-source-only corpus window") {
+    val p = plan("t21_novelty_curve")
+    // t20's gram-min machinery underneath, map-side combined
+    assert(p.contains("partial_min"), p)
+    // per-source ingestion ranks via the chunk-parallel two-pass sum
+    assert(p.contains("windowspecdefinition(chunk"), p)
+  }
+
   test("q65: retention matrix is distinct+join+agg — no windows, no cartesian") {
     val p = plan("q65_retention_cohorts")
     assert(p.contains("partial_min"), p)
