@@ -212,6 +212,26 @@ object Multimodal {
     * cosine, its sign-match verdict, and the ≥0.999 dup flag.
     */
   private[graft] def perceptualBestPairs(dec: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("width"), col("height"), col("sig"))
+      .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
+    perceptualPairs(dec)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("width"), col("height"), col("sig"),
+        col("doc_a"), col("doc_b"), col("sig_match"), col("cos_sim"),
+        (col("cos_sim") >= 0.999).cast("int").as("is_dup"))
+  }
+
+  /** The FULL Hamming-≤1 pair frame m07's per-block ranking and m08's
+    * keeper election both consume — the probes-join stage factored on
+    * its own: every (doc_a < doc_b) pair agreeing on (width, height)
+    * whose sign codes differ by at most one bit, collided exactly
+    * once via flip-1 multi-probe (see [[perceptualBestPairs]]'s
+    * collision argument), scored by decoded-feature cosine. Output
+    * (width, height, sig, doc_a, doc_b, sig_match, cos_sim); sig is
+    * the right side's exact code (the probed bucket key).
+    */
+  private[graft] def perceptualPairs(dec: DataFrame): DataFrame = {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.VectorExpressions.dot(a, b)
     val sig = dec.withColumn("sig", signCode)
@@ -219,8 +239,6 @@ object Multimodal {
     val probes = sig.withColumn("probe",
       explode(array(col("sig") +: (0 until 8).map(i =>
         col("sig").bitwiseXOR(lit(1 << i))): _*)))
-    val w = Window.partitionBy(col("width"), col("height"), col("sig"))
-      .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
     probes.as("a").join(sig.as("b"),
         col("a.width") === col("b.width") &&
           col("a.height") === col("b.height") &&
@@ -233,11 +251,46 @@ object Multimodal {
         round(dot(col("a.v"), col("b.v")) /
           (sqrt(dot(col("a.v"), col("a.v"))) *
             sqrt(dot(col("b.v"), col("b.v")))), 6).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("width"), col("height"), col("sig"),
-        col("doc_a"), col("doc_b"), col("sig_match"), col("cos_sim"),
-        (col("cos_sim") >= 0.999).cast("int").as("is_dup"))
+  }
+
+  /** Multimodal dedup KEEPERS (m08) — the verdict operator a
+    * multimodal curation pass actually consumes, d17's keep-best
+    * discipline over m07's perceptual families: Hamming-≤1 pairs at
+    * cosine ≥ 0.999 (the m07 dup gate) define the duplicate edges,
+    * each blob's family label is the one-hop minimum over itself and
+    * its partners (d07/d17's one-hop convention — every mutually-
+    * paired clone set collapses; chains spanning blocks may stay
+    * split, exactly as d17's bucket hops may), and the family's
+    * keeper is its LARGEST-PAYLOAD member (n_bytes desc, ties →
+    * lowest doc_id) — a curation pass keeps the highest-fidelity
+    * copy, the multimodal counterpart of d17 electing the
+    * highest-quality text. Blobs with no dup partner (including
+    * zero-feature blobs, which can't be cosine-scored) are singleton
+    * families and keep themselves. Scale shape: edges come from
+    * [[perceptualPairs]]'s bounded (dims, sig) blocks; the neighbor
+    * min is one map-side-combining aggregate over edge endpoints; the
+    * keeper argmax is one window per family (families are duplicate
+    * clusters — small by construction). Output (doc_id, family,
+    * n_bytes, is_kept) for EVERY decoded blob.
+    */
+  private[graft] def perceptualKeepers(dec: DataFrame): DataFrame = {
+    val edges = perceptualPairs(dec)
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("doc_a"), col("doc_b"))
+    val nbrMin = edges
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+      .unionByName(edges
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+      .groupBy("doc_id").agg(min(col("nbr")).as("nbr_min"))
+    val w = Window.partitionBy(col("family"))
+      .orderBy(col("n_bytes").desc, col("doc_id"))
+    dec.select(col("doc_id"), col("n_bytes"))
+      .join(nbrMin, Seq("doc_id"), "left")
+      .withColumn("family",
+        least(col("doc_id"), coalesce(col("nbr_min"), col("doc_id"))))
+      .withColumn("is_kept", (row_number().over(w) === 1).cast("int"))
+      .select(col("doc_id"), col("family"), col("n_bytes"),
+        col("is_kept"))
   }
 
   /** feats[i] = ((h >>> 8i) & 0xff)/128 - 1, restated per byte field
@@ -592,6 +645,60 @@ object Multimodal {
             ORDER BY cos_sim DESC, doc_a, doc_b) AS rn
           FROM pairs)
         WHERE rn = 1
-        ORDER BY width, height, sig"""))
+        ORDER BY width, height, sig""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m08_perceptual_keepers",
+      (s, dir) =>
+        // The multimodal KEEP/DROP verdict (see [[perceptualKeepers]]):
+        // d17's keep-best discipline over m07's Hamming-≤1 families —
+        // largest payload wins its family. The oracle restates the
+        // edges INDEPENDENTLY (bit_count(xor) ≤ 1 on dims-equal
+        // pairs, no multi-probe) and the same one-hop min + argmax.
+        perceptualKeepers(
+          decodedFrame(s, dir)
+            .select(col("doc_id"), col("width"), col("height"),
+              col("n_bytes"), col("v")))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH $sqlDecodeAcc,
+        f AS (
+          SELECT doc_id, n_bytes,
+            CAST(16 + (hv % 16) * 16 AS INT) AS width,
+            CAST(16 + ((hv // 16) % 16) * 16 AS INT) AS height,
+            $sqlFeatsList AS v,
+            CAST($sqlSigExpr AS INT) AS sig
+          FROM acc),
+        fz AS (
+          SELECT * FROM f
+          WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+        edges AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM fz a JOIN fz b
+            ON a.width = b.width AND a.height = b.height
+            AND a.doc_id < b.doc_id
+            AND bit_count(xor(a.sig, b.sig)) <= 1
+          WHERE ROUND(
+              list_sum(list_transform(list_zip(a.v, b.v),
+                                      p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+            >= 0.999),
+        nbr AS (
+          SELECT doc_id, MIN(nbr) AS nbr_min FROM (
+            SELECT doc_a AS doc_id, doc_b AS nbr FROM edges
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS nbr FROM edges)
+          GROUP BY doc_id),
+        fam AS (
+          SELECT f.doc_id, f.n_bytes,
+            LEAST(f.doc_id, COALESCE(n.nbr_min, f.doc_id)) AS family
+          FROM f LEFT JOIN nbr n USING (doc_id))
+        SELECT doc_id, family, n_bytes,
+          CAST(ROW_NUMBER() OVER (
+            PARTITION BY family
+            ORDER BY n_bytes DESC, doc_id) = 1 AS INT) AS is_kept
+        FROM fam
+        ORDER BY doc_id"""))
   )
 }

@@ -167,4 +167,34 @@ class MultimodalSpec extends SparkSpec {
     // bucket only (here every best-pair row is a distinct pair)
     assert(out.map(_._2).distinct.length == out.length, out.toSeq)
   }
+
+  test("m08 keepers: largest payload wins its family; sub-gate and " +
+      "zero-feature blobs are kept singletons") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val base = Array.fill(8)(0.5)
+    val flip1 = base.updated(7, -0.5) // Hamming 1 but cos 0.75 < 0.999
+    val dec = Seq(
+      // dup pair: parallel vectors (cos 1.0) — the LARGER payload
+      // must be kept even though its doc_id is higher
+      (10L, 64, 64, 100L, base.toSeq),
+      (11L, 64, 64, 200L, base.map(_ * 0.9).toSeq),
+      // Hamming-1 neighbor below the cosine gate: candidate pair
+      // exists, edge must NOT — singleton, keeps itself
+      (12L, 64, 64, 50L, flip1.toSeq),
+      // zero features: unscorable, singleton, keeps itself
+      (13L, 64, 64, 10L, Seq.fill(8)(0.0)),
+      // a clone trio in another block: one family, max payload wins
+      (20L, 32, 32, 300L, base.toSeq),
+      (21L, 32, 32, 500L, base.toSeq),
+      (22L, 32, 32, 400L, base.map(_ * 1.1).toSeq))
+      .toDF("doc_id", "width", "height", "n_bytes", "v")
+    val out = Multimodal.perceptualKeepers(dec).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(3)))).toMap
+    assert(out == Map(
+      10L -> ((10L, 0)), 11L -> ((10L, 1)), // family 10, 200B copy kept
+      12L -> ((12L, 1)), 13L -> ((13L, 1)), // singletons keep themselves
+      20L -> ((20L, 0)), 21L -> ((20L, 1)), 22L -> ((20L, 0))), out)
+  }
 }

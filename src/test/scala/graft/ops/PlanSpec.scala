@@ -212,6 +212,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("bit_count"), p)
   }
 
+  test("m08: keeper edges ride m07's probed join; family min is " +
+      "partial-combined; no cartesian") {
+    val p = plan("m08_perceptual_keepers")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // edges come from the same probe-in-key equi-join as m07 — never
+    // a post-join Hamming filter
+    assert(p.contains("probe"), p)
+    assert(!p.contains("bit_count"), p)
+    // the neighbor-min family label map-side-combines
+    assert(p.contains("partial_min"), p)
+  }
+
   test("m06: card branches aggregate without Expand; no cartesian") {
     val p = plan("m06_multimodal_data_card")
     // p05's discipline: distincts are dedup-then-count branches, so
