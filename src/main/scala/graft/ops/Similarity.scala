@@ -1290,6 +1290,95 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Compaction EXECUTION's store-building half (s25), factored so
+    * the spec can inspect the physical layout: applies s24's verdict
+    * rule (dead fraction ≥ 0.2 ⇒ rewrite) to an IVF-SQ8 code table —
+    * cells above threshold have their tombstoned code rows PHYSICALLY
+    * REMOVED; cells below keep serving with their dead rows flagged
+    * (`is_dead` = 1) for the serve-time gate. Verdicts are computed
+    * from the index's own (vec_id, label) metadata — no raw floats.
+    * Returns (store, verdict): store = (vec_id, label, c,
+    * cell_compacted, is_dead) — every is_dead row in a compacted cell
+    * is GONE, not flagged; verdict = (label, cell_compacted).
+    */
+  private[graft] def compactionStore(codes: DataFrame,
+      tombstones: DataFrame): (DataFrame, DataFrame) = {
+    val flagged = codes
+      .join(broadcast(tombstones), col("vec_id") === col("dead_id"),
+        "left")
+      .withColumn("is_dead", col("dead_id").isNotNull.cast("int"))
+      .drop("dead_id")
+    val verdict = flagged.groupBy("label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("is_dead")).as("n_dead"))
+      .select(col("label"),
+        (col("n_dead").cast("double") / col("n_total") >= 0.2)
+          .cast("int").as("cell_compacted"))
+    val store = flagged.join(broadcast(verdict), "label")
+      .filter(col("cell_compacted") === 0 || col("is_dead") === 0)
+    (store, verdict)
+  }
+
+  /** Compaction EXECUTION + post-compaction search (s25) — the
+    * operator that CLOSES the s20 append / s23 delete / s24 manifest
+    * lifecycle: execute the manifest's rewrite verdicts (drop
+    * tombstoned codes from every cell at ≥ 20% dead), then SEARCH the
+    * rewritten store — compacted cells serve their (physically clean)
+    * codes unfiltered, un-rewritten cells still gate tombstones at
+    * serve time, exactly how a deployed index runs between
+    * compactions. The result must equal s23-style pure tombstone-
+    * gated search — which is precisely what the registered oracle
+    * states, from first principles, with no rewrite at all: a hash
+    * match PROVES the executed compaction lost nothing and resurfaced
+    * nothing. Scale shape: verdicts are one map-side-combining
+    * aggregate over (vec_id, label); the rewrite is one broadcast
+    * join + filter over 64 B/vector codes (the delta is small by
+    * assumption — it is what compaction bounds); search is
+    * [[ivfSq8Search]]'s probed integer-distance scan. Output
+    * (qid, probe_label, vec_id, idist, rnk, cell_compacted,
+    * n_compact_cells).
+    */
+  def compactionSearch(e: DataFrame, centroids: DataFrame,
+      codes: DataFrame, tombstones: DataFrame, k: Int,
+      probes: Int): DataFrame = {
+    val (store, verdict) = compactionStore(codes, tombstones)
+    val ncc = verdict
+      .agg(sum(col("cell_compacted")).cast("long")
+        .as("n_compact_cells"))
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probe = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("c_label"),
+        cosine(col("qv"), col("cv")).as("c_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("c_sim").desc, col("c_label"))))
+      .filter(col("rn") <= probes)
+      .select(col("qid"), col("c_label").as("probe_label"))
+    val qcodes = codes.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("c").as("qc"))
+    val pq = probe.join(qcodes, "qid")
+    store
+      // the serve-time gate — only un-rewritten cells still carry
+      // dead rows to filter
+      .filter(col("is_dead") === 0)
+      .join(broadcast(pq),
+        col("label") === col("probe_label") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("probe_label"), col("vec_id"),
+        VectorExpressions.sq8dist(col("qc"), col("c")).as("idist"),
+        col("cell_compacted"))
+      // NULLS LAST — the s13 convention for NULL-embedding codes.
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("idist").asc_nulls_last, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .crossJoin(broadcast(ncc))
+      .select(col("qid"), col("probe_label"), col("vec_id"),
+        col("idist"), col("rnk"), col("cell_compacted"),
+        col("n_compact_cells"))
+  }
+
   /** Incremental index append (s20) — the append-only ingest path
     * for a deployed vector index: a NEW batch of vectors is admitted
     * into the EXISTING layout — nearest existing coarse cell by
@@ -2750,6 +2839,108 @@ object Similarity {
                / COUNT(*) >= 0.2 AS INT) AS compact
         FROM embeddings
         GROUP BY label
-        ORDER BY cell"""))
+        ORDER BY cell""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s25_compaction_execute",
+      (s, dir) => {
+        // EXECUTE s24's verdicts and search the result (see
+        // [[compactionSearch]]): tombstoned codes physically dropped
+        // from every ≥20%-dead cell, tombstones still gating the
+        // rest, two-probe integer-SQ8 search over the rewritten
+        // store. The oracle states the s23-style PURE tombstone-gated
+        // search — no rewrite anywhere in it — so the hash match is
+        // the proof that compaction execution lost nothing and
+        // resurfaced nothing.
+        // The deletion delta is LABEL-CORRELATED (every 9th vector
+        // everywhere, plus every 5th in even-label cells): real
+        // deletions cluster — a purged source, a recalled batch — and
+        // that is exactly when compaction pays. It also makes the
+        // oracle row exercise BOTH paths at every SF: even cells
+        // cross the 20% verdict and get physically rewritten, odd
+        // cells stay below it and keep serving through the
+        // tombstone gate (a uniform %9 delta leaves every cell at
+        // ~11% and the rewrite dormant).
+        val (cent, codes) = ivfSq8TrainShared(s, dir, emb(s, dir))
+        val tomb = emb(s, dir).filter(col("vec_id") % 9 === 0 ||
+            (col("label") % 2 === 0 && col("vec_id") % 5 === 0))
+          .select(col("vec_id").as("dead_id"))
+        compactionSearch(emb(s, dir), cent, codes, tomb,
+          k = 5, probes = 2)
+          .orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM cdims GROUP BY label, dim)
+          GROUP BY label),
+        gdims AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM gdims GROUP BY dim),
+        grid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM stats),
+        codes AS (
+          SELECT vec_id, label,
+            list_transform(range(1, len(v) + 1), i ->
+              CAST(FLOOR(CASE WHEN his[i] = los[i] THEN 0.0
+                ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
+                + 0.5) AS INT)) AS c
+          FROM e, grid),
+        vcells AS (
+          SELECT label,
+            CAST(CAST(COUNT(CASE WHEN vec_id % 9 = 0
+                       OR (label % 2 = 0 AND vec_id % 5 = 0) THEN 1 END)
+                      AS DOUBLE) / COUNT(*) >= 0.2 AS INT)
+              AS cell_compacted
+          FROM e GROUP BY label),
+        ncc AS (
+          SELECT CAST(SUM(cell_compacted) AS BIGINT) AS n_compact_cells
+          FROM vcells),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        probe AS (
+          SELECT qid, label AS probe_label FROM (
+            SELECT q.qid, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 2),
+        qc AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 3),
+        scored AS (
+          SELECT p.qid, p.probe_label, k.vec_id,
+            CAST(list_sum(list_transform(list_zip(qc.qc, k.c),
+              pr -> CAST(pr[1] - pr[2] AS BIGINT)
+                    * CAST(pr[1] - pr[2] AS BIGINT))) AS BIGINT) AS idist
+          FROM codes k
+          JOIN probe p ON k.label = p.probe_label AND k.vec_id <> p.qid
+          JOIN qc ON qc.qid = p.qid
+          WHERE NOT (k.vec_id % 9 = 0
+                     OR (k.label % 2 = 0 AND k.vec_id % 5 = 0)))
+        SELECT s.qid, s.probe_label, s.vec_id, s.idist, s.rnk,
+          v.cell_compacted, ncc.n_compact_cells
+        FROM (
+          SELECT qid, probe_label, vec_id, idist,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY idist, vec_id) AS rnk
+          FROM scored) s
+        JOIN vcells v ON v.label = s.probe_label
+        CROSS JOIN ncc
+        WHERE s.rnk <= 5
+        ORDER BY s.qid, s.rnk"""))
   )
 }

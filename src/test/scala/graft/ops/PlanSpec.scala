@@ -842,6 +842,19 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected <=1 BNLJ (the centroid probe), got $bnlj\n$p")
   }
 
+  test("s25: compaction rewrite + search stay broadcast equi-joins; " +
+      "nested loops only for the probe and the two 1-row audits") {
+    val p = plan("s25_compaction_execute")
+    // verdicts, tombstone flags, and the probed search all ride
+    // broadcast equi-joins over the code table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // tolerated nested-loops: queries x centroids probe + the 1-row
+    // n_compact_cells audit cross — never anything corpus-sized
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"expected <=2 BNLJ, got $bnlj\n$p")
+  }
+
   test("p06: a filtered read of the release prunes source partitions") {
     val path = new java.io.File(
       SourceSinks.tmp("graft_p06spec"), "release").getAbsolutePath

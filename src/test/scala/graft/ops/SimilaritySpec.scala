@@ -878,6 +878,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s25 compaction: dead codes physically leave flagged cells only; " +
+      "search equals the pure tombstone-gated search") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    // Two clearly-separated cells of 10 vectors each. Cell 0 loses 3
+    // vectors (30% → compact verdict); cell 1 loses 1 (10% → keeps
+    // serving with a tombstone).
+    def vec(axis: Int, i: Long): Seq[Double] =
+      Seq.tabulate(4)(d =>
+        (if (d == axis) 10.0 else 0.0) + 0.01 * ((i * (d + 3)) % 7))
+    val e = ((0L until 10L).map(i => (i, 0, vec(0, i))) ++
+      (10L until 20L).map(i => (i, 1, vec(1, i))))
+      .toDF("vec_id", "label", "v")
+    val (cent, codes) = Similarity.ivfSq8Train(e)
+    val tomb = Seq(3L, 4L, 5L, 13L).toDF("dead_id")
+    val (store, verdict) = Similarity.compactionStore(codes, tomb)
+    assert(verdict.collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap == Map(0 -> 1, 1 -> 0))
+    val byCell = store.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("is_dead")).as("nd"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // the compacted cell's 3 dead rows are GONE from the store; the
+    // un-rewritten cell still holds its dead row, flagged
+    assert(byCell == Map(0 -> ((7L, 0L)), 1 -> ((10L, 1L))), byCell)
+    // search over the rewritten store: no dead id ever surfaces, and
+    // the result equals ivfSq8Search over a store with the dead rows
+    // simply filtered out — compaction lost nothing, resurfaced
+    // nothing
+    val out = Similarity.compactionSearch(e, cent, codes, tomb,
+      k = 3, probes = 1)
+    val dead = Set(3L, 4L, 5L, 13L)
+    val outRows = out.select("qid", "vec_id", "idist", "rnk")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(outRows.nonEmpty && !outRows.exists(r => dead(r._2)), outRows)
+    val liveCodes = codes.join(tomb,
+      col("vec_id") === col("dead_id"), "left_anti")
+    val expected = Similarity.ivfSq8Search(e, cent, liveCodes, k = 3)
+      .select("qid", "vec_id", "idist", "rnk")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(outRows == expected, (outRows, expected))
+  }
+
   test("planeWeight matches the portable SQL md5-parity derivation") {
     // The oracle side derives each ±1 weight as
     //   CASE WHEN CAST('0x'||substr(md5(b||','||j),1,1) AS INT) % 2 = 0
