@@ -165,4 +165,221 @@ object EmbeddingStream {
         (coalesce(col("rej"), lit(0)) === 0).cast("int").as("admitted"))
       .orderBy("vec_id")
   }
+
+  // ------------------------------------------------------------------
+  // st22: streaming incremental index maintenance.
+  // ------------------------------------------------------------------
+
+  /** One event of the vector upsert/delete CDC feed (st22): `del` = 1
+    * tombstones the key; `us` orders events within a key.
+    */
+  final case class VecUpsert(vec_id: Long, us: Long, del: Int,
+      v: Seq[Double])
+
+  /** One maintained index entry — the stream's per-key state AND its
+    * emission: the latest (cell, codes) of a live vector, or its
+    * tombstone (`deleted` = 1, empty codes).
+    */
+  final case class IndexEntry(vec_id: Long, last_us: Long, deleted: Int,
+      cell: Int, c: Seq[Int])
+
+  /** The upsert/delete feed the maintenance stream consumes — the
+    * testdata's CDC stand-in (a deployment reads a change log): every
+    * vector arrives as an upsert at us = 1; every 7th RE-upserts a
+    * MODIFIED vector (negated — a cosine-visible edit, restatable in
+    * SQL) at us = 2; every 9th deletes at us = 3 (s23/s24's deletion
+    * delta — ids divisible by 63 exercise re-upsert THEN delete). A
+    * pure projection + bounded 3-way explode: streaming-safe,
+    * stateless.
+    */
+  def vectorCdcFeed(embeddings: DataFrame): DataFrame = {
+    val e = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    e.select(col("vec_id"), explode(array(
+        struct(lit(1L).as("us"), lit(0).as("del"), col("v").as("ev")),
+        struct(lit(2L).as("us"), lit(0).as("del"),
+          transform(col("v"), x => -x).as("ev")),
+        struct(lit(3L).as("us"), lit(1).as("del"), col("v").as("ev"))))
+        .as("e"))
+      .filter(col("e.us") === 1 ||
+        (col("e.us") === 2 && col("vec_id") % 7 === 0) ||
+        (col("e.us") === 3 && col("vec_id") % 9 === 0))
+      .select(col("vec_id"), col("e.us").as("us"),
+        col("e.del").as("del"), col("e.ev").as("v"))
+  }
+
+  /** Nearest frozen cell by cosine (label-asc tie-break) + SQ8 codes
+    * on the frozen grid with out-of-grid SATURATION (s20's append
+    * convention — a re-upserted NEGATED vector leaves the trained
+    * min/max box, and both engines must clamp identically). All
+    * folds run in ascending dimension order — the list_sum order the
+    * oracle uses.
+    */
+  private[streaming] def assignEncode(cents: Array[(Int, Array[Double])],
+      los: Array[Double], his: Array[Double], v: Seq[Double])
+      : (Int, Seq[Int]) = {
+    val a = v.toArray
+    var nv = 0.0
+    var d = 0
+    while (d < a.length) { nv += a(d) * a(d); d += 1 }
+    val nq = math.sqrt(nv)
+    var bestLabel = 0
+    var best = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val (label, cv) = cents(i)
+      var dot = 0.0
+      var nc = 0.0
+      d = 0
+      while (d < a.length) {
+        dot += a(d) * cv(d); nc += cv(d) * cv(d); d += 1
+      }
+      val sim = dot / (nq * math.sqrt(nc))
+      // cents is label-ascending, so strict > keeps the lowest label
+      // on ties — ORDER BY sim DESC, label ASC
+      if (sim > best) { best = sim; bestLabel = label }
+      i += 1
+    }
+    val codes = Array.tabulate(a.length) { d =>
+      val c0 =
+        if (his(d) == los(d)) 0.0
+        else math.floor((a(d) - los(d)) * 255.0 / (his(d) - los(d)) + 0.5)
+      math.min(math.max(c0, 0.0), 255.0).toInt
+    }
+    (bestLabel, codes.toSeq)
+  }
+
+  /** The st22 state machine — st21's latest-record-wins CDC pattern
+    * maintaining A LIVE VECTOR INDEX as state: per key the state is
+    * ONE entry — the latest (us)-ordered event's (cell, codes) under
+    * the FROZEN artifacts (closed over: the broadcast a deployed
+    * maintainer ships; assignment + encode run in the state update,
+    * so the emitted rows ARE index rows, not raw vectors). Deletes
+    * tombstone (the st21 rule: stale earlier emissions in the update
+    * log are only outranked by an explicit tombstone). State is
+    * O(keys) — 64 int codes + 3 scalars per ever-seen vector,
+    * independent of event count: the log-compaction guarantee, for an
+    * index.
+    */
+  def maintainIndex(ds: Dataset[VecUpsert],
+      cents: Array[(Int, Array[Double])],
+      los: Array[Double], his: Array[Double]): Dataset[IndexEntry] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.vec_id)
+      .mapGroupsWithState[(Long, Int, Int, Seq[Int]), IndexEntry](
+        GroupStateTimeout.NoTimeout) {
+        (vid: Long, it: Iterator[VecUpsert],
+            state: GroupState[(Long, Int, Int, Seq[Int])]) =>
+          var cur = state.getOption.getOrElse(
+            (Long.MinValue, 0, 0, Seq.empty[Int]))
+          it.foreach { ev =>
+            if (ev.us > cur._1) {
+              cur =
+                if (ev.del == 1) (ev.us, 1, 0, Seq.empty[Int])
+                else {
+                  val (cell, codes) = assignEncode(cents, los, his, ev.v)
+                  (ev.us, 0, cell, codes)
+                }
+            }
+          }
+          state.update(cur)
+          IndexEntry(vid, cur._1, cur._2, cur._3, cur._4)
+      }
+  }
+
+  /** Streaming incremental index maintenance (st22) — the operator
+    * that keeps a DEPLOYED vector index live from a change feed,
+    * closing the loop s20 (batch append) and s23 (batch delete) only
+    * walk one step of: the upsert/delete stream maintains cells +
+    * SQ8 codes as O(keys) state under artifacts trained once and
+    * FROZEN (no retrain — exactly how a production index absorbs its
+    * write stream between rebuilds), and the drained state IS the
+    * index: a two-probe integer-SQ8 search runs over it directly.
+    * The oracle restates the FIXPOINT — the final surviving vector
+    * set (modified where re-upserted, absent where deleted), its
+    * frozen-artifact assignment/encode, and the same search — from
+    * first principles with no stream anywhere, so the hash match
+    * proves the state machine converges to exactly the index a batch
+    * rebuild of the surviving set would serve. Artifacts are
+    * collected once (≤ |cells| + 1 tiny rows — the bounded
+    * merge-table convention) and closed over; search reads the
+    * maintained codes, never raw corpus vectors.
+    */
+  def runIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val S = graft.ops.Similarity
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // Frozen artifacts: coarse centroids + SQ8 grid of the ORIGINAL
+    // corpus, checkpointed once (probe + query-encode reuse the same
+    // frames the closure artifacts are collected from).
+    val centDf = S.seedCentroids(e).coalesce(1).localCheckpoint()
+    val paramsDf = S.sq8Params(e).coalesce(1).localCheckpoint()
+    val cents = centDf.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val (los, his) = paramsDf.collect().headOption
+      .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
+      .getOrElse((Array.empty[Double], Array.empty[Double]))
+    val name = "st_idx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.withStreamShufflePartitions(spark, 8) {
+      val q = maintainIndex(
+          vectorCdcFeed(readStream(spark, dir)).as[VecUpsert],
+          cents, los, his)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    // Drain: last_us is monotone per key, so the final index entry is
+    // the max-us emission (the runRunningCounts convention); live
+    // rows only — tombstones gate stale earlier emissions out.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("last_us").desc)
+    val idx = out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("deleted") === 0)
+      .select(col("vec_id"), col("cell"), col("c"))
+    // Two-probe integer-SQ8 search over the MAINTAINED index (the
+    // s18/s25 search shape; queries = the s01 convention, their codes
+    // on the same frozen grid).
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probe = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("c_label"),
+        S.cosine(col("qv"), col("cv")).as("c_sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("c_sim").desc, col("c_label"))))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("c_label").as("probe_label"))
+    val qcodes = S.sq8Encode(
+        queries.select(col("qid").as("vec_id"), col("qv").as("v")),
+        paramsDf)
+      .select(col("vec_id").as("qid"), col("c").as("qc"))
+    val pq = probe.join(qcodes, "qid")
+    idx.join(broadcast(pq),
+        col("cell") === col("probe_label") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("probe_label"), col("vec_id"),
+        graft.functions.VectorExpressions
+          .sq8dist(col("qc"), col("c")).as("idist"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("idist").asc_nulls_last, col("vec_id"))))
+      .filter(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
 }

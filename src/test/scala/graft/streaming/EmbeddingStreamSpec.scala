@@ -107,4 +107,61 @@ class EmbeddingStreamSpec extends SparkSpec {
     q.stop()
     spark.catalog.dropTempView("st14_ttl_test")
   }
+
+  test("st22 maintenance state is one entry per ever-seen key: " +
+      "latest-wins (order-independent), deletes tombstone, " +
+      "out-of-grid upserts saturate") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Frozen artifacts: two unit-axis cells, grid [-2, 2] per dim.
+    val cents = Array(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    val los = Array(-2.0, -2.0)
+    val his = Array(2.0, 2.0)
+    val input = MemoryStream[VecUpsert]
+    val q = maintainIndex(input.toDS(), cents, los, his)
+      .writeStream.format("memory").queryName("st22_test")
+      .outputMode(OutputMode.Update()).start()
+    def stateRows: Long = q.recentProgress
+      .filter(_.stateOperators.nonEmpty)
+      .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+
+    // Batch 1: two plain upserts land in their nearest cells.
+    input.addData(
+      VecUpsert(100, 1, 0, Seq(1.0, 0.1)),
+      VecUpsert(200, 1, 0, Seq(0.1, 1.0)))
+    q.processAllAvailable()
+    // Batch 2: 100 re-upserts a MODIFIED vector (moves cell); 200 is
+    // deleted; 300 upserts OUT of the grid (must saturate to 255);
+    // 400's two events arrive us-DESCENDING in one batch — the state
+    // update must be order-independent, us=2 wins.
+    input.addData(
+      VecUpsert(100, 2, 0, Seq(-1.0, -0.1)),
+      VecUpsert(200, 2, 1, Seq()),
+      VecUpsert(300, 1, 0, Seq(3.0, 0.0)),
+      VecUpsert(400, 2, 0, Seq(0.0, 1.5)),
+      VecUpsert(400, 1, 0, Seq(1.5, 0.0)))
+    q.processAllAvailable()
+    // state = ONE row per ever-seen key (tombstones included) — the
+    // log-compaction bound, independent of 7 lifetime events
+    assert(stateRows == 4L, s"state rows: $stateRows")
+    q.stop()
+    val out = spark.table("st22_test")
+    spark.catalog.dropTempView("st22_test")
+    val fin = out.collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getSeq[Int](4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    // 100: re-upsert won — cell 1 (cos with (0,1) less negative than
+    // with (1,0)) and the negated codes: (-1+2)*63.75+0.5 → 64,
+    // (-0.1+2)*63.75+0.5 → 121
+    assert(fin(100L) == ((2L, 0, 1, Seq(64, 121))), fin(100L))
+    // 200: tombstoned, not dropped
+    assert(fin(200L)._2 == 1, fin(200L))
+    // 300: out-of-grid coordinate saturates to 255, in-grid encodes
+    // normally ((0+2)*63.75+0.5 → 128)
+    assert(fin(300L) == ((1L, 0, 0, Seq(255, 128))), fin(300L))
+    // 400: us=2 (cell 1) beat the later-arriving us=1 event
+    assert(fin(400L)._3 == 1, fin(400L))
+  }
 }
