@@ -23,7 +23,8 @@ object ScaleSmoke {
       |  sessions [chunks]  st02/st13 session state per micro-batch at sf0.1
       |  text [f]      d15 removal + t17 BPE encode on documents ×1 and ×f
       |  curation [f]  c04/c10/c11 de-weaked plans vs window forms ×1 and ×f
-      |  multimodal [f]  m07 block population: (dims) vs (dims, sig) key ×f""".stripMargin
+      |  multimodal [f]  m07 block population: (dims) vs (dims, sig) key ×f
+      |  containment [f]  d18/d19 posting-cap cost on a ×f clone family""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -633,9 +634,60 @@ object ScaleSmoke {
     ops.Similarity.freeCheckpoint(dec)
   }
 
+  /** `runMain graft.ScaleSmoke containment [factor]`: the d18/d19
+    * posting-list cap, measured on the ADVERSARIAL corpus it exists
+    * for — `factor`×1000 near-identical tiny docs over a 5-token
+    * shingle vocabulary stacked on sf0.1's documents (one clone
+    * family whose every gram is white-hot). The uncapped candidate
+    * join's output size is COMPUTED (Σ_g prefix-occurrences(g) ×
+    * df(g)) — enumerating it IS the quadratic being demonstrated —
+    * while the capped (df ≤ 16) enumerator actually RUNS, verify
+    * stage included.
+    */
+  def runContainment(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val maxId = docs1.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val clones = spark.range(factor * 1000L)
+      .select((col("id") + maxId + 1).as("doc_id"),
+        lit("x1 x2 x3 x4 x5").as("text"))
+    val corpus = docs1.unionByName(clones).localCheckpoint()
+    val hashed = ops.Dedup.shingleRows(corpus)
+      .select(col("doc_id"), substring(md5(col("t")), 1, 16).as("g"))
+      .distinct().localCheckpoint()
+    val gdf = hashed.groupBy("g").agg(count(lit(1)).as("df"))
+    val szs = hashed.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    def prefixOf(base: DataFrame): DataFrame = base.join(gdf, "g")
+      .withColumn("rn", row_number().over(w))
+      .join(szs, "doc_id")
+      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("g"), col("df"))
+    def implied(pre: DataFrame): Long = pre.groupBy("g", "df")
+      .agg(count(lit(1)).as("po"))
+      .agg(sum(col("po") * col("df"))).collect()(0).getLong(0)
+    val n = corpus.count()
+    println(s"[containment] corpus: $n docs (${factor * 1000} clones)")
+    val uncapped = implied(prefixOf(hashed))
+    val cold = hashed.join(gdf.filter(col("df") <= 16).select("g"),
+      Seq("g"), "left_semi")
+    val capped = implied(prefixOf(cold))
+    println(s"[containment]   implied candidate join rows, uncapped: " +
+      s"$uncapped  — ~(clone family)², grows with factor²")
+    println(s"[containment]   implied candidate join rows, df<=16:   " +
+      s"$capped  — bounded, independent of the clone family")
+    val t0 = System.nanoTime()
+    val pairs = ops.Dedup.containmentPairs(corpus, maxPosting = 16).count()
+    println(f"[containment]   capped enumerator RUNS at x$factor: " +
+      f"$pairs pairs in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    ops.Similarity.freeCheckpoint(hashed)
+    ops.Similarity.freeCheckpoint(corpus)
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
-      "text", "curation", "multimodal")
+      "text", "curation", "multimodal", "containment")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -664,6 +716,7 @@ object ScaleSmoke {
         case "text" => 20
         case "curation" => 20
         case "multimodal" => 100
+        case "containment" => 20
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -685,6 +738,7 @@ object ScaleSmoke {
     if (mode == "text") { runText(spark, factor); spark.stop(); return }
     if (mode == "curation") { runCuration(spark, factor); spark.stop(); return }
     if (mode == "multimodal") { runMultimodal(spark, factor); spark.stop(); return }
+    if (mode == "containment") { runContainment(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)
