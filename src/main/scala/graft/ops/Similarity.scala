@@ -899,16 +899,18 @@ object Similarity {
     .empty[(SparkSession, String, Int),
       (DataFrame, DataFrame, DataFrame, DataFrame)]
 
-  /** Memo insert that first drops entries belonging to OTHER sessions:
-    * their checkpointed frames died with their session, and keeping
-    * the entry would pin the stopped session (and its plans) for the
-    * JVM lifetime. One live session at a time is the actual usage
-    * (Verify/Bench/tests), so this keeps the maps at O(dirs) entries.
+  /** Memo insert that first drops entries of STOPPED sessions: their
+    * checkpointed frames died with their session, and keeping the
+    * entry would pin the stopped session (and its plans) for the JVM
+    * lifetime. Only stopped ones — evicting any other LIVE session's
+    * entry would thrash the memo when two sessions alternate and
+    * leave the evicted frames' checkpoint blocks pinned (the
+    * decodedFrame rule). Keeps the maps at O(live sessions × dirs).
     */
   private def memoized[V](
       map: scala.collection.concurrent.TrieMap[(SparkSession, String, Int), V],
       key: (SparkSession, String, Int))(build: => V): V = {
-    map.keys.filter(_._1 ne key._1).foreach(map.remove)
+    map.keys.filter(_._1.sparkContext.isStopped).foreach(map.remove)
     map.getOrElseUpdate(key, build)
   }
 
@@ -1378,6 +1380,34 @@ object Similarity {
         col("idist"), col("rnk"), col("cell_compacted"),
         col("n_compact_cells"))
   }
+
+  /** Per-(session, dir) memo of the PERSISTED index root (s26) —
+    * written once per session, the q63 standing-layout discipline.
+    */
+  private val persistedIndex = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), String]
+
+  /** Persist the IVF-SQ8 index as ON-DISK artifacts (s26's build
+    * half): codes land as parquet PARTITIONED BY CELL — the IVF
+    * layout as a physical directory layout, so an unprobed cell is a
+    * partition a search never reads — plus the two tiny artifact
+    * tables (centroids, grid params) beside them. This is the
+    * save/load boundary every deployed index crosses: the in-memory
+    * per-session builds (s07–s18) become a durable store a NEW
+    * session serves from without retraining anything.
+    */
+  def persistIndex(spark: SparkSession, dir: String): String =
+    memoized(persistedIndex, (spark, dir, 0)) {
+      val (cent, codes) = ivfSq8TrainShared(spark, dir, emb(spark, dir))
+      val (params, _) = sq8TrainShared(spark, dir, emb(spark, dir))
+      val root = new java.io.File(
+        SourceSinks.tmp("graft_s26"), "index").getAbsolutePath
+      codes.write.partitionBy("label").mode("overwrite")
+        .parquet(s"$root/codes")
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      params.coalesce(1).write.mode("overwrite").parquet(s"$root/params")
+      root
+    }
 
   /** Incremental index append (s20) — the append-only ingest path
     * for a deployed vector index: a NEW batch of vectors is admitted
@@ -2941,6 +2971,81 @@ object Similarity {
         JOIN vcells v ON v.label = s.probe_label
         CROSS JOIN ncc
         WHERE s.rnk <= 5
-        ORDER BY s.qid, s.rnk"""))
+        ORDER BY s.qid, s.rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s26_index_persistence",
+      (s, dir) => {
+        // SAVE/LOAD the index and search the RELOADED store (see
+        // [[persistIndex]]): codes as cell-partitioned parquet,
+        // centroids/grid beside them; the search is s18's, run
+        // against what came back from disk — same oracle as s18, so
+        // the hash match proves the round trip byte-lossless for
+        // search purposes. The cell partitioning is the scale story:
+        // the probe join drives DYNAMIC PARTITION PRUNING on the
+        // reloaded scan (plan-pinned), so at 100 TB an unprobed cell
+        // is a directory never opened.
+        val root = persistIndex(s, dir)
+        val codes = s.read.parquet(s"$root/codes")
+        val cent = s.read.parquet(s"$root/centroids")
+        ivfSq8Search(emb(s, dir), cent, codes, k = 5)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM cdims GROUP BY label, dim)
+          GROUP BY label),
+        gdims AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM gdims GROUP BY dim),
+        grid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM stats),
+        codes AS (
+          SELECT vec_id, label,
+            list_transform(range(1, len(v) + 1), i ->
+              CAST(FLOOR(CASE WHEN his[i] = los[i] THEN 0.0
+                ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
+                + 0.5) AS INT)) AS c
+          FROM e, grid),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        probe AS (
+          SELECT qid, label AS probe_label FROM (
+            SELECT q.qid, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn = 1),
+        qc AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 3),
+        scored AS (
+          SELECT p.qid, p.probe_label, k.vec_id,
+            CAST(list_sum(list_transform(list_zip(qc.qc, k.c),
+              pr -> CAST(pr[1] - pr[2] AS BIGINT)
+                    * CAST(pr[1] - pr[2] AS BIGINT))) AS BIGINT) AS idist
+          FROM codes k
+          JOIN probe p ON k.label = p.probe_label AND k.vec_id <> p.qid
+          JOIN qc ON qc.qid = p.qid)
+        SELECT qid, probe_label, vec_id, idist, rnk FROM (
+          SELECT qid, probe_label, vec_id, idist,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY idist, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk"""))
   )
 }

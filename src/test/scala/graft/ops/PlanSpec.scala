@@ -855,6 +855,16 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 2, s"expected <=2 BNLJ, got $bnlj\n$p")
   }
 
+  test("s26: the reloaded-index search dynamically prunes unprobed " +
+      "cell partitions") {
+    val p = plan("s26_index_persistence")
+    // the probe join drives DPP on the cell-partitioned codes scan —
+    // an unprobed cell is a directory never opened
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p06: a filtered read of the release prunes source partitions") {
     val path = new java.io.File(
       SourceSinks.tmp("graft_p06spec"), "release").getAbsolutePath
