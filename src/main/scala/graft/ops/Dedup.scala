@@ -132,6 +132,78 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Eval-set DECONTAMINATION (the benchmark-overlap filter every
+    * LLM training pipeline runs before the corpus ships — the GPT-3 /
+    * PaLM n-gram-collision discipline): a training document is
+    * contaminated when it shares at least one distinct `n`-gram with
+    * any document of the held-out eval set, and contaminated
+    * documents are flagged for removal so benchmark answers can't
+    * leak into training text. Here the eval set is carved
+    * deterministically from the corpus itself (doc_id % `evalMod` =
+    * 0 — a stand-in for the real benchmark table, which arrives as a
+    * separate small relation in production).
+    *
+    * Scale shape — the asymmetry IS the design: the eval side is
+    * tiny (benchmarks are thousands of prompts, the corpus is 100 TB)
+    * so its distinct gram set BROADCASTS and the contamination probe
+    * is a map-side hash join against the training gram stream — the
+    * corpus is never shuffled by gram. Grams build as post-explode
+    * projections (the shingleRows discipline), dedup per (doc, gram)
+    * BEFORE any join (the q27 rule), and carry 16-hex md5 prefixes,
+    * never text. Hit accounting dedups (doc, gram) / (doc, eval_doc)
+    * separately then counts — two plain aggregates, no Expand.
+    *
+    * Output (doc_id, n_grams, n_hit, n_eval_docs, is_kept), one row
+    * per non-null-text TRAINING document (eval docs are not graded;
+    * docs shorter than `n` tokens carry no window and keep
+    * trivially).
+    */
+  def decontaminate(
+      documents: DataFrame, n: Int, evalMod: Int): DataFrame = {
+    require(n >= 2, s"n-gram width must be at least 2, got $n")
+    require(evalMod >= 2, s"evalMod must be at least 2, got $evalMod")
+    val toks = col("toks")
+    val base = documents
+      .filter(col("text").isNotNull)
+      .repartition(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+    val isEval = col("doc_id") % evalMod === 0
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(toks) >= n)
+      .select(col("doc_id"), toks,
+        explode(sequence(lit(1), size(toks) - (n - 1))).as("i"))
+      .select(col("doc_id"),
+        substring(md5(concat_ws(" ",
+          (0 until n).map(j => element_at(toks, col("i") + j)): _*)),
+          1, 16).as("g"))
+      .distinct()
+    val evalGrams = grams(base.filter(isEval))
+      .withColumnRenamed("doc_id", "eval_id")
+    val trainGrams = grams(base.filter(!isEval))
+    // (train doc, gram, eval doc) collision rows: map-side broadcast
+    // probe — the corpus side never shuffles on the gram
+    val hits = trainGrams.join(broadcast(evalGrams), "g")
+    val nHit = hits.select("doc_id", "g").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val nEval = hits.select("doc_id", "eval_id").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_docs"))
+    val nGrams = trainGrams
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    base.filter(!isEval).select(col("doc_id"))
+      .join(nGrams, Seq("doc_id"), "left")
+      .join(nHit, Seq("doc_id"), "left")
+      .join(nEval, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("n_hit"), lit(0L)) === 0).cast("int")
+          .as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicated-passage REMOVAL (the exact-substring-dedup step of
     * RefinedWeb/Dolma-class pipelines): where [[boilerplateNgrams]]
     * (d13) only FLAGS documents, this rewrites their text — every
@@ -1493,6 +1565,51 @@ object Dedup {
         WHERE CAST(len(list_intersect(sa.sl, sb.sl)) AS DOUBLE)
               / len(sa.sl) >= 0.9
           AND len(list_intersect(ca.cl, cb.cl)) >= 1
-        ORDER BY c.doc_a, c.doc_b"""))
+        ORDER BY c.doc_a, c.doc_b""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d20_decontamination",
+      (s, dir) =>
+        // Eval-set decontamination (see [[decontaminate]]): 8-gram
+        // collisions against the doc_id%23 held-out slice — the
+        // benchmark-leak gate every training corpus crosses last.
+        // 8 grams is the PaLM-class window; the broadcast eval-gram
+        // probe is the whole scale story (the corpus never shuffles
+        // by gram).
+        decontaminate(docs(s, dir), n = 8, evalMod = 23),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT DISTINCT doc_id,
+            substr(md5(array_to_string(tl[i:i+7], ' ')), 1, 16) AS g
+          FROM toks, unnest(range(1, len(tl) - 6)) AS s(i)
+          WHERE len(tl) >= 8),
+        ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 23 = 0),
+        tr AS (SELECT doc_id, g FROM g WHERE doc_id % 23 <> 0),
+        hits AS (
+          SELECT tr.doc_id, tr.g, ev.eval_id FROM tr JOIN ev USING (g)),
+        nh AS (
+          SELECT doc_id, COUNT(*) AS n_hit
+          FROM (SELECT DISTINCT doc_id, g FROM hits) GROUP BY doc_id),
+        ne AS (
+          SELECT doc_id, COUNT(*) AS n_eval_docs
+          FROM (SELECT DISTINCT doc_id, eval_id FROM hits)
+          GROUP BY doc_id),
+        cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id)
+        SELECT t.doc_id,
+          COALESCE(c.n_grams, 0) AS n_grams,
+          COALESCE(nh.n_hit, 0) AS n_hit,
+          COALESCE(ne.n_eval_docs, 0) AS n_eval_docs,
+          CAST(COALESCE(nh.n_hit, 0) = 0 AS INT) AS is_kept
+        FROM toks t
+        LEFT JOIN cnt c USING (doc_id)
+        LEFT JOIN nh USING (doc_id)
+        LEFT JOIN ne USING (doc_id)
+        WHERE t.doc_id % 23 <> 0
+        ORDER BY t.doc_id"""))
   )
 }

@@ -431,4 +431,33 @@ class DedupSpec extends SparkSpec {
       .distinct().as[(Long, Long)].collect().toSet
     assert(capped == uncapped.filter(witnessed), (capped, uncapped))
   }
+
+  test("d20 decontamination: an 8-gram shared with an eval doc flags " +
+      "the training doc; clean and sub-window docs keep; eval docs " +
+      "are not graded") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val evalA = (1 to 8).map(i => s"a$i").mkString(" ")   // doc 0  (eval)
+    val evalB = (1 to 8).map(i => s"b$i").mkString(" ")   // doc 23 (eval)
+    val df = Seq(
+      (0L, evalA), (23L, evalB),
+      // contaminated by BOTH eval docs: carries each one's 8-gram
+      (1L, s"$evalA mid $evalB"),
+      // clean: 10 fresh tokens → 3 windows, zero collisions
+      (2L, (1 to 10).map(i => s"c$i").mkString(" ")),
+      // shorter than the window → no gram, trivially kept
+      (3L, "s1 s2 s3")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(df, n = 8, evalMod = 23)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    // eval docs 0 and 23 are carved out, never graded
+    assert(got.keySet == Set(1L, 2L, 3L), got.keySet)
+    // doc 1: 10 windows over 17 tokens; exactly the two planted grams
+    // collide, one per eval doc → dropped
+    assert(got(1L) == ((10L, 2L, 2L, 0)), got(1L))
+    assert(got(2L) == ((3L, 0L, 0L, 1)), got(2L))
+    assert(got(3L) == ((0L, 0L, 0L, 1)), got(3L))
+  }
 }

@@ -865,6 +865,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d20: the eval-gram contamination probe is a broadcast, " +
+      "hit accounting dedups without Expand") {
+    val p = plan("d20_decontamination")
+    // the tiny eval gram set broadcasts — the corpus side never
+    // shuffles by gram
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // dedup-then-count (the q27 rule), never a multi-distinct Expand
+    assert(!p.contains("Expand"), p)
+  }
+
   test("p06: a filtered read of the release prunes source partitions") {
     val path = new java.io.File(
       SourceSinks.tmp("graft_p06spec"), "release").getAbsolutePath
