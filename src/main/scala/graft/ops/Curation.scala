@@ -99,6 +99,53 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** TEMPERATURE-sampled mixture weights (c13) — the data-driven
+    * counterpart of c06: where c06 applies a GIVEN per-source rate,
+    * this COMPUTES the mixture from corpus statistics, the
+    * α-temperature discipline of multilingual/multi-source training
+    * mixes: source weight ∝ (token count)^α with α = 1/2, which
+    * up-weights small sources relative to proportional sampling
+    * without letting any giant source drown the mix. From the weights
+    * and a token budget (half the corpus here) each source gets its
+    * allocation and the implied epoch count — an allocation > 1 epoch
+    * says the mix REPEATS a small source, the signal a curator reads
+    * before raising α.
+    *
+    * Determinism across engines: token counts are exact integers;
+    * sqrt of an exact double is one IEEE op; the weight denominator
+    * sums DECIMAL(28,12)-truncated sqrts (exact, order-free — the D
+    * rule) so every weight is a ratio of two identical doubles; the
+    * allocation rounds via floor(x + 0.5) in both engines.
+    *
+    * Scale shape: one map-side token count feeding one per-source
+    * partial-aggregated groupBy — the only corpus-sized work; the
+    * total is a broadcast 1-row cross join and everything after is
+    * sized by the SOURCE DOMAIN. At 100 TB this is a single pass.
+    */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    val t = documents.filter(col("text").isNotNull)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    val sq = t.withColumn("sq",
+      expr("cast(sqrt(cast(n_tokens as double)) as decimal(28,12))"))
+    val tot = sq.agg(sum(col("sq")).as("tot_sq"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    val weight = col("sq").cast("double") / col("tot_sq").cast("double")
+    sq.crossJoin(broadcast(tot))
+      .withColumn("weight", weight)
+      .withColumn("alloc_tokens",
+        floor(expr("tot_tokens div 2").cast("double") * col("weight")
+          + 0.5).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("weight"), 6).as("weight"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -597,7 +644,43 @@ object Curation {
             source, doc_id, sched_key
           FROM k)
         WHERE pos <= 50
-        ORDER BY pos"""))
+        ORDER BY pos""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c13_temperature_mix",
+      (s, dir) =>
+        // α=1/2 temperature mixture computed FROM the corpus (see
+        // [[temperatureMix]]): weight ∝ sqrt(source tokens), half-
+        // corpus budget allocated per source, implied epochs — the
+        // small-source repeat signal.
+        temperatureMix(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len(list_filter(string_split_regex(lower(text),
+              '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY source),
+        s AS (
+          SELECT source, n_docs, n_tokens,
+            CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)) AS sq
+          FROM t),
+        tot AS (
+          SELECT SUM(sq) AS tot_sq,
+            CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM s),
+        w AS (
+          SELECT source, n_docs, n_tokens,
+            CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE) AS wt,
+            CAST(tot_tokens // 2 AS BIGINT) AS budget
+          FROM s CROSS JOIN tot)
+        SELECT source, n_docs, n_tokens,
+          ROUND(wt, 6) AS weight,
+          CAST(FLOOR(CAST(budget AS DOUBLE) * wt + 0.5) AS BIGINT)
+            AS alloc_tokens,
+          ROUND(CAST(FLOOR(CAST(budget AS DOUBLE) * wt + 0.5) AS DOUBLE)
+                / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        FROM w
+        ORDER BY source"""))
   )
 
   /** NTILE(k) tile assignment computed from a DISTINCT-VALUE table —

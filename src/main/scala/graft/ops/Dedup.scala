@@ -143,6 +143,14 @@ object Dedup {
     * 0 — a stand-in for the real benchmark table, which arrives as a
     * separate small relation in production).
     *
+    * Complements c05 (`Curation`): c05 scores a CONTAMINATION
+    * FRACTION of 3-gram overlap against a source-slice benchmark and
+    * flags at ≥ 80% — the near-copy detector; this is the strict
+    * ANY-collision rule over wide grams (one shared 8-gram = out)
+    * that production decontamination actually applies, with
+    * per-eval-doc attribution (`n_eval_docs`) so a leaked benchmark
+    * can be traced.
+    *
     * Scale shape — the asymmetry IS the design: the eval side is
     * tiny (benchmarks are thousands of prompts, the corpus is 100 TB)
     * so its distinct gram set BROADCASTS and the contamination probe

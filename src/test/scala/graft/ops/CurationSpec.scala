@@ -161,4 +161,22 @@ class CurationSpec extends SparkSpec {
       assert(got == expect, s"n=$n k=$k: $got vs $expect")
     }
   }
+
+  test("c13 temperature mix: sqrt weighting up-weights the small " +
+      "source and the allocation implies >1 epoch for it") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 16:1 token ratio → sqrt weights 4:1 (0.8 / 0.2). Budget is
+    // half of 17 = 8 tokens: A gets floor(6.4+0.5)=6 (0.375 epochs),
+    // B gets floor(1.6+0.5)=2 — the mix REPEATS the small source
+    // twice, the exact signal the operator exists to surface.
+    val df = ((1 to 4).map(i => (i.toLong, "srcA",
+        "t1 t2 t3 t4")) :+ (9L, "srcB", "solo"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.temperatureMix(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("srcA") == ((4L, 16L, 0.8, 6L, 0.375)), got("srcA"))
+    assert(got("srcB") == ((1L, 1L, 0.2, 2L, 2.0)), got("srcB"))
+  }
 }
