@@ -1292,6 +1292,65 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Two-stage REFINED search (s27) — the production ANN serving
+    * pattern the quantized tiers feed: stage 1 generates `kCand`
+    * candidates per query from the cheap quantized index (2-probe
+    * IVF + symmetric integer SQ8 — [[ivfSq8Search]]'s scan, never
+    * touching raw floats), stage 2 RE-RANKS only those candidates by
+    * exact float cosine against the raw vectors and keeps `k`. This
+    * is how a deployed index buys back the quantization error: the
+    * 64 B/vector scan does the corpus-sized work, the full-precision
+    * reads are k-candidates-sized point lookups. Completes the refine
+    * column of the quantization matrix: s17 re-ranks the BINARY
+    * tier's corpus-wide Hamming shortlist; this re-ranks the
+    * IVF-probed SQ8 tier — the pairing a deployed IVF index serves.
+    *
+    * Scale shape: stage 1 is s18's probed equi-join; stage 2's raw
+    * reads join the ≤ queries×kCand candidate ids against the vector
+    * table by vec_id — a BROADCAST of the candidate ids, so the raw
+    * corpus is never shuffled and the scan prunes to (vec_id, v).
+    * Round-before-rank (the D rule) keeps the exact-cosine order
+    * engine-identical.
+    */
+  def refinedSearch(e: DataFrame, centroids: DataFrame,
+      codes: DataFrame, kCand: Int, k: Int): DataFrame = {
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probe = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("c_label"),
+        cosine(col("qv"), col("cv")).as("c_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("c_sim").desc, col("c_label"))))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("c_label").as("probe_label"))
+    val qcodes = codes.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("c").as("qc"))
+    val pq = probe.join(qcodes, "qid")
+    val cand = codes.join(broadcast(pq),
+        col("label") === col("probe_label") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorExpressions.sq8dist(col("qc"), col("c")).as("idist"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("idist").asc_nulls_last, col("vec_id"))))
+      .filter(col("crnk") <= kCand)
+      .select("qid", "vec_id")
+    // stage 2: exact cosine over the candidates' RAW vectors only —
+    // the candidate id set broadcasts, the vector table never shuffles
+    broadcast(cand)
+      .join(e.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc_nulls_last, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
   /** Compaction EXECUTION's store-building half (s25), factored so
     * the spec can inspect the physical layout: applies s24's verdict
     * rule (dead fraction ≥ 0.2 ⇒ rewrite) to an IVF-SQ8 code table —
@@ -3045,6 +3104,90 @@ object Similarity {
             ROW_NUMBER() OVER (PARTITION BY qid
                                ORDER BY idist, vec_id) AS rnk
           FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s27_refined_search",
+      (s, dir) => {
+        // Two-stage serve (see [[refinedSearch]]): 20 quantized
+        // candidates from the 2-probe SQ8 scan, exact-cosine re-rank
+        // to 5 — the refine step that buys back quantization error
+        // with k-sized full-precision point reads.
+        val (cent, codes) = ivfSq8TrainShared(s, dir, emb(s, dir))
+        refinedSearch(emb(s, dir), cent, codes, kCand = 20, k = 5)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM cdims GROUP BY label, dim)
+          GROUP BY label),
+        gdims AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM gdims GROUP BY dim),
+        grid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM stats),
+        codes AS (
+          SELECT vec_id, label,
+            list_transform(range(1, len(v) + 1), i ->
+              CAST(FLOOR(CASE WHEN his[i] = los[i] THEN 0.0
+                ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
+                + 0.5) AS INT)) AS c
+          FROM e, grid),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        probe AS (
+          SELECT qid, label AS probe_label FROM (
+            SELECT q.qid, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 2),
+        qc AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 3),
+        scored AS (
+          SELECT p.qid, k.vec_id,
+            CAST(list_sum(list_transform(list_zip(qc.qc, k.c),
+              pr -> CAST(pr[1] - pr[2] AS BIGINT)
+                    * CAST(pr[1] - pr[2] AS BIGINT))) AS BIGINT) AS idist
+          FROM codes k
+          JOIN probe p ON k.label = p.probe_label AND k.vec_id <> p.qid
+          JOIN qc ON qc.qid = p.qid),
+        cand AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY idist, vec_id) AS crnk
+            FROM scored)
+          WHERE crnk <= 20),
+        ref AS (
+          SELECT c.qid, c.vec_id,
+            ROUND(
+              list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1]*p[2])) /
+              (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cos_sim
+          FROM cand c
+          JOIN e ON e.vec_id = c.vec_id
+          JOIN q ON q.qid = c.qid)
+        SELECT qid, vec_id, cos_sim, rnk FROM (
+          SELECT qid, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM ref)
         WHERE rnk <= 5
         ORDER BY qid, rnk"""))
   )

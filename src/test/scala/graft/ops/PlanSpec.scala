@@ -855,6 +855,16 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 2, s"expected <=2 BNLJ, got $bnlj\n$p")
   }
 
+  test("s27: both refine stages are broadcast equi-joins — candidates " +
+      "broadcast to the raw vectors, never the reverse") {
+    val p = plan("s27_refined_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the tiny queries x centroids probe
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"expected <=1 BNLJ (the centroid probe), got $bnlj\n$p")
+  }
+
   test("s26: the reloaded-index search dynamically prunes unprobed " +
       "cell partitions") {
     val p = plan("s26_index_persistence")

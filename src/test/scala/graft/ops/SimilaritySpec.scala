@@ -136,6 +136,34 @@ class SimilaritySpec extends SparkSpec {
       refined.toSeq)
   }
 
+  test("s27 refined search: exact re-rank restores the cosine order " +
+      "the integer SQ8 distance inverts") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    // Doc 5 is the query SCALED ×5: cosine exactly 1.0 but L2-far, so
+    // the SQ8 integer stage must rank it behind the L2-near doc 10 —
+    // the inversion only the full-precision refine can fix.
+    val q = (0 until 64).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val scaled = q.map(_ * 5.0)
+    val near = q.zipWithIndex.map { case (x, i) => x * (1.0 + 0.001 * i) }
+    val far = q.map(-_)
+    val e = Seq((0L, 0, q), (5L, 0, scaled), (10L, 0, near), (20L, 0, far))
+      .toDF("vec_id", "label", "v")
+    val (cent, codes) = Similarity.ivfSq8Train(e)
+    val quant = Similarity.ivfSq8Search(e, cent, codes, k = 3)
+      .filter(col("qid") === 0L).collect().map(_.getLong(2))
+    assert(quant.head == 10L && quant.last == 5L,
+      s"premise: SQ8 puts the scaled doc last: ${quant.toSeq}")
+    val got = Similarity.refinedSearch(e, cent, codes, kCand = 3, k = 3)
+      .filter(col("qid") === 0L).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(x => (x._1, x._3)).toSeq ==
+      Seq((5L, 1), (10L, 2), (20L, 3)), got.toSeq)
+    assert(got.head._2 == 1.0, s"scaled doc's exact cosine: ${got.head}")
+  }
+
   test("kmeans iteration reassigns mislabeled vectors to the near cluster") {
     val sparkS = spark
     import sparkS.implicits._
