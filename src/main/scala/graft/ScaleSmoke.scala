@@ -24,7 +24,8 @@ object ScaleSmoke {
       |  text [f]      d15 removal + t17 BPE encode on documents ×1 and ×f
       |  curation [f]  c04/c10/c11 de-weaked plans vs window forms ×1 and ×f
       |  multimodal [f]  m07 block population: (dims) vs (dims, sig) key ×f
-      |  containment [f]  d18/d19 posting-cap cost on a ×f clone family""".stripMargin
+      |  containment [f]  d18/d19 posting-cap cost on a ×f clone family
+      |  indexmaint [f]  st22 state plateau under ×f churn per key""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -685,9 +686,84 @@ object ScaleSmoke {
     ops.Similarity.freeCheckpoint(corpus)
   }
 
+  /** st22 index-maintenance state plateau
+    * (`runMain graft.ScaleSmoke indexmaint [factor]`): feed the sf0.1
+    * embedding corpus through [[graft.streaming.EmbeddingStream
+    * .maintainIndex]] with ×`factor` re-upserts PER KEY (every vector
+    * modified `factor` times, every 9th deleted last) and print the
+    * state-store rows after each micro-batch. The log-compaction
+    * guarantee under test: events grow ×factor but state holds ONE
+    * entry per ever-seen key — the plateau must equal the key count
+    * exactly, batches after the first must not move it, and
+    * tombstones REPLACE entries (deletes don't shrink state, they
+    * gate serving).
+    */
+  def runIndexMaint(spark: SparkSession, factor: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.{EmbeddingStream, EventStream}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val S = ops.Similarity
+    val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = S.seedCentroids(e).coalesce(1).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val (los, his) = S.sq8Params(e).coalesce(1).collect().headOption
+      .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
+      .getOrElse((Array.empty[Double], Array.empty[Double]))
+    // Dev-tool-only collect (the ttl-mode pattern): hand-controlled
+    // micro-batch boundaries need MemoryStream.
+    val base = e.select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect()
+    val keys = base.length
+    // ×factor churn over FIXED keys, us-ascending so later batches
+    // outrank earlier ones: r-th round re-upserts every vector
+    // (deterministically modified); the final round deletes every 9th.
+    val events = (1 to factor).iterator.flatMap { r =>
+      base.iterator.map { case (id, v) =>
+        val del = if (r == factor && id % 9 == 0) 1 else 0
+        EmbeddingStream.VecUpsert(id, r.toLong, del,
+          if (del == 1) Seq.empty[Double]
+          else v.map(x => x * (1.0 + 0.01 * r)))
+      }
+    }.toArray
+    println(s"[indexmaint] $keys keys, ${events.length} events (×$factor" +
+      s" churn per key)")
+    val input = MemoryStream[EmbeddingStream.VecUpsert]
+    val q = EventStream.withStreamShufflePartitions(spark, 8) {
+      EmbeddingStream.maintainIndex(input.toDS(), cents, los, his)
+        .writeStream.format("memory").queryName("idx_scale")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .start()
+    }
+    try {
+      var maxState = -1L
+      var afterFirst = -1L
+      val per = math.max(1, events.length / 10)
+      events.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+        val st = EventStream.lastStateRows(q)
+        if (i == 0) afterFirst = st
+        maxState = math.max(maxState, st)
+        println(f"[indexmaint] batch ${i + 1}%3d: +${chunk.length}%6d " +
+          f"events, state rows $st%6d")
+      }
+      println(s"[indexmaint] max state $maxState vs keys $keys " +
+        s"(plateau: ${maxState == keys}); events grew ×$factor, state " +
+        s"grew ×${if (afterFirst > 0) maxState.toDouble / afterFirst else -1}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("idx_scale")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
-      "text", "curation", "multimodal", "containment")
+      "text", "curation", "multimodal", "containment", "indexmaint")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -717,6 +793,7 @@ object ScaleSmoke {
         case "curation" => 20
         case "multimodal" => 100
         case "containment" => 20
+        case "indexmaint" => 20
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -739,6 +816,7 @@ object ScaleSmoke {
     if (mode == "curation") { runCuration(spark, factor); spark.stop(); return }
     if (mode == "multimodal") { runMultimodal(spark, factor); spark.stop(); return }
     if (mode == "containment") { runContainment(spark, factor); spark.stop(); return }
+    if (mode == "indexmaint") { runIndexMaint(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)
