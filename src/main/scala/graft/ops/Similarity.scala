@@ -3045,8 +3045,14 @@ object Similarity {
         // reloaded scan (plan-pinned), so at 100 TB an unprobed cell
         // is a directory never opened.
         val root = persistIndex(s, dir)
-        val codes = s.read.parquet(s"$root/codes")
-        val cent = s.read.parquet(s"$root/centroids")
+        // explicit schemas (from the shared in-memory artifacts, a
+        // memoized no-op here): an EMPTY corpus writes a store with
+        // no parquet files, which must read back as empty, not fail
+        // schema inference
+        val (cent0, codes0) = ivfSq8TrainShared(s, dir, emb(s, dir))
+        val codes = s.read.schema(codes0.schema).parquet(s"$root/codes")
+        val cent = s.read.schema(cent0.schema)
+          .parquet(s"$root/centroids")
         ivfSq8Search(emb(s, dir), cent, codes, k = 5)
       },
       Some("""
