@@ -884,6 +884,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     // dedup-then-count (the q27 rule), never a multi-distinct Expand
     assert(!p.contains("Expand"), p)
+    // column pruning reaches the scan: grams need only (doc_id, text)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("c13: one corpus pass — pruned scan, partial aggregation, " +
+      "1-row broadcast total") {
+    val p = plan("c13_temperature_mix")
+    // token counting reads only (source, text)
+    assert(p.contains("ReadSchema: struct<source:string,text:string>")
+      || p.contains("ReadSchema: struct<text:string,source:string>"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("p06: a filtered read of the release prunes source partitions") {

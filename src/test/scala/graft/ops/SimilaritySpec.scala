@@ -666,6 +666,50 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 5L).exists(q => curve((8, q)) > curve((1, q))), curve)
   }
 
+  test("s27: the refined serve's recall@5 beats the single-stage " +
+      "quantized serve on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val (cent, codes) = Similarity.ivfSq8TrainShared(spark, dir, e)
+    // exact top-5 baseline under the s19 rules (6-dp round, id ties)
+    val withNrm = e.withColumn("nrm",
+      sqrt(Similarity.dot(col("v"), col("v"))))
+    val queries = withNrm.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = withNrm
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.dot(col("qv"), col("v")) /
+          (col("qnrm") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.ivfSq8Search(e, cent, codes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .count(exact.contains)
+    val refined = Similarity.refinedSearch(e, cent, codes,
+        kCand = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains)
+    // the refined serve (wider probe + exact re-rank) must never
+    // trail the single-stage quantized serve...
+    assert(refined >= quant, s"refined $refined < quantized $quant")
+    // ...and on the real corpus the bought-back recall is visible
+    assert(refined > quant,
+      s"refine bought nothing here: refined $refined == quant $quant" +
+        " of ${exact.size} exact hits — corpus drifted?")
+  }
+
   test("chunked mean fold bounds per-group state on a 100k-member cluster") {
     val sparkS = spark
     import sparkS.implicits._
