@@ -174,6 +174,78 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram Stupid-Backoff LM scoring (t22) — the next step up from
+    * t15's unigram filter and the shape large-scale LM-based quality
+    * filters actually use: an n-gram LM trained on a REFERENCE slice
+    * scores every document (the CCNet design, Wenzek et al. 2019 —
+    * there a Wikipedia KenLM; here the held-in 90% of the corpus
+    * itself, `doc_id % 10 != 0`, so the operator is self-contained
+    * and the held-out 10% genuinely exercises unseen events). Score
+    * per Brants et al. 2007: S(w|v) = f(vw)/f(v) when the bigram was
+    * seen in the reference, else 0.4·U(w) — no normalization, which
+    * is exactly why it scales: counts only, no smoothing pass.
+    * U(w) = f(w)/N with an OOV floor of 1/N (an unseen token scores
+    * as a count-1 singleton — keeps ln finite; the standard
+    * closed-vocab dodge). A doc full of locally-incoherent token
+    * sequences scores low even when every individual token is common
+    * — the failure mode t15's unigram score cannot see. Per-doc
+    * output: token count and mean per-token ln S (a doc's first
+    * token has no context → scored U(w)).
+    *
+    * Scale shape: the prev-token pairing is a lag window PARTITIONED
+    * BY doc (state bounded by document length, the t13 bound); bigram
+    * counts are one (prev, term) groupBy with map-side combine over
+    * the reference slice; unigram/bigram score joins are plain
+    * equi-joins on term keys (vocab can exceed broadcast size at
+    * 100 TB — AQE plans them); the reference total is a broadcast
+    * 1-row scalar (t10 convention). Determinism: ln may differ 1 ulp
+    * across engines, so each token's score is ROUNDed to 6 dp FIRST;
+    * the backoff multiply is 0.4·(U) — parenthesized identically in
+    * the oracle so the IEEE op order matches; the per-doc sum is a
+    * pos-ordered sequential fold (the t15 convention), exact given
+    * order.
+    */
+  def bigramLogprob(documents: DataFrame): DataFrame = {
+    val tok = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = tok.withColumn("prev", lag(col("term"), 1).over(w))
+    // Reference-slice LM: counts from held-in docs only. The lag runs
+    // per-doc, so filtering whole docs after it equals training on
+    // the slice directly (no cross-doc bigrams exist to leak).
+    val train = col("doc_id") % 10 =!= 0
+    val uni = tok.filter(train)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val bc = bi.filter(col("prev").isNotNull && train)
+      .groupBy("prev", "term").agg(count(lit(1)).as("bcnt"))
+    val tot = tok.filter(train).agg(count(lit(1)).as("total"))
+    val totD = col("total").cast("double")
+    // U(w): reference unigram prob with the 1/N OOV floor.
+    val u = when(col("cnt").isNotNull, col("cnt").cast("double") / totD)
+      .otherwise(lit(1.0) / totD)
+    bi
+      .join(uni, Seq("term"), "left")
+      .join(
+        uni.select(col("term").as("prev"), col("cnt").as("pcnt")),
+        Seq("prev"), "left")
+      .join(bc, Seq("prev", "term"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lnp", round(
+        when(col("prev").isNull, log(u))
+          .when(col("bcnt").isNotNull,
+            log(col("bcnt").cast("double") / col("pcnt").cast("double")))
+          .otherwise(log(lit(0.4) * u)), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("lnp")))).as("ps"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(
+          expr("aggregate(ps, cast(0.0 as double), (a, p) -> a + p.lnp)")
+            / col("n_tokens"), 6).as("avg_logprob_sb"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition signals — the Gopher repetition
     * filters (Rae et al. 2021, appendix A1) at token granularity
     * (this corpus has no newlines, so the line-based variants are
@@ -1430,6 +1502,64 @@ object TextAnalysis {
             CAST(CAST(SUM(n_grams) AS BIGINT) AS DOUBLE) AS novelty
         FROM ranked
         GROUP BY source, decile
-        ORDER BY source, decile"""))
+        ORDER BY source, decile""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t22_bigram_logprob",
+      (s, dir) =>
+        // Bigram Stupid-Backoff LM scoring (see [[bigramLogprob]]):
+        // reference-slice LM (doc_id % 10 != 0) scores every doc;
+        // S = f(vw)/f(v), backoff 0.4·U(w), OOV floor 1/N — the
+        // local-coherence filter t15's unigram score cannot express.
+        bigramLogprob(docs(s, dir)),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS l
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id, CAST(u.i AS INT) AS pos, u.t AS term
+          FROM toks, unnest(list_transform(range(1, len(l) + 1),
+                            i -> {'i': i, 't': l[i]})) AS s(u)),
+        bi AS (
+          SELECT doc_id, pos, term,
+            lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM tok),
+        uni AS (
+          SELECT term, COUNT(*) AS cnt FROM tok
+          WHERE doc_id % 10 <> 0 GROUP BY term),
+        bc AS (
+          SELECT prev, term, COUNT(*) AS bcnt
+          FROM bi WHERE prev IS NOT NULL AND doc_id % 10 <> 0
+          GROUP BY prev, term),
+        tot AS (SELECT COUNT(*) AS total FROM tok WHERE doc_id % 10 <> 0),
+        sc AS (
+          SELECT b.doc_id, b.pos,
+            ROUND(CASE
+              WHEN b.prev IS NULL THEN
+                ln(CASE WHEN u.cnt IS NOT NULL
+                   THEN CAST(u.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   ELSE 1.0 / CAST(t.total AS DOUBLE) END)
+              WHEN c.bcnt IS NOT NULL THEN
+                ln(CAST(c.bcnt AS DOUBLE) / CAST(p.cnt AS DOUBLE))
+              ELSE
+                ln(0.4 * (CASE WHEN u.cnt IS NOT NULL
+                   THEN CAST(u.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   ELSE 1.0 / CAST(t.total AS DOUBLE) END))
+            END, 6) AS lnp
+          FROM bi b
+          LEFT JOIN uni u USING (term)
+          LEFT JOIN uni p ON p.term = b.prev
+          LEFT JOIN bc c ON c.prev = b.prev AND c.term = b.term
+          CROSS JOIN tot t)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                         list(lnp ORDER BY pos)),
+                            (a, b) -> a + b) / COUNT(*), 6)
+            AS avg_logprob_sb
+        FROM sc
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

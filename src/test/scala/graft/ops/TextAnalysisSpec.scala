@@ -214,6 +214,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3)._2 < got(1)._2 && got(3)._2 < got(2)._2)
   }
 
+  test("t22 bigram stupid-backoff: seen-bigram, backoff, and OOV paths hand-computed") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Reference slice = doc_id % 10 != 0 → docs 1,2 train; 10 is
+    // held out. Train tokens: the×3 cat×2 sat×2 → N=7.
+    // Train bigrams: (the,cat)×2 (cat,sat)×2 (sat,the)×1.
+    val df = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat sat the"),
+      // held-out: "dog" is OOV; (cat,the) is an UNSEEN bigram of two
+      // seen unigrams; (the,cat) is seen.
+      (10L, "cat the cat dog"),
+      (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogprob(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains(11L), "null-text doc must not be scored")
+    val n = 7.0
+    // doc 1: U(the)=3/7; S(cat|the)=2/3; S(sat|cat)=2/2.
+    val d1 = Seq(math.log(3 / n), math.log(2.0 / 3), math.log(2.0 / 2))
+      .map(r6)
+    assert(got(1L) == ((3L, r6(d1.sum / 3))), got(1L))
+    // doc 2 adds S(the|sat)=1/2.
+    val d2 = d1 :+ r6(math.log(1.0 / 2))
+    assert(got(2L) == ((4L, r6(d2.sum / 4))), got(2L))
+    // doc 10: U(cat)=2/7; (cat,the) unseen → 0.4·U(the)=0.4·(3/7);
+    // (the,cat) seen → 2/3; dog OOV after seen prev → 0.4·(1/7).
+    val d10 = Seq(math.log(2 / n), math.log(0.4 * (3 / n)),
+      math.log(2.0 / 3), math.log(0.4 * (1.0 / n))).map(r6)
+    assert(got(10L) == ((4L, r6(d10.sum / 4))), got(10L))
+    // the held-out incoherent doc is the outlier the filter exists for
+    assert(got(10L)._2 < got(1L)._2 && got(10L)._2 < got(2L)._2)
+  }
+
   test("t16 repetition signals: hand-computed fractions, tie-breaks, and coverage union") {
     val sparkS = spark
     import sparkS.implicits._
