@@ -293,6 +293,62 @@ object Multimodal {
         col("is_kept"))
   }
 
+  /** Multimodal eval-set DECONTAMINATION (m09) — d20's benchmark-leak
+    * gate applied to payloads: a training blob is flagged when its
+    * DECODED representation perceptually near-dups a held-out eval
+    * blob (same (width, height), sign codes within Hamming 1, cosine
+    * ≥ 0.999 — the m07 dup gate), so a re-encoded copy of an eval
+    * image can't hide in the training set the way byte-digest
+    * matching would allow. The eval set is carved deterministically
+    * (doc_id % `evalMod` = 0, the d20 stand-in for the real benchmark
+    * table).
+    *
+    * Scale shape — d20's asymmetry, multimodally: the eval side is
+    * tiny (benchmarks, not corpora), so IT carries the 9× flip-1
+    * multi-probe replication and BROADCASTS; the training corpus
+    * keys on its exact (width, height, sig) and the contamination
+    * probe is a map-side hash join — the corpus never shuffles, and
+    * Hamming is never computed post-join (a Hamming-0/1 (train, eval)
+    * pair collides exactly once: identity probe or the single
+    * differing-bit flip — [[perceptualBestPairs]]'s argument across
+    * two sets). The cosine verify runs only on collided pairs.
+    * Output (doc_id, n_eval_hits, is_kept) for EVERY decoded
+    * training blob; zero-feature blobs can't be cosine-scored, pair
+    * with nothing, and keep trivially.
+    */
+  private[graft] def perceptualDecontaminate(
+      dec: DataFrame, evalMod: Int = 23): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpressions.dot(a, b)
+    val isEval = col("doc_id") % evalMod === 0
+    val sig = dec.withColumn("sig", signCode)
+      .filter(dot(col("v"), col("v")) > 0)
+    val evalProbes = sig.filter(isEval)
+      .withColumn("probe",
+        explode(array(col("sig") +: (0 until 8).map(i =>
+          col("sig").bitwiseXOR(lit(1 << i))): _*)))
+      .select(col("doc_id").as("eval_id"), col("width"), col("height"),
+        col("probe"), col("v").as("ev"))
+    val hits = sig.filter(!isEval).as("t")
+      .join(broadcast(evalProbes).as("e"),
+        col("t.width") === col("e.width") &&
+          col("t.height") === col("e.height") &&
+          col("t.sig") === col("e.probe"))
+      .filter(round(dot(col("t.v"), col("ev")) /
+        (sqrt(dot(col("t.v"), col("t.v"))) *
+          sqrt(dot(col("ev"), col("ev")))), 6) >= 0.999)
+      .select(col("t.doc_id").as("doc_id"), col("eval_id"))
+    val nEval = hits.distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_hits"))
+    dec.filter(!isEval).select(col("doc_id"))
+      .join(nEval, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        (coalesce(col("n_eval_hits"), lit(0L)) === 0).cast("int")
+          .as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   /** feats[i] = ((h >>> 8i) & 0xff)/128 - 1, restated per byte field
     * of the HUGEINT residue — the DuckDB form of the stub features.
     */
@@ -699,6 +755,50 @@ object Multimodal {
             PARTITION BY family
             ORDER BY n_bytes DESC, doc_id) = 1 AS INT) AS is_kept
         FROM fam
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m09_perceptual_decontamination",
+      (s, dir) =>
+        // Multimodal eval-leak gate (see [[perceptualDecontaminate]]):
+        // training blobs whose DECODED representation near-dups a
+        // doc_id%23 eval blob ((dims, sig) within Hamming 1, cosine
+        // ≥ 0.999) are flagged — the d20 discipline where the tiny
+        // probed side broadcasts and the corpus never shuffles. The
+        // oracle restates the match INDEPENDENTLY: bit_count(xor) ≤ 1
+        // on dims-equal (train, eval) pairs, no multi-probe.
+        perceptualDecontaminate(decodedFrame(s, dir)),
+      Some(s"""
+        WITH $sqlDecodeAcc,
+        f AS (
+          SELECT doc_id,
+            CAST(16 + (hv % 16) * 16 AS INT) AS width,
+            CAST(16 + ((hv // 16) % 16) * 16 AS INT) AS height,
+            $sqlFeatsList AS v,
+            CAST($sqlSigExpr AS INT) AS sig
+          FROM acc),
+        fz AS (
+          SELECT * FROM f
+          WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+        hits AS (
+          SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+          FROM fz t JOIN fz e
+            ON t.width = e.width AND t.height = e.height
+            AND t.doc_id % 23 <> 0 AND e.doc_id % 23 = 0
+            AND bit_count(xor(t.sig, e.sig)) <= 1
+          WHERE ROUND(
+              list_sum(list_transform(list_zip(t.v, e.v),
+                                      p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(t.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6)
+            >= 0.999),
+        ne AS (
+          SELECT doc_id, COUNT(*) AS n_eval_hits
+          FROM hits GROUP BY doc_id)
+        SELECT f.doc_id, COALESCE(ne.n_eval_hits, 0) AS n_eval_hits,
+          CAST(COALESCE(ne.n_eval_hits, 0) = 0 AS INT) AS is_kept
+        FROM f LEFT JOIN ne ON f.doc_id = ne.doc_id
+        WHERE f.doc_id % 23 <> 0
+        ORDER BY f.doc_id"""))
   )
 }

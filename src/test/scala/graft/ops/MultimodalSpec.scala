@@ -197,4 +197,41 @@ class MultimodalSpec extends SparkSpec {
       12L -> ((12L, 1)), 13L -> ((13L, 1)), // singletons keep themselves
       20L -> ((20L, 0)), 21L -> ((20L, 1)), 22L -> ((20L, 0))), out)
   }
+
+  test("m09 decontamination: Hamming-0/1 eval matches flag, Hamming-2 and " +
+      "low-cosine survive, eval docs ungraded") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // ε-feature trick: flipping feature 0 between +0.001 and -0.001
+    // flips one sign bit while keeping cosine ≈ 1 (> 0.999) — the
+    // re-encode-near-boundary case the flip-1 probe must recover.
+    val ev = 0.001 +: Seq.fill(7)(1.0)
+    val flip1 = -0.001 +: Seq.fill(7)(1.0)
+    val flip2 = Seq(-0.001, -0.001) ++ Seq.fill(6)(1.0)
+    val ortho = 5.0 +: Seq.fill(7)(0.001) // same sig 255, low cosine
+    val dec = Seq(
+      // eval slice (doc_id % 23 == 0): two identical eval blobs
+      (46L, 64, 64, ev),
+      (92L, 64, 64, ev),
+      // train: exact feature copy — Hamming 0, hits BOTH evals
+      (1L, 64, 64, ev),
+      // train: one near-boundary sign flipped — Hamming 1, recovered
+      // via the flip-1 probe, hits both evals
+      (2L, 64, 64, flip1),
+      // train: two signs flipped — invisible by design
+      (3L, 64, 64, flip2),
+      // train: same sig block, but cosine far below the dup gate
+      (4L, 64, 64, ortho),
+      // train: same features, different dims — never a candidate
+      (5L, 32, 32, ev))
+      .toDF("doc_id", "width", "height", "v")
+    val out = Multimodal.perceptualDecontaminate(dec).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 0)), 2L -> ((2L, 0)), // flagged, both evals attributed
+      3L -> ((0L, 1)), 4L -> ((0L, 1)), 5L -> ((0L, 1))), out)
+    // eval blobs themselves are never graded
+    assert(!out.contains(46L) && !out.contains(92L), out)
+  }
 }

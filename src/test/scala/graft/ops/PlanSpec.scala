@@ -212,6 +212,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("bit_count"), p)
   }
 
+  test("m09: eval probes broadcast; corpus side keys exact sig; " +
+      "no post-join Hamming, no cartesian") {
+    val p = plan("m09_perceptual_decontamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // d20's asymmetry: the tiny probed eval side broadcasts — the
+    // contamination check is a map-side hash join, the corpus never
+    // shuffles by block key
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the multi-probe is in the equi-join key (probe = corpus sig),
+    // never a post-join bit_count filter
+    assert(p.contains("probe"), p)
+    assert(!p.contains("bit_count"), p)
+  }
+
   test("m08: keeper edges ride m07's probed join; family min is " +
       "partial-combined; no cartesian") {
     val p = plan("m08_perceptual_keepers")
