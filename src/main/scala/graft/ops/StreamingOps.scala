@@ -544,6 +544,43 @@ object StreamingOps {
                                ORDER BY idist, vec_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
-        ORDER BY qid, rnk"""))
+        ORDER BY qid, rnk""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st23_stream_windowed_funnel",
+      (s, dir) => EventStream.runWindowedFunnel(s, dir),
+      // Streaming windowed funnel (see
+      // [[EventStream.runWindowedFunnel]]): q66's per-stage
+      // conversion windows as per-user mapGroupsWithState, exact
+      // under out-of-order arrival with state bounded by the
+      // funnel's own conversion horizon. The oracle IS the batch
+      // q66 statement — the stream must reach its fixpoint.
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type IS NOT NULL),
+        v AS (
+          SELECT user_id, MIN(us) AS v_us FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.us) AS c_us
+          FROM ev e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.us > v.v_us
+            AND e.us <= v.v_us + CAST(48 AS BIGINT) * 3600 * 1000000
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(e.us) AS p_us
+          FROM ev e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.us > c.c_us
+            AND e.us <= c.c_us + CAST(7 AS BIGINT) * 24 * 3600 * 1000000
+          GROUP BY e.user_id)
+        SELECT stage, n_users FROM (
+          SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+          UNION ALL
+          SELECT '2_click_within_48h', COUNT(*) FROM c
+          UNION ALL
+          SELECT '3_purchase_within_7d', COUNT(*) FROM p)
+        ORDER BY stage"""))
   )
 }

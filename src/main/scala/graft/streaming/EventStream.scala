@@ -831,6 +831,139 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** st23's per-user state: the first view seen so far plus ONLY the
+    * clicks/purchases that could still qualify under any FUTURE first
+    * view — see [[windowedFunnel]] for the pruning argument.
+    */
+  final case class FunnelState(
+      vUs: Long, nSeen: Long, clicks: List[Long], purchases: List[Long])
+
+  /** st23's emission: funnel stage flags recomputed from full state,
+    * with the monotone per-user event counter the drain orders by.
+    */
+  final case class FunnelRow(
+      user_id: Long, n_seen: Long, v_ok: Int, c_ok: Int, p_ok: Int)
+
+  /** The st23 stateful operator (factored to drive the production
+    * code from the spec): input rows are (user_id, event_type, us);
+    * per-key state is [[FunnelState]]; each micro-batch emits the
+    * user's current funnel verdict.
+    *
+    * EXACT under out-of-order arrival with BOUNDED state — the
+    * funnel's own windows are the bound. The first-view time v only
+    * ever DECREASES, so a click with us > v + 48h can never qualify
+    * under any future v either (the qualifying interval (v', v'+48h]
+    * for v' ≤ v lies entirely at or below v + 48h) — prune it
+    * forever; a click with us ≤ v, useless now, may qualify under a
+    * later-arriving EARLIER view, so it must be retained. Same
+    * argument bounds purchases at v + 48h + 7d (the deepest any
+    * qualifying click's window can reach). State per user is thus
+    * the events inside the user's own conversion horizon — O(funnel
+    * window), not O(stream); ScaleSmoke's `funnel` mode measures the
+    * plateau. The emitted verdict is recomputed from the retained
+    * sets each batch, so the LAST emission per user (max n_seen — a
+    * strictly-increasing counter) is the stream's fixpoint and
+    * equals the batch q66 statement exactly.
+    */
+  def windowedFunnel(ds: Dataset[(Long, String, Long)])
+      : Dataset[FunnelRow] = {
+    import ds.sparkSession.implicits._
+    val clickW = 48L * 3600L * 1000000L
+    val purchW = 7L * 24L * 3600L * 1000000L
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelRow](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, String, Long)],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, 0L, Nil, Nil))
+          var v = st.vUs
+          var n = st.nSeen
+          var clicks = st.clicks
+          var purchases = st.purchases
+          // Retention bounds under the CURRENT v (+inf before any
+          // view — nothing can be pruned until the window anchors).
+          def cBound: Long =
+            if (v == Long.MaxValue) Long.MaxValue else v + clickW
+          def pBound: Long =
+            if (v == Long.MaxValue) Long.MaxValue
+            else v + clickW + purchW
+          it.foreach { case (_, t, us) =>
+            n += 1
+            t match {
+              case "view" =>
+                if (us < v) {
+                  v = us // window anchor moved earlier: re-prune
+                  clicks = clicks.filter(_ <= cBound)
+                  purchases = purchases.filter(_ <= pBound)
+                }
+              case "click" =>
+                if (us <= cBound) clicks = us :: clicks
+              case "purchase" =>
+                if (us <= pBound) purchases = us :: purchases
+              case _ => ()
+            }
+          }
+          state.update(FunnelState(v, n, clicks, purchases))
+          val cStar =
+            if (v == Long.MaxValue) None
+            else clicks.filter(c => c > v && c <= v + clickW)
+              .minOption
+          val pStar = cStar.flatMap(c =>
+            purchases.filter(p => p > c && p <= c + purchW).minOption)
+          FunnelRow(user, n,
+            if (v != Long.MaxValue) 1 else 0,
+            if (cStar.isDefined) 1 else 0,
+            if (pStar.isDefined) 1 else 0)
+      }
+  }
+
+  /** Streaming WINDOWED FUNNEL (st23) — q66 as a live stream: per-user
+    * conversion state (first view → click within 48 h → purchase
+    * within 7 d of that click) maintained by [[windowedFunnel]]'s
+    * mapGroupsWithState machine, exact under out-of-order arrival
+    * with state bounded by the funnel's own conversion horizon. The
+    * drained result is the three-stage count table — identical to the
+    * batch q66 statement, which is the oracle.
+    */
+  def runWindowedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name =
+      "st_funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val evs = readStream(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+    withStreamShufflePartitions(spark, 8) {
+      val q = windowedFunnel(evs)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+    val fin = out
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .localCheckpoint() // three count branches read it; don't re-drain
+    fin.filter(col("v_ok") === 1).agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(fin.filter(col("c_ok") === 1)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_within_48h").as("stage"), col("n_users")))
+      .unionByName(fin.filter(col("p_ok") === 1)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_within_7d").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
   /** Streaming Misra-Gries heavy hitters (st18) — q60's mergeable MG
     * sketch AS streaming state: a global streaming aggregation whose
     * state is ONE capacity-k counter table, merged per micro-batch by

@@ -207,6 +207,58 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowed funnel: out-of-order views re-anchor the window — " +
+      "verdicts resurrect and revoke exactly") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val W = 48L * 3600L * 1000000L // click window, µs
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventStream.windowedFunnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode(OutputMode.Update()).start()
+    def drain(): Map[Long, (Int, Int, Int)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+      spark.table("funnel_test")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4))))
+        .toMap
+    }
+    // Batch 1 — user 7: click+purchase arrive BEFORE any view (must
+    // be retained, not dropped); user 8: a view and a qualifying
+    // click near the window's far edge.
+    input.addData((7L, "click", 200L), (7L, "purchase", 300L),
+      (8L, "view", 100L), (8L, "click", 80L + W))
+    q.processAllAvailable()
+    val b1 = drain()
+    assert(b1(7L) == ((0, 0, 0)), b1) // no view yet — no stage reached
+    assert(b1(8L) == ((1, 1, 0)), b1) // 80+W ∈ (100, 100+W]: converts
+    // Batch 2 — user 7's view arrives LATE at t=100: the buffered
+    // click (200) and purchase (300) must RESURRECT the conversion;
+    // user 8's EARLIER view at t=20 re-anchors the window so the
+    // once-qualifying click (80+W > 20+W) is pruned forever — the
+    // verdict must be REVOKED.
+    input.addData((7L, "view", 100L), (8L, "view", 20L))
+    q.processAllAvailable()
+    val b2 = drain()
+    assert(b2(7L) == ((1, 1, 1)), b2)
+    assert(b2(8L) == ((1, 0, 0)), b2)
+    // Batch 3 — user 8: a click at t=60, BELOW the old anchor (would
+    // have been retained-but-useless under v=100), qualifies under
+    // the new anchor (60 ∈ (20, 20+W]); a purchase beyond ITS window
+    // (60 + 7d + 1µs) must not convert stage 3.
+    val P = 7L * 24L * 3600L * 1000000L
+    input.addData((8L, "click", 60L), (8L, "purchase", 61L + P))
+    q.processAllAvailable()
+    val b3 = drain()
+    assert(b3(8L) == ((1, 1, 0)), b3)
+    // state is per-user and horizon-bounded, one row per key
+    assert(EventStream.lastStateRows(q) == 2)
+    q.stop()
+  }
+
   test("streaming GK sketch per type satisfies the rank contract vs batch") {
     val dir = "/root/testdata/sf0.001"
     val rows = runPercentiles(spark, dir).collect()
