@@ -25,7 +25,8 @@ object ScaleSmoke {
       |  curation [f]  c04/c10/c11 de-weaked plans vs window forms ×1 and ×f
       |  multimodal [f]  m07 block population: (dims) vs (dims, sig) key ×f
       |  containment [f]  d18/d19 posting-cap cost on a ×f clone family
-      |  indexmaint [f]  st22 state plateau under ×f churn per key""".stripMargin
+      |  indexmaint [f]  st22 state plateau under ×f churn per key
+      |  funnel [f]      st23 horizon-bounded buffers under ×f replicas""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -761,9 +762,81 @@ object ScaleSmoke {
     }
   }
 
+  /** st23 funnel state bound under replica churn
+    * (`runMain graft.ScaleSmoke funnel [factor]`): feed the sf0.1
+    * funnel events through [[graft.streaming.EventStream
+    * .windowedFunnel]] ×`factor` times — replica r time-shifted
+    * +r·(span + horizon) so no two replicas share a conversion
+    * horizon — delivered NEWEST-REPLICA-FIRST, so every later batch
+    * re-anchors each user's first view EARLIER and exercises the
+    * prune path on every key. The horizon-bound guarantee under
+    * test: events grow ×factor but (a) state stays ONE row per
+    * ever-seen user, and (b) the per-user retained buffer
+    * (n_buffered, emitted by the operator itself) never exceeds the
+    * ×1 per-user event population — the funnel's own window is the
+    * bound, arrival order and churn are not.
+    */
+  def runFunnel(spark: SparkSession, factor: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Dev-tool-only collect (the ttl-mode pattern): hand-controlled
+    // micro-batch boundaries need MemoryStream.
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect()
+    val users = base.map(_._1).distinct.length
+    val perUserMax = base.groupBy(_._1).map(_._2.length).max
+    val horizon = (48L * 3600L + 7L * 24L * 3600L) * 1000000L + 1L
+    val span = base.map(_._3).max - base.map(_._3).min + horizon
+    // newest replica first: each later batch anchors v earlier
+    val events = (factor - 1 to 0 by -1).flatMap(r =>
+      base.map { case (u, t, us) => (u, t, us + r * span) })
+    println(s"[funnel] $users users, ${base.length} base events, " +
+      s"${events.length} total (×$factor replicas, newest first)")
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventStream.withStreamShufflePartitions(spark, 8) {
+      EventStream.windowedFunnel(input.toDS())
+        .writeStream.format("memory").queryName("funnel_scale")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .start()
+    }
+    try {
+      var maxBuf = -1
+      val per = math.max(1, events.length / 10)
+      events.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        input.addData(chunk)
+        q.processAllAvailable()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+        val buf = spark.table("funnel_scale")
+          .withColumn("rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") === 1)
+          .agg(max(col("n_buffered"))).head.getInt(0)
+        maxBuf = math.max(maxBuf, buf)
+        val st = EventStream.lastStateRows(q)
+        println(f"[funnel] batch ${i + 1}%3d: +${chunk.length}%6d " +
+          f"events, state rows $st%6d, max buffered $buf%5d")
+      }
+      val st = EventStream.lastStateRows(q)
+      println(s"[funnel] state rows $st vs users $users " +
+        s"(plateau: ${st == users}); max buffered $maxBuf vs ×1 " +
+        s"per-user max $perUserMax (horizon-bounded: " +
+        s"${maxBuf <= perUserMax}); events grew ×$factor")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("funnel_scale")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
-      "text", "curation", "multimodal", "containment", "indexmaint")
+      "text", "curation", "multimodal", "containment", "indexmaint",
+      "funnel")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -794,6 +867,7 @@ object ScaleSmoke {
         case "multimodal" => 100
         case "containment" => 20
         case "indexmaint" => 20
+        case "funnel" => 20
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -817,6 +891,7 @@ object ScaleSmoke {
     if (mode == "multimodal") { runMultimodal(spark, factor); spark.stop(); return }
     if (mode == "containment") { runContainment(spark, factor); spark.stop(); return }
     if (mode == "indexmaint") { runIndexMaint(spark, factor); spark.stop(); return }
+    if (mode == "funnel") { runFunnel(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)

@@ -839,10 +839,13 @@ object EventStream {
       vUs: Long, nSeen: Long, clicks: List[Long], purchases: List[Long])
 
   /** st23's emission: funnel stage flags recomputed from full state,
-    * with the monotone per-user event counter the drain orders by.
+    * with the monotone per-user event counter the drain orders by and
+    * the retained-buffer size (clicks + purchases held in state) the
+    * ScaleSmoke `funnel` mode measures the horizon bound with.
     */
   final case class FunnelRow(
-      user_id: Long, n_seen: Long, v_ok: Int, c_ok: Int, p_ok: Int)
+      user_id: Long, n_seen: Long, v_ok: Int, c_ok: Int, p_ok: Int,
+      n_buffered: Int)
 
   /** The st23 stateful operator (factored to drive the production
     * code from the spec): input rows are (user_id, event_type, us);
@@ -914,7 +917,8 @@ object EventStream {
           FunnelRow(user, n,
             if (v != Long.MaxValue) 1 else 0,
             if (cStar.isDefined) 1 else 0,
-            if (pStar.isDefined) 1 else 0)
+            if (pStar.isDefined) 1 else 0,
+            clicks.length + purchases.length)
       }
   }
 
