@@ -286,6 +286,54 @@ object Relational3 {
         FROM act a JOIN cohort c USING (user_id)
         WHERE date_diff('day', c.cohort_day, a.day) <= 7
         GROUP BY c.cohort_day, day_offset
-        ORDER BY c.cohort_day, day_offset"""))
+        ORDER BY c.cohort_day, day_offset""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q67_scd2_history",
+      (s, dir) => {
+        // Type-2 slowly-changing-dimension HISTORY — the warehouse
+        // versioning staple q47's MERGE and st21's CDC compaction
+        // both stop short of: instead of keeping only the LATEST row
+        // per key, every upsert becomes a VERSIONED row with a
+        // validity interval [valid_from, valid_to), closed by the
+        // key's next event of any type. 'error' events are deletes:
+        // they close the open interval without opening one (the st21
+        // tombstone rule), so a deleted key has no current row.
+        // Shape: ONE window per user over its own events (partitions
+        // bounded by per-key activity, never corpus-wide — the q09
+        // discipline); lead() closes intervals, a projection flags
+        // is_current; nothing shuffles twice. At 100 TB this is a
+        // single keyed shuffle + per-key sort — the same cost as the
+        // CDC compaction it extends.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        t(s, dir)("events")
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("us"))
+          .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+          .filter(col("event_type") =!= "error")
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("us").as("valid_from_us"), col("valid_to_us"),
+            col("valid_to_us").isNull.cast("int").as("is_current"))
+          .orderBy("user_id", "valid_from_us", "event_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, value,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        led AS (
+          SELECT *, LEAD(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS valid_to_us
+          FROM ev)
+        SELECT user_id, event_id, value,
+          us AS valid_from_us, valid_to_us,
+          CAST(valid_to_us IS NULL AS INT) AS is_current
+        FROM led
+        WHERE event_type <> 'error'
+        ORDER BY user_id, valid_from_us, event_id"""))
   )
 }
