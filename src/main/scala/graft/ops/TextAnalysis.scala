@@ -195,10 +195,12 @@ object TextAnalysis {
     * Scale shape: the prev-token pairing is a lag window PARTITIONED
     * BY doc (state bounded by document length, the t13 bound); bigram
     * counts are one (prev, term) groupBy with map-side combine over
-    * the reference slice; unigram/bigram score joins are plain
-    * equi-joins on term keys (vocab can exceed broadcast size at
-    * 100 TB — AQE plans them); the reference total is a broadcast
-    * 1-row scalar (t10 convention). Determinism: ln may differ 1 ulp
+    * the reference slice; scores are computed once per DISTINCT
+    * (prev, term) pair (the t17 distinct-word-table discipline — the
+    * three score joins never touch the token stream) and token
+    * instances join the finished score by one equi-join (vocab can
+    * exceed broadcast size at 100 TB — AQE plans it); the reference
+    * total is a broadcast 1-row scalar (t10 convention). Determinism: ln may differ 1 ulp
     * across engines, so each token's score is ROUNDed to 6 dp FIRST;
     * the backoff multiply is 0.4·(U) — parenthesized identically in
     * the oracle so the IEEE op order matches; the per-doc sum is a
@@ -224,18 +226,31 @@ object TextAnalysis {
     // U(w): reference unigram prob with the 1/N OOV floor.
     val u = when(col("cnt").isNotNull, col("cnt").cast("double") / totD)
       .otherwise(lit(1.0) / totD)
-    bi
+    // Score the DISTINCT (prev, term) pairs, not every token instance
+    // (the t17 distinct-word-table discipline): the three score joins
+    // run over the unique-bigram table — far smaller than the token
+    // stream at corpus scale — and token instances join the finished
+    // score exactly once. First tokens (null prev) key as "" — the
+    // tokenizer drops empty strings, so "" collides with no real
+    // token and the join key stays null-free.
+    val pk = coalesce(col("prev"), lit("")).as("pk")
+    val scored = bi.select(pk, col("term")).distinct()
       .join(uni, Seq("term"), "left")
       .join(
-        uni.select(col("term").as("prev"), col("cnt").as("pcnt")),
-        Seq("prev"), "left")
-      .join(bc, Seq("prev", "term"), "left")
+        uni.select(col("term").as("pk"), col("cnt").as("pcnt")),
+        Seq("pk"), "left")
+      .join(
+        bc.select(coalesce(col("prev"), lit("")).as("pk"), col("term"),
+          col("bcnt")),
+        Seq("pk", "term"), "left")
       .crossJoin(broadcast(tot))
-      .withColumn("lnp", round(
-        when(col("prev").isNull, log(u))
+      .select(col("pk"), col("term"), round(
+        when(col("pk") === "", log(u))
           .when(col("bcnt").isNotNull,
             log(col("bcnt").cast("double") / col("pcnt").cast("double")))
-          .otherwise(log(lit(0.4) * u)), 6))
+          .otherwise(log(lit(0.4) * u)), 6).as("lnp"))
+    bi.select(col("doc_id"), col("pos"), pk, col("term"))
+      .join(scored, Seq("pk", "term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         array_sort(collect_list(struct(col("pos"), col("lnp")))).as("ps"))
