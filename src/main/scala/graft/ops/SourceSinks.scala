@@ -222,6 +222,55 @@ object SourceSinks {
             AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q68_schema_evolution",
+      (s, dir) => {
+        // SCHEMA EVOLUTION across parquet generations — the lake
+        // staple every long-lived dataset crosses: generation 1 was
+        // written before the `tier` column existed, generation 2
+        // carries it, and ONE mergeSchema read serves both with
+        // NULL-filled history (no rewrite of the old files — at
+        // 100 TB, rewriting history for a column add is exactly what
+        // the lake design exists to avoid). mergeSchema reconciles
+        // footers at planning time (a files-count cost, not a data
+        // cost); steady-state readers would pin the evolved schema
+        // explicitly (q43's discipline) and skip the footer sweep —
+        // this query IS the evolution-boundary read. The aggregate
+        // proves both generations land in one frame: n counts all
+        // rows, n_evolved counts only gen-2 (tier non-null), and the
+        // DECIMAL sum spans both (D's exactness rules).
+        val path =
+          new File(tmp("graft_q68"), "cust_evolved").getAbsolutePath
+        val base = t(s, dir)("customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("decimal(12,2)").as("bal"))
+        base.filter(col("c_custkey") % 2 === 0)
+          .write.mode("overwrite").parquet(path + "/gen1")
+        base.filter(col("c_custkey") % 2 === 1)
+          .withColumn("tier",
+            when(col("bal") >= 5000, lit("gold")).otherwise(lit("std")))
+          .write.mode("overwrite").parquet(path + "/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(path + "/gen1", path + "/gen2")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            count(col("tier")).as("n_evolved"),
+            count(when(col("tier") === "gold", lit(1))).as("n_gold"),
+            sum(col("bal")).cast("double").as("sum_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n,
+          COUNT(CASE WHEN c_custkey % 2 = 1 THEN 1 END) AS n_evolved,
+          COUNT(CASE WHEN c_custkey % 2 = 1
+                      AND CAST(c_acctbal AS DECIMAL(12,2)) >= 5000
+                THEN 1 END) AS n_gold,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+            AS sum_bal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))
   )
 }
