@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The composed real-world use: a training-data cleaning pipeline as
   * ONE declarative plan — quality gate → canonical-fingerprint dedup →
@@ -484,7 +485,196 @@ object Pipeline {
         SELECT status, COUNT(*) AS n_docs,
           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM st GROUP BY status
-        ORDER BY status"""))
+        ORDER BY status""")),
+    // ----------------------------------------------------------------
+    Q(
+      "p08_admission_gate",
+      (s, dir) => {
+        // Corpus ADMISSION GATE — the final per-document verdict a
+        // training run consumes, composing the round's three quality
+        // tiers in the order production pipelines apply them:
+        // benchmark decontamination (d20, any shared 8-gram with the
+        // held-out eval slice), Gopher repetition filters (t16), and
+        // reference-LM coherence (t22's Stupid-Backoff score against
+        // a corpus-relative threshold). Rejection precedence is
+        // contaminated ≻ repetitive ≻ low_lm — a leaked benchmark doc
+        // is reported as such even when it is also repetitive, so the
+        // audit attributes loss to the gate that MUST fire.
+        //
+        // The LM bar is corpus-relative (decimal-exact mean of the
+        // graded docs' scores, minus 0.03 nats): an absolute logprob
+        // threshold would drift with vocabulary size as the corpus
+        // grows, while distance-below-mean is stable across SFs (and
+        // engine-identical: the mean divides an exact DECIMAL sum —
+        // the D.dbl discipline — before one IEEE subtract).
+        //
+        // Scale shape: each signal pipeline is its own corpus scan
+        // (map-heavy, pruned to doc_id/text) whose output is one
+        // bounded row per doc — the joins after them carry only
+        // (doc_id, flag) rows, never text. The LM output feeds both
+        // the threshold aggregate and the per-doc verdict, so it is
+        // localCheckpoint'ed once (the p03 rule — without it the
+        // whole bigram pipeline would execute twice); the 1-row
+        // threshold crosses back in as a broadcast scalar (t10
+        // convention).
+        val d = Tables.load(s, dir, "documents")
+        val decon = Dedup.decontaminate(d, n = 8, evalMod = 23)
+          .select(col("doc_id"), col("is_kept").as("decon_ok"))
+        val rep = TextAnalysis.repetitionSignals(d)
+          .select(col("doc_id"), col("is_kept").as("rep_ok"))
+        val lm = TextAnalysis.bigramLogprob(d)
+          .filter(col("doc_id") % 23 =!= 0)
+          .select(col("doc_id"), col("n_tokens"),
+            col("avg_logprob_sb"))
+          .localCheckpoint()
+        val thr = lm.agg(
+          (sum(col("avg_logprob_sb").cast(DecimalType(27, 6)))
+            .cast("double") / count(lit(1)).cast("double") -
+            lit(0.03)).as("thr"))
+        d.filter(col("text").isNotNull && col("doc_id") % 23 =!= 0)
+          .select(col("doc_id"), col("source"))
+          .join(decon, "doc_id")
+          .join(rep, "doc_id")
+          .join(lm, "doc_id")
+          .crossJoin(broadcast(thr))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("decon_ok"), col("rep_ok"),
+            (col("avg_logprob_sb") >= col("thr")).cast("int")
+              .as("lm_ok"),
+            when(col("decon_ok") === 0, "contaminated")
+              .when(col("rep_ok") === 0, "repetitive")
+              .when(col("avg_logprob_sb") < col("thr"), "low_lm")
+              .otherwise("admitted").as("verdict"))
+          .orderBy("doc_id")
+      },
+      // Independent restatement: the repetition gate needs only each
+      // doc's MAX n-gram count (which gram wins a tie never moves the
+      // keep bit), so the oracle skips t16's top-1 window entirely;
+      // decontamination is an EXISTS against the eval gram set rather
+      // than d20's hit accounting.
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        g8 AS (
+          SELECT DISTINCT doc_id,
+            substr(md5(array_to_string(tl[i:i+7], ' ')), 1, 16) AS g
+          FROM toks, unnest(range(1, len(tl) - 6)) AS s(i)
+          WHERE len(tl) >= 8),
+        dhit AS (
+          SELECT DISTINCT t.doc_id
+          FROM (SELECT doc_id, g FROM g8 WHERE doc_id % 23 <> 0) t
+          JOIN (SELECT DISTINCT g FROM g8 WHERE doc_id % 23 = 0) e
+            USING (g)),
+        g2 AS (
+          SELECT doc_id, array_to_string(tl[i:i+1], ' ') AS gram
+          FROM toks, unnest(range(1, len(tl))) AS s(i)
+          WHERE len(tl) >= 2),
+        t2 AS (
+          SELECT doc_id, MAX(cnt) AS cnt2 FROM (
+            SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM g2 GROUP BY doc_id, gram)
+          GROUP BY doc_id),
+        g3 AS (
+          SELECT doc_id, array_to_string(tl[i:i+2], ' ') AS gram
+          FROM toks, unnest(range(1, len(tl) - 1)) AS s(i)
+          WHERE len(tl) >= 3),
+        t3 AS (
+          SELECT doc_id, MAX(cnt) AS cnt3 FROM (
+            SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM g3 GROUP BY doc_id, gram)
+          GROUP BY doc_id),
+        g5 AS (
+          SELECT doc_id, CAST(i AS INT) AS p,
+            array_to_string(tl[i:i+4], ' ') AS gram
+          FROM toks, unnest(range(1, len(tl) - 3)) AS s(i)
+          WHERE len(tl) >= 5),
+        d5 AS (
+          SELECT doc_id, gram FROM g5
+          GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+        cov AS (
+          SELECT doc_id, COUNT(DISTINCT pos) AS cov FROM (
+            SELECT g.doc_id, g.p + CAST(u.o AS INT) AS pos
+            FROM g5 g JOIN d5 USING (doc_id, gram),
+                 unnest(range(0, 5)) AS u(o))
+          GROUP BY doc_id),
+        rep AS (
+          SELECT t.doc_id,
+            CAST(ROUND(CAST(COALESCE(t2.cnt2 * 2, 0) AS DOUBLE)
+                       / len(t.tl), 6) <= CAST(0.20 AS DOUBLE)
+             AND ROUND(CAST(COALESCE(t3.cnt3 * 3, 0) AS DOUBLE)
+                       / len(t.tl), 6) <= CAST(0.18 AS DOUBLE)
+             AND ROUND(CAST(COALESCE(cov.cov, 0) AS DOUBLE)
+                       / len(t.tl), 6) <= CAST(0.30 AS DOUBLE)
+              AS INT) AS rep_ok
+          FROM toks t
+          LEFT JOIN t2 USING (doc_id)
+          LEFT JOIN t3 USING (doc_id)
+          LEFT JOIN cov USING (doc_id)),
+        tok AS (
+          SELECT doc_id, CAST(u.i AS INT) AS pos, u.t AS term
+          FROM toks, unnest(list_transform(range(1, len(tl) + 1),
+                            i -> {'i': i, 't': tl[i]})) AS s(u)),
+        bi AS (
+          SELECT doc_id, pos, term,
+            lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM tok),
+        uni AS (
+          SELECT term, COUNT(*) AS cnt FROM tok
+          WHERE doc_id % 10 <> 0 GROUP BY term),
+        bc AS (
+          SELECT prev, term, COUNT(*) AS bcnt
+          FROM bi WHERE prev IS NOT NULL AND doc_id % 10 <> 0
+          GROUP BY prev, term),
+        tot AS (SELECT COUNT(*) AS total FROM tok
+                WHERE doc_id % 10 <> 0),
+        sc AS (
+          SELECT b.doc_id, b.pos,
+            ROUND(CASE
+              WHEN b.prev IS NULL THEN
+                ln(CASE WHEN u.cnt IS NOT NULL
+                   THEN CAST(u.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   ELSE 1.0 / CAST(t.total AS DOUBLE) END)
+              WHEN c.bcnt IS NOT NULL THEN
+                ln(CAST(c.bcnt AS DOUBLE) / CAST(p.cnt AS DOUBLE))
+              ELSE
+                ln(0.4 * (CASE WHEN u.cnt IS NOT NULL
+                   THEN CAST(u.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   ELSE 1.0 / CAST(t.total AS DOUBLE) END))
+            END, 6) AS lnp
+          FROM bi b
+          LEFT JOIN uni u USING (term)
+          LEFT JOIN uni p ON p.term = b.prev
+          LEFT JOIN bc c ON c.prev = b.prev AND c.term = b.term
+          CROSS JOIN tot t),
+        lm AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                           list(lnp ORDER BY pos)),
+                              (a, b) -> a + b) / COUNT(*), 6) AS score
+          FROM sc GROUP BY doc_id),
+        thr AS (
+          SELECT CAST(SUM(CAST(score AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) - CAST(0.03 AS DOUBLE)
+            AS thr
+          FROM lm WHERE doc_id % 23 <> 0)
+        SELECT t.doc_id, t.source, lm.n_tokens,
+          CAST(dh.doc_id IS NULL AS INT) AS decon_ok,
+          rep.rep_ok,
+          CAST(lm.score >= thr.thr AS INT) AS lm_ok,
+          CASE WHEN dh.doc_id IS NOT NULL THEN 'contaminated'
+               WHEN rep.rep_ok = 0 THEN 'repetitive'
+               WHEN lm.score < thr.thr THEN 'low_lm'
+               ELSE 'admitted' END AS verdict
+        FROM toks t
+        LEFT JOIN dhit dh ON t.doc_id = dh.doc_id
+        JOIN rep ON rep.doc_id = t.doc_id
+        JOIN lm ON lm.doc_id = t.doc_id
+        CROSS JOIN thr
+        WHERE t.doc_id % 23 <> 0
+        ORDER BY t.doc_id"""))
   )
 
   /** The release/export step (p06): the gated corpus WRITTEN as a

@@ -354,6 +354,17 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window present: $specs\n$p")
   }
 
+  test("p08: eval-gram probe broadcasts; no cartesian beyond the scalar") {
+    val p = plan("p08_admission_gate")
+    // d20's contamination probe inside the gate: the tiny eval gram
+    // set broadcasts — the corpus side never shuffles by gram
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row LM threshold crosses in as a broadcast scalar (t10
+    // convention) — a nested-loop over exactly one build row
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s23: tombstone gate is a broadcast anti-join ahead of the probe search") {
     val p = plan("s23_tombstoned_topk")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
