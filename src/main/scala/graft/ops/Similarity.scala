@@ -25,7 +25,7 @@ import graft.functions.VectorExpressions
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -1635,6 +1635,79 @@ object Similarity {
       .orderBy("probes", "qid")
   }
 
+  /** Matryoshka recall curve (s28) — recall@k at each embedding
+    * PREFIX width, the dimension-truncation twin of s22's
+    * recall-vs-probes curve. Matryoshka-trained models (Kusupati et
+    * al. 2022) make prefixes of the embedding usable on their own;
+    * the serving question is how much recall each truncation buys
+    * away, and this operator answers it with the exact top-k at the
+    * FULL width as ground truth.
+    *
+    * One-pass shape, s22's discipline dimensionally: the corpus is
+    * scanned ONCE — each (query, vector) pair scores every cut in
+    * the same projection, and the per-cut rows fan out map-side into
+    * one (dims, qid)-keyed top-k window (WindowGroupLimit bounds the
+    * shuffle). Two cost tricks keep the pair work flat: corpus-side
+    * prefix NORMS are computed once per vector in the scan (never
+    * per pair), and the query prefixes are ZERO-PADDED to full width
+    * on the tiny broadcast side — a padded dot equals the prefix dot
+    * exactly (the tail contributes +0.0 terms, which never move an
+    * IEEE sum), so the corpus vector is never sliced per pair and
+    * every cut reuses the same codegen'd full-width dot kernel.
+    * Fully deterministic (6-dp cosines, id tie-breaks), so the
+    * oracle checks the VALUES of the whole curve; the full-width row
+    * doubles as a self-test (recall must be 1.0).
+    *
+    * Output (dims, qid, n_hits, recall), one row per cut × query.
+    */
+  def matryoshkaRecall(e: DataFrame, k: Int, cuts: Seq[Int]): DataFrame = {
+    val dims = cuts.distinct.sorted
+    val full = dims.last // ground-truth width = the embedding width
+    // tiny (|cuts| x queries x k rows); feeds truth AND the curve
+    val topk = matryoshkaTopk(e, k, dims, full).localCheckpoint()
+    val truth = topk.filter(col("dims") === full)
+      .select(col("qid").as("tqid"), col("vec_id").as("tvid"))
+    topk.join(broadcast(truth),
+        col("qid") === col("tqid") && col("vec_id") === col("tvid"),
+        "left")
+      .groupBy("dims", "qid")
+      .agg(count(col("tvid")).as("n_hits"))
+      .select(col("dims"), col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / k).as("recall"))
+      .orderBy("dims", "qid")
+  }
+
+  /** The one-pass per-cut top-k behind [[matryoshkaRecall]], exposed
+    * pre-checkpoint so PlanSpec can pin the scoring shape (the
+    * checkpoint truncates the executed plan of the public operator).
+    */
+  private[graft] def matryoshkaTopk(e: DataFrame, k: Int,
+      dims: Seq[Int], full: Int): DataFrame = {
+    val withN = e.select(
+      Seq(col("vec_id"), col("v")) ++
+        dims.map(d => sqrt(dot(slice(col("v"), 1, d),
+          slice(col("v"), 1, d))).as(s"nrm$d")): _*)
+    val queries = withN.filter(col("vec_id") < 5).select(
+      Seq(col("vec_id").as("qid")) ++
+        dims.map(d => concat(slice(col("v"), 1, d),
+          array_repeat(lit(0.0), full - d)).as(s"qv$d")) ++
+        dims.map(d => col(s"nrm$d").as(s"qnrm$d")): _*)
+    val pairs = withN.join(broadcast(queries), col("vec_id") =!= col("qid"))
+    val scored = pairs
+      .select(col("qid"), col("vec_id"),
+        explode(array(dims.map(d => struct(lit(d).as("dims"),
+          round(dot(col(s"qv$d"), col("v")) /
+            (col(s"qnrm$d") * col(s"nrm$d")), 6).as("cos_sim"))): _*))
+          .as("s"))
+      .select(col("qid"), col("vec_id"),
+        col("s.dims").as("dims"), col("s.cos_sim").as("cos_sim"))
+    val w = Window.partitionBy(col("dims"), col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("dims", "qid", "vec_id")
+  }
+
   /** Shared DuckDB CTE chain for the PQ oracle: subvectors, seed
     * codebook, `rounds` unrolled Lloyd rounds (ending in
     * `cent$rounds`), and the final `codes` assignment — the subspace-
@@ -3195,6 +3268,47 @@ object Similarity {
                                ORDER BY cos_sim DESC, vec_id) AS rnk
           FROM ref)
         WHERE rnk <= 5
-        ORDER BY qid, rnk"""))
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s28_matryoshka_curve",
+      (s, dir) =>
+        // Recall@10 at embedding prefix widths 8/16/32/64 (see
+        // [[matryoshkaRecall]]): the dimension-truncation tuning
+        // curve, ONE corpus pass for all cuts; the 64-wide row is a
+        // built-in self-test (recall 1.0 vs its own ground truth).
+        matryoshkaRecall(emb(s, dir), k = 10, cuts = Seq(8, 16, 32, 64)),
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        cuts(dims) AS (VALUES (8), (16), (32), (64)),
+        scored AS (
+          SELECT c.dims, q.qid, e.vec_id,
+            ROUND(
+              list_sum(list_transform(
+                list_zip(q.qv[1:c.dims], e.v[1:c.dims]),
+                p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(q.qv[1:c.dims],
+                                            x -> x * x))) *
+               sqrt(list_sum(list_transform(e.v[1:c.dims],
+                                            x -> x * x)))), 6)
+              AS cos_sim
+          FROM e JOIN q ON e.vec_id <> q.qid CROSS JOIN cuts c),
+        topk AS (
+          SELECT dims, qid, vec_id FROM (
+            SELECT dims, qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY dims, qid
+                                 ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM scored) WHERE rnk <= 10),
+        truth AS (SELECT qid, vec_id FROM topk WHERE dims = 64)
+        SELECT k.dims, k.qid, COUNT(t.vec_id) AS n_hits,
+          CAST(COUNT(t.vec_id) AS DOUBLE) / 10 AS recall
+        FROM topk k
+        LEFT JOIN truth t ON k.qid = t.qid AND k.vec_id = t.vec_id
+        GROUP BY k.dims, k.qid
+        ORDER BY k.dims, k.qid"""))
   )
 }

@@ -365,6 +365,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s28: one corpus pass scores every cut; top-k bounded below the shuffle") {
+    // pin the PRE-checkpoint scoring shape (the public operator
+    // checkpoints the tiny top-k, which truncates its executed plan)
+    val e = Similarity.emb(spark, dir)
+    val p = Similarity.matryoshkaTopk(e, 10, Seq(8, 16, 32, 64), 64)
+      .queryExecution.executedPlan.toString
+    // the queries (with zero-padded prefixes) broadcast; the corpus
+    // is never crossed with itself
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-(dims, qid) top-k rank pushed below the window shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+    // ONE scan of the embeddings table on the corpus side (the only
+    // other scan is the 5-row broadcast query side): the per-cut
+    // fan-out must not re-read the corpus per width
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <=2 embeddings scans, got $scans\n$p")
+  }
+
   test("s23: tombstone gate is a broadcast anti-join ahead of the probe search") {
     val p = plan("s23_tombstoned_topk")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)

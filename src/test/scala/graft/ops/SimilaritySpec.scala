@@ -1011,4 +1011,26 @@ class SimilaritySpec extends SparkSpec {
     for (b <- 0 until 16; j <- 1 to 64)
       assert(sqlSide((b, j)) == Similarity.planeWeight(b, j), s"(b=$b, j=$j)")
   }
+
+  test("s28 matryoshka: an engineered prefix-rank flip is measured, " +
+    "full width self-tests at 1.0") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions._
+    // q's TRUE neighbor (id 11) is orthogonal to it on the first two
+    // dims, while the distractor (id 10) matches the prefix exactly
+    // and opposes on the tail — the truncation failure mode the curve
+    // exists to measure: recall@1 must be 0.0 at width 2 and 1.0 at
+    // width 4. Also exercises the zero-padded-query dot end-to-end.
+    val e = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)), // the query (vec_id < 5)
+      (10L, Seq(1.0, 0.0, 0.0, -1.0)), // prefix twin, full-width foe
+      (11L, Seq(0.0, 1.0, 0.0, 1.0)), // prefix stranger, true neighbor
+      (12L, Seq(-1.0, 0.0, -1.0, 0.0))) // far from everything
+      .toDF("vec_id", "v")
+    val out = Similarity.matryoshkaRecall(e, k = 1, cuts = Seq(2, 4))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(out === Map(2 -> 0.0, 4 -> 1.0), out.toString)
+  }
 }
