@@ -349,6 +349,36 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The m10 gate body over a decoded frame (doc_id, width, height,
+    * n_bytes, v), factored so the spec can drive engineered blobs
+    * through the precedence: m09 decontamination ≻ m08 keeper
+    * election (over the training slice only — eval blobs are not
+    * corpus candidates) ≻ min-side-≥-32 size floor.
+    */
+  private[graft] def multimodalAdmission(dec: DataFrame): DataFrame = {
+    val train = dec.filter(col("doc_id") % 23 =!= 0)
+    val decon = perceptualDecontaminate(dec, evalMod = 23)
+      .select(col("doc_id"), col("is_kept").as("decon_ok"))
+    val keep = perceptualKeepers(train
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_bytes"), col("v")))
+      .select(col("doc_id"), col("is_kept").as("keeper_ok"))
+    train.select(col("doc_id"), col("width"), col("height"),
+        col("n_bytes"))
+      .join(decon, "doc_id")
+      .join(keep, "doc_id")
+      .withColumn("size_ok",
+        (least(col("width"), col("height")) >= 32).cast("int"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_bytes"), col("decon_ok"), col("keeper_ok"),
+        col("size_ok"),
+        when(col("decon_ok") === 0, "contaminated")
+          .when(col("keeper_ok") === 0, "duplicate")
+          .when(col("size_ok") === 0, "too_small")
+          .otherwise("admitted").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** feats[i] = ((h >>> 8i) & 0xff)/128 - 1, restated per byte field
     * of the HUGEINT residue — the DuckDB form of the stub features.
     */
@@ -799,6 +829,96 @@ object Multimodal {
           CAST(COALESCE(ne.n_eval_hits, 0) = 0 AS INT) AS is_kept
         FROM f LEFT JOIN ne ON f.doc_id = ne.doc_id
         WHERE f.doc_id % 23 <> 0
-        ORDER BY f.doc_id"""))
+        ORDER BY f.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m10_multimodal_admission",
+      (s, dir) => {
+        // Multimodal ADMISSION GATE — p08's verdict discipline over
+        // the binary tier, composing the three payload gates in the
+        // order a multimodal curation run applies them: m09 eval
+        // decontamination ≻ m08 perceptual dedup ≻ decoded-size
+        // floor (min side ≥ 32 px — the tiny-image drop LAION-class
+        // pipelines apply). Precedence attributes loss to the gate
+        // that MUST fire: a leaked eval near-dup reports as
+        // contaminated even when it is also someone's duplicate.
+        // The keeper election runs over the TRAINING slice only —
+        // eval blobs are not corpus candidates, so a training blob
+        // must not lose its family to one. Scale shape: both signal
+        // operators reduce to one row per blob off the SHARED
+        // memoized decoded frame (one decode for the whole gate);
+        // the verdict joins carry (doc_id, flag) rows only.
+        multimodalAdmission(decodedFrame(s, dir))
+      },
+      // Independent restatement: decontamination is an EXISTS over
+      // dims-equal bit_count(xor) ≤ 1 pairs (no multi-probe); the
+      // keeper election is m08's edges/family/argmax over the
+      // training slice only.
+      Some(s"""
+        WITH $sqlDecodeAcc,
+        f AS (
+          SELECT doc_id, n_bytes,
+            CAST(16 + (hv % 16) * 16 AS INT) AS width,
+            CAST(16 + ((hv // 16) % 16) * 16 AS INT) AS height,
+            $sqlFeatsList AS v,
+            CAST($sqlSigExpr AS INT) AS sig
+          FROM acc),
+        fz AS (
+          SELECT * FROM f
+          WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+        dh AS (
+          SELECT DISTINCT t.doc_id
+          FROM fz t JOIN fz e
+            ON t.width = e.width AND t.height = e.height
+            AND t.doc_id % 23 <> 0 AND e.doc_id % 23 = 0
+            AND bit_count(xor(t.sig, e.sig)) <= 1
+          WHERE ROUND(
+              list_sum(list_transform(list_zip(t.v, e.v),
+                                      p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(t.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6)
+            >= 0.999),
+        tf AS (SELECT * FROM f WHERE doc_id % 23 <> 0),
+        tfz AS (SELECT * FROM fz WHERE doc_id % 23 <> 0),
+        edges AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM tfz a JOIN tfz b
+            ON a.width = b.width AND a.height = b.height
+            AND a.doc_id < b.doc_id
+            AND bit_count(xor(a.sig, b.sig)) <= 1
+          WHERE ROUND(
+              list_sum(list_transform(list_zip(a.v, b.v),
+                                      p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+            >= 0.999),
+        nbr AS (
+          SELECT doc_id, MIN(nbr) AS nbr_min FROM (
+            SELECT doc_a AS doc_id, doc_b AS nbr FROM edges
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS nbr FROM edges)
+          GROUP BY doc_id),
+        fam AS (
+          SELECT t.doc_id, t.n_bytes,
+            LEAST(t.doc_id, COALESCE(n.nbr_min, t.doc_id)) AS family
+          FROM tf t LEFT JOIN nbr n USING (doc_id)),
+        keep AS (
+          SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY family
+              ORDER BY n_bytes DESC, doc_id) = 1 AS INT) AS keeper_ok
+          FROM fam)
+        SELECT t.doc_id, t.width, t.height, t.n_bytes,
+          CAST(dh.doc_id IS NULL AS INT) AS decon_ok,
+          k.keeper_ok,
+          CAST(LEAST(t.width, t.height) >= 32 AS INT) AS size_ok,
+          CASE WHEN dh.doc_id IS NOT NULL THEN 'contaminated'
+               WHEN k.keeper_ok = 0 THEN 'duplicate'
+               WHEN LEAST(t.width, t.height) < 32 THEN 'too_small'
+               ELSE 'admitted' END AS verdict
+        FROM tf t
+        LEFT JOIN dh ON t.doc_id = dh.doc_id
+        JOIN keep k ON k.doc_id = t.doc_id
+        ORDER BY t.doc_id"""))
   )
 }

@@ -234,4 +234,43 @@ class MultimodalSpec extends SparkSpec {
     // eval blobs themselves are never graded
     assert(!out.contains(46L) && !out.contains(92L), out)
   }
+
+  test("m10 admission: verdicts fire per gate with stated precedence") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val pos = Seq.fill(8)(0.5) // sig 255
+    val neg = Seq.fill(8)(-0.5) // sig 0 — Hamming 8 from pos
+    val alt = Seq(0.5, -0.5, 0.5, -0.5, 0.5, -0.5, 0.5, -0.5)
+    val tla = Seq(-0.5, 0.5, -0.5, 0.5, -0.5, 0.5, -0.5, 0.5)
+    val dec = Seq(
+      // eval blob (23 % 23 == 0), deliberately TINY (16-wide) so its
+      // training near-dups can fail every gate at once
+      (23L, 16, 64, 100L, pos),
+      // contaminated + duplicate (loses its family to 25) + tiny —
+      // precedence must report contamination
+      (24L, 16, 64, 100L, pos),
+      // contaminated but the family KEEPER — still contaminated
+      (25L, 16, 64, 200L, pos),
+      // clean dup pair, full-size: 27 keeps (larger payload),
+      // 26 reports duplicate
+      (26L, 64, 64, 50L, neg),
+      (27L, 64, 64, 60L, neg),
+      // clean, unique, tiny -> too_small
+      (28L, 16, 64, 10L, alt),
+      // clean, unique, full-size -> admitted
+      (29L, 64, 64, 10L, tla))
+      .toDF("doc_id", "width", "height", "n_bytes", "v")
+    val out = Multimodal.multimodalAdmission(dec).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))))
+      .toMap
+    assert(!out.contains(23L), s"eval blob graded: $out")
+    assert(out(24L) === ((0, 0, 0, "contaminated")), out(24L).toString)
+    assert(out(25L) === ((0, 1, 0, "contaminated")), out(25L).toString)
+    assert(out(26L) === ((1, 0, 1, "duplicate")), out(26L).toString)
+    assert(out(27L) === ((1, 1, 1, "admitted")), out(27L).toString)
+    assert(out(28L) === ((1, 1, 0, "too_small")), out(28L).toString)
+    assert(out(29L) === ((1, 1, 1, "admitted")), out(29L).toString)
+  }
 }
