@@ -334,6 +334,153 @@ object Relational3 {
           CAST(valid_to_us IS NULL AS INT) AS is_current
         FROM led
         WHERE event_type <> 'error'
-        ORDER BY user_id, valid_from_us, event_id"""))
+        ORDER BY user_id, valid_from_us, event_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q69_interpolate_series",
+      (s, dir) => {
+        // Linear INTERPOLATION resample — the feature-store step
+        // q61's zero-fill can't express: a metric (mean event value)
+        // on a fixed 5-minute grid where empty buckets take the
+        // LINEAR blend of the nearest observed neighbors and edge
+        // gaps carry the nearest observation. Buckets are integer
+        // MICROSECONDS (epoch-floored) so the grid, the join keys
+        // and the interpolation weights are engine-exact integers;
+        // the only doubles are the per-bucket means (decimal-exact
+        // sums, the D discipline) and the final blend — pure IEEE
+        // + - * / with identical parenthesization in the oracle, so
+        // the engines agree bit-for-bit UNROUNDED (see the no-round
+        // note below: a 6-dp round would add .5-tie divergence).
+        // Shape: corpus-scale work is ONE map-side-combining groupBy
+        // (type, bucket); the spine is a 1-row min/max aggregate
+        // exploded to span-buckets x types (calendar-bounded, NOT
+        // corpus-bounded) and broadcast; the ffill/bfill windows run
+        // per type over the tiny spine, never over events.
+        interpolateSeries(t(s, dir)("events"), 300000000L)
+      },
+      /* body moved to interpolateSeries */
+      sqlQ69)
   )
+
+  /** The q69 body, factored so the spec can drive engineered series
+    * (exact blend values, edge carry, obs passthrough) directly.
+    * Input: an events frame with (ts, event_type, value).
+    */
+  private[graft] def interpolateSeries(
+      events: DataFrame, step: Long): DataFrame = {
+    val ev = events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        // integral floor-to-bucket: Column./ is double division,
+        // so the epoch floor must go through SQL `div`
+        expr(s"unix_micros(ts) div ${step}L * ${step}L")
+          .as("bucket_us"),
+        col("value"))
+    val obs = ev.groupBy("event_type", "bucket_us")
+          .agg((sum(D.m(col("value"))).cast("double") /
+            count(lit(1)).cast("double")).as("v"))
+        val span = ev.agg(min(col("bucket_us")).as("b0"),
+          max(col("bucket_us")).as("b1"))
+        val spine = span.select(
+          explode(expr(s"sequence(b0, b1, ${step}L)")).as("bucket_us"))
+        val types = ev.select("event_type").distinct()
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("bucket_us")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        // bfill as a RUNNING frame over DESCENDING order, NOT a
+        // currentRow->unboundedFollowing frame: Spark evaluates
+        // running (unboundedPreceding->currentRow) frames
+        // incrementally in O(n) per partition but recomputes
+        // unbounded-FOLLOWING frames from scratch at every row —
+        // O(n^2), measured 28 s on the sf0.1 spine vs ~1 s reversed.
+        val wF = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("bucket_us").desc)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val obsB = when(col("v").isNotNull, col("bucket_us"))
+        broadcast(spine).crossJoin(broadcast(types))
+          .join(obs, Seq("event_type", "bucket_us"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
+          .withColumn("pb", last(obsB, ignoreNulls = true).over(wB))
+          .withColumn("nv", last(col("v"), ignoreNulls = true).over(wF))
+          .withColumn("nb", last(obsB, ignoreNulls = true).over(wF))
+          .select(col("event_type"), col("bucket_us"),
+            // NO rounding: the blend is pure IEEE + - * / over
+            // engine-identical inputs (decimal-exact means, integer
+            // weights), so both engines agree bit-for-bit — and a
+            // 6-dp round would ADD divergence (interpolating
+            // 2-decimal means can land exactly on a .5 tie, where
+            // Spark rounds half-up and DuckDB half-even)
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("bucket_us") - col("pb")).cast("double") /
+                  (col("nb") - col("pb")).cast("double")))
+              .as("v"),
+            when(col("v").isNotNull, "obs")
+              .when(col("pv").isNull || col("nv").isNull, "edge")
+              .otherwise("interp").as("src"))
+          .orderBy("event_type", "bucket_us")
+  }
+
+  private def sqlQ69: Option[String] = Some("""
+        WITH ev AS (
+          SELECT event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000
+              AS bucket_us,
+            value
+          FROM events WHERE value IS NOT NULL),
+        obs AS (
+          SELECT event_type, bucket_us,
+            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS v
+          FROM ev GROUP BY 1, 2),
+        span AS (
+          SELECT MIN(bucket_us) AS b0, MAX(bucket_us) AS b1 FROM ev),
+        spine AS (
+          SELECT unnest(generate_series(b0, b1, 300000000))
+            AS bucket_us
+          FROM span),
+        types AS (SELECT DISTINCT event_type FROM ev),
+        grid AS (
+          SELECT t.event_type, s.bucket_us, o.v
+          FROM spine s CROSS JOIN types t
+          LEFT JOIN obs o
+            ON o.event_type = t.event_type
+            AND o.bucket_us = s.bucket_us),
+        filled AS (
+          SELECT event_type, bucket_us, v,
+            LAST_VALUE(v IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY bucket_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_us END
+                       IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY bucket_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+            FIRST_VALUE(v IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY bucket_us
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_us END
+                        IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY bucket_us
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+          FROM grid)
+        SELECT event_type, bucket_us,
+          CASE
+            WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) *
+              (CAST(bucket_us - pb AS DOUBLE)
+                / CAST(nb - pb AS DOUBLE))
+          END AS v,
+          CASE WHEN v IS NOT NULL THEN 'obs'
+               WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+               ELSE 'interp' END AS src
+        FROM filled
+        ORDER BY event_type, bucket_us""")
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavioral pins for the third relational tranche (plan shapes in
+  * PlanSpec, real-corpus values in the oracle rows).
+  */
+class Relational3Spec extends SparkSpec {
+
+  test("q69 interpolation: exact blends, edge carry, same-bucket mean") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // step = 1 s; type m observes bucket 0 twice (mean!) and bucket 4;
+    // type e observes only bucket 2 — its ends must carry the edge.
+    val ev = Seq(
+      (0L, "m", 10.0),
+      (100000L, "m", 11.0), // same bucket as the first -> mean 10.5
+      (4000000L, "m", 20.0),
+      (2000000L, "e", 5.0))
+      .toDF("us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Relational3.interpolateSeries(ev, step = 1000000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) / 1000000L) ->
+        ((r.getDouble(2), r.getString(3))))
+      .toMap
+    // the spine is global (both types share the 0..4 s span)
+    assert(out.size == 10, out.toString)
+    assert(out(("m", 0L)) === ((10.5, "obs")))
+    // linear blend between 10.5 @0s and 20.0 @4s
+    assert(out(("m", 1L)) === ((10.5 + 9.5 * 0.25, "interp")))
+    assert(out(("m", 2L)) === ((10.5 + 9.5 * 0.5, "interp")))
+    assert(out(("m", 3L)) === ((10.5 + 9.5 * 0.75, "interp")))
+    assert(out(("m", 4L)) === ((20.0, "obs")))
+    // single-observation type: every other bucket is an edge carry
+    assert(out(("e", 2L)) === ((5.0, "obs")))
+    for (b <- Seq(0L, 1L, 3L, 4L))
+      assert(out(("e", b)) === ((5.0, "edge")), s"e@$b: ${out(("e", b))}")
+  }
+}
