@@ -359,7 +359,50 @@ object Relational3 {
         interpolateSeries(t(s, dir)("events"), 300000000L)
       },
       /* body moved to interpolateSeries */
-      sqlQ69)
+      sqlQ69),
+    // ----------------------------------------------------------------
+    Q(
+      "q70_hopping_window",
+      (s, dir) => {
+        // HOPPING (sliding) window aggregation via Spark's native
+        // `window()` TVF — 15-minute windows every 5 minutes, the
+        // overlapping-window staple (rolling rates, SLO windows)
+        // that q22's tumbling hours can't express. Spark assigns
+        // each event to its wd/sd = 3 covering windows MAP-SIDE (an
+        // Expand of fixed fan-out, no self-join, no spine join), and
+        // the aggregate map-side-combines on (window, type) —
+        // corpus-scale cost is 3x the tumbling groupBy, not a range
+        // join. The oracle restates the assignment arithmetically:
+        // the covering window starts are bucket5(ts) - k*5min for
+        // k in 0..2 (epoch-aligned, the TVF's own alignment).
+        // Output keys are integer MICROSECONDS (the q69 discipline).
+        val ev = t(s, dir)("events")
+          .filter(col("value").isNotNull)
+        ev.groupBy(
+            window(col("ts"), "15 minutes", "5 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            D.dbl(sum(D.m(col("value")))).as("total"))
+          .select(unix_micros(col("w.start")).as("window_start_us"),
+            col("event_type"), col("n"), col("total"))
+          .orderBy("window_start_us", "event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+          FROM events WHERE value IS NOT NULL),
+        assigned AS (
+          SELECT event_type, value,
+            us // 300000000 * 300000000 - k.k * 300000000
+              AS window_start_us
+          FROM ev CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k)
+        SELECT window_start_us, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM assigned
+        GROUP BY window_start_us, event_type
+        ORDER BY window_start_us, event_type"""))
   )
 
   /** The q69 body, factored so the spec can drive engineered series

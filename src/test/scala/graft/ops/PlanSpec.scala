@@ -384,6 +384,16 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"expected <=2 embeddings scans, got $scans\n$p")
   }
 
+  test("q70: hopping windows expand map-side — no join, no spine") {
+    val p = plan("q70_hopping_window")
+    // the TVF assigns each event to its 3 covering windows via an
+    // Expand (fixed fan-out projection), never a range join
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+    // the (window, type) aggregate combines map-side
+    assert(p.contains("partial_count"), p)
+  }
+
   test("s23: tombstone gate is a broadcast anti-join ahead of the probe search") {
     val p = plan("s23_tombstoned_topk")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
