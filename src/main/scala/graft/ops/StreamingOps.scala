@@ -581,6 +581,31 @@ object StreamingOps {
           SELECT '2_click_within_48h', COUNT(*) FROM c
           UNION ALL
           SELECT '3_purchase_within_7d', COUNT(*) FROM p)
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st24_stream_hopping",
+      (s, dir) => EventStream.runHopping(s, dir),
+      // q70's sliding windows LIVE (see [[EventStream.hoppingCounts]]):
+      // each event updates its 3 covering 15-minute window states;
+      // state is bounded by open windows x fan-out x types, never by
+      // the stream. The oracle IS batch q70 — the drained stream must
+      // reach the batch fixpoint.
+      Some("""
+        WITH ev AS (
+          SELECT event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+          FROM events WHERE value IS NOT NULL),
+        assigned AS (
+          SELECT event_type, value,
+            us // 300000000 * 300000000 - k.k * 300000000
+              AS window_start_us
+          FROM ev CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k)
+        SELECT window_start_us, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM assigned
+        GROUP BY window_start_us, event_type
+        ORDER BY window_start_us, event_type"""))
   )
 }

@@ -116,6 +116,42 @@ object EventStream {
     * Complete mode emits every window, so the result equals the batch
     * run bit-for-bit — which is exactly what the DuckDB oracle checks.
     */
+  /** Shared transformation for st24: q70's HOPPING windows — each
+    * event updates its wd/sd = 3 covering 15-minute window states
+    * (the streaming Expand), aggregates merge per (window, type).
+    * Identical on batch and stream; the oracle IS batch q70.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dbl(sum(m(col("value")))).as("total"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Run the hopping-window aggregation as a REAL streaming query
+    * over the events file stream (st24) — state is one row per LIVE
+    * (window, type): bounded by the wall-clock span the watermark
+    * keeps open × fan-out 3 × type cardinality, never by the stream.
+    */
+  def runHopping(spark: SparkSession, dir: String): DataFrame = {
+    val name =
+      "st_hopping_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamShufflePartitions(spark, 8) {
+      val q = hoppingCounts(readStream(spark, dir))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemoryTable(spark, name, "window_start_us", "event_type")
+  }
+
   def runHourly(spark: SparkSession, dir: String): DataFrame = {
     val name = "st_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStreamShufflePartitions(spark, 8) {

@@ -21,6 +21,22 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming hopping windows equal the batch TVF; each event " +
+    "lands in exactly 3 windows") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = runHopping(spark, dir).collect()
+    val batch = hoppingCounts(
+      graft.Tables.load(spark, dir, "events"))
+      .orderBy("window_start_us", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+    // fan-out invariant: total assigned rows = 3 x non-null events
+    val nEvents = graft.Tables.load(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .count()
+    assert(streamed.map(_.getLong(2)).sum == 3 * nEvents)
+  }
+
   test("restart from checkpoint resumes state and offsets, not from zero") {
     // The fault-tolerance contract a cluster deployment rests on:
     // stop a stateful streaming query, add more source files, restart
