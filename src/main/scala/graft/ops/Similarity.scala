@@ -448,6 +448,45 @@ object Similarity {
         (coalesce(col("dropped"), lit(0)) === 0).cast("int").as("is_kept"))
   }
 
+  /** Prototypicality PRUNING (s29) — the data-pruning rule of
+    * Sorscher et al. 2022 ("Beyond neural scaling laws"): in the
+    * abundant-data regime, the EASIEST examples — the ones closest
+    * to their cluster prototype — teach the least, so each cluster
+    * drops its most prototypical quarter and keeps the informative
+    * tail. The complement of d12's SemDeDup keep-rule (there,
+    * far-from-centroid wins a DUP NEIGHBORHOOD; here, near-centroid
+    * loses its seat outright, duplicates or not) — together they are
+    * the two embedding-space curation passes a web-scale corpus
+    * runs.
+    *
+    * Built from the d12 machinery: deterministic decimal seed
+    * centroids, broadcast argmax assignment, one cosine per vector.
+    * The only addition is a per-cluster rank — O(n log n) within
+    * each cluster partition, no pairwise term at all (cheaper than
+    * SemDeDup by construction). The drop boundary is integer-exact
+    * (rnk > n div 4), so keep/drop hash-matches with no tolerance.
+    *
+    * Output (vec_id, cluster, proto_sim, rnk, n_cluster, is_kept).
+    */
+  def prototypePrune(e: DataFrame): DataFrame = {
+    val centroids = seedCentroids(e)
+    val scored = assignClusters(e, centroids)
+      .join(broadcast(centroids), col("cluster") === col("c_label"))
+      .select(col("vec_id"), col("cluster"),
+        round(cosine(col("v"), col("cv")), 6).as("proto_sim"))
+    val n = scored.groupBy("cluster")
+      .agg(count(lit(1)).as("n_cluster"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("proto_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .join(broadcast(n), "cluster")
+      .select(col("vec_id"), col("cluster"), col("proto_sim"),
+        col("rnk"), col("n_cluster"),
+        (col("rnk") > expr("n_cluster div 4")).cast("int")
+          .as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   /** Width of the fixed vec_id ranges in the three-level deterministic
     * mean fold ([[chunkedMean]]): every level's aggregation buffer
     * holds at most this many structs, whatever the cluster size.
@@ -3309,6 +3348,64 @@ object Similarity {
         FROM topk k
         LEFT JOIN truth t ON k.qid = t.qid AND k.vec_id = t.vec_id
         GROUP BY k.dims, k.qid
-        ORDER BY k.dims, k.qid"""))
+        ORDER BY k.dims, k.qid""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s29_prototype_prune",
+      (s, dir) =>
+        // Sorscher-style data pruning (see [[prototypePrune]]): each
+        // cluster drops its most prototypical quarter (highest
+        // cosine to the centroid) and keeps the informative tail —
+        // d12's complement; rank-only, no pairwise term.
+        prototypePrune(emb(s, dir)),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label AS cluster, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                AS cx
+            FROM dims GROUP BY label, dim)
+          GROUP BY label),
+        sims AS (
+          SELECT e.vec_id, e.v, c.cluster,
+            list_sum(list_transform(list_zip(e.v, c.cv),
+                                    p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS sim
+          FROM e CROSS JOIN cent c),
+        assign AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cluster) AS rn
+            FROM sims) WHERE rn = 1),
+        ws AS (
+          SELECT a.vec_id, a.cluster,
+            ROUND(
+              list_sum(list_transform(list_zip(a.v, c.cv),
+                                      p -> p[1]*p[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+               sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6)
+              AS proto_sim
+          FROM assign a JOIN cent c USING (cluster)),
+        rk AS (
+          SELECT vec_id, cluster, proto_sim,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY cluster
+              ORDER BY proto_sim DESC, vec_id) AS INT) AS rnk,
+            COUNT(*) OVER (PARTITION BY cluster) AS n_cluster
+          FROM ws)
+        SELECT vec_id, cluster, proto_sim, rnk, n_cluster,
+          CAST(rnk > n_cluster // 4 AS INT) AS is_kept
+        FROM rk
+        ORDER BY vec_id"""))
   )
 }

@@ -1033,4 +1033,32 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
     assert(out === Map(2 -> 0.0, 4 -> 1.0), out.toString)
   }
+
+  test("s29 prototype prune: each cluster drops its most prototypical " +
+    "quarter; ties break by vec_id; the outlier always survives") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions._
+    // cluster 0: three identical prototypes + one outlier; n=4 drops
+    // rnk <= 1, the tie among the prototypes breaks to vec_id 10
+    val e = Seq(
+      (10L, 0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (11L, 0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (12L, 0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (13L, 0, Seq(0.0, 1.0, 0.0, 0.0)), // far from centroid — kept
+      // cluster 1: four identical members — pure tie, 20 drops
+      (20L, 1, Seq(0.0, 0.0, 1.0, 0.0)),
+      (21L, 1, Seq(0.0, 0.0, 1.0, 0.0)),
+      (22L, 1, Seq(0.0, 0.0, 1.0, 0.0)),
+      (23L, 1, Seq(0.0, 0.0, 1.0, 0.0)))
+      .toDF("vec_id", "label", "v")
+    val out = Similarity.prototypePrune(e).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(5)))).toMap
+    assert(out(10L)._2 == 0 && out(11L)._2 == 1 && out(12L)._2 == 1,
+      out.toString)
+    assert(out(13L) === ((4, 1)), out(13L).toString) // the hard example
+    assert(out(20L)._2 == 0, out.toString)
+    assert(Seq(21L, 22L, 23L).forall(out(_)._2 == 1), out.toString)
+  }
 }
