@@ -26,7 +26,8 @@ object ScaleSmoke {
       |  multimodal [f]  m07 block population: (dims) vs (dims, sig) key ×f
       |  containment [f]  d18/d19 posting-cap cost on a ×f clone family
       |  indexmaint [f]  st22 state plateau under ×f churn per key
-      |  funnel [f]      st23 horizon-bounded buffers under ×f replicas""".stripMargin
+      |  funnel [f]      st23 horizon-bounded buffers under ×f replicas
+      |  timeseries [f]  q69/q70 spine-bounded window cost on events ×f""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -833,10 +834,45 @@ object ScaleSmoke {
     }
   }
 
+  /** `runMain graft.ScaleSmoke timeseries [factor]`: q69 interpolation
+    * and q70 hopping windows on a ×factor events corpus REPLICATED
+    * WITHIN THE SAME TIME SPAN — the claim under test is that the
+    * window stages are SPINE-bounded (span-buckets × types, fixed by
+    * wall-clock time), so only the map-side groupBy sees the growth:
+    * cost must grow far slower than ×factor. Also the regression
+    * guard for the r14 O(n²) unbounded-following-frame fix — a
+    * reintroduced forward frame would blow the ×1 number itself.
+    */
+  def runTimeseries(spark: SparkSession, factor: Int): Unit = {
+    val ev1 = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select("ts", "event_type", "value").cache()
+    val n1 = ev1.count()
+    // same span on purpose: the spine cannot grow with the corpus
+    val evN = (0 until factor).map(_ => ev1).reduce(_ unionByName _)
+      .cache()
+    println(s"[scale] events: ${evN.count()} rows (×$factor, same span)")
+    val spine = ops.Relational3.interpolateSeries(ev1, 300000000L)
+      .count()
+    println(s"[scale] spine cells (fixed): $spine from $n1 base events")
+    time("q69 interpolate ×1")(
+      ops.Relational3.interpolateSeries(ev1, 300000000L)
+        .write.format("noop").mode("overwrite").save())
+    time(s"q69 interpolate ×$factor")(
+      ops.Relational3.interpolateSeries(evN, 300000000L)
+        .write.format("noop").mode("overwrite").save())
+    time("q70 hopping ×1")(
+      graft.streaming.EventStream.hoppingCounts(ev1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"q70 hopping ×$factor")(
+      graft.streaming.EventStream.hoppingCounts(evN)
+        .write.format("noop").mode("overwrite").save())
+    evN.unpersist(); ev1.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
       "text", "curation", "multimodal", "containment", "indexmaint",
-      "funnel")
+      "funnel", "timeseries")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -868,6 +904,7 @@ object ScaleSmoke {
         case "containment" => 20
         case "indexmaint" => 20
         case "funnel" => 20
+        case "timeseries" => 20
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -892,6 +929,7 @@ object ScaleSmoke {
     if (mode == "containment") { runContainment(spark, factor); spark.stop(); return }
     if (mode == "indexmaint") { runIndexMaint(spark, factor); spark.stop(); return }
     if (mode == "funnel") { runFunnel(spark, factor); spark.stop(); return }
+    if (mode == "timeseries") { runTimeseries(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)
