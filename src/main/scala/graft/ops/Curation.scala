@@ -680,8 +680,128 @@ object Curation {
           ROUND(CAST(FLOOR(CAST(budget AS DOUBLE) * wt + 0.5) AS DOUBLE)
                 / CAST(n_tokens AS DOUBLE), 6) AS epochs
         FROM w
+        ORDER BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c14_temperature_resample",
+      (s, dir) => {
+        // c13's temperature weights EXECUTED (see
+        // [[temperatureResample]]): the resampled-to-same-size corpus
+        // with α=1/2 weights — small sources replicate (epochs > 1),
+        // large ones thin out, every doc's copy count reproducible
+        // from its id. The Spark side MATERIALIZES the replicas
+        // (explode over the per-doc copy count — the corpus a
+        // training run would read); the oracle restates the audit by
+        // pure multiplication, so the hash match proves the
+        // materialized mass equals the integer plan exactly.
+        temperatureResample(docs(s, dir))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len(list_filter(string_split_regex(lower(text),
+              '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY source),
+        s AS (
+          SELECT source, n_tokens,
+            CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)) AS sq
+          FROM t),
+        tot AS (
+          SELECT SUM(sq) AS tot_sq,
+            CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM s),
+        plan AS (
+          SELECT source, n_tokens,
+            a.alloc,
+            a.alloc // n_tokens AS copies,
+            ((a.alloc % n_tokens) * 100) // n_tokens AS frac_pct
+          FROM (
+            SELECT source, n_tokens,
+              CAST(FLOOR(CAST(tot_tokens AS DOUBLE) *
+                (CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE)) + 0.5)
+                AS BIGINT) AS alloc
+            FROM s CROSS JOIN tot) a),
+        d AS (
+          SELECT doc_id, source,
+            CAST(len(list_filter(string_split_regex(lower(text),
+              '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_toks,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                 AS BIGINT) % 100 AS bucket
+          FROM documents WHERE text IS NOT NULL),
+        rep AS (
+          SELECT * FROM (
+            SELECT d.source, p.alloc, p.copies, p.frac_pct,
+              p.copies + CASE WHEN d.bucket < p.frac_pct
+                              THEN 1 ELSE 0 END AS n_copies,
+              d.n_toks
+            FROM d JOIN plan p USING (source))
+          WHERE n_copies >= 1)
+        SELECT source, copies, frac_pct,
+          CAST(SUM(n_copies) AS BIGINT) AS n_docs_out,
+          CAST(SUM(n_toks * n_copies) AS BIGINT) AS out_tokens,
+          alloc AS alloc_tokens,
+          ROUND(CAST(SUM(n_toks * n_copies) AS DOUBLE)
+                / CAST(alloc AS DOUBLE), 6) AS fill
+        FROM rep
+        GROUP BY source, copies, frac_pct, alloc
         ORDER BY source"""))
   )
+
+  /** Temperature-mixture EXECUTION (c14) — c13 computes the α=1/2
+    * weights and implied epochs; this materializes them as an actual
+    * resampled corpus of the SAME total token mass: each source's
+    * allocation alloc_s = round(total · w_s) becomes an integer plan
+    * (copies = alloc div n_tokens full replications, plus one extra
+    * copy for the hash-admitted frac_pct = (alloc mod n_tokens)·100
+    * div n_tokens percent of docs — the c01 bucket family, so a
+    * doc's copy count is reproducible from its id alone). Small
+    * sources REPLICATE (the epochs > 1 signal c13 reports), large
+    * ones thin out — c06 can only downsample.
+    *
+    * Scale shape: one corpus pass for the token counts (c13's
+    * aggregate), the ≤|sources|-row plan broadcasts back, and the
+    * replication is a map-side explode of at most ⌈epochs⌉ copies —
+    * no shuffle carries text; the audit aggregate partial-combines.
+    * Integer plan arithmetic end-to-end, so the oracle's
+    * multiplication restatement hash-matches the exploded mass.
+    */
+  def temperatureResample(documents: DataFrame): DataFrame = {
+    val d = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        hashBucket(col("doc_id")).as("bucket"))
+    val t = d.groupBy("source")
+      .agg(sum(col("n_toks")).as("n_tokens"))
+      .withColumn("sq",
+        expr("cast(sqrt(cast(n_tokens as double)) as decimal(28,12))"))
+    val tot = t.agg(sum(col("sq")).as("tot_sq"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    val plan = t.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        floor(col("tot_tokens").cast("double") *
+          (col("sq").cast("double") / col("tot_sq").cast("double")) +
+          lit(0.5)).cast("long"))
+      .select(col("source"), col("alloc"),
+        expr("alloc div n_tokens").as("copies"),
+        expr("((alloc % n_tokens) * 100) div n_tokens").as("frac_pct"))
+    d.join(broadcast(plan), "source")
+      .withColumn("n_copies",
+        col("copies") +
+          when(col("bucket") < col("frac_pct"), 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1) // sequence(1,0) is DESCENDING
+      .select(col("source"), col("alloc"), col("copies"),
+        col("frac_pct"), col("n_toks"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+      .groupBy("source", "copies", "frac_pct", "alloc")
+      .agg(count(lit(1)).as("n_docs_out"),
+        sum(col("n_toks")).as("out_tokens"))
+      .select(col("source"), col("copies"), col("frac_pct"),
+        col("n_docs_out"), col("out_tokens"),
+        col("alloc").as("alloc_tokens"),
+        round(col("out_tokens").cast("double") /
+          col("alloc").cast("double"), 6).as("fill"))
+      .orderBy("source")
+  }
 
   /** NTILE(k) tile assignment computed from a DISTINCT-VALUE table —
     * the scale-safe replacement for a corpus-wide `ntile` window

@@ -179,4 +179,25 @@ class CurationSpec extends SparkSpec {
     assert(got("srcA") == ((4L, 16L, 0.8, 6L, 0.375)), got("srcA"))
     assert(got("srcB") == ((1L, 1L, 0.2, 2L, 2.0)), got("srcB"))
   }
+
+  test("c14 resample: the small source replicates 3x, the big one " +
+      "hash-thins at its integer plan") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // same 16:1 corpus, full-budget allocation (17 tokens): srcA gets
+    // alloc 14 -> copies 0, frac 87% (all four docs' buckets are
+    // 47/12/31/3 < 87, so all admitted once); srcB gets alloc 3 ->
+    // its single 1-token doc materializes exactly 3 times.
+    val df = ((1 to 4).map(i => (i.toLong, "srcA",
+        "t1 t2 t3 t4")) :+ (9L, "srcB", "solo"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.temperatureResample(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(got("srcA") == ((0L, 87L, 4L, 16L, 14L, 1.142857)),
+      got("srcA").toString)
+    assert(got("srcB") == ((3L, 0L, 3L, 3L, 3L, 1.0)),
+      got("srcB").toString)
+  }
 }
