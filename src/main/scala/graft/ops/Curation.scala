@@ -744,7 +744,56 @@ object Curation {
                 / CAST(alloc AS DOUBLE), 6) AS fill
         FROM rep
         GROUP BY source, copies, frac_pct, alloc
-        ORDER BY source"""))
+        ORDER BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c15_leakage_safe_split",
+      (s, dir) => {
+        // Leakage-safe 80/10/10 split — the fix for c02's quiet flaw:
+        // hashing the DOC id lets two near-duplicate docs straddle
+        // train/test, and the eval answer leaks into training (the
+        // exact failure d20/c09 exist to catch after the fact).
+        // Splitting on the d08 CLOSURE family label prevents it BY
+        // CONSTRUCTION: every transitively-connected near-dup family
+        // shares one label, so it lands wholly in one split — the
+        // url/domain-grouped split discipline of production corpora,
+        // with the dedup graph as the grouping. Scale shape: d08's
+        // fixpoint (banded LSH, per-round keyed joins, flat lineage
+        // via localCheckpoint) plus one map-side hash projection; the
+        // split decision adds NO shuffle.
+        val fam = Dedup.connectedKeepers(docs(s, dir))
+          .select(col("doc_id"), col("keeper").as("family"))
+        fam.select(col("doc_id"), col("family"),
+          when(hashBucket(col("family")) < 80, "train")
+            .when(hashBucket(col("family")) < 90, "val")
+            .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      // The oracle restates the family as d08's recursive reachability
+      // closure (self-edges put singletons in `reach`), then applies
+      // c02's bucket thresholds to the FAMILY id.
+      Some(s"""
+        ${graft.ops.Dedup.sqlBandsCte.replaceFirst(
+          "WITH ", "WITH RECURSIVE ")},
+        edges AS (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash),
+        reach AS (
+          SELECT u AS doc_id, v AS r FROM edges
+          UNION
+          SELECT t.doc_id, e.v FROM reach t JOIN edges e ON t.r = e.u),
+        fam AS (
+          SELECT doc_id, MIN(r) AS family FROM reach GROUP BY doc_id)
+        SELECT doc_id, family,
+          CASE
+            WHEN CAST('0x' || substr(md5(CAST(family AS VARCHAR)), 1, 7)
+                 AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(family AS VARCHAR)), 1, 7)
+                 AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+        FROM fam
+        ORDER BY doc_id"""))
   )
 
   /** Temperature-mixture EXECUTION (c14) — c13 computes the α=1/2

@@ -200,4 +200,27 @@ class CurationSpec extends SparkSpec {
     assert(got("srcB") == ((3L, 0L, 3L, 3L, 3L, 1.0)),
       got("srcB").toString)
   }
+
+  test("c15: every near-dup family lands wholly in one split — and " +
+      "the doc-hash split it replaces WOULD have leaked") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry
+      .queries("c15_leakage_safe_split")(spark, "/root/testdata/sf0.001")
+      .cache()
+    // the invariant the operator exists for, and non-vacuously so
+    assert(out.groupBy("family")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count() == 0)
+    assert(out.groupBy("family").count()
+      .filter(col("count") > 1).count() > 0)
+    // c02's per-doc hash on the SAME corpus splits at least one
+    // family across train/non-train — the leak c15 closes
+    val docTrain = out.select(col("family"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100 < 80).cast("int").as("tr"))
+    assert(docTrain.groupBy("family")
+      .agg(countDistinct(col("tr")).as("k"))
+      .filter(col("k") > 1).count() > 0)
+    out.unpersist()
+  }
 }
