@@ -517,8 +517,185 @@ object Pipeline {
         // whole bigram pipeline would execute twice); the 1-row
         // threshold crosses back in as a broadcast scalar (t10
         // convention).
-        val d = Tables.load(s, dir, "documents")
-        val decon = Dedup.decontaminate(d, n = 8, evalMod = 23)
+        admissionGate(s, dir)
+      },
+      sqlP08),
+    // ----------------------------------------------------------------
+    Q(
+      "p09_gated_release",
+      (s, dir) => {
+        // The release step AFTER the gate — the full pipeline arc
+        // (gate -> release) as one job: p08's ADMITTED documents
+        // written as a source-partitioned parquet release, read BACK
+        // from the release files (p06's discipline: every manifest
+        // number is computed from what a consumer will actually
+        // read), and summarized per source with token mass and the
+        // order-independent XOR digest. The oracle computes the same
+        // manifest from the base tables THROUGH the gate, so a lost
+        // partition, truncated write, or a gate/release verdict
+        // mismatch all surface as a digest/count failure. Scale
+        // shape: p08's gate cost plus one partitioned write and a
+        // pruned read — the release layout is the same per-source
+        // directory tree a 100 TB consumer prunes without opening.
+        val path = new java.io.File(SourceSinks.tmp("graft_p09"),
+          "release").getAbsolutePath
+        val admitted = admissionGate(s, dir)
+          .filter(col("verdict") === "admitted")
+          .select("doc_id")
+        Tables.load(s, dir, "documents")
+          .join(admitted, "doc_id")
+          .withColumn("n_tokens", size(tokens(col("text"))))
+          .select(col("doc_id"), col("source"), col("text"),
+            col("n_tokens"))
+          .write.mode("overwrite").partitionBy("source").parquet(path)
+        s.read
+          .schema("doc_id BIGINT, text STRING, n_tokens INT, source STRING")
+          .parquet(path)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10)" +
+              " as bigint))").as("digest"))
+          .orderBy("source")
+      },
+      // p08's gate CTEs (toks additionally carries text for the
+      // digest), then the p06 manifest over the admitted set.
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, text,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        g8 AS (
+          SELECT DISTINCT doc_id,
+            substr(md5(array_to_string(tl[i:i+7], ' ')), 1, 16) AS g
+          FROM toks, unnest(range(1, len(tl) - 6)) AS s(i)
+          WHERE len(tl) >= 8),
+        dhit AS (
+          SELECT DISTINCT t.doc_id
+          FROM (SELECT doc_id, g FROM g8 WHERE doc_id % 23 <> 0) t
+          JOIN (SELECT DISTINCT g FROM g8 WHERE doc_id % 23 = 0) e
+            USING (g)),
+        g2 AS (
+          SELECT doc_id, array_to_string(tl[i:i+1], ' ') AS gram
+          FROM toks, unnest(range(1, len(tl))) AS s(i)
+          WHERE len(tl) >= 2),
+        t2 AS (
+          SELECT doc_id, MAX(cnt) AS cnt2 FROM (
+            SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM g2 GROUP BY doc_id, gram)
+          GROUP BY doc_id),
+        g3 AS (
+          SELECT doc_id, array_to_string(tl[i:i+2], ' ') AS gram
+          FROM toks, unnest(range(1, len(tl) - 1)) AS s(i)
+          WHERE len(tl) >= 3),
+        t3 AS (
+          SELECT doc_id, MAX(cnt) AS cnt3 FROM (
+            SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM g3 GROUP BY doc_id, gram)
+          GROUP BY doc_id),
+        g5 AS (
+          SELECT doc_id, CAST(i AS INT) AS p,
+            array_to_string(tl[i:i+4], ' ') AS gram
+          FROM toks, unnest(range(1, len(tl) - 3)) AS s(i)
+          WHERE len(tl) >= 5),
+        d5 AS (
+          SELECT doc_id, gram FROM g5
+          GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+        cov AS (
+          SELECT doc_id, COUNT(DISTINCT pos) AS cov FROM (
+            SELECT g.doc_id, g.p + CAST(u.o AS INT) AS pos
+            FROM g5 g JOIN d5 USING (doc_id, gram),
+                 unnest(range(0, 5)) AS u(o))
+          GROUP BY doc_id),
+        rep AS (
+          SELECT t.doc_id,
+            CAST(ROUND(CAST(COALESCE(t2.cnt2 * 2, 0) AS DOUBLE)
+                       / len(t.tl), 6) <= CAST(0.20 AS DOUBLE)
+             AND ROUND(CAST(COALESCE(t3.cnt3 * 3, 0) AS DOUBLE)
+                       / len(t.tl), 6) <= CAST(0.18 AS DOUBLE)
+             AND ROUND(CAST(COALESCE(cov.cov, 0) AS DOUBLE)
+                       / len(t.tl), 6) <= CAST(0.30 AS DOUBLE)
+              AS INT) AS rep_ok
+          FROM toks t
+          LEFT JOIN t2 USING (doc_id)
+          LEFT JOIN t3 USING (doc_id)
+          LEFT JOIN cov USING (doc_id)),
+        tok AS (
+          SELECT doc_id, CAST(u.i AS INT) AS pos, u.t AS term
+          FROM toks, unnest(list_transform(range(1, len(tl) + 1),
+                            i -> {'i': i, 't': tl[i]})) AS s(u)),
+        bi AS (
+          SELECT doc_id, pos, term,
+            lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM tok),
+        uni AS (
+          SELECT term, COUNT(*) AS cnt FROM tok
+          WHERE doc_id % 10 <> 0 GROUP BY term),
+        bc AS (
+          SELECT prev, term, COUNT(*) AS bcnt
+          FROM bi WHERE prev IS NOT NULL AND doc_id % 10 <> 0
+          GROUP BY prev, term),
+        tot AS (SELECT COUNT(*) AS total FROM tok
+                WHERE doc_id % 10 <> 0),
+        sc AS (
+          SELECT b.doc_id, b.pos,
+            ROUND(CASE
+              WHEN b.prev IS NULL THEN
+                ln(CASE WHEN u.cnt IS NOT NULL
+                   THEN CAST(u.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   ELSE 1.0 / CAST(t.total AS DOUBLE) END)
+              WHEN c.bcnt IS NOT NULL THEN
+                ln(CAST(c.bcnt AS DOUBLE) / CAST(p.cnt AS DOUBLE))
+              ELSE
+                ln(0.4 * (CASE WHEN u.cnt IS NOT NULL
+                   THEN CAST(u.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   ELSE 1.0 / CAST(t.total AS DOUBLE) END))
+            END, 6) AS lnp
+          FROM bi b
+          LEFT JOIN uni u USING (term)
+          LEFT JOIN uni p ON p.term = b.prev
+          LEFT JOIN bc c ON c.prev = b.prev AND c.term = b.term
+          CROSS JOIN tot t),
+        lm AS (
+          SELECT doc_id,
+            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                           list(lnp ORDER BY pos)),
+                              (a, b) -> a + b) / COUNT(*), 6) AS score
+          FROM sc GROUP BY doc_id),
+        thr AS (
+          SELECT CAST(SUM(CAST(score AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) - CAST(0.03 AS DOUBLE)
+            AS thr
+          FROM lm WHERE doc_id % 23 <> 0),
+        adm AS (
+          SELECT t.doc_id, t.source, t.text,
+            CAST(len(t.tl) AS BIGINT) AS n_tokens
+          FROM toks t
+          LEFT JOIN dhit dh ON t.doc_id = dh.doc_id
+          JOIN rep ON rep.doc_id = t.doc_id
+          JOIN lm ON lm.doc_id = t.doc_id
+          CROSS JOIN thr
+          WHERE t.doc_id % 23 <> 0
+            AND dh.doc_id IS NULL
+            AND rep.rep_ok = 1
+            AND lm.score >= thr.thr)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+            AS digest
+        FROM adm
+        GROUP BY source
+        ORDER BY source"""))
+  )
+
+  /** The p08 gate body, factored so p09's release step can consume
+    * the same verdict frame. See the p08 entry for the design notes.
+    */
+  def admissionGate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val decon = Dedup.decontaminate(d, n = 8, evalMod = 23)
           .select(col("doc_id"), col("is_kept").as("decon_ok"))
         val rep = TextAnalysis.repetitionSignals(d)
           .select(col("doc_id"), col("is_kept").as("rep_ok"))
@@ -546,13 +723,14 @@ object Pipeline {
               .when(col("avg_logprob_sb") < col("thr"), "low_lm")
               .otherwise("admitted").as("verdict"))
           .orderBy("doc_id")
-      },
-      // Independent restatement: the repetition gate needs only each
-      // doc's MAX n-gram count (which gram wins a tie never moves the
-      // keep bit), so the oracle skips t16's top-1 window entirely;
-      // decontamination is an EXISTS against the eval gram set rather
-      // than d20's hit accounting.
-      Some("""
+  }
+
+  // Independent restatement: the repetition gate needs only each
+  // doc's MAX n-gram count (which gram wins a tie never moves the
+  // keep bit), so the oracle skips t16's top-1 window entirely;
+  // decontamination is an EXISTS against the eval gram set rather
+  // than d20's hit accounting.
+  private def sqlP08: Option[String] = Some("""
         WITH toks AS (
           SELECT doc_id, source,
             list_filter(string_split_regex(lower(text), '\s+'),
@@ -674,8 +852,7 @@ object Pipeline {
         JOIN lm ON lm.doc_id = t.doc_id
         CROSS JOIN thr
         WHERE t.doc_id % 23 <> 0
-        ORDER BY t.doc_id"""))
-  )
+        ORDER BY t.doc_id""")
 
   /** The release/export step (p06): the gated corpus WRITTEN as a
     * source-partitioned parquet release, read BACK from the release

@@ -57,4 +57,36 @@ class PipelineSpec extends SparkSpec {
       assert(out(id) === ((1, 1, 1, "admitted")), s"doc $id: ${out(id)}")
     }
   }
+
+  test("p09: release manifest carries exactly the admitted docs") {
+    import spark.implicits._
+    // Same engineered corpus as the p08 spec: docs 1-8 are the only
+    // admitted ones (leaked/spammy/junk each trip a gate, 23 is eval),
+    // so the read-back manifest must show srcX with 8 docs and their
+    // 21-token texts. The 8 texts are IDENTICAL, so the XOR digest of
+    // an even count of equal values is exactly 0 — any lost partition
+    // (7 docs) or resurfaced rejected doc flips it nonzero.
+    val natural = "the quick brown fox jumps over the lazy dog while " +
+      "rain falls on green hills and birds sing near the river"
+    val evalText =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val leaked = Seq.fill(5)(
+      "alpha beta gamma delta epsilon zeta eta theta").mkString(" ")
+    val spammy = Seq.fill(30)("spam").mkString(" ")
+    val junk = (1 to 40).map(i => s"zx${i}qv").mkString(" ")
+    val docs = ((1L to 8L).map(id => (id, natural)) ++ Seq(
+      (23L, evalText), (24L, leaked), (25L, spammy), (30L, junk)))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'srcX' AS source",
+        "length(text) AS n_chars")
+    val dir = Files.createTempDirectory("p09-spec").toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("p09_gated_release")(spark, dir).collect()
+    assert(rows.length === 1, s"one source expected: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getString(0) === "srcX")
+    assert(r.getLong(1) === 8L, s"admitted docs: $r")
+    assert(r.getLong(2) === 8L * 21L, s"token mass: $r")
+    assert(r.getLong(3) === 0L, s"digest of 8 identical texts: $r")
+  }
 }
