@@ -793,8 +793,58 @@ object Curation {
                  AS BIGINT) % 100 < 90 THEN 'val'
             ELSE 'test' END AS split
         FROM fam
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c16_dsir_select",
+      (s, dir) =>
+        // DSIR selection EXECUTION (see [[dsirSelect]]): t23's
+        // importance weights turned into the per-doc keep verdict —
+        // each source's top quarter by target-domain log-likelihood
+        // ratio survives, deterministic ties by doc_id.
+        dsirSelect(docs(s, dir)),
+      Some(s"""
+        WITH ${TextAnalysis.sqlDsirChain("src1", 4096)},
+        sel AS (
+          SELECT doc_id, source, dsir_logratio,
+            ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY dsir_logratio DESC, doc_id)
+              AS rn,
+            COUNT(*) OVER (PARTITION BY source) AS n_src
+          FROM wts)
+        SELECT doc_id, source, dsir_logratio,
+          CAST(rn <= (n_src + 3) // 4 AS INT) AS keep
+        FROM sel
         ORDER BY doc_id"""))
   )
+
+  /** DSIR selection execution (c16) — t23 scores the pool against the
+    * target domain; this is the step a pipeline actually runs on the
+    * scores: keep each source's top quarter by importance weight
+    * (per-SOURCE quota, not a global cut, so one on-domain source
+    * can't crowd every other source out of the mix — c03's discipline
+    * applied to DSIR's signal). Deterministic rank: the 6-dp-rounded
+    * weight is engine-identical, ties break by doc_id; the keep
+    * boundary ⌈n/4⌉ = (n+3) div 4 is integer-exact. The paper
+    * resamples with Gumbel noise; a production selection wants the
+    * reproducible variant, so the quota rank replaces the noise.
+    *
+    * Scale shape: t23's cost (broadcast ratio table, integer-keyed
+    * shuffles) plus ONE window partitioned by source — each source
+    * sorts its own scored docs, no global sort, no driver collect.
+    */
+  def dsirSelect(documents: DataFrame): DataFrame = {
+    val w = TextAnalysis.dsirWeights(documents, targetSource = "src1",
+      buckets = 4096)
+    val win = Window.partitionBy("source")
+      .orderBy(col("dsir_logratio").desc, col("doc_id"))
+    w.select(col("doc_id"), col("source"), col("dsir_logratio"),
+        row_number().over(win).as("rn"),
+        count(lit(1)).over(Window.partitionBy("source")).as("n_src"))
+      .select(col("doc_id"), col("source"), col("dsir_logratio"),
+        (col("rn") <= expr("(n_src + 3) div 4")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
 
   /** Temperature-mixture EXECUTION (c14) — c13 computes the α=1/2
     * weights and implied epochs; this materializes them as an actual

@@ -693,6 +693,128 @@ object TextAnalysis {
         GROUP BY doc_id
         ORDER BY doc_id"""
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each pool
+    * document by how much more likely its hashed n-gram features are
+    * under the TARGET domain's bag-of-features model than under the
+    * raw pool's — the principled replacement for "just take docs that
+    * look like Wikipedia" heuristics. Features are unigram + bigram
+    * instances hashed into `buckets` integer buckets (the paper's
+    * hashed n-gram generative model); both models are Laplace-smoothed
+    * bucket multinomials; a doc's weight is its mean per-feature
+    * log-likelihood ratio log p_target(b) − log p_raw(b).
+    *
+    * Scale shape: one pruned tokenize pass emits 2n−1 gram instances
+    * per doc; the two bucket-count tables are groupBys on an INTEGER
+    * key with ≤`buckets` distinct values, so map-side partial combine
+    * reduces every task's output to ≤`buckets` rows regardless of
+    * corpus size; the finished log-ratio table (≤`buckets` rows)
+    * broadcasts into the per-doc accumulation — the corpus is never
+    * shuffled by gram text, and no join side grows with the corpus
+    * except the (doc_id, bucket) partial counts, which map-side
+    * combine also caps at docs×min(buckets, doc grams).
+    *
+    * Determinism: bucket = 60-bit md5 prefix mod `buckets` (exact
+    * integer arithmetic both engines); each bucket's log-ratio is
+    * ROUNDed to 6 dp (ln may differ 1 ulp cross-engine — the t22
+    * convention) and carried as DECIMAL(18,6), so the per-doc sum is
+    * exact and order-independent; the final mean divides the exact
+    * decimal sum by the exact instance count, once, in doubles.
+    */
+  def dsirWeights(documents: DataFrame, targetSource: String,
+      buckets: Int): DataFrame = {
+    val b = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tl"))
+      .filter(size(col("tl")) >= 1)
+      .select(col("doc_id"), col("source"), explode(concat(
+        col("tl"),
+        when(size(col("tl")) >= 2,
+          expr("transform(sequence(0, size(tl) - 2)," +
+            " i -> concat(tl[i], ' ', tl[i + 1]))"))
+          .otherwise(expr("cast(array() as array<string>)")))).as("g"))
+      .select(col("doc_id"), col("source"),
+        expr(s"pmod(cast(conv(substring(md5(g), 1, 15), 16, 10)" +
+          s" as bigint), $buckets)").as("b"))
+    val isTgt = col("source") === lit(targetSource)
+    // Gram-instance totals for both models as one broadcast row.
+    val tot = b.agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("t_tot"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("r_tot"))
+    // Only buckets the RAW pool populates can contribute to a scored
+    // doc, so the ratio table is built from the raw counts and
+    // left-joins the target counts (absent target bucket -> count 0).
+    val tc = b.filter(isTgt).groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = b.filter(!isTgt).groupBy("b").agg(count(lit(1)).as("rc"))
+    val ratio = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), round(
+        log(D.dbl(coalesce(col("tc"), lit(0L)) + 1L) /
+          D.dbl(col("t_tot") + buckets)) -
+          log(D.dbl(col("rc") + 1L) / D.dbl(col("r_tot") + buckets)), 6)
+        .cast("decimal(18,6)").as("r"))
+    b.filter(!isTgt)
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt").cast("decimal(20,0)") * col("r")).as("lr"))
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        round(D.dbl(col("lr")) / D.dbl(col("n_feats")), 6)
+          .as("dsir_logratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The t23/c16 oracle's shared feature + ratio CTE chain —
+    * tokenize, gram, hash-bucket, Laplace log-ratio — factored so the
+    * selection query restates the weights identically.
+    */
+  def sqlDsirChain(targetSource: String, buckets: Int): String = s"""
+        toks AS (
+          SELECT doc_id, source,
+            list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        gr AS (
+          SELECT doc_id, source, unnest(list_concat(tl,
+            CASE WHEN len(tl) >= 2
+              THEN list_transform(range(1, len(tl)),
+                     i -> tl[i] || ' ' || tl[i + 1])
+              ELSE [] END)) AS g
+          FROM toks WHERE len(tl) >= 1),
+        bk AS (
+          SELECT doc_id, source,
+            CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $buckets AS b
+          FROM gr),
+        tot AS (
+          SELECT
+            SUM(CASE WHEN source = '$targetSource' THEN 1 ELSE 0 END)
+              AS t_tot,
+            SUM(CASE WHEN source <> '$targetSource' THEN 1 ELSE 0 END)
+              AS r_tot
+          FROM bk),
+        tcnt AS (SELECT b, COUNT(*) AS tc FROM bk
+                 WHERE source = '$targetSource' GROUP BY b),
+        rcnt AS (SELECT b, COUNT(*) AS rc FROM bk
+                 WHERE source <> '$targetSource' GROUP BY b),
+        ratio AS (
+          SELECT r.b, CAST(ROUND(
+              ln(CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE) /
+                 CAST(tot.t_tot + $buckets AS DOUBLE))
+            - ln(CAST(r.rc + 1 AS DOUBLE) /
+                 CAST(tot.r_tot + $buckets AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS r
+          FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot),
+        docb AS (
+          SELECT doc_id, source, b, COUNT(*) AS cnt FROM bk
+          WHERE source <> '$targetSource' GROUP BY doc_id, source, b),
+        wts AS (
+          SELECT doc_id, source, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+            ROUND(CAST(SUM(CAST(cnt AS DECIMAL(20,0)) * r) AS DOUBLE)
+                  / CAST(SUM(cnt) AS DOUBLE), 6) AS dsir_logratio
+          FROM docb JOIN ratio USING (b)
+          GROUP BY doc_id, source)"""
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1575,6 +1697,20 @@ object TextAnalysis {
             AS avg_logprob_sb
         FROM sc
         GROUP BY doc_id
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t23_dsir_weights",
+      (s, dir) =>
+        // DSIR importance weights (see [[dsirWeights]]): every pool
+        // doc scored by hashed-n-gram log-likelihood ratio against
+        // the src1 target domain — the data-selection signal behind
+        // importance-resampled pretraining mixes.
+        dsirWeights(docs(s, dir), targetSource = "src1", buckets = 4096),
+      Some(s"""
+        WITH ${sqlDsirChain("src1", 4096)}
+        SELECT doc_id, source, n_feats, dsir_logratio
+        FROM wts
         ORDER BY doc_id"""))
   )
 }

@@ -365,6 +365,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t23: log-ratio table broadcasts; no gram-text shuffle, no cartesian") {
+    val p = plan("t23_dsir_weights")
+    // the <=4096-row bucket ratio table broadcasts into the per-doc
+    // accumulation — the corpus never shuffles as a join side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every exchange is keyed by integer bucket/doc ids, never by the
+    // gram string: no hashpartitioning on g
+    val parts = "hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
+    assert(parts.forall(s => !s.contains("g#")),
+      s"gram-keyed shuffle present: $parts")
+  }
+
   test("s28: one corpus pass scores every cut; top-k bounded below the shuffle") {
     // pin the PRE-checkpoint scoring shape (the public operator
     // checkpoints the tiny top-k, which truncates its executed plan)

@@ -351,4 +351,43 @@ class TextAnalysisSpec extends SparkSpec {
     val chars1 = "lowlowlowerlowest".length
     assert(got(1L)._1 < chars1, got(1L))
   }
+
+  test("t23/c16: DSIR weights rank on-domain pool docs above off-domain") {
+    import spark.implicits._
+    // Target domain (src1) speaks a fixed vocabulary; the pool (srcA)
+    // holds ONE doc reusing the target's phrases and three gibberish
+    // docs sharing no gram with it. The on-domain doc must score
+    // strictly highest, and c16's per-source top-quarter (ceil(4/4)=1)
+    // must keep exactly that doc.
+    val domain = "solar panel energy grid storage battery capacity " +
+      "inverter solar panel energy grid storage battery"
+    val docs = Seq(
+      (1L, domain, "src1"),
+      (2L, "solar grid battery storage panel energy capacity inverter",
+        "src1"),
+      (10L, "solar panel energy grid storage battery inverter capacity",
+        "srcA"),
+      (11L, "qx wv zk jm pl rt yh uo qa ws ed rf", "srcA"),
+      (12L, "mn bv cx zl kj hg fd sa poi uyt rew qas", "srcA"),
+      (13L, "aa1 bb2 cc3 dd4 ee5 ff6 gg7 hh8 ii9 jj0 kk1 ll2", "srcA"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "length(text) AS n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t23-spec")
+      .toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = graft.SparkEntry.queries("t23_dsir_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // target docs are never scored; all four pool docs are
+    assert(w.keySet === Set(10L, 11L, 12L, 13L), w)
+    assert(Seq(11L, 12L, 13L).forall(id => w(10L) > w(id)),
+      s"on-domain doc must outscore gibberish: $w")
+    // off-domain docs share no bucket with the target: every feature
+    // carries the same smoothed-zero target mass, so their ratio is
+    // negative (pool-common features are LESS likely under target)
+    assert(Seq(11L, 12L, 13L).forall(id => w(id) < 0.0), w)
+    val keep = graft.SparkEntry.queries("c16_dsir_select")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(keep === Map(10L -> 1, 11L -> 0, 12L -> 0, 13L -> 0), keep)
+  }
 }
