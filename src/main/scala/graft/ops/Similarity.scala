@@ -698,6 +698,108 @@ object Similarity {
         ORDER BY cluster, dim"""
   }
 
+  /** Farthest-first traversal seeding (Gonzalez 1985 — the greedy
+    * 2-approximation for k-center): start from the lowest-id vector,
+    * then repeatedly pick the vector FARTHEST (cosine distance) from
+    * everything picked so far. The spread-out seeds a k-means run
+    * wants: unlike [[seedCentroids]]' label means, farthest-first
+    * cannot collapse two seeds into one dense region, and its greedy
+    * radius is within 2× of the optimal k-center radius by the
+    * classic argument. The k-means++-family alternative needs one
+    * pass PER seed too, but samples; this is the deterministic member
+    * of that family, so the oracle can restate it exactly.
+    *
+    * Scale shape: one running min-distance column (`md`) carried by
+    * the corpus, updated per round with a map-only `least` against
+    * the single broadcast new seed — never recomputed against the
+    * whole seed set — and the argmax is an `orderBy(...).limit(1)`
+    * (TakeOrderedAndProject: per-partition top-1, k-1 single-row
+    * driver fetches total — the bounded-collect convention of t11's
+    * merge table). Per-round localCheckpoint keeps lineage flat and
+    * each superseded state's blocks are freed.
+    *
+    * Determinism: per-seed distances are ROUND(1 − cosine, 6) (s01's
+    * convention — ln-free, so the only cross-engine hazard is the
+    * 6-dp round), `md` is a least-fold of such 6-dp values, argmax
+    * ties break by vec_id.
+    *
+    * Output: one row per seed (rnk, vec_id, sep = the seed's
+    * min-distance to its predecessors at selection, NULL for the
+    * first) plus the final coverage `radius` = max over the corpus of
+    * min-distance to the full seed set — the k-center objective.
+    */
+  def kcenterSeeds(e0: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"need at least two seeds, got $k")
+    val s = e0.sparkSession
+    val e = e0.select(col("vec_id"), col("v")).localCheckpoint()
+    def cvLit(vs: Seq[Double]): Column = array(vs.map(lit): _*)
+    def sepTo(cv: Seq[Double]): Column =
+      round(lit(1.0) - cosine(col("v"), cvLit(cv)), 6)
+    val first = e.orderBy("vec_id").limit(1).collect()(0)
+    var picked =
+      Vector[(Int, Long, Option[Double])]((1, first.getLong(0), None))
+    var state = e
+      .withColumn("md", sepTo(first.getSeq[Double](1)))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val nxt =
+        state.orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+      picked :+= ((r, nxt.getLong(0), Some(nxt.getDouble(2))))
+      val prev = state
+      state = state
+        .withColumn("md", least(col("md"), sepTo(nxt.getSeq[Double](1))))
+        .localCheckpoint()
+      freeCheckpoint(prev)
+    }
+    val radius = state.agg(max(col("md"))).collect()(0).getDouble(0)
+    freeCheckpoint(state)
+    freeCheckpoint(e)
+    import s.implicits._
+    picked.toDF("rnk", "vec_id", "sep")
+      .withColumn("radius", lit(radius))
+      .orderBy("rnk")
+  }
+
+  /** DuckDB restatement of [[kcenterSeeds]]: the greedy recursion
+    * unrolled as CTE rounds (c_r = argmax of s_{r-1}'s min-distance,
+    * s_r = least-fold update), exactly the Spark arithmetic.
+    */
+  def sqlKCenterUnrolled(k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform($a, x -> x*x))) *
+             sqrt(list_sum(list_transform($b, x -> x*x))))"""
+    val rounds = (2 to k).map { r =>
+      s"""
+        c$r AS (
+          SELECT vec_id, v, md FROM s${r - 1}
+          ORDER BY md DESC, vec_id LIMIT 1),
+        s$r AS (
+          SELECT s.vec_id, s.v,
+            LEAST(s.md, ROUND(1 - ${cos("s.v", "c.v")}, 6)) AS md
+          FROM s${r - 1} s CROSS JOIN c$r c)"""
+    }.mkString(",")
+    val sel = (2 to k)
+      .map(r => s"SELECT $r AS rnk, vec_id, md AS sep FROM c$r")
+      .mkString("\n          UNION ALL ")
+    s"""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+        s1 AS (
+          SELECT e.vec_id, e.v, ROUND(1 - ${cos("e.v", "c.v")}, 6) AS md
+          FROM e CROSS JOIN c1 c),$rounds,
+        sel AS (
+          SELECT 1 AS rnk, vec_id, CAST(NULL AS DOUBLE) AS sep FROM c1
+          UNION ALL $sel),
+        rad AS (SELECT MAX(md) AS radius FROM s$k)
+        SELECT rnk, vec_id, sep, radius
+        FROM sel CROSS JOIN rad
+        ORDER BY rnk"""
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (s07 train, s08 ADC search) — the memory-
   // compression ANN path: 64 floats → 4 one-byte codes (64×), which is
@@ -3406,6 +3508,17 @@ object Similarity {
         SELECT vec_id, cluster, proto_sim, rnk, n_cluster,
           CAST(rnk > n_cluster // 4 AS INT) AS is_kept
         FROM rk
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s30_kcenter_seeds",
+      (s, dir) =>
+        // Farthest-first k-center seeding (see [[kcenterSeeds]]):
+        // Gonzalez's greedy 2-approximation picks 8 maximally
+        // spread seeds plus the final coverage radius — the
+        // deterministic k-means++-family initializer the Lloyd loop
+        // (s05/s06) can start from instead of label means.
+        kcenterSeeds(emb(s, dir), k = 8),
+      Some(sqlKCenterUnrolled(8)))
   )
 }

@@ -1061,4 +1061,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(20L)._2 == 0, out.toString)
     assert(Seq(21L, 22L, 23L).forall(out(_)._2 == 1), out.toString)
   }
+
+  test("s30: farthest-first picks the known spread on an engineered corpus") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // Orthogonal axes are mutually at cosine distance 1; the diagonal
+    // sits at 1 - 1/sqrt(2) ≈ 0.292893 from both e1 and e2. Start =
+    // lowest id (1, on e1); both orthogonals are then tied at md=1 and
+    // the tie breaks by vec_id (3 before 4); the diagonal is never
+    // farthest. Coverage radius after k=3 = the diagonal's distance.
+    val e = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)), // e1 — start (lowest id)
+      (2L, Seq(1.0, 1.0, 0.0, 0.0)), // e1+e2 diagonal
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)), // e2 — 2nd pick (tie, lower id)
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))) // e3 — 3rd pick
+      .toDF("vec_id", "v")
+    val out = Similarity.kcenterSeeds(e, k = 3).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getDouble(3))))
+      .toMap
+    val diag = BigDecimal(1.0 - 1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1)._1 === 1L && out(1)._2.isEmpty, out.toString)
+    assert(out(2) === ((3L, Some(1.0), diag)), out.toString)
+    assert(out(3) === ((4L, Some(1.0), diag)), out.toString)
+  }
 }
