@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -68,6 +68,14 @@ object Relational3 {
         "'embeddings_only', embeddings_only) AS (side, n)"))
       .orderBy("side")
   }
+
+  /** Bits in the q71 Bloom filter — 2^16 bits = 1024 mask words, a
+    * filter that broadcasts as a ≤1024-row table NO MATTER how many
+    * build keys feed it (dial up for lower false-positive rates; at
+    * n keys and 2 hashes the fp rate is (1−e^(−2n/m))²). Declared
+    * BEFORE `all`: the oracle strings interpolate it at object init.
+    */
+  private val bloomBits = 65536
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -402,8 +410,131 @@ object Relational3 {
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM assigned
         GROUP BY window_start_us, event_type
-        ORDER BY window_start_us, event_type"""))
+        ORDER BY window_start_us, event_type""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q71_bloom_prefilter_join",
+      (s, dir) =>
+        // Bloom-prefiltered join (see [[bloomPrefilterJoin]]): the
+        // explicit runtime-filter pattern — a fixed-size Bloom filter
+        // over the qualifying customer keys broadcasts and map-side
+        // prunes orders BEFORE the real join, with the false-positive
+        // audit the exact join makes free.
+        bloomPrefilterJoin(
+          t(s, dir)("customer"), t(s, dir)("orders")),
+      Some(s"""
+        WITH keys AS (
+          SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_acctbal > 9000),
+        hk AS (
+          SELECT k,
+            CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS x
+          FROM keys),
+        bits AS (
+          SELECT DISTINCT p FROM (
+            SELECT x % $bloomBits AS p FROM hk
+            UNION ALL
+            SELECT (x // $bloomBits) % $bloomBits AS p FROM hk)),
+        op AS (
+          SELECT o_custkey, o_totalprice, o_orderpriority,
+            CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS x
+          FROM orders WHERE o_custkey IS NOT NULL),
+        pass AS (
+          SELECT o.* FROM op o
+          WHERE EXISTS (SELECT 1 FROM bits b
+                        WHERE b.p = o.x % $bloomBits)
+            AND EXISTS (SELECT 1 FROM bits b
+                        WHERE b.p = (o.x // $bloomBits) % $bloomBits)),
+        audit AS (
+          SELECT COUNT(*) AS n_bloom_pass,
+            SUM(CASE WHEN k.k IS NULL THEN 1 ELSE 0 END)
+              AS n_false_pos
+          FROM pass LEFT JOIN keys k ON pass.o_custkey = k.k),
+        res AS (
+          SELECT o_orderpriority, COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+              AS revenue
+          FROM pass JOIN keys k ON pass.o_custkey = k.k
+          GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n_orders, revenue,
+          CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass,
+          CAST(n_false_pos AS BIGINT) AS n_false_pos
+        FROM res CROSS JOIN audit
+        ORDER BY o_orderpriority"""))
   )
+
+  /** Bloom-prefiltered join (q71) — the runtime-filter pattern made
+    * explicit: hash the qualifying build-side keys (customers with
+    * c_acctbal > 9000) twice into a `bloomBits`-bit Bloom filter,
+    * broadcast the filter, and map-side drop probe rows (orders)
+    * whose key cannot possibly match BEFORE the real join runs.
+    * This is what saves the shuffle at 100 TB: a raw broadcast of
+    * the key set grows with the build side, but the filter is FIXED
+    * SIZE — represented here as a (word, mask) table of ≤ m/64 rows
+    * aggregated with bit_or, so "might contain" is two broadcast
+    * lookups and two bit tests, all codegen. No false negatives by
+    * construction (the exact-equality spec); false positives only
+    * cost wasted probe rows, and the exact join behind the filter
+    * removes them — the output manifests the per-priority totals
+    * plus the (n_bloom_pass, n_false_pos) audit, so the oracle row
+    * proves BOTH the join result and the filter's exact selectivity.
+    *
+    * Determinism: positions come from the 60-bit md5 prefix of the
+    * key's decimal string split into two 16-bit hashes — integer
+    * arithmetic end to end, so DuckDB rebuilds the identical filter
+    * and the false-positive COUNT hash-matches exactly.
+    */
+  def bloomPrefilterJoin(customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val m = bloomBits
+    def hx(k: Column): Column =
+      conv(substring(md5(k.cast("string")), 1, 15), 16, 10).cast("long")
+    val keys = customer.filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("k")).distinct()
+    // The filter as a (word, mask) table: ≤ m/64 rows, one bit_or
+    // aggregate over both hash positions of every key.
+    val words = keys.select(hx(col("k")).as("x"))
+      .select(explode(array(
+        expr(s"x % $m"), expr(s"(x div $m) % $m"))).as("p"))
+      .select(expr("p div 64").as("w"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("mask"))
+    val probe = orders.filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"), hx(col("o_custkey")).as("x"))
+      .select(col("*"),
+        expr(s"x % $m").as("p1"), expr(s"(x div $m) % $m").as("p2"))
+    // Two broadcast lookups + bit tests; a missing word row is a
+    // null mask and the bit test fails — might-contain = false.
+    def hit(p: String, alias: String) = {
+      val wd = words.select(col("w").as(s"w_$alias"),
+        col("mask").as(s"mask_$alias"))
+      (df: DataFrame) => df
+        .join(broadcast(wd),
+          expr(s"$p div 64") === col(s"w_$alias"), "left")
+        .filter(
+          expr(s"mask_$alias & shiftleft(1L, cast($p % 64 as int))")
+            =!= 0L)
+    }
+    // `passed` feeds both the audit and the result — two pruned
+    // passes over the pre-filtered probe (cheaper than pinning it:
+    // the filter already did the heavy pruning map-side).
+    val passed = hit("p2", "b")(hit("p1", "a")(probe))
+      .select("o_custkey", "o_totalprice", "o_orderpriority")
+    val audit = passed
+      .join(broadcast(keys), col("o_custkey") === col("k"), "left")
+      .agg(count(lit(1)).as("n_bloom_pass"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_false_pos"))
+    val res = passed
+      .join(broadcast(keys), col("o_custkey") === col("k"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        D.dbl(sum(D.m(col("o_totalprice")))).as("revenue"))
+    res.crossJoin(broadcast(audit))
+      .orderBy("o_orderpriority")
+  }
 
   /** The q69 body, factored so the spec can drive engineered series
     * (exact blend values, edge carry, obs passthrough) directly.

@@ -378,6 +378,18 @@ class PlanSpec extends SparkSpec {
       s"gram-keyed shuffle present: $parts")
   }
 
+  test("q71: bloom mask lookups and the exact join all broadcast") {
+    val p = plan("q71_bloom_prefilter_join")
+    // two (word, mask) lookups + the exact key join + audit: the probe
+    // side is never shuffled as a join input
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row audit crosses in as a broadcast scalar
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s28: one corpus pass scores every cut; top-k bounded below the shuffle") {
     // pin the PRE-checkpoint scoring shape (the public operator
     // checkpoints the tiny top-k, which truncates its executed plan)

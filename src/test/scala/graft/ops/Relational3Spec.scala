@@ -39,4 +39,32 @@ class Relational3Spec extends SparkSpec {
     for (b <- Seq(0L, 1L, 3L, 4L))
       assert(out(("e", b)) === ((5.0, "edge")), s"e@$b: ${out(("e", b))}")
   }
+
+  test("q71: bloom prefilter has no false negatives; the audit is exact") {
+    val dir = "/root/testdata/sf0.001"
+    val customer = graft.Tables.load(spark, dir, "customer")
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val got = Relational3.bloomPrefilterJoin(customer, orders).collect()
+    // Independent exact restatement WITHOUT any bloom: the per-priority
+    // totals must be identical — the filter may only shed non-matches.
+    val keys = customer.filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey")).distinct()
+    val exact = orders
+      .join(keys, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        D.dbl(sum(D.m(col("o_totalprice")))).as("rev"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.map(_.getString(0)).toSet === exact.keySet)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getDouble(2)) === exact(r.getString(0)),
+        s"priority ${r.getString(0)} diverged from the exact join")
+    }
+    // audit arithmetic: bloom passes = true matches + false positives
+    val nExact = exact.values.map(_._1).sum
+    val (nPass, nFp) = (got.head.getLong(3), got.head.getLong(4))
+    assert(nPass === nExact + nFp, s"pass=$nPass exact=$nExact fp=$nFp")
+    assert(nFp >= 0L)
+  }
 }
