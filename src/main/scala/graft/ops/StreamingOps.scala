@@ -606,6 +606,28 @@ object StreamingOps {
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM assigned
         GROUP BY window_start_us, event_type
-        ORDER BY window_start_us, event_type"""))
+        ORDER BY window_start_us, event_type""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st25_stream_dsir_admission",
+      (s, dir) => DocumentStream.runStreamDsirAdmission(s, dir),
+      // Streaming DSIR admission (see
+      // [[DocumentStream.runStreamDsirAdmission]]): the offline-
+      // trained micro-integer log-ratio model applied statelessly on
+      // the ingest stream; admit iff the exact integer score sum
+      // >= 0. The oracle restates the score batch-wise from t23's
+      // CTE chain — SUM(cnt * r * 1e6) per doc, the same integer.
+      Some(s"""
+        WITH ${TextAnalysis.sqlDsirChain("src1", 4096)},
+        sc AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+            CAST(SUM(CAST(cnt AS DECIMAL(20,0)) * r * 1000000)
+                 AS BIGINT) AS score_micros
+          FROM docb JOIN ratio USING (b)
+          GROUP BY doc_id)
+        SELECT doc_id, n_feats, score_micros,
+          CAST(score_micros >= 0 AS INT) AS admitted
+        FROM sc
+        ORDER BY doc_id"""))
   )
 }

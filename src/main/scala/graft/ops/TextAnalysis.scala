@@ -723,35 +723,9 @@ object TextAnalysis {
     */
   def dsirWeights(documents: DataFrame, targetSource: String,
       buckets: Int): DataFrame = {
-    val b = documents.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("tl"))
-      .filter(size(col("tl")) >= 1)
-      .select(col("doc_id"), col("source"), explode(concat(
-        col("tl"),
-        when(size(col("tl")) >= 2,
-          expr("transform(sequence(0, size(tl) - 2)," +
-            " i -> concat(tl[i], ' ', tl[i + 1]))"))
-          .otherwise(expr("cast(array() as array<string>)")))).as("g"))
-      .select(col("doc_id"), col("source"),
-        expr(s"pmod(cast(conv(substring(md5(g), 1, 15), 16, 10)" +
-          s" as bigint), $buckets)").as("b"))
+    val b = dsirBuckets(documents, buckets)
     val isTgt = col("source") === lit(targetSource)
-    // Gram-instance totals for both models as one broadcast row.
-    val tot = b.agg(
-      sum(when(isTgt, 1L).otherwise(0L)).as("t_tot"),
-      sum(when(isTgt, 0L).otherwise(1L)).as("r_tot"))
-    // Only buckets the RAW pool populates can contribute to a scored
-    // doc, so the ratio table is built from the raw counts and
-    // left-joins the target counts (absent target bucket -> count 0).
-    val tc = b.filter(isTgt).groupBy("b").agg(count(lit(1)).as("tc"))
-    val rc = b.filter(!isTgt).groupBy("b").agg(count(lit(1)).as("rc"))
-    val ratio = rc.join(tc, Seq("b"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("b"), round(
-        log(D.dbl(coalesce(col("tc"), lit(0L)) + 1L) /
-          D.dbl(col("t_tot") + buckets)) -
-          log(D.dbl(col("rc") + 1L) / D.dbl(col("r_tot") + buckets)), 6)
-        .cast("decimal(18,6)").as("r"))
+    val ratio = dsirRatio(documents, targetSource, buckets)
     b.filter(!isTgt)
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("cnt"))
@@ -764,6 +738,72 @@ object TextAnalysis {
           .as("dsir_logratio"))
       .orderBy("doc_id")
   }
+
+  /** The DSIR feature array for one document's token list: unigram
+    * then bigram instances, array order.
+    */
+  def dsirGrams(tl: Column): Column = concat(
+    tl,
+    when(size(tl) >= 2,
+      expr("transform(sequence(0, size(tl) - 2)," +
+        " i -> concat(tl[i], ' ', tl[i + 1]))"))
+      .otherwise(expr("cast(array() as array<string>)")))
+
+  /** A gram's integer feature bucket: 60-bit md5 prefix mod
+    * `buckets` — exact integer arithmetic on both engines.
+    */
+  def dsirBucket(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** (doc_id, source, b) gram-instance bucket rows for the whole
+    * corpus — the shared input of both DSIR models.
+    */
+  private def dsirBuckets(documents: DataFrame, buckets: Int): DataFrame =
+    documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tl"))
+      .filter(size(col("tl")) >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(dsirGrams(col("tl"))).as("g"))
+      .select(col("doc_id"), col("source"),
+        dsirBucket(col("g"), buckets).as("b"))
+
+  /** The trained DSIR model: per-bucket 6-dp log-likelihood ratio
+    * log p_target(b) − log p_raw(b) as DECIMAL(18,6), one row per
+    * bucket the RAW pool populates (only those can score a pool doc;
+    * absent target buckets count 0 under Laplace smoothing).
+    */
+  def dsirRatio(documents: DataFrame, targetSource: String,
+      buckets: Int): DataFrame = {
+    val b = dsirBuckets(documents, buckets)
+    val isTgt = col("source") === lit(targetSource)
+    // Gram-instance totals for both models as one broadcast row.
+    val tot = b.agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("t_tot"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("r_tot"))
+    val tc = b.filter(isTgt).groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = b.filter(!isTgt).groupBy("b").agg(count(lit(1)).as("rc"))
+    rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), round(
+        log(D.dbl(coalesce(col("tc"), lit(0L)) + 1L) /
+          D.dbl(col("t_tot") + buckets)) -
+          log(D.dbl(col("rc") + 1L) / D.dbl(col("r_tot") + buckets)), 6)
+        .cast("decimal(18,6)").as("r"))
+  }
+
+  /** [[dsirRatio]] with the 6-dp decimal ratio rescaled to an exact
+    * integer MICRO-log-ratio (r × 10⁶ as BIGINT) — the shippable form
+    * of the trained model: a per-row LONG sum over gram instances is
+    * exact and order-independent, so a stateless stream can score
+    * documents with a broadcast map literal and still hash-match the
+    * batch restatement (st25).
+    */
+  def dsirRatioMicros(documents: DataFrame, targetSource: String,
+      buckets: Int): DataFrame =
+    dsirRatio(documents, targetSource, buckets)
+      .select(col("b"),
+        (col("r") * lit(1000000L)).cast("long").as("r_micros"))
 
   /** The t23/c16 oracle's shared feature + ratio CTE chain —
     * tokenize, gram, hash-bucket, Laplace log-ratio — factored so the

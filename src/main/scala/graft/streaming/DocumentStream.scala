@@ -323,6 +323,52 @@ object DocumentStream {
       .orderBy("doc_id")
   }
 
+  /** Streaming DSIR admission (st25): the deployed form of t23/c16 —
+    * the importance model is TRAINED OFFLINE (one batch pass builds
+    * the ≤4096-bucket micro-integer log-ratio table,
+    * [[graft.ops.TextAnalysis.dsirRatioMicros]]) and then APPLIED on
+    * the ingest stream as pure per-row arithmetic: each arriving
+    * document folds its own gram array through a broadcast map
+    * literal (bucket → r×10⁶ as LONG), admits iff the exact integer
+    * score sum is ≥ 0 — "looks more target-like than the raw pool" —
+    * and nothing is stateful, so the stream scales with rate alone
+    * (no state store, no shuffle; the one-row fold keeps every gram
+    * on the row it came from).
+    *
+    * The LONG micro-ratio is what makes this oracle-checkable: a
+    * per-row sum of longs in gram order is exact and
+    * order-independent, so the drained stream hash-matches the batch
+    * restatement SUM(cnt·r·10⁶) bucket-wise. Map misses (a gram
+    * bucket the training pool never populated) score 0 — impossible
+    * here because the trained pool IS the streamed corpus, but the
+    * neutral fallback is what a live deployment wants for novel
+    * vocabulary.
+    */
+  def runStreamDsirAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val docs = graft.Tables.load(spark, dir, "documents")
+    // Bounded driver fetch (≤4096 rows, the t11 merge-table
+    // convention): the trained model becomes a plan literal.
+    val model = TextAnalysis.dsirRatioMicros(docs, "src1", 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mcol = typedLit(model)
+    val scored = readStream(spark, dir)
+      .filter(col("text").isNotNull && col("source") =!= "src1")
+      .select(col("doc_id"), tokens(col("text")).as("tl"))
+      .filter(size(col("tl")) >= 1)
+      .select(col("doc_id"),
+        TextAnalysis.dsirGrams(col("tl")).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_feats"),
+        aggregate(
+          transform(col("grams"),
+            g => coalesce(element_at(mcol,
+              TextAnalysis.dsirBucket(g, 4096)), lit(0L))),
+          lit(0L), (acc, r) => acc + r).as("score_micros"))
+      .select(col("doc_id"), col("n_feats"), col("score_micros"),
+        (col("score_micros") >= 0L).cast("int").as("admitted"))
+    drainToTable(spark, scored).orderBy("doc_id")
+  }
+
   /** The PRIMARY near-dup runner: TTL'd streaming near-dup end-to-end
     * with a 120 s horizon
     * over the 1-doc/sec synthetic clock: only pairs whose arrivals are

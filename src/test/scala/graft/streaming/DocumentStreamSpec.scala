@@ -170,4 +170,29 @@ class DocumentStreamSpec extends SparkSpec {
     q.stop()
     spark.catalog.dropTempView("neardup_ttl_test")
   }
+
+  test("st25: streamed DSIR scores reproduce t23's weights exactly") {
+    // The stream folds LONG micro-ratios per row; t23 divides the
+    // exact decimal sum by the feature count. Same integers underneath:
+    // round((score_micros/1e6)/n_feats, 6) must equal t23's
+    // dsir_logratio for EVERY document, and admitted must be its sign.
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.ops.StreamingOps.all
+      .find(_.name == "st25_stream_dsir_admission").get
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    val batch = graft.SparkEntry.queries("t23_dsir_weights")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (id, (n, micros, adm)) =>
+      val (bn, w) = batch(id)
+      assert(n === bn, s"doc $id feature count")
+      val mean = BigDecimal(micros.toDouble / 1e6 / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(mean === w, s"doc $id: stream mean $mean vs batch $w")
+      assert(adm === (if (micros >= 0L) 1 else 0), s"doc $id verdict")
+    }
+  }
 }
