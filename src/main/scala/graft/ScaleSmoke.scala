@@ -27,7 +27,8 @@ object ScaleSmoke {
       |  containment [f]  d18/d19 posting-cap cost on a ×f clone family
       |  indexmaint [f]  st22 state plateau under ×f churn per key
       |  funnel [f]      st23 horizon-bounded buffers under ×f replicas
-      |  timeseries [f]  q69/q70 spine-bounded window cost on events ×f""".stripMargin
+      |  timeseries [f]  q69/q70 spine-bounded window cost on events ×f
+      |  dsir [f]      t23 model-size invariance + weight cost ×1 vs ×f""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -487,6 +488,32 @@ object ScaleSmoke {
     * while the corpus grows ×factor — the Zipf win the design banks
     * on). Both should scale ~linearly in corpus size.
     */
+  /** DSIR scale structure (`runMain graft.ScaleSmoke dsir [factor]`):
+    * the t23 design claim is that the MODEL is corpus-size-invariant —
+    * the log-ratio table is bounded by the 4096 bucket space no
+    * matter how many gram instances feed it, so what broadcasts never
+    * grows and the whole pipeline's cost is the linear gram scan plus
+    * integer-keyed aggregation. Measures the model row count and the
+    * end-to-end weight time at ×1 and ×factor.
+    */
+  def runDsir(spark: SparkSession, factor: Int): Unit = {
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "source", "text")
+    val docsN = scaled(docs1, "doc_id", factor).cache()
+    println(s"[scale] documents: ${docsN.count()} rows (×$factor)")
+    val m1 = ops.TextAnalysis.dsirRatio(docs1, "src1", 4096).count()
+    val mN = ops.TextAnalysis.dsirRatio(docsN, "src1", 4096).count()
+    println(s"[dsir] model rows ×1: $m1, ×$factor: $mN (bound 4096) — " +
+      s"the broadcast side is corpus-size-INVARIANT")
+    time("t23 weights ×1")(
+      ops.TextAnalysis.dsirWeights(docs1, "src1", 4096)
+        .write.format("noop").mode("overwrite").save())
+    time(s"t23 weights ×$factor")(
+      ops.TextAnalysis.dsirWeights(docsN, "src1", 4096)
+        .write.format("noop").mode("overwrite").save())
+    docsN.unpersist()
+  }
+
   def runText(spark: SparkSession, factor: Int): Unit = {
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
       .select("doc_id", "text")
@@ -872,7 +899,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
       "text", "curation", "multimodal", "containment", "indexmaint",
-      "funnel", "timeseries")
+      "funnel", "timeseries", "dsir")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -905,6 +932,7 @@ object ScaleSmoke {
         case "indexmaint" => 20
         case "funnel" => 20
         case "timeseries" => 20
+        case "dsir" => 20
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -930,6 +958,7 @@ object ScaleSmoke {
     if (mode == "indexmaint") { runIndexMaint(spark, factor); spark.stop(); return }
     if (mode == "funnel") { runFunnel(spark, factor); spark.stop(); return }
     if (mode == "timeseries") { runTimeseries(spark, factor); spark.stop(); return }
+    if (mode == "dsir") { runDsir(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)
