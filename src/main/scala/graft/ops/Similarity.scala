@@ -1363,6 +1363,53 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) of two retrieval
+    * rankings — the standard hybrid-search combiner: each ranker
+    * contributes 1/(60 + rank) for the documents in its top-`n`, and
+    * candidates are re-ranked by the sum, so agreement between
+    * rankers beats a high position in either one. Fused here are the
+    * two cheap quantized rankers at opposite corners of the
+    * speed/quality trade — SQ8 integer-L2 ([[sq8Topk]]) and sign-bit
+    * Hamming ([[bqTopk]]) — the ensemble a serving stack runs when no
+    * single code family dominates.
+    *
+    * Scale shape: each ranker is its own one-pass broadcast corpus
+    * scan (their cost IS the operator's corpus cost); the fusion
+    * itself joins two top-`n`-per-query lists — bounded by
+    * n × |queries| rows, independent of corpus size — with a full
+    * outer join on (qid, vec_id) and one per-query window.
+    *
+    * Determinism: ranks are exact integers from the two oracle-exact
+    * rankers; each contribution is ROUND(1/(60+rank), 6) carried as
+    * DECIMAL so the fused score is an exact sum; ties break by
+    * vec_id. Output (qid, vec_id, rnk_sq8, rnk_bq — NULL when the
+    * ranker's top-n missed the doc — rrf_score, rnk).
+    */
+  def rrfFusion(e: DataFrame, n: Int, k: Int): DataFrame =
+    rrfFusionOf(sq8Topk(e, n), bqTopk(e, n), k)
+
+  /** [[rrfFusion]] over caller-supplied rankings — the registered
+    * query feeds the session-shared SQ8 artifacts here so bench
+    * repeats measure the scans, not the build.
+    */
+  def rrfFusionOf(sq8: DataFrame, bq: DataFrame, k: Int): DataFrame = {
+    def contrib(r: Column): Column = coalesce(
+      round(lit(1.0) / (lit(60) + r), 6).cast("decimal(18,6)"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+    val a = sq8.select(col("qid"), col("vec_id"), col("rnk").as("rnk_sq8"))
+    val b = bq.select(col("qid"), col("vec_id"), col("rnk").as("rnk_bq"))
+    a.join(b, Seq("qid", "vec_id"), "full")
+      .select(col("qid"), col("vec_id"), col("rnk_sq8"), col("rnk_bq"),
+        (contrib(col("rnk_sq8")) + contrib(col("rnk_bq"))).as("rrf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("rnk_sq8"), col("rnk_bq"),
+        D.dbl(col("rrf")).as("rrf_score"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   // ------------------------------------------------------------------
   // IVF-SQ8: coarse cells + in-cell 8-bit scalar codes (s18) — the
   // remaining coarse×fine pairing of the quantization matrix (IVF×PQ
@@ -3519,6 +3566,96 @@ object Similarity {
         // deterministic k-means++-family initializer the Lloyd loop
         // (s05/s06) can start from instead of label means.
         kcenterSeeds(emb(s, dir), k = 8),
-      Some(sqlKCenterUnrolled(8)))
+      Some(sqlKCenterUnrolled(8))),
+    // ----------------------------------------------------------------
+    Q(
+      "s31_rrf_fusion",
+      (s, dir) =>
+        // Reciprocal Rank Fusion (see [[rrfFusion]]): the SQ8 and
+        // sign-bit Hamming top-20 lists fused by Σ 1/(60+rank) into
+        // a hybrid top-10 — agreement between code families beats a
+        // high position in either one. SQ8 artifacts are the shared
+        // per-session build.
+        rrfFusionOf(
+          sq8Search(sq8TrainShared(s, dir, emb(s, dir))._2, k = 20),
+          bqTopk(emb(s, dir), k = 20), k = 10),
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim),
+        grid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM stats),
+        codes AS (
+          SELECT vec_id,
+            list_transform(range(1, len(v) + 1), i ->
+              CAST(FLOOR(CASE WHEN his[i] = los[i] THEN 0.0
+                ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
+                + 0.5) AS INT)) AS c
+          FROM e, grid),
+        qs AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 3),
+        scored_s AS (
+          SELECT qs.qid, k.vec_id,
+            CAST(list_sum(list_transform(list_zip(qs.qc, k.c),
+              p -> CAST(p[1] - p[2] AS BIGINT)
+                   * CAST(p[1] - p[2] AS BIGINT))) AS BIGINT) AS idist
+          FROM codes k, qs WHERE k.vec_id <> qs.qid),
+        rk_s AS (
+          SELECT qid, vec_id, rnk FROM (
+            SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY idist, vec_id) AS rnk
+            FROM scored_s)
+          WHERE rnk <= 20),
+        codes_b AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(range(1, 33), i ->
+              CASE WHEN v[i] > 0.0 THEN (1::BIGINT << (i - 1))
+                   ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+            CAST(list_sum(list_transform(range(33, 65), i ->
+              CASE WHEN v[i] > 0.0 THEN (1::BIGINT << (i - 33))
+                   ELSE 0::BIGINT END)) AS BIGINT) AS w1
+          FROM e),
+        qb AS (
+          SELECT vec_id AS qid, w0 AS q0, w1 AS q1
+          FROM codes_b WHERE vec_id < 3),
+        scored_b AS (
+          SELECT qb.qid, c.vec_id,
+            CAST(bit_count(CAST(xor(c.w0, qb.q0) AS BIT))
+               + bit_count(CAST(xor(c.w1, qb.q1) AS BIT)) AS INT)
+              AS hamming
+          FROM codes_b c, qb WHERE c.vec_id <> qb.qid),
+        rk_b AS (
+          SELECT qid, vec_id, rnk FROM (
+            SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY hamming, vec_id) AS rnk
+            FROM scored_b)
+          WHERE rnk <= 20),
+        fused AS (
+          SELECT COALESCE(a.qid, b.qid) AS qid,
+            COALESCE(a.vec_id, b.vec_id) AS vec_id,
+            CAST(a.rnk AS INT) AS rnk_sq8, CAST(b.rnk AS INT) AS rnk_bq,
+            COALESCE(CAST(ROUND(1.0 / (60 + a.rnk), 6)
+                          AS DECIMAL(18,6)), 0)
+              + COALESCE(CAST(ROUND(1.0 / (60 + b.rnk), 6)
+                              AS DECIMAL(18,6)), 0) AS rrf
+          FROM rk_s a FULL JOIN rk_b b
+            ON a.qid = b.qid AND a.vec_id = b.vec_id)
+        SELECT qid, vec_id, rnk_sq8, rnk_bq,
+          CAST(rrf AS DOUBLE) AS rrf_score, rnk
+        FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY rrf DESC, vec_id) AS INT) AS rnk
+          FROM fused)
+        WHERE rnk <= 10
+        ORDER BY qid, rnk"""))
   )
 }

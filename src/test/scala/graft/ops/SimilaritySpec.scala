@@ -1086,4 +1086,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) === ((3L, Some(1.0), diag)), out.toString)
     assert(out(3) === ((4L, Some(1.0), diag)), out.toString)
   }
+
+  test("s31: RRF ranks consensus above either ranker's solo champion") {
+    import spark.implicits._
+    // sq8 says A first then B; bq says C first then B. B (rank 2 in
+    // BOTH) must fuse above A and C (rank 1 in only one list):
+    // 2/62 > 1/61. A and C tie and break by vec_id.
+    val sq8 = Seq((0L, 10L, 1), (0L, 11L, 2))
+      .toDF("qid", "vec_id", "rnk")
+    val bq = Seq((0L, 12L, 1), (0L, 11L, 2))
+      .toDF("qid", "vec_id", "rnk")
+    val out = Similarity.rrfFusionOf(sq8, bq, k = 3).collect()
+      .map(r => r.getInt(5) -> ((r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), r.getDouble(4))))
+      .toMap
+    assert(out(1) === ((11L, Some(2), Some(2), 0.032258)), out.toString)
+    assert(out(2) === ((10L, Some(1), None, 0.016393)), out.toString)
+    assert(out(3) === ((12L, None, Some(1), 0.016393)), out.toString)
+  }
 }
