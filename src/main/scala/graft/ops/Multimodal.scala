@@ -919,6 +919,88 @@ object Multimodal {
         FROM tf t
         LEFT JOIN dh ON t.doc_id = dh.doc_id
         JOIN keep k ON k.doc_id = t.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m11_modality_disagreement",
+      (s, dir) => {
+        // CROSS-MODAL dedup agreement audit: the same corpus judged
+        // by both near-dup tiers — d11's text SimHash (Hamming ≤ 3
+        // banding) and m07's perceptual gate (dims + sign-code
+        // Hamming ≤ 1, cosine ≥ 0.999) — full-outer-joined on the
+        // pair, with the quadrant verdict a curator reads before
+        // trusting either tier alone: 'both' (drop safely),
+        // 'text_only' (same prose, different payload — e.g. two
+        // images under one caption; dropping loses a modality),
+        // 'visual_only' (same image recaptioned — the sneaky dup
+        // text dedup can't see). With the STUB decoder the payload
+        // IS the text bytes, so visual_only is structurally empty
+        // here (spec-pinned invariant); a real decoder makes it the
+        // interesting quadrant and nothing in the plan changes.
+        // Scale shape: both pair enumerators are the banded/blocked
+        // originals; the agreement join is pairs-vs-pairs — bounded
+        // by the dup sets, not the corpus.
+        val text = Dedup.simhashNearDup(
+            Tables.load(s, dir, "documents"), maxHamming = 3)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("text_dup"))
+        val vis = perceptualPairs(
+            decodedFrame(s, dir)
+              .select(col("doc_id"), col("width"), col("height"),
+                col("v")))
+          .filter(col("cos_sim") >= 0.999)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("visual_dup"))
+        text.join(vis, Seq("doc_a", "doc_b"), "full")
+          .select(col("doc_a"), col("doc_b"),
+            coalesce(col("text_dup"), lit(0)).as("text_dup"),
+            coalesce(col("visual_dup"), lit(0)).as("visual_dup"),
+            when(col("text_dup").isNotNull && col("visual_dup").isNotNull,
+              "both")
+              .when(col("text_dup").isNotNull, "text_only")
+              .otherwise("visual_only").as("verdict"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(Dedup.sqlSimhashBandsCte("WHERE text IS NOT NULL") + s""",
+        $sqlDecodeAcc,
+        f AS (
+          SELECT doc_id,
+            CAST(16 + (hv % 16) * 16 AS INT) AS width,
+            CAST(16 + ((hv // 16) % 16) * 16 AS INT) AS height,
+            $sqlFeatsList AS v,
+            CAST($sqlSigExpr AS INT) AS sig
+          FROM acc),
+        fz AS (
+          SELECT * FROM f
+          WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+        vp AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              ROUND(
+                list_sum(list_transform(list_zip(a.v, b.v),
+                                        p -> p[1] * p[2])) /
+                (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                 sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+                AS cos_sim
+            FROM fz a JOIN fz b
+              ON a.width = b.width AND a.height = b.height
+              AND a.doc_id < b.doc_id
+              AND bit_count(xor(a.sig, b.sig)) <= 1)
+          WHERE cos_sim >= 0.999),
+        tp AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+          WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= 3)
+        SELECT COALESCE(t.doc_a, v.doc_a) AS doc_a,
+          COALESCE(t.doc_b, v.doc_b) AS doc_b,
+          CAST(t.doc_a IS NOT NULL AS INT) AS text_dup,
+          CAST(v.doc_a IS NOT NULL AS INT) AS visual_dup,
+          CASE
+            WHEN t.doc_a IS NOT NULL AND v.doc_a IS NOT NULL THEN 'both'
+            WHEN t.doc_a IS NOT NULL THEN 'text_only'
+            ELSE 'visual_only' END AS verdict
+        FROM tp t FULL JOIN vp v
+          ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b
+        ORDER BY doc_a, doc_b"""))
   )
 }

@@ -273,4 +273,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out(28L) === ((1, 1, 0, "too_small")), out(28L).toString)
     assert(out(29L) === ((1, 1, 1, "admitted")), out(29L).toString)
   }
+
+  test("m11: clone pairs land in 'both'; verdicts stay flag-consistent") {
+    import spark.implicits._
+    // Engineered corpus: docs 1/2 are byte-exact clones (both tiers
+    // must pair them -> 'both'); 3 and 4 are unrelated prose. The
+    // testdata has no exact clones, so the 'both' quadrant is only
+    // reachable on an engineered corpus.
+    val clone = "the quick brown fox jumps over the lazy dog while " +
+      "rain falls on green hills and birds sing near the river"
+    val docs = Seq(
+      (1L, clone), (2L, clone),
+      (3L, "completely different words about spark joins and windows"),
+      (4L, "unrelated prose concerning parquet files and columnar io"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'srcX' AS source",
+        "length(text) AS n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("m11-spec")
+      .toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry
+      .queries("m11_modality_disagreement")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    rows.foreach { case (a, b, t, v, verdict) =>
+      assert(a < b, s"unordered pair ($a, $b)")
+      val expect = (t, v) match {
+        case (1, 1) => "both"
+        case (1, 0) => "text_only"
+        case (0, 1) => "visual_only"
+        case other => fail(s"pair ($a, $b) flags $other")
+      }
+      assert(verdict === expect, s"pair ($a, $b)")
+      // Stub-decoder invariant: the payload IS the text bytes, so a
+      // perceptual dup is a byte-exact clone, which SimHash also
+      // pairs — visual_only cannot occur until a real decoder makes
+      // payloads diverge from text.
+      assert(verdict !== "visual_only", s"pair ($a, $b)")
+    }
+    assert(rows.exists(r => r._1 == 1L && r._2 == 2L && r._5 == "both"),
+      s"the clone pair must be flagged by both tiers: ${rows.toSeq}")
+  }
 }
