@@ -420,6 +420,37 @@ object Multimodal {
             AND list_sum(list_transform(b.v, x -> x * x)) > 0)"""
   }
 
+  /** m12 body: frame-differencing scene cuts over a (doc_id, text)
+    * frame. Frames are m03's 64-char chunks at stride 192; the 28-bit
+    * md5-prefix feature stands in for a mean-luminance decode; a
+    * boundary fires where adjacent features differ by > 2²⁷ (half the
+    * range). Pure per-row HOF arithmetic — no shuffle, no explode.
+    */
+  def sceneDetect(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("""transform(sequence(0, (length(text) - 1) div 192),
+                  i -> cast(conv(substring(
+                         md5(substring(text, i*192 + 1, 64)),
+                         1, 7), 16, 10) as bigint))""")
+          .as("feats"))
+      .select(col("doc_id"), size(col("feats")).as("n_frames"),
+        // sequence(1, greatest(size-1, 1)) never descends (Spark's
+        // sequence defaults to step -1 when start > stop); the
+        // i <= size-1 guard voids the padding element on
+        // single-frame payloads.
+        expr("""filter(sequence(1, greatest(size(feats) - 1, 1)),
+                  i -> i <= size(feats) - 1 AND
+                       abs(element_at(feats, i + 1) -
+                           element_at(feats, i)) > 134217728)""")
+          .as("bounds"))
+      .select(col("doc_id"), col("n_frames"),
+        (size(col("bounds")) + 1).as("n_scenes"),
+        md5(concat_ws(",",
+          expr("transform(bounds, b -> cast(b as string))")))
+          .as("bounds_digest"))
+      .orderBy("doc_id")
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1001,6 +1032,44 @@ object Multimodal {
             ELSE 'visual_only' END AS verdict
         FROM tp t FULL JOIN vp v
           ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m12_scene_detect",
+      (s, dir) =>
+        // Scene-change detection over m03's sampled frame track: each
+        // payload's frames (64-char chunks at stride 192) reduce to a
+        // 28-bit luma proxy (md5 prefix — deterministic stand-in for
+        // a mean-luminance decode), and a boundary fires wherever two
+        // ADJACENT samples differ by more than half the feature range
+        // — the classic frame-differencing cut detector. Everything
+        // is per-row array arithmetic (transform/filter HOFs): zero
+        // shuffle, zero explode — at 100 TB scene detection is a
+        // map-only pass whose cost is the scan itself, and the frame
+        // arrays never become rows. The boundary list ships as one
+        // digest + count, not exploded rows.
+        sceneDetect(Tables.load(s, dir, "documents")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+            list_transform(range(0, (length(text) - 1) // 192 + 1),
+              i -> CAST('0x' || substr(
+                     md5(substr(text, CAST(i*192 + 1 AS INT), 64)),
+                     1, 7) AS BIGINT)) AS feats
+          FROM documents),
+        b AS (
+          SELECT doc_id, feats,
+            list_filter(range(1, len(feats)),
+              i -> abs(feats[i + 1] - feats[i]) > 134217728) AS bounds
+          FROM f)
+        SELECT doc_id, CAST(len(feats) AS INT) AS n_frames,
+          CAST(len(bounds) + 1 AS INT) AS n_scenes,
+          -- array_to_string([]) is NULL in DuckDB (not ''): COALESCE
+          -- pins the zero-boundary digest to md5('') like Spark's
+          -- concat_ws.
+          md5(COALESCE(array_to_string(
+            list_transform(bounds, x -> CAST(x AS VARCHAR)), ','), ''))
+            AS bounds_digest
+        FROM b ORDER BY doc_id"""))
   )
 }

@@ -2084,6 +2084,54 @@ object Similarity {
                               (a, b) -> a + b), 6) AS adist
           FROM cand GROUP BY qid, vec_id)"""
 
+  /** Maximum-inner-product top-k via the norm-augmentation reduction
+    * (Bachrach et al., RecSys'14; Neyshabur & Srebro's MIPS→cosine
+    * family): lift every corpus vector to x' = [x, √(M² − |x|²)]
+    * where M is the corpus max norm, and every query to q' = [q, 0].
+    * Every lifted corpus vector has |x'| = M by construction, so
+    * cosine order on the lifted pair IS inner-product order on the
+    * originals — the reduction that lets any cosine/L2 ANN index (the
+    * s02/s03/s11 family) serve dot-product retrieval unchanged.
+    *
+    * Ranking divides the lifted dot by (|q'| · M): M is one broadcast
+    * scalar, constant across the partition, so IEEE division
+    * preserves the inner-product order exactly (the per-row
+    * √(dot(x',x')) recomputation would wobble by ulps between rows —
+    * the constant is both the mathematically true |x'| and the
+    * numerically safe divisor). The corpus never shuffles: queries
+    * and the M scalar broadcast into one scan; the only exchange is
+    * the per-qid top-k window, |Q|·N rows wide before the rank cut —
+    * same shape as s01, and at 100 TB the same lift feeds the IVF
+    * router instead of the brute-force scan.
+    *
+    * Emits the RAW inner product per ranked pair; the oracle ranks by
+    * that inner product directly, with no lift — the hash match
+    * proves the reduction exact, not just plausible.
+    */
+  def mipsTopk(e0: DataFrame, nq: Int, k: Int): DataFrame = {
+    val e = e0.withColumn("n2", dot(col("v"), col("v")))
+    val m2 = e.agg(max(col("n2")).as("m2"))
+    val lifted = e.crossJoin(broadcast(m2))
+      .select(col("vec_id"), col("v"),
+        concat(col("v"), array(sqrt(col("m2") - col("n2")))).as("xa"),
+        sqrt(col("m2")).as("mnorm"))
+    val queries = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        concat(col("v"), array(lit(0.0d))).as("qa"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("aug_cos").desc, col("vec_id"))
+    lifted.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("aug_cos",
+        dot(col("qa"), col("xa")) /
+          (sqrt(dot(col("qa"), col("qa"))) * col("mnorm")))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")), 6).as("ip"), col("aug_cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("ip"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -3656,6 +3704,34 @@ object Similarity {
               PARTITION BY qid ORDER BY rrf DESC, vec_id) AS INT) AS rnk
           FROM fused)
         WHERE rnk <= 10
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s32_mips_topk",
+      (s, dir) =>
+        // Maximum-inner-product search (see [[mipsTopk]]): Spark ranks
+        // by cosine over norm-augmented vectors; the oracle ranks by
+        // the raw inner product with no augmentation — independent
+        // restatements whose hash match proves the MIPS→cosine
+        // reduction exact on the real corpus.
+        mipsTopk(emb(s, dir), nq = 5, k = 5),
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.qid, e.vec_id,
+            list_sum(list_transform(list_zip(q.qv, e.v),
+                                    p -> p[1] * p[2])) AS ip
+          FROM e JOIN q ON e.vec_id <> q.qid)
+        SELECT qid, vec_id, ROUND(ip, 6) AS ip, rnk FROM (
+          SELECT qid, vec_id, ip,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY ip DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
         ORDER BY qid, rnk"""))
   )
 }

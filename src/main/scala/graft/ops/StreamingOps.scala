@@ -628,6 +628,44 @@ object StreamingOps {
         SELECT doc_id, n_feats, score_micros,
           CAST(score_micros >= 0 AS INT) AS admitted
         FROM sc
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st26_stream_outer_interval_join",
+      (s, dir) => EventStream.runIntervalJoinOuter(s, dir),
+      // Left-outer stream-stream join: matched pairs emit in their
+      // batch (st03's rows, verbatim); a NULL-attributed purchase
+      // emits only once the watermark proves no admissible view can
+      // still arrive — wm = min of both sides' watermarks (Spark's
+      // multi-watermark MIN policy), each max event time floored to
+      // ms (st13's pinned rule), and the purchase row is released on
+      // strict ts < wm. Purchases at or above the final watermark
+      // stay in state and emit nothing — the oracle's gate on the
+      // null branch states exactly that.
+      Some("""
+        WITH p AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase'),
+        v AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'view'),
+        wm AS (
+          SELECT make_timestamp(
+            (LEAST((SELECT MAX(epoch_us(ts)) FROM p),
+                   (SELECT MAX(epoch_us(ts)) FROM v))
+             // 1000 - 3600000) * 1000) AS w),
+        m AS (
+          SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+            v.event_id AS view_event_id, v.ts AS view_ts
+          FROM p JOIN v ON p.user_id = v.user_id
+           AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR)
+        SELECT purchase_id, user_id, ts, view_event_id, view_ts FROM m
+        UNION ALL
+        SELECT p.event_id, p.user_id, p.ts,
+          CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+        FROM p, wm
+        WHERE p.ts < wm.w
+          AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.event_id)
+        ORDER BY purchase_id, view_event_id"""))
   )
 }

@@ -855,6 +855,54 @@ object TextAnalysis {
           FROM docb JOIN ratio USING (b)
           GROUP BY doc_id, source)"""
 
+  /** t24 body: Zipf rank–frequency slope per source — the power-law
+    * health check a corpus curator reads per scrape (natural text
+    * tracks cnt ∝ rank⁻¹, i.e. slope ≈ −1 on log–log axes; template
+    * spam and boilerplate bend it). Least-squares fit of
+    * y = ln(count) on x = ln(rank) over each source's top-`k` terms.
+    *
+    * Scale shape: term counts are ONE (source, term) groupBy with
+    * map-side combine — the only pass over text; the rank window and
+    * the OLS run on ≤ `k` rows per source. Determinism: ln is rounded
+    * to 6 decimals per term BEFORE any sum (t10's idf convention —
+    * engines' ln may differ 1 ulp); the four OLS sums fold
+    * rank-ordered arrays (t15's pos-ordered-fold convention), so both
+    * engines add identical doubles in the identical order.
+    */
+  def zipfSlope(documents: DataFrame, k: Int): DataFrame = {
+    val tok = documents.filter(col("text").isNotNull)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("term"))
+    val top = tok.groupBy("source", "term")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"),
+        round(log(col("rnk").cast("double")), 6).as("x"),
+        round(log(col("cnt").cast("double")), 6).as("y"))
+    val sums = top.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("rnk"), col("x"), col("y"))))
+          .as("ps"))
+      .select(col("source"), col("n"),
+        expr("aggregate(ps, cast(0.0 as double), (a, p) -> a + p.x)")
+          .as("sx"),
+        expr("aggregate(ps, cast(0.0 as double), (a, p) -> a + p.y)")
+          .as("sy"),
+        expr("aggregate(ps, cast(0.0 as double), (a, p) -> a + p.x * p.y)")
+          .as("sxy"),
+        expr("aggregate(ps, cast(0.0 as double), (a, p) -> a + p.x * p.x)")
+          .as("sxx"))
+    val nD = col("n").cast("double")
+    val slopeRaw = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("source"), col("n").as("n_terms"),
+      round(slopeRaw, 6).as("slope"),
+      round((col("sy") - slopeRaw * col("sx")) / nD, 6).as("intercept"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1751,6 +1799,55 @@ object TextAnalysis {
         WITH ${sqlDsirChain("src1", 4096)}
         SELECT doc_id, source, n_feats, dsir_logratio
         FROM wts
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t24_zipf_slope",
+      (s, dir) =>
+        // Zipf power-law audit (see [[zipfSlope]]): OLS slope of
+        // ln(count) on ln(rank) over each source's top-100 terms —
+        // natural text lands near −1; template spam bends it.
+        zipfSlope(docs(s, dir), k = 100),
+      Some("""
+        WITH toks AS (
+          SELECT source,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS l
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT source, u.t AS term
+          FROM toks, unnest(list_transform(range(1, len(l) + 1),
+                            i -> {'t': l[i]})) AS s(u)),
+        cnt AS (
+          SELECT source, term, COUNT(*) AS cnt
+          FROM tok GROUP BY source, term),
+        top AS (
+          SELECT source, rnk,
+            ROUND(ln(CAST(rnk AS DOUBLE)), 6) AS x,
+            ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS y
+          FROM (
+            SELECT source, cnt,
+              ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY cnt DESC, term) AS rnk
+            FROM cnt)
+          WHERE rnk <= 100),
+        sums AS (
+          SELECT source, COUNT(*) AS n,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x ORDER BY rnk)), (a, b) -> a + b) AS sx,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(y ORDER BY rnk)), (a, b) -> a + b) AS sy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x * y ORDER BY rnk)), (a, b) -> a + b) AS sxy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x * x ORDER BY rnk)), (a, b) -> a + b) AS sxx
+          FROM top GROUP BY source)
+        SELECT source, CAST(n AS BIGINT) AS n_terms,
+          ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+          ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                       (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
+                CAST(n AS DOUBLE), 6) AS intercept
+        FROM sums ORDER BY source"""))
   )
 }

@@ -233,6 +233,48 @@ object EventStream {
     drainMemoryTable(spark, name, "purchase_id", "view_event_id")
   }
 
+  /** st26: the LEFT OUTER stream-stream interval join — st03's inner
+    * join answers "which views preceded this purchase"; the outer
+    * variant answers the question attribution actually asks: EVERY
+    * purchase, view-attributed or provably organic. Structured
+    * Streaming cannot emit the null row when the purchase arrives (a
+    * matching view may still come); it emits it from the join state
+    * only once the watermark proves no admissible view remains —
+    * i.e. wm ≥ purchase ts, where wm is the MIN of both sides'
+    * watermarks (Spark's multi-watermark policy) with event times
+    * floored to ms (st13's pinned rule). Purchases younger than the
+    * final watermark stay in state and emit NOTHING — the oracle
+    * states that gate explicitly, which is what makes this row a real
+    * check of watermark-driven null emission rather than a batch left
+    * join in disguise.
+    *
+    * Scale shape: state is bounded on both sides by the 1 h condition
+    * bound + 1 h lateness — eviction is the same keyed range cleanup
+    * as the inner join, and null emission piggybacks on it. No
+    * unbounded buffers at any rate.
+    */
+  def runIntervalJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_ssjoin_o_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = readStream(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    withStreamShufflePartitions(spark, 8) {
+      val q = purchasesWithRecentViews(p, v, joinType = "left_outer")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("view_event_id"), col("view_ts"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemoryTable(spark, name, "purchase_id", "view_event_id")
+  }
+
   /** Run sessionization with Spark's NATIVE `session_window` operator
     * as a REAL streaming query — the compose-existing-ops counterpart
     * to [[sessionize]]'s custom flatMapGroupsWithState: merging
@@ -487,7 +529,8 @@ object EventStream {
     * requirement for an unbounded stream-stream join.
     */
   def purchasesWithRecentViews(
-      purchases: DataFrame, views: DataFrame): DataFrame = {
+      purchases: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("ts", "1 hour")
     val v = views
       .withColumnRenamed("ts", "view_ts")
@@ -497,7 +540,8 @@ object EventStream {
     p.join(v,
       col("user_id") === col("view_user") &&
         col("view_ts") <= col("ts") &&
-        col("view_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+        col("view_ts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
   }
 
   final case class WindowTopUser(

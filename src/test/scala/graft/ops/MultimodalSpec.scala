@@ -315,4 +315,35 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(r => r._1 == 1L && r._2 == 2L && r._5 == "both"),
       s"the clone pair must be flagged by both tiers: ${rows.toSeq}")
   }
+
+  test("m12 scene detect: single-frame guard; boundaries match a JVM recompute") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Independent JVM restatement of the frame/feature arithmetic.
+    def feats(text: String): Seq[Long] =
+      (0 to (text.length - 1) / 192).map { i =>
+        val frame = text.slice(i * 192, i * 192 + 64)
+        java.lang.Long.parseLong(md5hex(frame).take(7), 16)
+      }
+    val a = "x" * 100 // one frame: the greatest() guard path
+    val b = (0 until 1000) // six frames, varied content
+      .map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Multimodal.sceneDetect(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) === ((1, 1, md5hex(""))), out.toString)
+    val fb = feats(b)
+    val bounds = (1 until fb.length)
+      .filter(i => math.abs(fb(i) - fb(i - 1)) > 134217728L)
+    assert(out(2L) === ((fb.length, bounds.length + 1,
+      md5hex(bounds.mkString(",")))), out.toString)
+    // A detector that never fires (or always fires) proves nothing:
+    // the varied-content doc must contain at least one cut and at
+    // least one non-cut.
+    assert(bounds.nonEmpty && bounds.length < fb.length - 1)
+  }
 }

@@ -1104,4 +1104,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) === ((10L, Some(1), None, 0.016393)), out.toString)
     assert(out(3) === ((12L, None, Some(1), 0.016393)), out.toString)
   }
+
+  test("s32 MIPS: norm-augmented cosine ranks by inner product, not cosine") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Query q = vec 0 = [2, 0]. Candidates: w = [3, 4] (ip 6, cos .6),
+    // z = [1, 0] (ip 2, cos 1.0), u = [.6, .8] (ip 1.2, cos .6).
+    // Plain cosine would put z first; MIPS must put w first — the
+    // large-norm vector wins on inner product despite the worse angle.
+    val e = Seq(
+      (0L, Seq(2.0, 0.0)),
+      (10L, Seq(3.0, 4.0)),
+      (11L, Seq(1.0, 0.0)),
+      (12L, Seq(0.6, 0.8)))
+      .toDF("vec_id", "v")
+    graft.functions.VectorExpressions.register(spark)
+    val out = Similarity.mipsTopk(e, nq = 1, k = 3).collect()
+      .map(r => r.getInt(3) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1) === ((10L, 6.0)), out.toString)
+    assert(out(2) === ((11L, 2.0)), out.toString)
+    assert(out(3) === ((12L, 1.2)), out.toString)
+  }
+
+  test("s32 lift is real: every augmented corpus vector has norm M") {
+    import org.apache.spark.sql.functions._
+    val e = Similarity.emb(spark, "/root/testdata/sf0.001")
+    val n2 = e.select(Similarity.dot(col("v"), col("v")).as("n2"))
+    val m2 = n2.agg(max("n2")).collect().head.getDouble(0)
+    // Reconstruct the lift exactly as mipsTopk does and check the
+    // invariant the reduction rests on: |x'|² = M² for every row.
+    val lifted = e.crossJoin(broadcast(n2.agg(max(col("n2")).as("m2"))))
+      .select(concat(col("v"),
+        array(sqrt(col("m2") - Similarity.dot(col("v"), col("v")))))
+        .as("xa"))
+      .select(Similarity.dot(col("xa"), col("xa")).as("an2"))
+    val Array(lo, hi) = lifted.agg(min("an2"), max("an2")).collect()
+      .head.toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(lo - m2) < 1e-9 * m2, s"lo=$lo m2=$m2")
+    assert(math.abs(hi - m2) < 1e-9 * m2, s"hi=$hi m2=$m2")
+  }
 }

@@ -390,4 +390,41 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
     assert(keep === Map(10L -> 1, 11L -> 0, 12L -> 0, 13L -> 0), keep)
   }
+
+  test("t24: a perfect cnt ∝ 1/rank corpus fits slope −1; OLS matches a JVM recompute") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    // Source "pow": counts 12/6/4/3 at ranks 1..4 — exactly 12/rank,
+    // so y = ln 12 − 1·x and the fit must return slope −1 (up to the
+    // per-term round-6 inputs). Source "flat": all counts equal → the
+    // fitted slope is 0.
+    val pow = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val docs = Seq(
+      (1L, pow.mkString(" "), "pow"),
+      (2L, "ee ff gg hh", "flat"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfSlope(docs, k = 100).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // Independent OLS over the rounded (x, y) points, as documented.
+    def ols(counts: Seq[Long]): (Double, Double) = {
+      val pts = counts.zipWithIndex.map { case (c, i) =>
+        (r6(math.log(i + 1.0)), r6(math.log(c.toDouble))) }
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sl = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (r6(sl), r6((sy - sl * sx) / n))
+    }
+    val (slP, icP) = ols(Seq(12L, 6L, 4L, 3L))
+    assert(out("pow") === ((4L, slP, icP)), out.toString)
+    assert(math.abs(slP + 1.0) < 1e-4, s"power-law slope $slP")
+    assert(math.abs(icP - r6(math.log(12.0))) < 1e-4, s"intercept $icP")
+    val (slF, icF) = ols(Seq(1L, 1L, 1L, 1L))
+    assert(out("flat") === ((4L, slF, icF)), out.toString)
+    assert(slF === 0.0 && math.abs(icF) < 1e-12, s"flat slope $slF")
+  }
 }

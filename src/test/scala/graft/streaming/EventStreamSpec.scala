@@ -541,6 +541,55 @@ class EventStreamSpec extends SparkSpec {
       s"interval-join state $maxState exceeds the 4h-of-traffic bound")
   }
 
+  test("st26: outer interval join null-attributes a purchase only after finalization") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000000
+
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val toTs = (ds: org.apache.spark.sql.Dataset[Ev]) =>
+      ds.withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = purchasesWithRecentViews(
+      toTs(pIn.toDS()), toTs(vIn.toDS()), joinType = "left_outer")
+      .select(col("event_id"), col("view_event_id"))
+      .writeStream.format("memory").queryName("ssjoin_outer_test")
+      .outputMode(OutputMode.Append()).start()
+
+    def rows(): Set[(Long, Option[Long])] =
+      spark.table("ssjoin_outer_test").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+
+    // view at t=30min; purchase 1 at t=1h (matches it), purchase 2 at
+    // t=3h (no view in its window).
+    vIn.addData(Ev(100, 7, hourUs / 2))
+    pIn.addData(Ev(1, 7, hourUs), Ev(2, 7, 3 * hourUs))
+    q.processAllAvailable()
+    // The unmatched purchase must NOT null-emit yet — a matching view
+    // could still arrive; only the watermark may release it.
+    assert(!rows().exists(_._2.isEmpty), rows().toString)
+
+    // Advance both sides to t=30h, then nudge again at t=31h so the
+    // eviction batch after the watermark update runs.
+    vIn.addData(Ev(101, 7, 30 * hourUs))
+    pIn.addData(Ev(3, 7, 30 * hourUs))
+    q.processAllAvailable()
+    vIn.addData(Ev(102, 7, 31 * hourUs))
+    pIn.addData(Ev(4, 7, 31 * hourUs))
+    q.processAllAvailable()
+
+    val out = rows()
+    assert(out.contains((1L, Some(100L))), out.toString) // matched pair
+    assert(out.contains((2L, None)), out.toString) // finalized: organic
+    assert(!out.contains((1L, None)), out.toString) // matched ≠ re-null
+    // Purchases at/above the final watermark stay in state: no null
+    // row may exist for them.
+    assert(!out.exists(p => p._1 >= 3L && p._2.isEmpty), out.toString)
+    q.stop()
+  }
+
   test("streaming dedup with dropDuplicatesWithinWatermark") {
     val sparkS = spark
     import sparkS.implicits._
