@@ -420,6 +420,17 @@ object Multimodal {
             AND list_sum(list_transform(b.v, x -> x * x)) > 0)"""
   }
 
+  /** m03's frame track as a 28-bit feature array: 64-char chunks at
+    * stride 192, each reduced to a md5-prefix integer (deterministic
+    * stand-in for a decoded per-frame statistic). Shared by m12's
+    * scene cuts and m13's silence runs.
+    */
+  private val frameFeatsSql: String =
+    """transform(sequence(0, (length(text) - 1) div 192),
+         i -> cast(conv(substring(
+                md5(substring(text, i*192 + 1, 64)),
+                1, 7), 16, 10) as bigint))"""
+
   /** m12 body: frame-differencing scene cuts over a (doc_id, text)
     * frame. Frames are m03's 64-char chunks at stride 192; the 28-bit
     * md5-prefix feature stands in for a mean-luminance decode; a
@@ -428,12 +439,7 @@ object Multimodal {
     */
   def sceneDetect(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"),
-        expr("""transform(sequence(0, (length(text) - 1) div 192),
-                  i -> cast(conv(substring(
-                         md5(substring(text, i*192 + 1, 64)),
-                         1, 7), 16, 10) as bigint))""")
-          .as("feats"))
+      .select(col("doc_id"), expr(frameFeatsSql).as("feats"))
       .select(col("doc_id"), size(col("feats")).as("n_frames"),
         // sequence(1, greatest(size-1, 1)) never descends (Spark's
         // sequence defaults to step -1 when start > stop); the
@@ -449,6 +455,36 @@ object Multimodal {
         md5(concat_ws(",",
           expr("transform(bounds, b -> cast(b as string))")))
           .as("bounds_digest"))
+      .orderBy("doc_id")
+
+  /** m13 body: silence-run detection over the same frame track — the
+    * audio-curation staple (dead-air trimming, stuck-encoder drops):
+    * a frame is "silent" when its 28-bit feature falls below a
+    * quarter of the range (the RMS-floor stand-in), and the operator
+    * reports how MANY maximal silent runs each payload has and the
+    * longest one. The run-length scan is ONE aggregate() fold over
+    * the flag array carrying a (current, best, runs) struct — strictly
+    * sequential per payload, embarrassingly parallel across payloads,
+    * zero shuffle, zero explode. The oracle deliberately restates the
+    * runs by the OPPOSITE construction — unnest + gaps-and-islands
+    * (idx − row_number) — so the hash match cross-checks two
+    * independent run-length formulations.
+    */
+  def silenceRuns(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(frameFeatsSql).as("feats"))
+      .select(col("doc_id"), size(col("feats")).as("n_frames"),
+        expr("size(filter(feats, f -> f < 67108864))").as("n_silent"),
+        expr("""aggregate(
+                  transform(feats, f -> IF(f < 67108864, 1, 0)),
+                  named_struct('cur', 0, 'best', 0, 'runs', 0),
+                  (s, x) -> named_struct(
+                    'cur', IF(x = 1, s.cur + 1, 0),
+                    'best', greatest(s.best, IF(x = 1, s.cur + 1, 0)),
+                    'runs', s.runs + IF(x = 1 AND s.cur = 0, 1, 0)))""")
+          .as("st"))
+      .select(col("doc_id"), col("n_frames"), col("n_silent"),
+        col("st.runs").as("n_runs"), col("st.best").as("longest_run"))
       .orderBy("doc_id")
 
   val all: Seq[Q] = Seq(
@@ -1070,6 +1106,49 @@ object Multimodal {
           md5(COALESCE(array_to_string(
             list_transform(bounds, x -> CAST(x AS VARCHAR)), ','), ''))
             AS bounds_digest
-        FROM b ORDER BY doc_id"""))
+        FROM b ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m13_silence_runs",
+      (s, dir) =>
+        // Silence-run detection (see [[silenceRuns]]): Spark scans
+        // each payload's flag array with ONE sequential fold; the
+        // oracle recounts the same runs via unnest +
+        // gaps-and-islands — two independent run-length
+        // formulations, one hash.
+        silenceRuns(Tables.load(s, dir, "documents")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+            list_transform(range(0, (length(text) - 1) // 192 + 1),
+              i -> CAST('0x' || substr(
+                     md5(substr(text, CAST(i*192 + 1 AS INT), 64)),
+                     1, 7) AS BIGINT)) AS feats
+          FROM documents),
+        fr AS (
+          SELECT doc_id, u.i AS idx, u.v AS v
+          FROM f, unnest(list_transform(range(1, len(feats) + 1),
+                         i -> {'i': i, 'v': feats[i]})) AS s(u)),
+        sil AS (
+          SELECT doc_id, idx,
+            idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY idx) AS isl
+          FROM fr WHERE v < 67108864),
+        runs AS (
+          SELECT doc_id, isl, COUNT(*) AS runlen
+          FROM sil GROUP BY doc_id, isl),
+        ra AS (
+          SELECT doc_id, COUNT(*) AS n_runs, MAX(runlen) AS longest
+          FROM runs GROUP BY doc_id),
+        base AS (
+          SELECT doc_id, CAST(len(feats) AS INT) AS n_frames,
+            CAST(len(list_filter(feats, x -> x < 67108864)) AS INT)
+              AS n_silent
+          FROM f)
+        SELECT b.doc_id, b.n_frames, b.n_silent,
+          CAST(COALESCE(ra.n_runs, 0) AS INT) AS n_runs,
+          CAST(COALESCE(ra.longest, 0) AS INT) AS longest_run
+        FROM base b LEFT JOIN ra ON b.doc_id = ra.doc_id
+        ORDER BY b.doc_id"""))
   )
 }

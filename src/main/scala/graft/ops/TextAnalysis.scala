@@ -903,6 +903,39 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t25 body: per-document Shannon entropy of the token
+    * distribution — the lexical-diversity filter that separates
+    * natural prose (high entropy) from template/keyword-stuffed text
+    * (low entropy, a few tokens dominate) without any reference
+    * model; the per-doc complement of t15's corpus-LM score.
+    * H = −Σ p·ln p over the doc's own term frequencies.
+    *
+    * Determinism: p = cnt/n is one exact IEEE division; ln is
+    * rounded to 6 dp per term BEFORE the sum (the t10/t15
+    * convention); the sum folds a TERM-ORDERED array so both engines
+    * add identical doubles in identical order. Scale shape: one
+    * (doc_id, term) count with map-side combine, one per-doc
+    * aggregation — shuffles carry (id, term) pairs, never text, and
+    * per-doc state is bounded by the doc's own vocabulary.
+    */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val tok = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    tok.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        array_sort(collect_list(struct(col("term"), col("cnt"))))
+          .as("ps"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(-expr(
+          """aggregate(ps, cast(0.0 as double), (a, p) ->
+               a + (cast(p.cnt as double) / cast(n_tokens as double)) *
+                   round(ln(cast(p.cnt as double) /
+                            cast(n_tokens as double)), 6))"""), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1848,6 +1881,40 @@ object TextAnalysis {
           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
                        (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
                 CAST(n AS DOUBLE), 6) AS intercept
-        FROM sums ORDER BY source"""))
+        FROM sums ORDER BY source""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t25_token_entropy",
+      (s, dir) =>
+        // Lexical diversity (see [[tokenEntropy]]): per-doc Shannon
+        // entropy of the token distribution — the model-free
+        // template/keyword-stuffing filter.
+        tokenEntropy(docs(s, dir)),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS l
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id, u.t AS term
+          FROM toks, unnest(list_transform(range(1, len(l) + 1),
+                            i -> {'t': l[i]})) AS s(u)),
+        cnt AS (
+          SELECT doc_id, term, COUNT(*) AS cnt
+          FROM tok GROUP BY doc_id, term),
+        agg AS (
+          SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+            list(cnt ORDER BY term) AS cs
+          FROM cnt GROUP BY doc_id)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(n_distinct AS BIGINT) AS n_distinct,
+          ROUND(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c ->
+              (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) *
+              ROUND(ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)),
+                    6))),
+            (a, b) -> a + b), 6) AS entropy
+        FROM agg ORDER BY doc_id"""))
   )
 }

@@ -346,4 +346,43 @@ class MultimodalSpec extends SparkSpec {
     // least one non-cut.
     assert(bounds.nonEmpty && bounds.length < fb.length - 1)
   }
+
+  test("m13 silence runs: fold matches an independent JVM run-length scan") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def feats(text: String): Seq[Long] =
+      (0 to (text.length - 1) / 192).map { i =>
+        java.lang.Long.parseLong(
+          md5hex(text.slice(i * 192, i * 192 + 64)).take(7), 16)
+      }
+    def scan(flags: Seq[Boolean]): (Int, Int, Int) = { // silent, runs, best
+      var cur = 0; var best = 0; var runs = 0
+      flags.foreach { s =>
+        cur = if (s) cur + 1 else 0
+        best = math.max(best, cur)
+        if (s && cur == 1) runs += 1
+      }
+      (flags.count(identity), runs, best)
+    }
+    val varied = (0 until 1000).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    // "a"*576 yields three identical leading frames whose feature is
+    // silent (md5("a"*64) prefix < 2^26) — a genuine multi-frame run.
+    val withRun = ("a" * 576) + varied
+    val docs = Seq((1L, varied), (2L, withRun)).toDF("doc_id", "text")
+    val out = Multimodal.silenceRuns(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    Seq(1L -> varied, 2L -> withRun).foreach { case (id, text) =>
+      val fs = feats(text)
+      val (silent, runs, best) = scan(fs.map(_ < 67108864L))
+      assert(out(id) === ((fs.length, silent, runs, best)),
+        s"doc $id: ${out(id)} vs JVM (${fs.length}, $silent, $runs, $best)")
+    }
+    // The engineered doc must actually exercise run accumulation:
+    // a ≥3-frame run and more than one distinct run.
+    assert(out(2L)._4 >= 3 && out(2L)._3 >= 2, out.toString)
+  }
 }

@@ -999,4 +999,39 @@ class PlanSpec extends SparkSpec {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("*(1) Filter"), p)
   }
+
+  test("s32: MIPS lift broadcasts M and the query set; the corpus " +
+    "never feeds a cartesian") {
+    val p = plan("s32_mips_topk")
+    // The 1-row max-norm scalar and the tiny query frame broadcast
+    // into the corpus scan; the corpus's only exchange is the
+    // per-qid top-k window. A CartesianProduct would mean the corpus
+    // self-paired — the exact failure the lift exists to avoid.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // ≠-key join, tiny side broadcast
+    assert(p.contains("WindowGroupLimit"), p) // rank cut below the final sort
+  }
+
+  test("m12: scene detection is a pure projection — no exchange " +
+    "before the output sort, no generate") {
+    val p = plan("m12_scene_detect")
+    // All frame/boundary arithmetic is per-row HOFs: the ONLY
+    // exchange allowed is the rangepartitioning for the final
+    // ORDER BY doc_id, and frames must never explode into rows.
+    assert(!p.contains("Generate"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the output-sort exchange:\n$p")
+  }
+
+  test("t24: zipf term counts combine map-side; OLS runs on the " +
+    "top-k rows only") {
+    val p = plan("t24_zipf_slope")
+    // (source, term) counts must partial-aggregate before their
+    // shuffle — the only pass over text.
+    assert(p.contains("partial_count"), p)
+    // The rank window's limit is pushed (top-100 per source), so the
+    // OLS never sees the full term table.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

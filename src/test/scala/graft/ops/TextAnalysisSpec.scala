@@ -427,4 +427,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("flat") === ((4L, slF, icF)), out.toString)
     assert(slF === 0.0 && math.abs(icF) < 1e-12, s"flat slope $slF")
   }
+
+  test("t25: entropy is 0 for a one-token doc, ln k for uniform, and " +
+    "matches a JVM recompute for a skewed doc") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    val docs = Seq(
+      (1L, "a a a a"), // degenerate: one term → H = 0
+      (2L, "a b c d"), // uniform over 4 → H = ln 4
+      (3L, "a a b")) // skewed: H = −(2/3·ln 2/3 + 1/3·ln 1/3)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // Independent recompute with the documented rounding contract:
+    // per-term ln rounded to 6 dp before the ordered sum.
+    def h(counts: Seq[Long]): Double = {
+      val n = counts.sum.toDouble
+      r6(-counts.map(c => (c / n) * r6(math.log(c / n))).sum)
+    }
+    assert(out(1L) === ((4L, 1L, 0.0)), out.toString)
+    assert(out(2L) === ((4L, 4L, h(Seq(1L, 1L, 1L, 1L)))), out.toString)
+    assert(math.abs(out(2L)._3 - math.log(4.0)) < 1e-5, out.toString)
+    assert(out(3L) === ((3L, 2L, h(Seq(2L, 1L)))), out.toString)
+    // Uniform strictly beats skewed beats degenerate.
+    assert(out(2L)._3 > out(3L)._3 && out(3L)._3 > out(1L)._3)
+  }
 }
