@@ -787,6 +787,33 @@ object Dedup {
       .select(col("doc_id"), simhash64("toks").as("simhash"))
   }
 
+  /** d21 body: the per-source dedup IMPACT report — the number a
+    * curator actually reads after a dedup pass: how many docs and how
+    * much character mass each scrape loses to d07's keeper election,
+    * and the drop ratio. Composes [[oneHopKeepers]] (two keyed
+    * shuffles over band rows, never text) with one (doc_id)-equi join
+    * back to the pruned (source, n_chars) projection and a
+    * map-side-combining per-source aggregate — at 100 TB the report
+    * costs the dedup pass it audits plus one scan-width join; the
+    * output is |sources| rows.
+    */
+  def dedupImpact(documents: DataFrame): DataFrame = {
+    val verdict = oneHopKeepers(documents)
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(verdict.select(col("doc_id"), col("is_kept")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((lit(1) - col("is_kept")).cast("long")).as("n_dropped"),
+        sum(col("n_chars")).as("chars_total"),
+        sum((col("n_chars") * (lit(1) - col("is_kept"))).cast("long"))
+          .as("chars_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("chars_total"), col("chars_dropped"),
+        round(col("chars_dropped").cast("double") /
+          col("chars_total").cast("double"), 6).as("drop_ratio"))
+      .orderBy("source")
+  }
+
   val sqlBandsCte =
     s"""WITH toks AS ($sqlToks),
         sh AS ($sqlShingles),
@@ -1618,6 +1645,29 @@ object Dedup {
         LEFT JOIN nh USING (doc_id)
         LEFT JOIN ne USING (doc_id)
         WHERE t.doc_id % 23 <> 0
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "d21_dedup_impact",
+      (s, dir) => dedupImpact(docs(s, dir)),
+      Some(s"""
+        $sqlBandsCte,
+        bm AS (
+          SELECT band_id, band_hash, MIN(doc_id) AS bucket_min
+          FROM bands GROUP BY band_id, band_hash),
+        verdict AS (
+          SELECT b.doc_id,
+            CAST(MIN(bm.bucket_min) = b.doc_id AS INT) AS is_kept
+          FROM bands b JOIN bm USING (band_id, band_hash)
+          GROUP BY b.doc_id)
+        SELECT d.source, COUNT(*) AS n_docs,
+          CAST(SUM(1 - v.is_kept) AS BIGINT) AS n_dropped,
+          CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+          CAST(SUM(d.n_chars * (1 - v.is_kept)) AS BIGINT)
+            AS chars_dropped,
+          ROUND(CAST(SUM(d.n_chars * (1 - v.is_kept)) AS DOUBLE) /
+                CAST(SUM(d.n_chars) AS DOUBLE), 6) AS drop_ratio
+        FROM documents d JOIN verdict v USING (doc_id)
+        GROUP BY d.source ORDER BY d.source"""))
   )
 }

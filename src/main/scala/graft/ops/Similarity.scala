@@ -3732,6 +3732,89 @@ object Similarity {
                                ORDER BY ip DESC, vec_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s33_mips_ivf",
+      (s, dir) => {
+        // The INDEXED MIPS serve path: s32's lift feeds the existing
+        // IVF operator UNCHANGED — corpus lifted to [x, √(M²−|x|²)],
+        // queries to [q, 0], then [[ivfTopk]] exactly as cosine
+        // search uses it (lifted per-label centroids, lifted-cosine
+        // probe, in-cell lifted-cosine rank). Because every lifted
+        // corpus vector has norm M, the in-cell order IS raw
+        // inner-product order — and the oracle PROVES that: it ranks
+        // the probed cell by the raw dot product while emitting the
+        // lifted cosine, so the hash matches only if the index's
+        // order and true MIPS order agree row for row.
+        val e = emb(s, dir)
+        val en = e.withColumn("n2", dot(col("v"), col("v")))
+        val m2 = en.agg(max(col("n2")).as("m2"))
+        val lifted = en.crossJoin(broadcast(m2))
+          .select(col("vec_id"), col("label"),
+            concat(col("v"), array(sqrt(col("m2") - col("n2"))))
+              .as("v"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            concat(col("v"), array(lit(0.0d))).as("qv"))
+        ivfTopk(lifted, queries, k = 5).orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n2 AS (
+          SELECT vec_id, label, v,
+            list_sum(list_transform(v, x -> x * x)) AS n2
+          FROM e),
+        mx AS (SELECT MAX(n2) AS m2 FROM n2),
+        le AS (
+          SELECT vec_id, label, v,
+            list_append(v, sqrt(mx.m2 - n2)) AS xa
+          FROM n2, mx),
+        dims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM le, unnest(list_transform(range(1, len(xa) + 1),
+                          i -> {'i': i, 'x': xa[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                AS cx
+            FROM dims GROUP BY label, dim)
+          GROUP BY label),
+        q AS (
+          SELECT vec_id AS qid, v AS qv,
+            list_append(v, CAST(0.0 AS DOUBLE)) AS qa
+          FROM e WHERE vec_id < 5),
+        probe AS (
+          SELECT qid, qv, qa, label AS probe_label FROM (
+            SELECT q.qid, q.qv, q.qa, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qa, c.cv),
+                                         p -> p[1] * p[2])) /
+                 (sqrt(list_sum(list_transform(q.qa, x -> x * x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x * x)))))
+                DESC, c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn = 1),
+        scored AS (
+          SELECT p.qid, p.probe_label, l.vec_id,
+            ROUND(list_sum(list_transform(list_zip(p.qa, l.xa),
+                                          pr -> pr[1] * pr[2])) /
+              (sqrt(list_sum(list_transform(p.qa, x -> x * x))) *
+               sqrt(list_sum(list_transform(l.xa, x -> x * x)))), 6)
+              AS cos_sim,
+            list_sum(list_transform(list_zip(p.qv, l.v),
+                                    pr -> pr[1] * pr[2])) AS ip
+          FROM le l JOIN probe p
+            ON l.label = p.probe_label AND l.vec_id <> p.qid)
+        SELECT qid, probe_label, vec_id, cos_sim, rnk FROM (
+          SELECT qid, probe_label, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY ip DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
         ORDER BY qid, rnk"""))
   )
 }

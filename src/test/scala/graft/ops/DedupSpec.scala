@@ -460,4 +460,26 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((3L, 0L, 0L, 1)), got(2L))
     assert(got(3L) == ((0L, 0L, 0L, 1)), got(3L))
   }
+
+  test("d21: per-source impact counts the clone loss and char mass exactly") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val clone = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu"
+    val uniq = "one two three four five six seven eight nine ten " +
+      "eleven twelve"
+    val docs = Seq(
+      (1L, clone, "srcA", clone.length.toLong),
+      (2L, clone, "srcA", clone.length.toLong), // exact clone → dropped
+      (3L, uniq, "srcB", uniq.length.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Dedup.dedupImpact(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("srcA") ===
+      ((2L, 1L, 2L * clone.length, clone.length.toLong, 0.5)),
+      out.toString)
+    assert(out("srcB") ===
+      ((1L, 0L, uniq.length.toLong, 0L, 0.0)), out.toString)
+  }
 }

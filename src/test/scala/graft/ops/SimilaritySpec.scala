@@ -1143,4 +1143,32 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(lo - m2) < 1e-9 * m2, s"lo=$lo m2=$m2")
     assert(math.abs(hi - m2) < 1e-9 * m2, s"hi=$hi m2=$m2")
   }
+
+  test("s33: the lifted IVF's in-cell order is the raw inner-product order") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("s33_mips_ivf")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4))) // qid, vec, rnk
+    assert(out.length == 25, s"expected 5 queries × top-5: ${out.length}")
+    val ids = out.flatMap(p => Seq(p._1, p._2)).toSet
+    val vecs = Similarity.emb(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](2).toArray).toMap
+      .filter { case (id, _) => ids.contains(id) }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val ranked = rows.sortBy(_._3)
+        .map(p => (p._2, dot(vecs(qid), vecs(p._2))))
+      // Non-increasing raw dot down the ranked list, vec_id breaking
+      // exact ties — the property the lift is supposed to buy.
+      ranked.sliding(2).foreach { case Array((v1, d1), (v2, d2)) =>
+        assert(d1 > d2 || (d1 == d2 && v1 < v2),
+          s"qid=$qid: rank order violates MIPS order: " +
+            s"($v1, $d1) before ($v2, $d2)")
+      }
+    }
+  }
 }
