@@ -14,6 +14,13 @@ Test / fork := true
 // default session); run them sequentially.
 Test / parallelExecution := false
 run / fork := true
+// The forked run's stdout must reach the console VERBATIM: sbt's
+// default LoggedOutput prefixes every line with "[info] ", which is
+// exactly why the driver's tail-parse of Bench's JSON trailer came
+// back `parsed: null` four rounds running (the r14 tail shows
+// `[info] {"metric":...}`). StdoutOutput makes the forked JVM
+// inherit stdout, so the JSON line starts at column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

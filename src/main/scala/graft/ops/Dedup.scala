@@ -799,8 +799,16 @@ object Dedup {
     */
   def dedupImpact(documents: DataFrame): DataFrame = {
     val verdict = oneHopKeepers(documents)
+    // LEFT join + COALESCE(is_kept, 1): the verdict exists only for
+    // docs that produced shingles (null-text docs never enter the
+    // band CTE), and an undedupable doc is KEPT by definition — an
+    // inner join would silently drop it from n_docs/chars_total and
+    // skew drop_ratio for any source carrying null-text rows
+    // (ADVICE r14).
     documents.select(col("doc_id"), col("source"), col("n_chars"))
-      .join(verdict.select(col("doc_id"), col("is_kept")), "doc_id")
+      .join(verdict.select(col("doc_id"), col("is_kept")),
+        Seq("doc_id"), "left")
+      .withColumn("is_kept", coalesce(col("is_kept"), lit(1)))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum((lit(1) - col("is_kept")).cast("long")).as("n_dropped"),
@@ -1661,13 +1669,13 @@ object Dedup {
           FROM bands b JOIN bm USING (band_id, band_hash)
           GROUP BY b.doc_id)
         SELECT d.source, COUNT(*) AS n_docs,
-          CAST(SUM(1 - v.is_kept) AS BIGINT) AS n_dropped,
+          CAST(SUM(1 - COALESCE(v.is_kept, 1)) AS BIGINT) AS n_dropped,
           CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
-          CAST(SUM(d.n_chars * (1 - v.is_kept)) AS BIGINT)
+          CAST(SUM(d.n_chars * (1 - COALESCE(v.is_kept, 1))) AS BIGINT)
             AS chars_dropped,
-          ROUND(CAST(SUM(d.n_chars * (1 - v.is_kept)) AS DOUBLE) /
+          ROUND(CAST(SUM(d.n_chars * (1 - COALESCE(v.is_kept, 1))) AS DOUBLE) /
                 CAST(SUM(d.n_chars) AS DOUBLE), 6) AS drop_ratio
-        FROM documents d JOIN verdict v USING (doc_id)
+        FROM documents d LEFT JOIN verdict v USING (doc_id)
         GROUP BY d.source ORDER BY d.source"""))
   )
 }

@@ -426,7 +426,12 @@ object Multimodal {
     * scene cuts and m13's silence runs.
     */
   private val frameFeatsSql: String =
-    """transform(sequence(0, (length(text) - 1) div 192),
+    // greatest(length, 1): pins empty text to ONE frame of md5('')
+    // in BOTH engines. Without it Spark's (-1 div 192) = 0 (truncate
+    // toward zero → one frame) while DuckDB's (-1 // 192 + 1) = 0
+    // (floor → zero frames) — a divergence masked only while the
+    // corpus has no empty documents (ADVICE r14).
+    """transform(sequence(0, (greatest(length(text), 1) - 1) div 192),
          i -> cast(conv(substring(
                 md5(substring(text, i*192 + 1, 64)),
                 1, 7), 16, 10) as bigint))"""
@@ -523,8 +528,10 @@ object Multimodal {
         // standing in for codec output.
         Tables.load(s, dir, "documents")
           .select(col("doc_id"),
+            // greatest(length, 1): empty text = one frame of md5('')
+            // in both engines (see frameFeatsSql's note).
             expr("""transform(
-                      sequence(0, (length(text) - 1) div 192),
+                      sequence(0, (greatest(length(text), 1) - 1) div 192),
                       i -> md5(substring(text, i*192 + 1, 64)))""")
               .as("frame_digests"))
           .select(col("doc_id"),
@@ -534,7 +541,7 @@ object Multimodal {
       Some("""
         WITH f AS (
           SELECT doc_id,
-            list_transform(range(0, (length(text) - 1) // 192 + 1),
+            list_transform(range(0, (greatest(length(text), 1) - 1) // 192 + 1),
                            i -> md5(substr(text, CAST(i*192 + 1 AS INT), 64)))
               AS frame_digests
           FROM documents)
@@ -1088,7 +1095,7 @@ object Multimodal {
       Some("""
         WITH f AS (
           SELECT doc_id,
-            list_transform(range(0, (length(text) - 1) // 192 + 1),
+            list_transform(range(0, (greatest(length(text), 1) - 1) // 192 + 1),
               i -> CAST('0x' || substr(
                      md5(substr(text, CAST(i*192 + 1 AS INT), 64)),
                      1, 7) AS BIGINT)) AS feats
@@ -1120,7 +1127,7 @@ object Multimodal {
       Some("""
         WITH f AS (
           SELECT doc_id,
-            list_transform(range(0, (length(text) - 1) // 192 + 1),
+            list_transform(range(0, (greatest(length(text), 1) - 1) // 192 + 1),
               i -> CAST('0x' || substr(
                      md5(substr(text, CAST(i*192 + 1 AS INT), 64)),
                      1, 7) AS BIGINT)) AS feats

@@ -516,8 +516,11 @@ object Pipeline {
         // localCheckpoint'ed once (the p03 rule — without it the
         // whole bigram pipeline would execute twice); the 1-row
         // threshold crosses back in as a broadcast scalar (t10
-        // convention).
-        admissionGate(s, dir)
+        // convention). The presentation sort lives HERE, not in
+        // admissionGate: p09 consumes the same frame through a
+        // filter + partitioned write where row order is irrelevant,
+        // so the gate body must not pay the global-sort exchange.
+        admissionGate(s, dir).orderBy("doc_id")
       },
       sqlP08),
     // ----------------------------------------------------------------
@@ -722,7 +725,6 @@ object Pipeline {
               .when(col("rep_ok") === 0, "repetitive")
               .when(col("avg_logprob_sb") < col("thr"), "low_lm")
               .otherwise("admitted").as("verdict"))
-          .orderBy("doc_id")
   }
 
   // Independent restatement: the repetition gate needs only each

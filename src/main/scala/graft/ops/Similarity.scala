@@ -170,7 +170,8 @@ object Similarity {
   def ivfTopk(
       e: DataFrame, queries: DataFrame, k: Int, probes: Int = 1,
       excludeSelf: Boolean = true,
-      centroidsOpt: Option[DataFrame] = None): DataFrame = {
+      centroidsOpt: Option[DataFrame] = None,
+      rankUnrounded: Boolean = false): DataFrame = {
     require(probes >= 1, s"need at least one probe, got $probes")
     val centroids = centroidsOpt.getOrElse(seedCentroids(e))
     // Probe: nearest `probes` centroids per query (tiny cross join).
@@ -183,15 +184,26 @@ object Similarity {
       .filter(col("rn") <= probes)
       .select(col("qid"), col("qv"), col("c_label").as("probe_label"))
     // Search only the probed cells — the IVF pruning step.
+    // Rank key: the 6-dp rounded cosine by default (s01's emit
+    // convention — oracle-stable because the oracle rounds the same
+    // way); UNROUNDED when the caller's true score is a monotone
+    // image of cosine (s33's MIPS lift: cos = ip/(|q'|·M) with a
+    // constant divisor, so rounding first can collapse distinct
+    // inner products into a 6-dp tie and let the vec_id tie-break
+    // diverge from true-score order). The EMITTED cos_sim is rounded
+    // either way — only the window's sort key changes.
+    val rawCos = cosine(col("qv"), col("v"))
+    val rankKey = if (rankUnrounded) col("cos_raw") else col("cos_sim")
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .orderBy(rankKey.desc, col("vec_id"))
     val cellCond = col("label") === col("probe_label")
     e.join(broadcast(probe),
       if (excludeSelf) cellCond && col("vec_id") =!= col("qid") else cellCond)
       .select(col("qid"), col("probe_label"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        rawCos.as("cos_raw"), round(rawCos, 6).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+      .drop("cos_raw")
   }
 
   /** Exact cosine RANGE search — all corpus vectors with cosine ≥
@@ -735,7 +747,19 @@ object Similarity {
     def cvLit(vs: Seq[Double]): Column = array(vs.map(lit): _*)
     def sepTo(cv: Seq[Double]): Column =
       round(lit(1.0) - cosine(col("v"), cvLit(cv)), 6)
-    val first = e.orderBy("vec_id").limit(1).collect()(0)
+    import s.implicits._
+    val firstOpt = e.orderBy("vec_id").limit(1).collect().headOption
+    if (firstOpt.isEmpty) {
+      // Empty corpus: nothing to seed. Same schema, zero rows — the
+      // 100 TB convention (empty partitions / empty filter results
+      // are routine) pinned by EmptyInputSpec.
+      freeCheckpoint(e)
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("rnk", "vec_id", "sep")
+        .withColumn("sep", col("sep").cast("double"))
+        .withColumn("radius", lit(null).cast("double"))
+    }
+    val first = firstOpt.get
     var picked =
       Vector[(Int, Long, Option[Double])]((1, first.getLong(0), None))
     var state = e
@@ -2130,6 +2154,155 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("ip"), col("rnk"))
       .orderBy("qid", "rnk")
+  }
+
+  /** st22's CDC fixpoint as a batch frame — the POST-CHANGE corpus the
+    * drift monitor measures: every 7th vector re-upserted NEGATED,
+    * every 9th deleted (null-embedding rows excluded, as the stream
+    * excludes them).
+    */
+  private def driftedCorpus(e: DataFrame): DataFrame = e
+    .filter(col("v").isNotNull && col("vec_id") % 9 =!= 0)
+    .select(col("vec_id"),
+      when(col("vec_id") % 7 === 0, transform(col("v"), x => -x))
+        .otherwise(col("v")).as("v"))
+
+  /** Nearest frozen cell per vector (cosine, label-asc tie-break) —
+    * the assignment half of [[assignClusters]] without carrying `v`.
+    */
+  private def cellOf(f: DataFrame, cent: DataFrame): DataFrame = f
+    .crossJoin(broadcast(cent))
+    .select(col("vec_id"), col("c_label"),
+      cosine(col("v"), col("cv")).as("sim"))
+    .withColumn("rn", row_number().over(
+      Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("c_label"))))
+    .filter(col("rn") === 1)
+    .select(col("vec_id"), col("c_label").as("cell"))
+
+  /** Index DRIFT monitor (s34) — the exit the frozen-artifact
+    * convention needs: s20/st22 freeze centroids + grid and SATURATE
+    * out-of-box codes by design, which is only safe while the corpus
+    * still looks like the one the artifacts were trained on. This
+    * operator measures exactly that, s24's audit discipline applied
+    * to the ARTIFACTS: (a) per-cell occupancy under the frozen
+    * assignment, now vs training time — a cell that empties or
+    * floods means the coarse partitioner no longer matches the data;
+    * (b) the fraction of coordinates of the current corpus that fall
+    * OUTSIDE the frozen [lo, hi] grid box (the countable complement
+    * of the clamp convention) — saturated codes are information the
+    * index silently discards. Both reduce to retrain verdicts by
+    * fixed thresholds: sat ≥ 1000 ppm (0.1% of coordinate mass
+    * clamped) or any cell's occupancy share shifted ≥ 50000 ppm (5
+    * points).
+    *
+    * Determinism: every metric is INTEGER arithmetic — occupancy
+    * shares compare cross-multiplied (|n_now·N_train − n_train·N_now|
+    * — no FP division anywhere), ppm values are integer-div
+    * (floor) of ×10⁶ counts, and the out-of-box test compares raw
+    * doubles against exact min/max bounds. (BIGINT products bound:
+    * n·N ≤ N² — at petabyte corpus cardinalities the two products
+    * move to DECIMAL(38,0)/HUGEINT; the arithmetic is otherwise
+    * unchanged.)
+    *
+    * Scale shape: two assignment passes (map-only broadcast-centroid
+    * scans + the per-vector argmax window), two |cells|-row
+    * occupancy aggregates, one map-side-combined saturation scan
+    * against the broadcast 1-row grid; everything after is
+    * |cells|-row arithmetic with 1-row broadcast scalars. No
+    * corpus-×-corpus term, no gram/cell-keyed exchange of payloads.
+    * Output: one row per cell + the corpus verdict columns repeated
+    * (the report a rebuild scheduler consumes).
+    */
+  def indexDrift(e0: DataFrame, cent: DataFrame,
+      params: DataFrame): DataFrame = {
+    val e = e0.filter(col("v").isNotNull)
+    val eff = driftedCorpus(e0)
+    val occT = cellOf(e, cent).groupBy("cell")
+      .agg(count(lit(1)).as("n_train"))
+    val occN = cellOf(eff, cent).groupBy("cell")
+      .agg(count(lit(1)).as("n_now"))
+    val nT = e.agg(count(lit(1)).as("n_tot_train"))
+    val nN = eff.agg(count(lit(1)).as("n_tot_now"))
+    val sat = eff.crossJoin(broadcast(params))
+      .select(
+        expr("""aggregate(sequence(0, size(v) - 1), 0L,
+                 (acc, i) -> acc +
+                   IF(v[i] < los[i] OR v[i] > his[i], 1L, 0L))""")
+          .as("s"),
+        size(col("v")).cast("long").as("nd"))
+      .agg(coalesce(sum(col("s")), lit(0L)).as("sat_coords"),
+        coalesce(sum(col("nd")), lit(0L)).as("n_coords"))
+      .select(col("sat_coords"),
+        expr("(1000000L * sat_coords) DIV nullif(n_coords, 0L)")
+          .as("sat_ppm"))
+    val cells = occT.join(occN, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"))
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nN))
+      .withColumn("occ_drift_ppm",
+        expr("""(1000000L * abs(n_now * n_tot_train
+                                - n_train * n_tot_now))
+                DIV nullif(n_tot_train * n_tot_now, 0L)"""))
+    val maxDrift = cells
+      .agg(coalesce(max(col("occ_drift_ppm")), lit(0L))
+        .as("max_occ_drift_ppm"))
+    cells.crossJoin(broadcast(sat)).crossJoin(broadcast(maxDrift))
+      .select(col("cell"), col("n_train"), col("n_now"),
+        col("occ_drift_ppm"), col("sat_ppm"), col("max_occ_drift_ppm"),
+        (col("sat_ppm") >= 1000L || col("max_occ_drift_ppm") >= 50000L)
+          .cast("int").as("retrain"))
+      .orderBy("cell")
+  }
+
+  /** Triggered index REBUILD (s35) — what fires when [[indexDrift]]'s
+    * verdict says retrain: artifacts re-derived from the CURRENT
+    * corpus (centroids = label means of the surviving set, grid =
+    * its min/max box) and the drift metrics recomputed against the
+    * NEW artifacts — proving the rebuild actually clears the drift
+    * (saturation is 0 by construction of the new grid; the hash
+    * checks that the engine's rebuild really achieves it, not just
+    * claims it). The verdict gates COLUMNS, not control flow: both
+    * sides are cheap map passes, the report always shows frozen and
+    * rebuilt states side by side, and `serving_*` columns select by
+    * the broadcast verdict scalar — declarative, so the whole thing
+    * stays one plan with no driver-side branch.
+    */
+  def driftRebuild(e0: DataFrame, cent: DataFrame,
+      params: DataFrame): DataFrame = {
+    val drift = indexDrift(e0, cent, params)
+    val eff = driftedCorpus(e0)
+      .join(e0.select(col("vec_id"), col("label")), "vec_id")
+    // Rebuilt artifacts: label means + min/max box of the SURVIVING
+    // corpus — the same derivations the frozen ones came from.
+    val centNew = seedCentroids(eff)
+    val paramsNew = sq8Params(eff)
+    val occNew = cellOf(eff, centNew).groupBy("cell")
+      .agg(count(lit(1)).as("n_rebuilt"))
+    val satNew = eff.crossJoin(broadcast(paramsNew))
+      .select(
+        expr("""aggregate(sequence(0, size(v) - 1), 0L,
+                 (acc, i) -> acc +
+                   IF(v[i] < los[i] OR v[i] > his[i], 1L, 0L))""")
+          .as("s"),
+        size(col("v")).cast("long").as("nd"))
+      .agg(coalesce(sum(col("s")), lit(0L)).as("sat_coords_new"),
+        coalesce(sum(col("nd")), lit(0L)).as("n_coords_new"))
+      .select(expr(
+        "(1000000L * sat_coords_new) DIV nullif(n_coords_new, 0L)")
+        .as("sat_ppm_rebuilt"))
+    drift.join(occNew, Seq("cell"), "left")
+      .withColumn("n_rebuilt", coalesce(col("n_rebuilt"), lit(0L)))
+      .crossJoin(broadcast(satNew))
+      .select(col("cell"), col("n_train"), col("n_now"),
+        col("n_rebuilt"), col("occ_drift_ppm"), col("sat_ppm"),
+        col("sat_ppm_rebuilt"), col("retrain"),
+        when(col("retrain") === 1, col("n_rebuilt"))
+          .otherwise(col("n_now")).as("serving_n"),
+        when(col("retrain") === 1, col("sat_ppm_rebuilt"))
+          .otherwise(col("sat_ppm")).as("serving_sat_ppm"))
+      .orderBy("cell")
   }
 
   val all: Seq[Q] = Seq(
@@ -3757,7 +3930,13 @@ object Similarity {
         val queries = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"),
             concat(col("v"), array(lit(0.0d))).as("qv"))
-        ivfTopk(lifted, queries, k = 5).orderBy("qid", "rnk")
+        // rankUnrounded: the lifted cosine is ip/(|q'|·M) — a
+        // monotone image of the raw inner product the oracle ranks
+        // by, but only BEFORE the 6-dp round; ranking the rounded
+        // value could collapse distinct ips into a tie and hand the
+        // order to vec_id (ADVICE r14).
+        ivfTopk(lifted, queries, k = 5, rankUnrounded = true)
+          .orderBy("qid", "rnk")
       },
       Some("""
         WITH e AS (
@@ -3815,6 +3994,247 @@ object Similarity {
                                ORDER BY ip DESC, vec_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
-        ORDER BY qid, rnk"""))
+        ORDER BY qid, rnk""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s34_index_drift",
+      (s, dir) => {
+        // Drift monitor (see [[indexDrift]]): per-cell occupancy
+        // shift + out-of-box coordinate saturation of the CDC-drifted
+        // corpus under the FROZEN artifacts, reduced to an integer
+        // retrain verdict -- s24's audit discipline applied to the
+        // artifacts themselves. Artifacts are the shared per-session
+        // builds (trained on the ORIGINAL corpus, as deployed).
+        val (cent, _) = ivfSq8TrainShared(s, dir, emb(s, dir))
+        val (params, _) = sq8TrainShared(s, dir, emb(s, dir))
+        indexDrift(emb(s, dir), cent, params)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        cdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM cdims GROUP BY label, dim)
+          GROUP BY label),
+        gdims AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM gdims GROUP BY dim),
+        grid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM stats),
+        eff AS (
+          SELECT vec_id,
+            CASE WHEN vec_id % 7 = 0
+                 THEN list_transform(v, x -> -x) ELSE v END AS v
+          FROM e WHERE vec_id % 9 <> 0),
+        at AS (
+          SELECT vec_id, cell FROM (
+            SELECT f.vec_id, c.label AS cell,
+              ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                (list_sum(list_transform(list_zip(f.v, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(f.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM e f CROSS JOIN cent c) WHERE rn = 1),
+        an AS (
+          SELECT vec_id, cell FROM (
+            SELECT f.vec_id, c.label AS cell,
+              ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                (list_sum(list_transform(list_zip(f.v, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(f.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM eff f CROSS JOIN cent c) WHERE rn = 1),
+        occt AS (SELECT cell, COUNT(*) AS n_train FROM at GROUP BY cell),
+        occn AS (SELECT cell, COUNT(*) AS n_now FROM an GROUP BY cell),
+        nt AS (SELECT COUNT(*) AS n_tot_train FROM e),
+        nn AS (SELECT COUNT(*) AS n_tot_now FROM eff),
+        sat AS (
+          SELECT
+            COALESCE(SUM(list_sum(list_transform(range(1, len(v) + 1),
+              i -> CASE WHEN v[i] < los[i] OR v[i] > his[i]
+                   THEN 1 ELSE 0 END))), 0) AS sat_coords,
+            COALESCE(SUM(len(v)), 0) AS n_coords
+          FROM eff, grid),
+        satp AS (
+          SELECT CAST(sat_coords AS BIGINT) AS sat_coords,
+            CAST((1000000 * sat_coords) // nullif(n_coords, 0) AS BIGINT)
+              AS sat_ppm
+          FROM sat),
+        cells AS (
+          SELECT COALESCE(t.cell, n.cell) AS cell,
+            CAST(COALESCE(t.n_train, 0) AS BIGINT) AS n_train,
+            CAST(COALESCE(n.n_now, 0) AS BIGINT) AS n_now
+          FROM occt t FULL JOIN occn n ON t.cell = n.cell),
+        cd AS (
+          SELECT cell, n_train, n_now,
+            CAST((1000000 * abs(n_now * n_tot_train - n_train * n_tot_now))
+                 // nullif(n_tot_train * n_tot_now, 0) AS BIGINT)
+              AS occ_drift_ppm
+          FROM cells, nt, nn),
+        mx AS (
+          SELECT CAST(COALESCE(MAX(occ_drift_ppm), 0) AS BIGINT)
+            AS max_occ_drift_ppm FROM cd)
+        SELECT cell, n_train, n_now, occ_drift_ppm, sat_ppm,
+          max_occ_drift_ppm,
+          CAST(sat_ppm >= 1000 OR max_occ_drift_ppm >= 50000 AS INT)
+            AS retrain
+        FROM cd, satp, mx
+        ORDER BY cell""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s35_drift_rebuild",
+      (s, dir) => {
+        // Triggered rebuild (see [[driftRebuild]]): s34's verdict
+        // fires a re-derivation of centroids + grid from the CURRENT
+        // corpus, and the report shows frozen vs rebuilt occupancy
+        // and saturation side by side -- the hash proves the rebuild
+        // clears the drift (sat_ppm_rebuilt = 0 by construction of
+        // the new box, checked, not assumed).
+        val (cent, _) = ivfSq8TrainShared(s, dir, emb(s, dir))
+        val (params, _) = sq8TrainShared(s, dir, emb(s, dir))
+        driftRebuild(emb(s, dir), cent, params)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        cdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM cdims GROUP BY label, dim)
+          GROUP BY label),
+        gdims AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM gdims GROUP BY dim),
+        grid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM stats),
+        eff AS (
+          SELECT vec_id, label,
+            CASE WHEN vec_id % 7 = 0
+                 THEN list_transform(v, x -> -x) ELSE v END AS v
+          FROM e WHERE vec_id % 9 <> 0),
+        at AS (
+          SELECT vec_id, cell FROM (
+            SELECT f.vec_id, c.label AS cell,
+              ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                (list_sum(list_transform(list_zip(f.v, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(f.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM e f CROSS JOIN cent c) WHERE rn = 1),
+        an AS (
+          SELECT vec_id, cell FROM (
+            SELECT f.vec_id, c.label AS cell,
+              ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                (list_sum(list_transform(list_zip(f.v, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(f.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM eff f CROSS JOIN cent c) WHERE rn = 1),
+        occt AS (SELECT cell, COUNT(*) AS n_train FROM at GROUP BY cell),
+        occn AS (SELECT cell, COUNT(*) AS n_now FROM an GROUP BY cell),
+        nt AS (SELECT COUNT(*) AS n_tot_train FROM e),
+        nn AS (SELECT COUNT(*) AS n_tot_now FROM eff),
+        sat AS (
+          SELECT
+            COALESCE(SUM(list_sum(list_transform(range(1, len(v) + 1),
+              i -> CASE WHEN v[i] < los[i] OR v[i] > his[i]
+                   THEN 1 ELSE 0 END))), 0) AS sat_coords,
+            COALESCE(SUM(len(v)), 0) AS n_coords
+          FROM eff, grid),
+        satp AS (
+          SELECT CAST((1000000 * sat_coords) // nullif(n_coords, 0)
+            AS BIGINT) AS sat_ppm
+          FROM sat),
+        cells AS (
+          SELECT COALESCE(t.cell, n.cell) AS cell,
+            CAST(COALESCE(t.n_train, 0) AS BIGINT) AS n_train,
+            CAST(COALESCE(n.n_now, 0) AS BIGINT) AS n_now
+          FROM occt t FULL JOIN occn n ON t.cell = n.cell),
+        cd AS (
+          SELECT cell, n_train, n_now,
+            CAST((1000000 * abs(n_now * n_tot_train - n_train * n_tot_now))
+                 // nullif(n_tot_train * n_tot_now, 0) AS BIGINT)
+              AS occ_drift_ppm
+          FROM cells, nt, nn),
+        mx AS (
+          SELECT CAST(COALESCE(MAX(occ_drift_ppm), 0) AS BIGINT)
+            AS max_occ_drift_ppm FROM cd),
+        -- rebuilt artifacts: label means + min/max box of eff
+        rdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM eff, unnest(list_transform(range(1, len(v) + 1),
+                           i -> {'i': i, 'x': v[i]})) AS s(u)),
+        rcent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM rdims GROUP BY label, dim)
+          GROUP BY label),
+        rstats AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, MIN(u.x) AS lo, MAX(u.x) AS hi
+          FROM eff, unnest(list_transform(range(1, len(v) + 1),
+                           i -> {'i': i, 'x': v[i]})) AS s(u)
+          GROUP BY 1),
+        rgrid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM rstats),
+        ar AS (
+          SELECT vec_id, cell FROM (
+            SELECT f.vec_id, c.label AS cell,
+              ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                (list_sum(list_transform(list_zip(f.v, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(f.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM eff f CROSS JOIN rcent c) WHERE rn = 1),
+        occr AS (SELECT cell, COUNT(*) AS n_rebuilt FROM ar GROUP BY cell),
+        rsat AS (
+          SELECT
+            COALESCE(SUM(list_sum(list_transform(range(1, len(v) + 1),
+              i -> CASE WHEN v[i] < los[i] OR v[i] > his[i]
+                   THEN 1 ELSE 0 END))), 0) AS sat_coords_new,
+            COALESCE(SUM(len(v)), 0) AS n_coords_new
+          FROM eff, rgrid),
+        rsatp AS (
+          SELECT CAST((1000000 * sat_coords_new)
+                      // nullif(n_coords_new, 0) AS BIGINT)
+            AS sat_ppm_rebuilt
+          FROM rsat)
+        SELECT cd.cell, cd.n_train, cd.n_now,
+          CAST(COALESCE(occr.n_rebuilt, 0) AS BIGINT) AS n_rebuilt,
+          cd.occ_drift_ppm, satp.sat_ppm, rsatp.sat_ppm_rebuilt,
+          CAST(satp.sat_ppm >= 1000 OR mx.max_occ_drift_ppm >= 50000
+            AS INT) AS retrain,
+          CASE WHEN satp.sat_ppm >= 1000 OR mx.max_occ_drift_ppm >= 50000
+               THEN CAST(COALESCE(occr.n_rebuilt, 0) AS BIGINT)
+               ELSE cd.n_now END AS serving_n,
+          CASE WHEN satp.sat_ppm >= 1000 OR mx.max_occ_drift_ppm >= 50000
+               THEN rsatp.sat_ppm_rebuilt
+               ELSE satp.sat_ppm END AS serving_sat_ppm
+        FROM cd LEFT JOIN occr ON cd.cell = occr.cell, satp, mx, rsatp
+        ORDER BY cd.cell"""))
   )
 }
