@@ -10,6 +10,93 @@ import graft.streaming.{DocumentStream, EmbeddingStream, EventStream}
   */
 object StreamingOps {
 
+  /** st22/st27's shared fixpoint oracle: the surviving vector set
+    * (every 7th negated by its re-upsert, every 9th deleted),
+    * frozen-centroid assignment, saturating grid encode, and the
+    * two-probe integer-SQ8 search — stated with no stream (and no
+    * persistence) anywhere. st22 must reach it through the state
+    * machine; st27 through the state machine PLUS the disk round
+    * trip, so one SQL string proves both compositions lossless.
+    */
+  private val sqlIndexFixpoint: String = """
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        cdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM cdims GROUP BY label, dim)
+          GROUP BY label),
+        gdims AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM gdims GROUP BY dim),
+        grid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM stats),
+        eff AS (
+          SELECT vec_id,
+            CASE WHEN vec_id % 7 = 0
+                 THEN list_transform(v, x -> -x) ELSE v END AS v
+          FROM e WHERE vec_id % 9 <> 0),
+        acell AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT f.vec_id, f.v, c.label AS cell,
+              ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                (list_sum(list_transform(list_zip(f.v, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(f.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM eff f CROSS JOIN cent c) WHERE rn = 1),
+        codes AS (
+          SELECT vec_id, cell,
+            list_transform(range(1, len(v) + 1), i ->
+              CAST(LEAST(GREATEST(FLOOR(
+                CASE WHEN his[i] = los[i] THEN 0.0
+                ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
+                + 0.5), 0.0), 255.0) AS INT)) AS c
+          FROM acell, grid),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        probe AS (
+          SELECT qid, label AS probe_label FROM (
+            SELECT q.qid, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 2),
+        qc AS (
+          SELECT qid,
+            list_transform(range(1, len(qv) + 1), i ->
+              CAST(FLOOR(CASE WHEN his[i] = los[i] THEN 0.0
+                ELSE (qv[i] - los[i]) * 255.0 / (his[i] - los[i]) END
+                + 0.5) AS INT)) AS qc
+          FROM q, grid),
+        scored AS (
+          SELECT p.qid, p.probe_label, k.vec_id,
+            CAST(list_sum(list_transform(list_zip(qc.qc, k.c),
+              pr -> CAST(pr[1] - pr[2] AS BIGINT)
+                    * CAST(pr[1] - pr[2] AS BIGINT))) AS BIGINT) AS idist
+          FROM codes k
+          JOIN probe p ON k.cell = p.probe_label AND k.vec_id <> p.qid
+          JOIN qc ON qc.qid = p.qid)
+        SELECT qid, probe_label, vec_id, idist, rnk FROM (
+          SELECT qid, probe_label, vec_id, idist,
+            ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY idist, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk"""
+
   val all: Seq[Q] = Seq(
     Q(
       "st01_stream_hourly",
@@ -467,84 +554,7 @@ object StreamingOps {
       // every 9th deleted), frozen-centroid assignment, saturating
       // grid encode (the s20 convention — negated vectors leave the
       // trained box), and the same two-probe integer search.
-      Some("""
-        WITH e AS (
-          SELECT vec_id, label,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings WHERE embedding IS NOT NULL),
-        cdims AS (
-          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
-          FROM e, unnest(list_transform(range(1, len(v) + 1),
-                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
-        cent AS (
-          SELECT label, list(cx ORDER BY dim) AS cv FROM (
-            SELECT label, dim,
-              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
-            FROM cdims GROUP BY label, dim)
-          GROUP BY label),
-        gdims AS (
-          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
-          FROM e, unnest(list_transform(range(1, len(v) + 1),
-                         i -> {'i': i, 'x': v[i]})) AS s(u)),
-        stats AS (
-          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM gdims GROUP BY dim),
-        grid AS (
-          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
-          FROM stats),
-        eff AS (
-          SELECT vec_id,
-            CASE WHEN vec_id % 7 = 0
-                 THEN list_transform(v, x -> -x) ELSE v END AS v
-          FROM e WHERE vec_id % 9 <> 0),
-        acell AS (
-          SELECT vec_id, v, cell FROM (
-            SELECT f.vec_id, f.v, c.label AS cell,
-              ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
-                (list_sum(list_transform(list_zip(f.v, c.cv), p -> p[1]*p[2])) /
-                 (sqrt(list_sum(list_transform(f.v, x -> x*x))) *
-                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
-                c.label) AS rn
-            FROM eff f CROSS JOIN cent c) WHERE rn = 1),
-        codes AS (
-          SELECT vec_id, cell,
-            list_transform(range(1, len(v) + 1), i ->
-              CAST(LEAST(GREATEST(FLOOR(
-                CASE WHEN his[i] = los[i] THEN 0.0
-                ELSE (v[i] - los[i]) * 255.0 / (his[i] - los[i]) END
-                + 0.5), 0.0), 255.0) AS INT)) AS c
-          FROM acell, grid),
-        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
-        probe AS (
-          SELECT qid, label AS probe_label FROM (
-            SELECT q.qid, c.label,
-              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-                (list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) /
-                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
-                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
-                c.label) AS rn
-            FROM q CROSS JOIN cent c) WHERE rn <= 2),
-        qc AS (
-          SELECT qid,
-            list_transform(range(1, len(qv) + 1), i ->
-              CAST(FLOOR(CASE WHEN his[i] = los[i] THEN 0.0
-                ELSE (qv[i] - los[i]) * 255.0 / (his[i] - los[i]) END
-                + 0.5) AS INT)) AS qc
-          FROM q, grid),
-        scored AS (
-          SELECT p.qid, p.probe_label, k.vec_id,
-            CAST(list_sum(list_transform(list_zip(qc.qc, k.c),
-              pr -> CAST(pr[1] - pr[2] AS BIGINT)
-                    * CAST(pr[1] - pr[2] AS BIGINT))) AS BIGINT) AS idist
-          FROM codes k
-          JOIN probe p ON k.cell = p.probe_label AND k.vec_id <> p.qid
-          JOIN qc ON qc.qid = p.qid)
-        SELECT qid, probe_label, vec_id, idist, rnk FROM (
-          SELECT qid, probe_label, vec_id, idist,
-            ROW_NUMBER() OVER (PARTITION BY qid
-                               ORDER BY idist, vec_id) AS rnk
-          FROM scored)
-        WHERE rnk <= 5
-        ORDER BY qid, rnk""")),
+      Some(sqlIndexFixpoint)),
     // ------------------------------------------------------------------
     Q(
       "st23_stream_windowed_funnel",
@@ -666,6 +676,45 @@ object StreamingOps {
         FROM p, wm
         WHERE p.ts < wm.w
           AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.event_id)
-        ORDER BY purchase_id, view_event_id"""))
+        ORDER BY purchase_id, view_event_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st27_stream_index_lifecycle",
+      (s, dir) => EmbeddingStream.runIndexLifecycle(s, dir),
+      // The maintain -> persist -> serve composition (see
+      // [[EmbeddingStream.runIndexLifecycle]]): st22's maintained
+      // state written through s26's cell-partitioned layout and
+      // served by a DPP-pruned reload -- centroids, grid and codes
+      // all read back from disk before a single probe runs. The
+      // oracle is st22's fixpoint statement UNCHANGED: same final
+      // index, now proven through the storage boundary too.
+      Some(sqlIndexFixpoint)),
+    // ------------------------------------------------------------------
+    Q(
+      "st28_stream_cdc_lake_merge",
+      (s, dir) => EventStream.runCdcLakeMerge(s, dir),
+      // CDC -> partitioned lake MERGE (see
+      // [[EventStream.runCdcLakeMerge]]): st21's latest-record-wins
+      // compaction executed as per-batch partition-scoped
+      // copy-on-write into a key-bucketed parquet lake, read back
+      // from the lake files. The oracle is st21's compacted table
+      // plus the bucket column -- the lake must converge to it
+      // through the storage boundary.
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        last AS (
+          SELECT user_id, us AS last_us, event_type, value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us DESC, event_id DESC) AS rn
+            FROM ev)
+          WHERE rn = 1)
+        SELECT user_id, CAST(user_id % 8 AS INT) AS bucket,
+          last_us, value
+        FROM last WHERE event_type <> 'error'
+        ORDER BY user_id"""))
   )
 }

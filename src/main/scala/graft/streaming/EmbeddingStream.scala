@@ -308,6 +308,19 @@ object EmbeddingStream {
     * maintained codes, never raw corpus vectors.
     */
   def runIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val (e, centDf, paramsDf, idx) = maintainIndexFrames(spark, dir)
+    searchMaintained(e, centDf, paramsDf, idx)
+  }
+
+  /** The MAINTAIN half of st22/st27, factored: returns the original
+    * corpus frame, the two frozen-artifact frames, and the drained
+    * maintained index (live rows only — (vec_id, cell, c)). st22
+    * searches the drained frame directly; st27 pushes it through
+    * s26's cell-partitioned persistence first and serves from the
+    * reloaded files.
+    */
+  private[streaming] def maintainIndexFrames(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
     val S = graft.ops.Similarity
@@ -350,9 +363,19 @@ object EmbeddingStream {
     val idx = out.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("deleted") === 0)
       .select(col("vec_id"), col("cell"), col("c"))
-    // Two-probe integer-SQ8 search over the MAINTAINED index (the
-    // s18/s25 search shape; queries = the s01 convention, their codes
-    // on the same frozen grid).
+    (e, centDf, paramsDf, idx)
+  }
+
+  /** The SERVE half: two-probe integer-SQ8 search over a maintained
+    * index frame (the s18/s25 search shape; queries = the s01
+    * convention, their codes on the same frozen grid). `centDf` /
+    * `paramsDf` / `idx` may be the in-memory maintained frames
+    * (st22) or their reloaded-from-disk counterparts (st27) — the
+    * search only ever reads cells + codes, never raw corpus vectors.
+    */
+  private def searchMaintained(e: DataFrame, centDf: DataFrame,
+      paramsDf: DataFrame, idx: DataFrame): DataFrame = {
+    val S = graft.ops.Similarity
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val probe = queries.crossJoin(broadcast(centDf))
@@ -381,5 +404,43 @@ object EmbeddingStream {
           .orderBy(col("idist").asc_nulls_last, col("vec_id"))))
       .filter(col("rnk") <= 5)
       .orderBy("qid", "rnk")
+  }
+
+  /** The full index LIFECYCLE (st27) — the arc a deployed vector
+    * index actually runs, composed end-to-end in one job: MAINTAIN
+    * (st22's latest-record-wins CDC state machine under frozen
+    * artifacts), PERSIST (the drained live index written through
+    * s26's layout — codes as parquet PARTITIONED BY CELL, the two
+    * tiny artifact tables beside them), SERVE (the two-probe SQ8
+    * search run against what came back FROM DISK — centroids, grid
+    * and codes all reloaded; nothing in the serve path touches an
+    * in-memory frame from the maintain phase). The probe join drives
+    * dynamic partition pruning on the reloaded cell-partitioned scan,
+    * so at 100 TB an unprobed cell is a directory the serve never
+    * opens. The oracle is st22's fixpoint statement UNCHANGED: the
+    * hash match proves the persistence round trip is lossless for
+    * search purposes — the served top-k equals a batch rebuild of the
+    * surviving set.
+    */
+  def runIndexLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val (e, centDf, paramsDf, idx) = maintainIndexFrames(spark, dir)
+    val root = new java.io.File(
+      graft.ops.SourceSinks.tmp("graft_st27"), "index").getAbsolutePath
+    idx.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$root/codes")
+    centDf.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    paramsDf.coalesce(1).write.mode("overwrite").parquet(s"$root/params")
+    // Explicit schemas (s26's rule): an empty maintained set writes a
+    // store with no parquet files, which must read back as empty, not
+    // fail schema inference. `cell` is the partition column — named
+    // in the schema, recovered from the directory tree.
+    val codes = spark.read
+      .schema("vec_id BIGINT, c ARRAY<INT>, cell INT")
+      .parquet(s"$root/codes")
+      .select(col("vec_id"), col("cell"), col("c"))
+    val cent = spark.read.schema(centDf.schema).parquet(s"$root/centroids")
+    val params = spark.read.schema(paramsDf.schema)
+      .parquet(s"$root/params")
+    searchMaintained(e, cent, params, codes)
   }
 }

@@ -911,6 +911,111 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  // ------------------------------------------------------------------
+  // st28: streaming CDC → partitioned parquet lake MERGE.
+  // ------------------------------------------------------------------
+
+  /** The lake's row layout (st28): compacted CDC state partitioned by
+    * key bucket, tombstones INCLUDED — replay idempotency requires
+    * the lake itself to remember deletions, or a re-delivered earlier
+    * batch would resurrect a deleted key.
+    */
+  private val lakeSchema =
+    "user_id BIGINT, last_us BIGINT, last_event_id BIGINT, " +
+      "deleted INT, value DOUBLE, bucket INT"
+
+  /** One micro-batch's partition-level MERGE into the lake (st28) —
+    * factored so the idempotency/restart spec can drive it directly.
+    * The copy-on-write pattern at partition granularity (what a
+    * table-format lake does under MERGE): (1) compact the batch to
+    * its latest row per key; (2) find the key-bucket partitions the
+    * batch touches (≤ 8 bucket ids — a bounded collect); (3) read the
+    * CURRENT rows of exactly those partitions (partition pruning —
+    * untouched buckets are directories never opened); (4) outrank
+    * existing vs batch by (us, event_id) — latest wins, re-delivery
+    * of an already-applied batch is a no-op by construction; (5)
+    * rewrite ONLY the touched partitions (dynamic partition
+    * overwrite). At 100 TB the per-batch cost is proportional to the
+    * touched partitions, never the lake. The localCheckpoint is the
+    * read-then-overwrite barrier a log-based table format gets from
+    * its transaction log; partition-scoped CoW needs it explicitly.
+    */
+  def mergeBatchIntoLake(batch: DataFrame, root: String): Unit = {
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("last_us").desc, col("last_event_id").desc)
+    val compacted = batch
+      .select(col("user_id"), col("us").as("last_us"),
+        col("event_id").as("last_event_id"),
+        (col("event_type") === "error").cast("int").as("deleted"),
+        col("value"),
+        (col("user_id") % 8).cast("int").as("bucket"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val buckets = compacted.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return
+    val lakeDir = new java.io.File(root)
+    val existing =
+      if (lakeDir.exists())
+        spark.read.option("basePath", root).schema(lakeSchema)
+          .parquet(root)
+          .filter(col("bucket").isin(buckets: _*))
+      else compacted.limit(0)
+    val merged = existing.unionByName(compacted)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint()
+    merged.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .mode("overwrite")
+      .parquet(root)
+    graft.ops.Similarity.freeCheckpoint(merged)
+  }
+
+  /** Streaming CDC → partitioned lake MERGE (st28) — the lakehouse
+    * staple st21 + st08 + p06 each walk one step of, composed: the
+    * upsert/delete feed lands in a key-bucket-partitioned parquet
+    * LAKE via per-batch idempotent MERGE (state lives in STORAGE, not
+    * the state store — the complement of st21's in-memory
+    * compaction), and the result is read back FROM THE LAKE FILES
+    * (p06's rule: every emitted number is what a consumer will
+    * actually read). The oracle is st21's batch compaction statement
+    * plus the bucket column — the lake must converge to exactly the
+    * compacted table, proven through the storage boundary. Restart
+    * equality and replay idempotency are pinned by the spec
+    * (re-applying a batch, or re-running the whole stream over a
+    * fresh checkpoint, leaves the lake bit-identical).
+    */
+  def runCdcLakeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ops.SourceSinks.tmp("graft_st28")
+    val root = new java.io.File(base, "lake").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    withStreamShufflePartitions(spark, 8) {
+      val q = readStream(spark, dir)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"),
+          col("value"))
+        .writeStream
+        .foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            mergeBatchIntoLake(batch.toDF(), root)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    new java.io.File(root).mkdirs() // empty stream: read an empty lake
+    spark.read.option("basePath", root).schema(lakeSchema).parquet(root)
+      .filter(col("deleted") === 0)
+      .select(col("user_id"), col("bucket"), col("last_us"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** st23's per-user state: the first view seen so far plus ONLY the
     * clicks/purchases that could still qualify under any FUTURE first
     * view — see [[windowedFunnel]] for the pruning argument.
