@@ -955,6 +955,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("st27: the lifecycle's serve phase dynamically prunes " +
+      "unprobed cell partitions of the RELOADED index") {
+    // maintain -> persist -> serve: the plan audited here is the
+    // serve half, whose codes scan reads s26-style cell-partitioned
+    // files the probe join must prune dynamically.
+    val p = plan("st27_stream_index_lifecycle")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d20: the eval-gram contamination probe is a broadcast, " +
       "hit accounting dedups without Expand") {
     val p = plan("d20_decontamination")

@@ -1171,4 +1171,51 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+  test("s34/s35: planted out-of-box vectors flip the retrain verdict; " +
+      "the rebuild clears the drift") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    def vec(label: Int, i: Int): Seq[Double] =
+      if (label == 0) Seq(1.0 + 0.01 * i, 1.5, 0.1, 0.1)
+      else Seq(0.1, 0.1, 1.0 + 0.01 * i, 1.5)
+    // DRIFTED corpus: ids 7 and 14 re-upsert NEGATED (strictly
+    // positive corpus -> every negated coordinate leaves the frozen
+    // box), ids 9 and 18 delete.
+    val hot = (1 to 20).map(i => (i.toLong, i % 2, vec(i % 2, i)))
+      .toDF("vec_id", "label", "v")
+    val centH = Similarity.seedCentroids(hot)
+    val paramsH = Similarity.sq8Params(hot)
+    val dH = Similarity.indexDrift(hot, centH, paramsH).collect()
+    assert(dH.nonEmpty)
+    // 2 fully-saturated vectors of 18 survivors: 8 of 72 coordinates
+    // out of box = 111111 ppm >= the 1000 ppm bar -> retrain fires
+    assert(dH.forall(_.getAs[Int]("retrain") == 1), dH.mkString(";"))
+    assert(dH.head.getAs[Long]("sat_ppm") == 111111L, dH.head)
+    val rH = Similarity.driftRebuild(hot, centH, paramsH).collect()
+    // the rebuilt grid is the min/max box OF the drifted corpus:
+    // saturation is zero, and the serving columns switch to rebuilt
+    assert(rH.forall(_.getAs[Long]("sat_ppm_rebuilt") == 0L))
+    assert(rH.forall(r => r.getAs[Long]("serving_n") ==
+      r.getAs[Long]("n_rebuilt")))
+    assert(rH.forall(_.getAs[Long]("serving_sat_ppm") == 0L))
+
+    // QUIET corpus: no id divisible by 7 or 9 -> the CDC fixpoint is
+    // the corpus itself; zero drift, verdict stays frozen.
+    val quietIds = Seq(1, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 15)
+    val quiet = quietIds.map(i => (i.toLong, i % 2, vec(i % 2, i)))
+      .toDF("vec_id", "label", "v")
+    val centQ = Similarity.seedCentroids(quiet)
+    val paramsQ = Similarity.sq8Params(quiet)
+    val dQ = Similarity.indexDrift(quiet, centQ, paramsQ).collect()
+    assert(dQ.nonEmpty)
+    assert(dQ.forall(_.getAs[Int]("retrain") == 0), dQ.mkString(";"))
+    assert(dQ.forall(_.getAs[Long]("occ_drift_ppm") == 0L))
+    assert(dQ.head.getAs[Long]("sat_ppm") == 0L)
+    val rQ = Similarity.driftRebuild(quiet, centQ, paramsQ).collect()
+    assert(rQ.forall(r => r.getAs[Long]("serving_n") ==
+      r.getAs[Long]("n_now")))
+  }
+
 }

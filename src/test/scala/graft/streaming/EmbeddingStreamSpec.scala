@@ -164,4 +164,14 @@ class EmbeddingStreamSpec extends SparkSpec {
     // 400: us=2 (cell 1) beat the later-arriving us=1 event
     assert(fin(400L)._3 == 1, fin(400L))
   }
+
+  test("st27 lifecycle serves exactly st22's in-memory result — the " +
+      "persistence round trip is lossless for search") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSeq
+    val inMem = rows(EmbeddingStream.runIndexMaintenance(spark, dir))
+    val served = rows(EmbeddingStream.runIndexLifecycle(spark, dir))
+    assert(served == inMem && served.nonEmpty)
+  }
 }

@@ -667,4 +667,103 @@ class EventStreamSpec extends SparkSpec {
     assert(sink.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L))
   }
+
+  // ----------------------------------------------------------------
+  // st28: CDC -> partitioned lake MERGE.
+  // ----------------------------------------------------------------
+
+  private def cdcBatch(rows: Seq[(Long, Long, Long, String, Double)])
+      : org.apache.spark.sql.DataFrame = {
+    val sparkS = spark
+    import sparkS.implicits._
+    rows.toDF("event_id", "user_id", "us", "event_type", "value")
+  }
+
+  private def lakeRows(root: String): Seq[String] =
+    spark.read
+      .option("basePath", root)
+      .schema("user_id BIGINT, last_us BIGINT, last_event_id BIGINT, " +
+        "deleted INT, value DOUBLE, bucket INT")
+      .parquet(root)
+      .collect()
+      .map(r => r.mkString("|"))
+      .sorted.toSeq
+
+  test("st28 merge: re-applying the same batch leaves the lake " +
+      "bit-identical (replay idempotency)") {
+    val root = java.nio.file.Files.createTempDirectory("st28_idem_")
+      .resolve("lake").toString
+    val b = cdcBatch(Seq(
+      (1L, 10L, 100L, "view", 1.0),
+      (2L, 10L, 200L, "click", 2.0),
+      (3L, 11L, 150L, "view", 3.0),
+      (4L, 12L, 120L, "error", 0.0))) // tombstone
+    EventStream.mergeBatchIntoLake(b, root)
+    val once = lakeRows(root)
+    // the restart path: the same batch re-delivered after a crash
+    EventStream.mergeBatchIntoLake(b, root)
+    assert(lakeRows(root) == once)
+    // tombstone persisted in the lake (so replay cannot resurrect),
+    // but hidden from consumers
+    assert(once.exists(_.startsWith("12|")))
+    assert(once.count(_.startsWith("10|")) == 1) // compacted to latest
+  }
+
+  test("st28 merge: incremental batches converge to the single-shot " +
+      "merge, late rows never outrank newer state") {
+    val rootA = java.nio.file.Files.createTempDirectory("st28_inc_")
+      .resolve("lake").toString
+    val rootB = java.nio.file.Files.createTempDirectory("st28_one_")
+      .resolve("lake").toString
+    val b1 = cdcBatch(Seq(
+      (1L, 20L, 100L, "view", 1.0),
+      (2L, 21L, 500L, "click", 5.0),
+      (3L, 22L, 300L, "view", 3.0)))
+    val b2 = cdcBatch(Seq(
+      (4L, 20L, 400L, "click", 4.0),  // newer: wins for key 20
+      (5L, 21L, 50L, "view", 9.9),    // LATE: must not outrank us=500
+      (6L, 22L, 600L, "error", 0.0))) // delete key 22
+    EventStream.mergeBatchIntoLake(b1, rootA)
+    EventStream.mergeBatchIntoLake(b2, rootA)
+    EventStream.mergeBatchIntoLake(cdcBatch(Seq(
+      (1L, 20L, 100L, "view", 1.0),
+      (2L, 21L, 500L, "click", 5.0),
+      (3L, 22L, 300L, "view", 3.0),
+      (4L, 20L, 400L, "click", 4.0),
+      (5L, 21L, 50L, "view", 9.9),
+      (6L, 22L, 600L, "error", 0.0))), rootB)
+    assert(lakeRows(rootA) == lakeRows(rootB))
+    val live = spark.read
+      .option("basePath", rootA)
+      .schema("user_id BIGINT, last_us BIGINT, last_event_id BIGINT, " +
+        "deleted INT, value DOUBLE, bucket INT")
+      .parquet(rootA)
+      .filter(col("deleted") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(live == Seq((20L, 400L, 4.0), (21L, 500L, 5.0)))
+  }
+
+  test("st28 merge: an untouched bucket's files are not rewritten " +
+      "(partition-scoped copy-on-write)") {
+    val root = java.nio.file.Files.createTempDirectory("st28_cow_")
+      .resolve("lake").toString
+    // bucket 1 (user 17 % 8 = 1) and bucket 3 (user 19 % 8 = 3)
+    EventStream.mergeBatchIntoLake(cdcBatch(Seq(
+      (1L, 17L, 100L, "view", 1.0),
+      (2L, 19L, 100L, "view", 2.0))), root)
+    def files(b: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$root/bucket=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = files(3)
+    Thread.sleep(1100) // lastModified granularity
+    // second batch touches only bucket 1
+    EventStream.mergeBatchIntoLake(cdcBatch(Seq(
+      (3L, 17L, 200L, "click", 9.0))), root)
+    assert(files(3) == before,
+      "bucket 3 files rewritten by a bucket-1-only batch")
+    assert(lakeRows(root).exists(_.startsWith("17|200|")))
+  }
 }
