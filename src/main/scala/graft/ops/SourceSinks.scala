@@ -271,6 +271,107 @@ object SourceSinks {
             AS sum_bal
         FROM customer
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q72_lake_snapshot_diff",
+      (s, dir) => {
+        // CHANGE DATA FEED out of a lake: two compacted snapshots of
+        // the CDC state (v1 = as of the mid-stream cutoff, v2 =
+        // current) are WRITTEN as parquet and diffed FROM THE FILES
+        // (p06's rule) into the insert/update/delete rows a
+        // downstream incremental consumer replays -- the table-format
+        // "table_changes" staple, done as a key-equi full-outer join
+        // of two compacted key-level tables (one shuffle each, or
+        // co-located under st28's bucket layout; emitted rows are
+        // CHANGES only, never the lake). Tombstones live in both
+        // snapshots (st28's convention), so delete = live->tombstone
+        // and a re-upsert after a delete is an insert again; a
+        // tombstone-to-tombstone key is no visible change. The
+        // cutoff is integer arithmetic over the feed's own clock
+        // ((min+max) DIV 2 microseconds) -- engine-identical.
+        val path = new File(tmp("graft_q72"), "snap").getAbsolutePath
+        val ev = t(s, dir)("events")
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"),
+            col("value"))
+        val cutoff = ev.agg(expr("(min(us) + max(us)) DIV 2").as("cut"))
+        def compact(src: DataFrame): DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("us").desc, col("event_id").desc)
+          src.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("us"), col("event_id"),
+              (col("event_type") === "error").cast("int").as("deleted"),
+              col("value"))
+        }
+        compact(ev.crossJoin(broadcast(cutoff))
+            .filter(col("us") <= col("cut")))
+          .write.mode("overwrite").parquet(s"$path/v1")
+        compact(ev).write.mode("overwrite").parquet(s"$path/v2")
+        val sch = "user_id BIGINT, us BIGINT, event_id BIGINT, " +
+          "deleted INT, value DOUBLE"
+        val v1 = s.read.schema(sch).parquet(s"$path/v1")
+          .select(col("user_id"), col("us").as("old_us"),
+            col("event_id").as("old_eid"),
+            col("deleted").as("od"), col("value").as("old_value"))
+        val v2 = s.read.schema(sch).parquet(s"$path/v2")
+          .select(col("user_id"), col("us").as("new_us"),
+            col("event_id").as("new_eid"),
+            col("deleted").as("nd"), col("value").as("new_value"))
+        v1.join(v2, Seq("user_id"), "full")
+          .select(col("user_id"),
+            coalesce(col("od"), lit(1)).as("od"),
+            coalesce(col("nd"), lit(1)).as("nd"),
+            col("old_us"), col("new_us"), col("old_eid"),
+            col("new_eid"), col("old_value"), col("new_value"))
+          .withColumn("change_type",
+            when(col("od") === 0 && col("nd") === 1, "delete")
+              .when(col("od") === 1 && col("nd") === 0, "insert")
+              .when(col("od") === 0 && col("nd") === 0 &&
+                (col("old_us") =!= col("new_us") ||
+                  col("old_eid") =!= col("new_eid")), "update"))
+          .filter(col("change_type").isNotNull)
+          .select(col("user_id"), col("change_type"), col("old_us"),
+            col("new_us"), col("old_value"), col("new_value"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
+        v1 AS (
+          SELECT user_id, us, event_id,
+            CAST(event_type = 'error' AS INT) AS deleted, value FROM (
+            SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us DESC, event_id DESC) AS rn
+            FROM ev e, cut WHERE e.us <= cut.cut) WHERE rn = 1),
+        v2 AS (
+          SELECT user_id, us, event_id,
+            CAST(event_type = 'error' AS INT) AS deleted, value FROM (
+            SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us DESC, event_id DESC) AS rn
+            FROM ev e) WHERE rn = 1),
+        d AS (
+          SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+            COALESCE(a.deleted, 1) AS od, COALESCE(b.deleted, 1) AS nd,
+            a.us AS old_us, b.us AS new_us,
+            a.event_id AS oe, b.event_id AS ne,
+            a.value AS old_value, b.value AS new_value
+          FROM v1 a FULL JOIN v2 b ON a.user_id = b.user_id)
+        SELECT user_id,
+          CASE WHEN od = 0 AND nd = 1 THEN 'delete'
+               WHEN od = 1 AND nd = 0 THEN 'insert'
+               ELSE 'update' END AS change_type,
+          old_us, new_us, old_value, new_value
+        FROM d
+        WHERE (od = 0 AND nd = 1) OR (od = 1 AND nd = 0)
+           OR (od = 0 AND nd = 0 AND (old_us <> new_us OR oe <> ne))
+        ORDER BY user_id"""))
   )
 }

@@ -715,6 +715,69 @@ object StreamingOps {
         SELECT user_id, CAST(user_id % 8 AS INT) AS bucket,
           last_us, value
         FROM last WHERE event_type <> 'error'
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st29_stream_drift_monitor",
+      (s, dir) => EmbeddingStream.runDriftMonitor(s, dir),
+      // s34's drift accounting run LIVE beside the maintainer (see
+      // [[EmbeddingStream.runDriftMonitor]]): every arriving upsert
+      // scored statelessly against the frozen artifacts (nearest
+      // cell + out-of-box coordinate count), accumulated in an
+      // O(|cells|) streaming aggregate. The oracle restates the
+      // feed's upsert set (us=1 all, us=2 negated for every 7th;
+      // deletes carry no vector) and the same assignment /
+      // saturation arithmetic in batch SQL.
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        cdims AS (
+          SELECT label, CAST(u.i AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                                        i -> {'i': i, 'x': v[i]})) AS s(u)),
+        cent AS (
+          SELECT label, list(cx ORDER BY dim) AS cv FROM (
+            SELECT label, dim,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+            FROM cdims GROUP BY label, dim)
+          GROUP BY label),
+        gdims AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim, u.x AS x
+          FROM e, unnest(list_transform(range(1, len(v) + 1),
+                         i -> {'i': i, 'x': v[i]})) AS s(u)),
+        stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM gdims GROUP BY dim),
+        grid AS (
+          SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+          FROM stats),
+        ups AS (
+          SELECT vec_id, 1 AS us, v FROM e
+          UNION ALL
+          SELECT vec_id, 2 AS us, list_transform(v, x -> -x) AS v
+          FROM e WHERE vec_id % 7 = 0),
+        ac AS (
+          SELECT vec_id, us, v, cell FROM (
+            SELECT f.vec_id, f.us, f.v, c.label AS cell,
+              ROW_NUMBER() OVER (PARTITION BY f.vec_id, f.us ORDER BY
+                (list_sum(list_transform(list_zip(f.v, c.cv), p -> p[1]*p[2])) /
+                 (sqrt(list_sum(list_transform(f.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x*x))))) DESC,
+                c.label) AS rn
+            FROM ups f CROSS JOIN cent c) WHERE rn = 1),
+        sc AS (
+          SELECT ac.cell,
+            list_sum(list_transform(range(1, len(v) + 1),
+              i -> CASE WHEN v[i] < los[i] OR v[i] > his[i]
+                   THEN 1 ELSE 0 END)) AS satc,
+            len(v) AS nd
+          FROM ac, grid)
+        SELECT cell, COUNT(*) AS n_events,
+          CAST(SUM(satc) AS BIGINT) AS sat_coords,
+          CAST(SUM(nd) AS BIGINT) AS n_coords,
+          CAST((1000000 * SUM(satc)) // nullif(SUM(nd), 0) AS BIGINT)
+            AS sat_ppm
+        FROM sc GROUP BY cell ORDER BY cell"""))
   )
 }

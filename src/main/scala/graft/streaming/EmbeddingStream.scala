@@ -443,4 +443,87 @@ object EmbeddingStream {
       .parquet(s"$root/params")
     searchMaintained(e, cent, params, codes)
   }
+  /** One drift-monitor emission: per frozen cell, how many upsert
+    * events landed there and how much of their coordinate mass fell
+    * outside the frozen grid box.
+    */
+  final case class DriftCell(cell: Int, n_events: Long, sat_coords: Long,
+      n_coords: Long)
+
+  /** STREAMING drift monitor (st29) — s34's saturation/occupancy
+    * accounting run WHERE a deployed maintainer actually needs it: on
+    * the live upsert feed, beside st22, against the same frozen
+    * artifacts. Each upsert is scored STATELESSLY (nearest frozen
+    * cell + count of coordinates outside the frozen [lo, hi] box — a
+    * map over the broadcast ≤|cells|+1 artifact rows), and the only
+    * state is the per-cell streaming aggregate: (n_events,
+    * sat_coords, n_coords) — O(|cells|), the smallest state in the
+    * streaming surface. Unlike s34 (which measures the surviving
+    * FIXPOINT), the monitor counts every ARRIVING upsert once,
+    * superseded or not: drift is a property of what the feed throws
+    * at the frozen index, and a monitor that waited for the fixpoint
+    * would never fire mid-stream. The oracle restates the feed's
+    * upsert set (us=1 for all, us=2 negated for every 7th; deletes
+    * carry no vector) and the same assignment/out-of-box arithmetic
+    * in batch SQL.
+    */
+  def runDriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val S = graft.ops.Similarity
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centDf = S.seedCentroids(e).coalesce(1).localCheckpoint()
+    val paramsDf = S.sq8Params(e).coalesce(1).localCheckpoint()
+    val cents = centDf.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val (los, his) = paramsDf.collect().headOption
+      .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
+      .getOrElse((Array.empty[Double], Array.empty[Double]))
+    val name = "st_drift_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.withStreamShufflePartitions(spark, 8) {
+      val scored = vectorCdcFeed(readStream(spark, dir)).as[VecUpsert]
+        .filter(_.del == 0)
+        .map { ev =>
+          val (cell, _) = assignEncode(cents, los, his, ev.v)
+          var satc = 0L
+          var i = 0
+          val a = ev.v
+          while (i < a.length) {
+            if (a(i) < los(i) || a(i) > his(i)) satc += 1
+            i += 1
+          }
+          DriftCell(cell, 1L, satc, a.length.toLong)
+        }
+      val q = scored
+        .groupBy(col("cell"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sat_coords")).as("sat_coords"),
+          sum(col("n_coords")).as("n_coords"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    // Update-mode drain: counts are monotone per cell, the final
+    // totals are the max-n_events emission (runRunningCounts).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("n_events").desc)
+    out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("n_events"), col("sat_coords"),
+        col("n_coords"),
+        expr("(1000000L * sat_coords) DIV nullif(n_coords, 0L)")
+          .as("sat_ppm"))
+      .orderBy("cell")
+  }
 }
