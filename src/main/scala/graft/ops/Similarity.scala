@@ -2305,6 +2305,114 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Maximal Marginal Relevance re-rank (s36) — the diversity-aware
+    * serving step (Carbonell & Goldstein 1998): from the query's
+    * top-`kCand` cosine candidates, greedily pick k results maximizing
+    * λ·relevance − μ·max-similarity-to-already-picked. The k-center
+    * machinery (s30) re-aimed at serving: a running `ms` column
+    * (max sim to the selected set) updated per round with one
+    * map-only `greatest` against the single broadcast new pick, the
+    * argmax a TakeOrderedAndProject top-1 (k−1 bounded single-row
+    * fetches), per-round localCheckpoint. λ and μ are SEPARATE
+    * literals (never 1−λ computed at runtime — 1−0.7 is not 0.3 in
+    * IEEE, and the oracle parses the printed literal).
+    *
+    * Determinism: rel and ms are ROUND(cos, 6) values (s01), the
+    * score λ·rel − μ·ms combines already-identical doubles with one
+    * literal-for-literal expression, ties break by vec_id.
+    * Output: (rnk, vec_id, rel, score) — score as at selection time.
+    */
+  def mmrRerank(e0: DataFrame, kCand: Int, k: Int,
+      lam: Double, mu: Double): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    VectorExpressions.register(s)
+    val e = e0.filter(col("v").isNotNull)
+    def cvLit(vs: Seq[Double]): Column = array(vs.map(lit): _*)
+    val q = e.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    var state = e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"),
+        round(cosine(col("v"), col("qv")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(kCand)
+      .withColumn("ms", lit(0.0))
+      .localCheckpoint()
+    var picked = Vector.empty[(Int, Long, Double, Double)]
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      val top = state
+        .withColumn("score",
+          lit(lam) * col("rel") - lit(mu) * col("ms"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .collect().headOption
+      top match {
+        case None => exhausted = true
+        case Some(row) =>
+          picked :+= ((r, row.getLong(0), row.getDouble(2),
+            row.getDouble(row.fieldIndex("score"))))
+          val cv = row.getSeq[Double](1)
+          val prev = state
+          state = state.filter(col("vec_id") =!= row.getLong(0))
+            .withColumn("ms",
+              greatest(col("ms"), round(cosine(col("v"), cvLit(cv)), 6)))
+            .localCheckpoint()
+          freeCheckpoint(prev)
+      }
+    }
+    freeCheckpoint(state)
+    picked.toDF("rnk", "vec_id", "rel", "score").orderBy("rnk")
+  }
+
+  /** DuckDB restatement of [[mmrRerank]]: the greedy recursion
+    * unrolled as CTE rounds (c_r = argmax of s_{r-1}'s score,
+    * s_r = remaining candidates with a GREATEST ms-fold update) —
+    * exactly the Spark arithmetic, literal for literal.
+    */
+  def sqlMmrUnrolled(kCand: Int, k: Int, lam: Double,
+      mu: Double): String = {
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) /
+            (sqrt(list_sum(list_transform($a, x -> x*x))) *
+             sqrt(list_sum(list_transform($b, x -> x*x))))"""
+    // Round r FIRST drops c_{r-1} and folds it into ms, THEN argmaxes
+    // — picking before reducing would let an earlier winner repeat.
+    val rounds = (2 to k).map { r =>
+      s"""
+        s$r AS (
+          SELECT s.vec_id, s.v, s.rel,
+            GREATEST(s.ms, ROUND(${cos("s.v", "c.v")}, 6)) AS ms
+          FROM s${r - 1} s CROSS JOIN c${r - 1} c
+          WHERE s.vec_id <> c.vec_id),
+        c$r AS (
+          SELECT vec_id, v, rel, ms FROM s$r
+          ORDER BY $lam * rel - $mu * ms DESC, vec_id LIMIT 1)"""
+    }.mkString(",")
+    val parts = (1 to k).map { r =>
+      s"""SELECT $r AS rnk, vec_id, rel,
+            $lam * rel - $mu * ms AS score FROM c$r"""
+    }.mkString("\n          UNION ALL ")
+    s"""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id, v, rel, CAST(0.0 AS DOUBLE) AS ms FROM (
+            SELECT e.vec_id, e.v,
+              ROUND(${cos("e.v", "q.qv")}, 6) AS rel
+            FROM e, q WHERE e.vec_id <> 0
+            ORDER BY rel DESC, vec_id LIMIT $kCand)),
+        s1 AS (SELECT * FROM cand),
+        c1 AS (
+          SELECT vec_id, v, rel, ms FROM s1
+          ORDER BY $lam * rel - $mu * ms DESC, vec_id LIMIT 1)${
+        if (k >= 2) "," else ""}$rounds
+        SELECT rnk, vec_id, rel, score FROM (
+          ${parts})
+        ORDER BY rnk"""
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -4235,6 +4343,18 @@ object Similarity {
                THEN rsatp.sat_ppm_rebuilt
                ELSE satp.sat_ppm END AS serving_sat_ppm
         FROM cd LEFT JOIN occr ON cd.cell = occr.cell, satp, mx, rsatp
-        ORDER BY cd.cell"""))
+        ORDER BY cd.cell""")),
+    // ----------------------------------------------------------------
+    Q(
+      "s36_mmr_rerank",
+      (s, dir) =>
+        // Diversity-aware serving (see [[mmrRerank]]): query 0's
+        // top-20 cosine candidates greedily re-ranked to 8 by
+        // MMR (lambda = 0.7, mu = 0.3) -- relevance traded against
+        // redundancy with the already-returned results, the step a
+        // retrieval endpoint runs between ANN search and the user.
+        mmrRerank(emb(s, dir), kCand = 20, k = 8,
+          lam = 0.7, mu = 0.3),
+      Some(sqlMmrUnrolled(kCand = 20, k = 8, lam = 0.7, mu = 0.3)))
   )
 }

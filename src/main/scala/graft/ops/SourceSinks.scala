@@ -372,6 +372,144 @@ object SourceSinks {
         FROM d
         WHERE (od = 0 AND nd = 1) OR (od = 1 AND nd = 0)
            OR (od = 0 AND nd = 0 AND (old_us <> new_us OR oe <> ne))
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q73_zorder_layout",
+      (s, dir) => {
+        // Z-ORDER data layout -- multi-column file skipping, the
+        // lakehouse clustering staple: orders are bucketed 16-way on
+        // BOTH o_custkey and order day (integer range buckets over
+        // the broadcast 1-row min/max), the two 4-bit bucket ids are
+        // BIT-INTERLEAVED into an 8-bit Morton z-value, and the table
+        // is written as 16 z-range partitions (z DIV 16 -- fixed-
+        // width cuts, so the layout is deterministic and
+        // oracle-restatable, unlike a sampled range partitioner).
+        // The payoff is MEASURED, not asserted: per-partition min/max
+        // column stats are recomputed FROM THE WRITTEN FILES (p06's
+        // rule) and a quarter-by-quarter box query is tested against
+        // them -- n_buckets_hit_z vs n_buckets_hit_lex, the same box
+        // against the stats a custkey-only sort layout would give
+        // (its per-bx min/max). Interleaving makes a 2-D box touch
+        // O(few) z-runs while the 1-D sort must open every file whose
+        // custkey range overlaps, regardless of date -- the file-
+        // skipping argument made as two comparable integers. All
+        // bucket/box arithmetic is integer DIV over positive ranges,
+        // engine-identical by construction.
+        val path = new File(tmp("graft_q73"), "zorder").getAbsolutePath
+        val o = t(s, dir)("orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01"))
+              .cast("long").as("day"))
+        val mm = o.agg(min("o_custkey").as("min_ck"),
+          max("o_custkey").as("max_ck"),
+          min("day").as("min_d"), max("day").as("max_d"))
+        o.crossJoin(broadcast(mm))
+          .withColumn("bx",
+            expr("((o_custkey - min_ck) * 16) DIV (max_ck - min_ck + 1)"))
+          .withColumn("byd",
+            expr("((day - min_d) * 16) DIV (max_d - min_d + 1)"))
+          .withColumn("z", expr("""
+            (bx & 1) + shiftleft(byd & 1, 1) +
+            shiftleft(shiftright(bx, 1) & 1, 2) +
+            shiftleft(shiftright(byd, 1) & 1, 3) +
+            shiftleft(shiftright(bx, 2) & 1, 4) +
+            shiftleft(shiftright(byd, 2) & 1, 5) +
+            shiftleft(shiftright(bx, 3) & 1, 6) +
+            shiftleft(shiftright(byd, 3) & 1, 7)"""))
+          .withColumn("zbucket", expr("z DIV 16").cast("int"))
+          .select(col("o_orderkey"), col("o_custkey"), col("day"),
+            col("bx"), col("zbucket"))
+          .write.partitionBy("zbucket").mode("overwrite").parquet(path)
+        val r = s.read.option("basePath", path)
+          .schema("o_orderkey BIGINT, o_custkey BIGINT, day BIGINT, " +
+            "bx BIGINT, zbucket INT")
+          .parquet(path)
+        val box = mm.select(
+          expr("min_ck + ((max_ck - min_ck + 1) * 4) DIV 16").as("ck_lo"),
+          expr("min_ck + ((max_ck - min_ck + 1) * 8) DIV 16 - 1")
+            .as("ck_hi"),
+          expr("min_d + ((max_d - min_d + 1) * 4) DIV 16").as("d_lo"),
+          expr("min_d + ((max_d - min_d + 1) * 8) DIV 16 - 1").as("d_hi"))
+        val zhit = r.groupBy("zbucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+            min("day").as("min_day"), max("day").as("max_day"))
+          .crossJoin(broadcast(box))
+          .withColumn("hit_z",
+            (!(col("max_ck") < col("ck_lo") ||
+               col("min_ck") > col("ck_hi") ||
+               col("max_day") < col("d_lo") ||
+               col("min_day") > col("d_hi"))).cast("int"))
+        val nz = zhit.agg(sum(col("hit_z")).as("n_buckets_hit_z"))
+        val nl = r.groupBy("bx")
+          .agg(min("o_custkey").as("lmin"), max("o_custkey").as("lmax"),
+            min("day").as("ldmin"), max("day").as("ldmax"))
+          .crossJoin(broadcast(box))
+          .select((!(col("lmax") < col("ck_lo") ||
+            col("lmin") > col("ck_hi") ||
+            col("ldmax") < col("d_lo") ||
+            col("ldmin") > col("d_hi"))).cast("int").as("hit"))
+          .agg(sum(col("hit")).as("n_buckets_hit_lex"))
+        zhit.crossJoin(broadcast(nz)).crossJoin(broadcast(nl))
+          .select(col("zbucket"), col("n_rows"), col("min_ck"),
+            col("max_ck"), col("min_day"), col("max_day"), col("hit_z"),
+            col("n_buckets_hit_z"), col("n_buckets_hit_lex"))
+          .orderBy("zbucket")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+            CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+              AS BIGINT) AS day
+          FROM orders),
+        mm AS (
+          SELECT MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+            MIN(day) AS min_d, MAX(day) AS max_d
+          FROM o),
+        b AS (
+          SELECT o.*,
+            ((o_custkey - min_ck) * 16) // (max_ck - min_ck + 1) AS bx,
+            ((day - min_d) * 16) // (max_d - min_d + 1) AS byd
+          FROM o, mm),
+        zb AS (
+          SELECT *, CAST((
+            (bx & 1) + ((byd & 1) << 1) +
+            (((bx >> 1) & 1) << 2) + (((byd >> 1) & 1) << 3) +
+            (((bx >> 2) & 1) << 4) + (((byd >> 2) & 1) << 5) +
+            (((bx >> 3) & 1) << 6) + (((byd >> 3) & 1) << 7)) // 16
+            AS INT) AS zbucket
+          FROM b),
+        zs AS (
+          SELECT zbucket, COUNT(*) AS n_rows,
+            MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+            MIN(day) AS min_day, MAX(day) AS max_day
+          FROM zb GROUP BY zbucket),
+        box AS (
+          SELECT min_ck + ((max_ck - min_ck + 1) * 4) // 16 AS ck_lo,
+            min_ck + ((max_ck - min_ck + 1) * 8) // 16 - 1 AS ck_hi,
+            min_d + ((max_d - min_d + 1) * 4) // 16 AS d_lo,
+            min_d + ((max_d - min_d + 1) * 8) // 16 - 1 AS d_hi
+          FROM mm),
+        zh AS (
+          SELECT zs.*,
+            CAST(NOT (max_ck < ck_lo OR min_ck > ck_hi OR
+                      max_day < d_lo OR min_day > d_hi) AS INT) AS hit_z
+          FROM zs, box),
+        nz AS (SELECT CAST(SUM(hit_z) AS BIGINT) AS n_buckets_hit_z
+               FROM zh),
+        ls AS (
+          SELECT bx, MIN(o_custkey) AS lmin, MAX(o_custkey) AS lmax,
+            MIN(day) AS ldmin, MAX(day) AS ldmax
+          FROM zb GROUP BY bx),
+        nl AS (
+          SELECT CAST(SUM(CAST(NOT (lmax < ck_lo OR lmin > ck_hi OR
+            ldmax < d_lo OR ldmin > d_hi) AS INT)) AS BIGINT)
+            AS n_buckets_hit_lex
+          FROM ls, box)
+        SELECT zbucket, n_rows, min_ck, max_ck, min_day, max_day,
+          hit_z, n_buckets_hit_z, n_buckets_hit_lex
+        FROM zh, nz, nl
+        ORDER BY zbucket"""))
   )
 }

@@ -1218,4 +1218,23 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Long]("n_now")))
   }
 
+  test("s36 MMR: a redundant near-duplicate of the top hit is demoted " +
+      "below a diverse lower-relevance result") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // query 0; A1/A2 near-identical high-relevance clones; B diverse,
+    // moderately relevant. Pure relevance ranks A1, A2, B; MMR must
+    // return A1, B, A2 - the redundancy penalty is the operator.
+    val q  = Seq(1.0, 1.0, 0.0, 0.0)
+    val a1 = Seq(1.0, 1.0, 0.5, 0.0)
+    val a2 = Seq(1.0, 1.0, 0.51, 0.0)
+    val b  = Seq(1.0, 1.0, 0.0, 0.5)
+    val e = Seq((0L, 0, q), (1L, 0, a1), (2L, 0, a2), (3L, 0, b))
+      .toDF("vec_id", "label", "v")
+    val got = Similarity.mmrRerank(e, kCand = 3, k = 3,
+        lam = 0.7, mu = 0.3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)), got)
+  }
+
 }

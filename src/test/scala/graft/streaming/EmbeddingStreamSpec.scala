@@ -174,4 +174,24 @@ class EmbeddingStreamSpec extends SparkSpec {
     val served = rows(EmbeddingStream.runIndexLifecycle(spark, dir))
     assert(served == inMem && served.nonEmpty)
   }
+  test("st29 drift monitor: event accounting matches the CDC feed's " +
+      "definition and ppm arithmetic is integer-exact") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val out = EmbeddingStream.runDriftMonitor(spark, dir).collect()
+    assert(out.nonEmpty)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+    val n = e.count()
+    val n7 = e.filter(col("vec_id") % 7 === 0).count()
+    // every upsert counted once: us=1 for all, us=2 for every 7th;
+    // deletes carry no vector and never reach the monitor
+    assert(out.map(_.getAs[Long]("n_events")).sum == n + n7)
+    out.foreach { r =>
+      val sat = r.getAs[Long]("sat_coords")
+      val nc = r.getAs[Long]("n_coords")
+      assert(r.getAs[Long]("sat_ppm") == 1000000L * sat / nc, r)
+    }
+  }
+
 }
