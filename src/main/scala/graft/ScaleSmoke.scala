@@ -28,7 +28,8 @@ object ScaleSmoke {
       |  indexmaint [f]  st22 state plateau under ×f churn per key
       |  funnel [f]      st23 horizon-bounded buffers under ×f replicas
       |  timeseries [f]  q69/q70 spine-bounded window cost on events ×f
-      |  dsir [f]      t23 model-size invariance + weight cost ×1 vs ×f""".stripMargin
+      |  dsir [f]      t23 model-size invariance + weight cost ×1 vs ×f
+      |  lakemerge [f] st28 partition-scoped merge cost on a ×f lake""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -896,10 +897,60 @@ object ScaleSmoke {
     evN.unpersist(); ev1.unpersist()
   }
 
+  /** st28's partition-scoped copy-on-write claim, measured: against a
+    * ×factor lake, a delta batch confined to 1 of the 8 key buckets
+    * must rewrite exactly that one partition, while an equal-sized
+    * batch spread across every bucket rewrites all 8 — per-batch cost
+    * is the TOUCHED partitions, never the lake. Verified structurally
+    * (bucket dirs whose newest parquet mtime moved) and by wall time.
+    */
+  def runLakeMerge(spark: SparkSession, factor: Int): Unit = {
+    import graft.streaming.EventStream
+    val ev0 = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+    val base = (0 until factor).map { i =>
+      ev0.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000))
+    }.reduce(_ unionByName _).cache()
+    println(s"[lakemerge] base rows: ${base.count()} (x$factor)")
+    def fresh(): String = java.nio.file.Files
+      .createTempDirectory("graft_smoke_lake_").resolve("lake").toString
+    def mtimes(root: String): Map[Int, Long] =
+      (0 until 8).flatMap { b =>
+        val d = new java.io.File(s"$root/bucket=$b")
+        val fs = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+        if (fs.isEmpty) None else Some(b -> fs.map(_.lastModified()).max)
+      }.toMap
+    val lakeN = fresh(); val lakeW = fresh()
+    time("base merge -> lake A")(EventStream.mergeBatchIntoLake(base, lakeN))
+    time("base merge -> lake B")(EventStream.mergeBatchIntoLake(base, lakeW))
+    val mN0 = mtimes(lakeN); val mW0 = mtimes(lakeW)
+    Thread.sleep(1100) // mtime granularity
+    // equal-row deltas: narrow = every key of ONE bucket; wide = every
+    // 8th event regardless of bucket
+    val narrow = base.filter(pmod(col("user_id"), lit(8)) === 0)
+      .withColumn("us", col("us") + 1)
+    val wide = base.filter(col("event_id") % 8 === 0)
+      .withColumn("us", col("us") + 1)
+    println(s"[lakemerge] delta rows: narrow=${narrow.count()} wide=${wide.count()}")
+    time("narrow delta merge (1 bucket touched)")(
+      EventStream.mergeBatchIntoLake(narrow, lakeN))
+    time("wide delta merge (8 buckets touched)")(
+      EventStream.mergeBatchIntoLake(wide, lakeW))
+    val rewN = mtimes(lakeN).count { case (b, t) => mN0.get(b).forall(_ != t) }
+    val rewW = mtimes(lakeW).count { case (b, t) => mW0.get(b).forall(_ != t) }
+    println(s"[lakemerge] buckets rewritten: narrow=$rewN/8 wide=$rewW/8")
+    assert(rewN == 1, s"narrow delta must rewrite exactly 1 bucket, got $rewN")
+    base.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
       "text", "curation", "multimodal", "containment", "indexmaint",
-      "funnel", "timeseries", "dsir")
+      "funnel", "timeseries", "dsir", "lakemerge")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -933,6 +984,7 @@ object ScaleSmoke {
         case "funnel" => 20
         case "timeseries" => 20
         case "dsir" => 20
+        case "lakemerge" => 5
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -958,6 +1010,7 @@ object ScaleSmoke {
     if (mode == "indexmaint") { runIndexMaint(spark, factor); spark.stop(); return }
     if (mode == "funnel") { runFunnel(spark, factor); spark.stop(); return }
     if (mode == "timeseries") { runTimeseries(spark, factor); spark.stop(); return }
+    if (mode == "lakemerge") { runLakeMerge(spark, factor); spark.stop(); return }
     if (mode == "dsir") { runDsir(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")

@@ -510,6 +510,63 @@ object SourceSinks {
         SELECT zbucket, n_rows, min_ck, max_ck, min_day, max_day,
           hit_z, n_buckets_hit_z, n_buckets_hit_lex
         FROM zh, nz, nl
-        ORDER BY zbucket"""))
+        ORDER BY zbucket""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q74_incremental_mv",
+      (s, dir) => {
+        // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE -- the warehouse
+        // staple behind every "refresh without recompute": a grouped
+        // aggregate over the orders up to the mid-stream cutoff is
+        // materialized to parquet (decomposable partials: COUNT and
+        // an exact DECIMAL SUM -- never an average), the post-cutoff
+        // DELTA is aggregated alone, and the view is refreshed by
+        // MERGING partials read back FROM THE FILES (p06's rule):
+        // counts add, sums add, and the derived avg_price is computed
+        // from the MERGED sums at the end -- the
+        // no-averaging-of-averages discipline that makes incremental
+        // refresh exact. The oracle is the full recompute over all
+        // rows: the hash matches iff merge(partial(A), partial(B)) =
+        // partial(A uplus B), proven through the storage boundary. At
+        // 100 TB the delta aggregate is the only corpus-scale work
+        // per refresh; the merge touches |groups| rows.
+        val path = new File(tmp("graft_q74"), "mv").getAbsolutePath
+        val o = t(s, dir)("orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(12,2)").as("price"),
+            datediff(col("o_orderdate"), lit("1970-01-01"))
+              .cast("long").as("day"))
+        val cutoff = o.agg(expr("(min(day) + max(day)) DIV 2").as("cut"))
+        def partial(src: DataFrame): DataFrame = src
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("price")).as("sum_price")) // decimal(22,2)
+        partial(o.crossJoin(broadcast(cutoff))
+            .filter(col("day") <= col("cut")))
+          .write.mode("overwrite").parquet(path)
+        val mv = s.read
+          .schema("o_orderstatus STRING, n BIGINT, sum_price DECIMAL(22,2)")
+          .parquet(path)
+        val delta = partial(o.crossJoin(broadcast(cutoff))
+          .filter(col("day") > col("cut")))
+        mv.unionByName(delta)
+          .groupBy("o_orderstatus")
+          .agg(sum(col("n")).as("n"),
+            sum(col("sum_price")).as("sum_price"))
+          .select(col("o_orderstatus"), col("n"),
+            col("sum_price").cast("double").as("sum_price"),
+            (col("sum_price").cast("double") /
+              col("n").cast("double")).as("avg_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE) AS avg_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus"""))
   )
 }

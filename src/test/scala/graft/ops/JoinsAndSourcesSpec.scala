@@ -180,4 +180,34 @@ class JoinsAndSourcesSpec extends SparkSpec {
     assert(total == graft.Tables.load(spark, dir, "orders").count())
   }
 
+  test("q74: the refreshed view equals a direct full recompute, and " +
+      "the materialized partial really is partial") {
+    import graft.SparkEntry
+    val got = SparkEntry.queries("q74_incremental_mv")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val want = graft.Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == want && got.nonEmpty)
+    // the merged count must exceed any single partial's share: the
+    // cutoff is the feed's midpoint, so both sides are non-empty
+    val total = got.map(_._2).sum
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(datediff(col("o_orderdate"), lit("1970-01-01"))
+        .cast("long").as("day"))
+    val cut = o.agg(expr("(min(day) + max(day)) DIV 2"))
+      .collect()(0).getLong(0)
+    val pre = o.filter(col("day") <= cut).count()
+    assert(pre > 0 && pre < total,
+      s"cutoff must split the feed: pre=$pre total=$total")
+  }
+
 }
