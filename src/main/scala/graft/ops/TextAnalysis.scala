@@ -936,6 +936,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t26: WITHIN-document repeated-chunk removal — the C4-style
+    * cleanup t16 only measures, executed. The token stream is cut
+    * into aligned `width`-token chunks; repeats are dropped in place
+    * (first occurrence kept, order preserved) and the cleaned doc
+    * ships as digest + removal counts. Pure per-row HOF arithmetic
+    * (tokenize / chunk / first-index filter / reassemble): zero
+    * shuffle, zero explode — at 100 TB intra-doc cleaning is a
+    * map-only pass whose cost is the scan, and the chunk arrays
+    * never become rows. The first-occurrence rule is position
+    * arithmetic (chunk i kept iff the list's FIRST index of that
+    * chunk is i), stated identically in both engines — no reliance
+    * on either engine's distinct-preserves-order behavior. (Aligned
+    * fixed-width chunks, not sliding n-grams: removal needs a
+    * PARTITION of the token stream so dropped spans never overlap
+    * kept ones.)
+    */
+  def intraDocDedup(documents: DataFrame, width: Int): DataFrame =
+    documents
+      .filter(col("text").isNotNull) // row parity with the oracle
+      .select(col("doc_id"), tokens(col("text")).as("tl"))
+      .select(col("doc_id"),
+        // sequence(0, n-1) descends when n = 0 — guard short docs
+        expr(s"""IF(size(tl) < $width, array(),
+                 transform(sequence(0, size(tl) DIV $width - 1),
+                   i -> concat_ws(' ', slice(tl, i*$width + 1, $width))))""")
+          .as("chunks"))
+      .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
+        expr("""IF(size(chunks) = 0, array(),
+                 transform(
+                   filter(sequence(1, size(chunks)),
+                     i -> array_position(chunks,
+                            element_at(chunks, i)) = i),
+                   i -> element_at(chunks, i)))""").as("clean"))
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - size(col("clean"))).as("n_removed"),
+        md5(concat_ws(" ", col("clean"))).as("clean_digest"))
+      .orderBy("doc_id")
+
+  /** t27: CROSS-document boilerplate removal — the corpus-level
+    * complement of [[intraDocDedup]]: an aligned `width`-token chunk
+    * appearing in >= `minDocs` DISTINCT documents is boilerplate
+    * (headers, legal footers, nav text — d20's sliding-8-gram
+    * contamination probe's aligned cousin, here EXECUTING removal),
+    * and every occurrence is scrubbed from every doc. Scale shape:
+    * the hot set builds from per-doc-DEDUPED (doc, chunk) rows — one
+    * shuffle keyed by chunk whose payload is the chunk string, never
+    * the document — and comes back as the SMALL side of an anti-join
+    * against the exploded chunk stream (boilerplate is rare by
+    * definition; AQE broadcasts it when it fits). Docs reassemble by
+    * position, so the digest is order-exact.
+    */
+  def boilerplateScrub(documents: DataFrame, width: Int,
+      minDocs: Int): DataFrame = {
+    val ch = documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("tl"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""IF(size(tl) < $width, array(),
+               transform(sequence(0, size(tl) DIV $width - 1),
+                 i -> concat_ws(' ', slice(tl, i*$width + 1, $width))))"""))
+          .as(Seq("pos", "chunk")))
+    val hot = ch.select(col("doc_id"), col("chunk")).distinct()
+      .groupBy("chunk").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("chunk"))
+    ch.join(hot, Seq("chunk"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, chunk)))," +
+            " p -> p.chunk)")))
+          .as("clean_digest"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1915,6 +1991,67 @@ object TextAnalysis {
               ROUND(ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)),
                     6))),
             (a, b) -> a + b), 6) AS entropy
-        FROM agg ORDER BY doc_id"""))
+        FROM agg ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t26_intra_doc_dedup",
+      (s, dir) =>
+        // Within-document repeated-chunk removal (see
+        // [[intraDocDedup]]); 2-token chunks keep repeats non-vacuous
+        // on the synthetic corpus.
+        intraDocDedup(docs(s, dir), width = 2),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        ch AS (
+          SELECT doc_id,
+            list_transform(range(0, len(tl) // 2),
+              i -> array_to_string(
+                     list_slice(tl, i*2 + 1, i*2 + 2), ' ')) AS chunks
+          FROM toks),
+        ded AS (
+          SELECT doc_id, len(chunks) AS n_chunks,
+            list_transform(
+              list_filter(range(1, len(chunks) + 1),
+                i -> list_position(chunks, chunks[i]) = i),
+              i -> chunks[i]) AS clean
+          FROM ch)
+        SELECT doc_id, CAST(n_chunks AS INT) AS n_chunks,
+          CAST(n_chunks - len(clean) AS INT) AS n_removed,
+          md5(array_to_string(clean, ' ')) AS clean_digest
+        FROM ded ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t27_boilerplate_scrub",
+      (s, dir) =>
+        // Cross-document boilerplate removal (see
+        // [[boilerplateScrub]]); 8-token chunks in >= 3 docs.
+        boilerplateScrub(docs(s, dir), width = 8, minDocs = 3),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        ch AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+            array_to_string(list_slice(tl, i*8 + 1, i*8 + 8), ' ')
+              AS chunk
+          FROM toks, unnest(range(0, len(tl) // 8)) AS t(i)),
+        hot AS (
+          SELECT chunk FROM (
+            SELECT chunk, COUNT(DISTINCT doc_id) AS nd
+            FROM ch GROUP BY chunk)
+          WHERE nd >= 3)
+        SELECT doc_id, COUNT(*) AS n_kept,
+          md5(array_to_string(list(chunk ORDER BY pos), ' '))
+            AS clean_digest
+        FROM ch
+        WHERE chunk NOT IN (SELECT chunk FROM hot)
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

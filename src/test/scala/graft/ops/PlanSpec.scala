@@ -1045,4 +1045,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("t26: intra-doc dedup is map-only — no shuffle, no explode; " +
+    "the scan reads (doc_id, text) only") {
+    val p = plan("t26_intra_doc_dedup")
+    // The whole chunk/filter/reassemble pipeline is per-row HOF
+    // arithmetic: the ONLY exchange allowed is the presentation
+    // sort's range partitioning.
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // Chunk arrays never become rows.
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("t27: the hot boilerplate set comes back as the SMALL side of " +
+    "a broadcast anti-join; no chunk-payload doc-side shuffle") {
+    val p = plan("t27_boilerplate_scrub")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    // Exchanges: per-doc distinct, the chunk-keyed hot-set count, and
+    // the final per-doc reassembly — never a join-driven repartition
+    // of the full exploded chunk stream.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
+  }
 }

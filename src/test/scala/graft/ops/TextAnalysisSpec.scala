@@ -454,4 +454,62 @@ class TextAnalysisSpec extends SparkSpec {
     // Uniform strictly beats skewed beats degenerate.
     assert(out(2L)._3 > out(3L)._3 && out(3L)._3 > out(1L)._3)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("t26: first occurrence kept in place, later repeats dropped, " +
+    "trailing odd token ignored, short docs yield zero chunks") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq(
+      // chunks: [a b][a b][c d][a b] -> clean [a b][c d]
+      (1L, "a b a b c d a b"),
+      // repeat AFTER an intervening distinct chunk still drops, and
+      // the intervening chunk keeps its position: [x y][p q][x y]
+      // -> [x y][p q]; the 7th token "z" is an incomplete chunk and
+      // is ignored entirely (aligned partition, not a remainder).
+      (2L, "x y p q x y z"),
+      (3L, "only"), // 1 token -> 0 chunks
+      (4L, "a b")) // exactly one chunk, nothing to remove
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.intraDocDedup(docs, width = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) === ((4, 2, md5hex("a b c d"))), out.toString)
+    assert(out(2L) === ((3, 1, md5hex("x y p q"))), out.toString)
+    assert(out(3L) === ((0, 0, md5hex(""))), out.toString)
+    assert(out(4L) === ((1, 0, md5hex("a b"))), out.toString)
+  }
+
+  test("t27: a chunk in >=3 docs is scrubbed everywhere, a 2-doc " +
+    "chunk survives, and a fully-boilerplate doc vanishes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val boiler = "terms of service apply and all rights reserved" // 8
+
+    val pair = "subscribe to our newsletter for weekly updates now"
+    val docs = Seq(
+      // boilerplate at position 0, unique tail
+      (1L, s"$boiler u1 u2 u3 u4 u5 u6 u7 u8"),
+      // boilerplate at position 1 (scrub is position-independent);
+      // also carries the 2-doc chunk, which must survive
+      (2L, s"v1 v2 v3 v4 v5 v6 v7 v8 $boiler $pair"),
+      // doc that is NOTHING but boilerplate -> zero kept chunks ->
+      // no output row (both engines drop the empty group)
+      (3L, boiler),
+      // second holder of the 2-doc chunk: below minDocs, kept
+      (4L, s"$pair w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateScrub(docs, width = 8, minDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(!out.contains(3L), s"fully-boilerplate doc kept: $out")
+    assert(out(1L) === ((1L, md5hex("u1 u2 u3 u4 u5 u6 u7 u8"))))
+    assert(out(2L) === ((2L,
+      md5hex("v1 v2 v3 v4 v5 v6 v7 v8 " + pair))))
+    assert(out(4L) === ((2L,
+      md5hex(pair + " w1 w2 w3 w4 w5 w6 w7 w8"))))
+  }
 }
