@@ -778,6 +778,42 @@ object StreamingOps {
           CAST(SUM(nd) AS BIGINT) AS n_coords,
           CAST((1000000 * SUM(satc)) // nullif(SUM(nd), 0) AS BIGINT)
             AS sat_ppm
-        FROM sc GROUP BY cell ORDER BY cell"""))
+        FROM sc GROUP BY cell ORDER BY cell""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st30_stream_boilerplate_scrub",
+      (s, dir) => DocumentStream.runStreamBoilerplateScrub(s, dir),
+      // Streaming boilerplate scrub (see
+      // [[DocumentStream.runStreamBoilerplateScrub]]): the
+      // offline-trained hot-chunk blocklist (aligned 8-token chunks
+      // in >=3 distinct docs, capped at the 4096 hottest by
+      // (doc-frequency DESC, chunk)) applied statelessly per row on
+      // the ingest stream. The oracle restates discovery AND
+      // application batch-wise; docs left with zero kept chunks emit
+      // nothing in both engines.
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS tl
+          FROM documents WHERE text IS NOT NULL),
+        ch AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+            array_to_string(list_slice(tl, i*8 + 1, i*8 + 8), ' ')
+              AS chunk
+          FROM toks, unnest(range(0, len(tl) // 8)) AS t(i)),
+        hot AS (
+          SELECT chunk FROM (
+            SELECT chunk, COUNT(DISTINCT doc_id) AS nd
+            FROM ch GROUP BY chunk)
+          WHERE nd >= 3
+          ORDER BY nd DESC, chunk LIMIT 4096)
+        SELECT doc_id, COUNT(*) AS n_kept,
+          md5(array_to_string(list(chunk ORDER BY pos), ' '))
+            AS clean_digest
+        FROM ch
+        WHERE chunk NOT IN (SELECT chunk FROM hot)
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

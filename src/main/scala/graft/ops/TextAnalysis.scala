@@ -956,12 +956,7 @@ object TextAnalysis {
     documents
       .filter(col("text").isNotNull) // row parity with the oracle
       .select(col("doc_id"), tokens(col("text")).as("tl"))
-      .select(col("doc_id"),
-        // sequence(0, n-1) descends when n = 0 — guard short docs
-        expr(s"""IF(size(tl) < $width, array(),
-                 transform(sequence(0, size(tl) DIV $width - 1),
-                   i -> concat_ws(' ', slice(tl, i*$width + 1, $width))))""")
-          .as("chunks"))
+      .select(col("doc_id"), alignedChunks(width).as("chunks"))
       .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
         expr("""IF(size(chunks) = 0, array(),
                  transform(
@@ -987,17 +982,42 @@ object TextAnalysis {
     * definition; AQE broadcasts it when it fits). Docs reassemble by
     * position, so the digest is order-exact.
     */
-  def boilerplateScrub(documents: DataFrame, width: Int,
-      minDocs: Int): DataFrame = {
-    val ch = documents
+  /** Aligned `width`-token chunking of a token-list column named
+    * `tl` — the shared partition rule of t26/t27/st30. The IF guards
+    * short docs (sequence(0, n-1) DESCENDS when n = 0).
+    */
+  def alignedChunks(width: Int): Column =
+    expr(s"""IF(size(tl) < $width, array(),
+             transform(sequence(0, size(tl) DIV $width - 1),
+               i -> concat_ws(' ', slice(tl, i*$width + 1, $width))))""")
+
+  /** One (doc_id, pos, chunk) row per aligned chunk occurrence. */
+  private def chunkRows(documents: DataFrame, width: Int): DataFrame =
+    documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("tl"))
       .select(col("doc_id"),
-        posexplode(expr(
-          s"""IF(size(tl) < $width, array(),
-               transform(sequence(0, size(tl) DIV $width - 1),
-                 i -> concat_ws(' ', slice(tl, i*$width + 1, $width))))"""))
-          .as(Seq("pos", "chunk")))
+        posexplode(alignedChunks(width)).as(Seq("pos", "chunk")))
+
+  /** The boilerplate BLOCKLIST on its own: the `cap` hottest aligned
+    * `width`-token chunks appearing in >= `minDocs` distinct docs,
+    * ordered (doc frequency DESC, chunk) so the cap is deterministic.
+    * Bounded output (<= cap rows) — safe to collect as a plan literal
+    * under the t11 bounded-fetch convention; st30 deploys it on the
+    * ingest stream.
+    */
+  def hotChunks(documents: DataFrame, width: Int, minDocs: Int,
+      cap: Int): DataFrame =
+    chunkRows(documents, width)
+      .select(col("doc_id"), col("chunk")).distinct()
+      .groupBy("chunk").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .orderBy(col("nd").desc, col("chunk")).limit(cap)
+      .select(col("chunk"))
+
+  def boilerplateScrub(documents: DataFrame, width: Int,
+      minDocs: Int): DataFrame = {
+    val ch = chunkRows(documents, width)
     val hot = ch.select(col("doc_id"), col("chunk")).distinct()
       .groupBy("chunk").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -369,6 +369,41 @@ object DocumentStream {
     drainToTable(spark, scored).orderBy("doc_id")
   }
 
+  /** Streaming boilerplate scrub (st30): the deployed form of t27 —
+    * the hot-chunk BLOCKLIST is trained offline (one batch pass,
+    * [[graft.ops.TextAnalysis.hotChunks]]: aligned 8-token chunks in
+    * ≥3 distinct docs, capped at the 4096 hottest by (doc-frequency
+    * DESC, chunk) — the t11 bounded-fetch convention) and applied on
+    * the ingest stream as pure per-row arithmetic: each arriving doc
+    * chunks its OWN token stream and drops blocklisted chunks in
+    * place against the broadcast literal. Nothing is stateful and
+    * nothing explodes — batch t27 explodes because the hot set must
+    * be DISCOVERED from cross-document frequencies; the deployed
+    * scrub only APPLIES it, so the stream scales with rate alone (no
+    * state store, no shuffle, chunk arrays never become rows). Docs
+    * left with zero kept chunks (short docs and fully-boilerplate
+    * docs) emit nothing, matching the batch operator's empty-group
+    * behavior.
+    */
+  def runStreamBoilerplateScrub(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val hot = TextAnalysis
+      .hotChunks(graft.Tables.load(spark, dir, "documents"),
+        width = 8, minDocs = 3, cap = 4096)
+      .collect().map(_.getString(0))
+    val hcol = typedLit(hot)
+    val scrubbed = readStream(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("tl"))
+      .select(col("doc_id"),
+        filter(TextAnalysis.alignedChunks(8),
+          c => !array_contains(hcol, c)).as("kept"))
+      .filter(size(col("kept")) >= 1)
+      .select(col("doc_id"), size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("clean_digest"))
+    drainToTable(spark, scrubbed).orderBy("doc_id")
+  }
+
   /** The PRIMARY near-dup runner: TTL'd streaming near-dup end-to-end
     * with a 120 s horizon
     * over the 1-doc/sec synthetic clock: only pairs whose arrivals are

@@ -195,4 +195,33 @@ class DocumentStreamSpec extends SparkSpec {
       assert(adm === (if (micros >= 0L) 1 else 0), s"doc $id verdict")
     }
   }
+
+  test("st30: the streamed scrub reaches batch t27's fixpoint " +
+    "row for row") {
+    // Batch t27 DISCOVERS the hot set by exploding and anti-joining;
+    // st30 APPLIES the same set per row with no explode and no
+    // shuffle. Same corpus, same (doc_id, n_kept, clean_digest)
+    // rows — the 4096 blocklist cap is inert at this SF, so any
+    // divergence is a real semantics bug in one of the two shapes.
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.ops.StreamingOps.all
+      .find(_.name == "st30_stream_boilerplate_scrub").get
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val batch = graft.SparkEntry.queries("t27_boilerplate_scrub")(
+      spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(streamed === batch,
+      s"stream/batch divergence: ${streamed.size} vs ${batch.size} docs")
+    // Non-vacuous: the corpus must actually contain boilerplate —
+    // fewer chunks survive than exist.
+    import org.apache.spark.sql.functions.{col, expr}
+    val total = graft.Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("tl"))
+      .agg(expr("sum(size(tl) DIV 8)")).collect()(0).getLong(0)
+    val keptTotal = streamed.values.map(_._1).sum
+    assert(keptTotal < total,
+      s"scrub vacuous at this SF: kept $keptTotal of $total chunks")
+  }
 }
