@@ -815,7 +815,35 @@ object Curation {
         SELECT doc_id, source, dsir_logratio,
           CAST(rn <= (n_src + 3) // 4 AS INT) AS keep
         FROM sel
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c17_token_budget",
+      (s, dir) =>
+        // Token-budget selection (see [[tokenBudgetSelect]]): admit
+        // documents in (quality DESC, doc_id) order while the running
+        // token total fits half the corpus' token mass. The ORACLE
+        // states the naive global-sort prefix; Spark computes it via
+        // the bounded histogram + boundary-bucket window — the hash
+        // match proves the scale-right algorithm IS the global sort.
+        tokenBudgetSelect(docs(s, dir)),
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id,
+            $sqlQualitySignals
+          FROM documents WHERE text IS NOT NULL),
+        s AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            $sqlQuality AS quality
+          FROM c WHERE n_tokens >= 1 AND n_chars >= 1),
+        b AS (SELECT COALESCE(SUM(n_tokens), 0) // 2 AS budget FROM s),
+        r AS (
+          SELECT doc_id, n_tokens, quality,
+            SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+          FROM s)
+        SELECT doc_id, n_tokens, quality,
+          CAST(cum <= b.budget AS INT) AS admitted
+        FROM r, b ORDER BY doc_id"""))
   )
 
   /** DSIR selection execution (c16) — t23 scores the pool against the
@@ -844,6 +872,78 @@ object Curation {
       .select(col("doc_id"), col("source"), col("dsir_logratio"),
         (col("rn") <= expr("(n_src + 3) div 4")).cast("int").as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** Token-budget selection (c17) — the corpus-level cut a
+    * token-budgeted training run makes: admit documents in
+    * (quality DESC, doc_id) order while the running token total fits
+    * a global budget B = total_tokens div 2 ("the best half of the
+    * corpus by tokens").
+    *
+    * Scale shape: the naive statement is a GLOBAL SORT plus a
+    * single-partition running sum over the whole corpus — the one
+    * thing a 100 TB pipeline must never do. This implementation
+    * never sorts the corpus: quality folds into `buckets` integer
+    * buckets (floor(q·buckets), t23's bounded-histogram discipline),
+    * ONE map-side-combining aggregate builds the ≤ buckets+1-row
+    * (bucket → token mass) histogram, the driver walks it descending
+    * to find the boundary bucket b* and its leftover budget R
+    * (bounded fetch, the t11 convention), and only the boundary
+    * bucket's ~1/buckets-th of the corpus pays a window (quality
+    * DESC, doc_id; running sum ≤ R). Buckets above b* admit
+    * wholesale, buckets below reject wholesale. This EQUALS the
+    * prefix greedy exactly: floor-bucketing preserves the quality
+    * order across bucket boundaries, doc_id breaks ties within a
+    * bucket, and n_tokens ≥ 1 makes the running sum strictly
+    * monotone. Skew caveat: a corpus whose quality mass concentrates
+    * in one bucket pays a proportionally larger boundary window —
+    * raise `buckets` (the histogram stays bounded) if profiling
+    * shows it.
+    */
+  def tokenBudgetSelect(documents: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val scored = documents.filter(col("text").isNotNull)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id") +:
+        qualitySignals(col("text"), col("toks")): _*)
+      .filter(col("n_tokens") >= 1 && col("n_chars") >= 1)
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        qualityScore(col("n_chars"), col("n_tokens"),
+          col("n_stop"), col("n_punct")).as("quality"))
+      .withColumn("bucket",
+        floor(col("quality") * buckets).cast("int"))
+    val budget = scored.agg(coalesce(sum("n_tokens"), lit(0L)))
+      .collect()(0).getLong(0) / 2
+    // ≤ buckets+1 rows — the histogram IS the sort at scale.
+    val hist = scored.groupBy("bucket").agg(sum("n_tokens").as("mass"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    var acc = 0L
+    var boundary: Option[(Int, Long)] = None // (b*, mass above b*)
+    hist.foreach { case (b, m) =>
+      if (boundary.isEmpty) {
+        if (acc + m > budget) boundary = Some((b, acc)) else acc += m
+      }
+    }
+    boundary match {
+      case None => // everything fits (empty corpus, or budget >= total)
+        scored.select(col("doc_id"), col("n_tokens"), col("quality"),
+          lit(1).as("admitted")).orderBy("doc_id")
+      case Some((bstar, above)) =>
+        val leftover = budget - above
+        val win = Window.orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // The ONLY window: over the boundary bucket's slice alone.
+        val bnd = scored.filter(col("bucket") === bstar)
+          .withColumn("cum", sum("n_tokens").over(win))
+          .select(col("doc_id"),
+            (col("cum") <= leftover).cast("int").as("adm_b"))
+        scored.join(broadcast(bnd), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("quality"),
+            when(col("bucket") > bstar, lit(1))
+              .otherwise(coalesce(col("adm_b"), lit(0))).as("admitted"))
+          .orderBy("doc_id")
+    }
   }
 
   /** Temperature-mixture EXECUTION (c14) — c13 computes the α=1/2

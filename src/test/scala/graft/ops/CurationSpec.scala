@@ -223,4 +223,41 @@ class CurationSpec extends SparkSpec {
       .filter(col("k") > 1).count() > 0)
     out.unpersist()
   }
+
+  test("c17: the budget splits INSIDE a bucket by doc_id order") {
+    // Four identical docs: same quality, same bucket, 4 tokens each.
+    // Budget = 16 div 2 = 8 → docs 1,2 fit (cum 4, 8), docs 3,4
+    // don't — the boundary-bucket window path decides ALL four rows,
+    // so this pins the mid-bucket prefix semantics exactly.
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = (1L to 4L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Curation.tokenBudgetSelect(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 0), out.toString)
+  }
+
+  test("c17 on sf0.001 equals an independent global greedy recompute") {
+    // The operator never sorts the corpus (histogram + boundary
+    // window); this recomputes the SEMANTICS — one global sort by
+    // (quality DESC, doc_id), prefix while cum <= total/2 — in plain
+    // Scala and demands identical verdicts for every document.
+    val dir = "/root/testdata/sf0.001"
+    val scored = graft.SparkEntry.queries("t02_quality_score")(spark, dir)
+      .collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getInt(1) >= 1 && r.getInt(2) >= 1)
+      .map(r => (r.getLong(0), r.getInt(2).toLong, r.getDouble(7)))
+    val budget = scored.map(_._2).sum / 2
+    var cum = 0L
+    val want = scored.sortBy { case (id, _, q) => (-q, id) }.map {
+      case (id, n, _) => cum += n; id -> (if (cum <= budget) 1 else 0)
+    }.toMap
+    val got = graft.SparkEntry.queries("c17_token_budget")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got === want)
+    // Non-vacuous both ways.
+    assert(got.values.sum > 0 && got.values.sum < got.size)
+  }
 }

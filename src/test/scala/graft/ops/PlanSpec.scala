@@ -1058,6 +1058,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("c17: the corpus is never globally sorted — ONE window, over " +
+    "the boundary bucket's slice, joined back by broadcast") {
+    val p = plan("c17_token_budget")
+    // The naive semantics is a global sort + full-corpus running sum;
+    // the implementation must pay exactly one Window (the boundary
+    // bucket) and rejoin it as a broadcast.
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 window, got $windows\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // The window's input is the bucket filter, not the corpus.
+    assert(p.contains("(bucket"), p)
+  }
+
   test("t27: the hot boilerplate set comes back as the SMALL side of " +
     "a broadcast anti-join; no chunk-payload doc-side shuffle") {
     val p = plan("t27_boilerplate_scrub")
