@@ -567,6 +567,136 @@ object SourceSinks {
             CAST(COUNT(*) AS DOUBLE) AS avg_price
         FROM orders
         GROUP BY o_orderstatus
-        ORDER BY o_orderstatus"""))
+        ORDER BY o_orderstatus""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q75_lake_vacuum",
+      (s, dir) => {
+        // LAKE VACUUM — the retention staple every copy-on-write
+        // table format ships: a rewrite commit leaves the superseded
+        // files on disk (time travel reads them) until a vacuum
+        // deletes everything the current manifest doesn't reference.
+        // Built end-to-end on a real directory: v1 writes the
+        // cutoff-compacted CDC state key-bucketed with a
+        // deterministic ONE file per bucket (repartition BY the
+        // bucket column before partitionBy), a superseding commit
+        // APPENDS the fully-current state of only the TOUCHED
+        // buckets (buckets with post-cutoff activity — copy-on-
+        // write, the v1 files stay), orphans = the v1 files of
+        // touched buckets (physical listing minus manifest), the
+        // vacuum deletes them (bounded driver fetch: ≤ |buckets|
+        // paths), and the result is the post-vacuum lake read back
+        // FROM THE FILES with per-bucket row/value/file accounting.
+        // The oracle restates the surviving logical state (current
+        // for touched buckets, cutoff state for untouched) and the
+        // file counts from the one-file-per-bucket discipline — the
+        // hash match proves the vacuum removed exactly the orphans
+        // and nothing live.
+        lakeVacuum(s, dir,
+          new File(tmp("graft_q75"), "lake").getAbsolutePath)
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
+        comp_all AS (
+          SELECT user_id, value, CAST(user_id % 8 AS INT) AS bucket
+          FROM (SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY us DESC, event_id DESC) AS rn FROM ev e)
+          WHERE rn = 1),
+        comp_v1 AS (
+          SELECT user_id, value, CAST(user_id % 8 AS INT) AS bucket
+          FROM (SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY us DESC, event_id DESC) AS rn
+                FROM ev e, cut WHERE e.us <= cut.cut)
+          WHERE rn = 1),
+        touched AS (
+          SELECT DISTINCT CAST(user_id % 8 AS INT) AS bucket
+          FROM ev, cut WHERE us > cut.cut),
+        v1b AS (SELECT DISTINCT bucket FROM comp_v1),
+        lake AS (
+          SELECT * FROM comp_all
+          WHERE bucket IN (SELECT bucket FROM touched)
+          UNION ALL
+          SELECT * FROM comp_v1
+          WHERE bucket NOT IN (SELECT bucket FROM touched))
+        SELECT bucket, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+            AS total_value,
+          CAST(1 AS BIGINT) AS files_live,
+          CAST(CASE WHEN bucket IN (SELECT bucket FROM touched)
+                     AND bucket IN (SELECT bucket FROM v1b)
+               THEN 1 ELSE 0 END AS BIGINT) AS files_removed
+        FROM lake GROUP BY bucket ORDER BY bucket"""))
   )
+
+  /** Lake vacuum execution (q75) — see the q75 entry for the story;
+    * factored so specs can point it at their own directory and
+    * inspect the physical file set afterwards.
+    */
+  def lakeVacuum(s: SparkSession, dir: String, base: String): DataFrame = {
+    val ev = t(s, dir)("events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val cutoff = ev.agg(expr("(min(us) + max(us)) DIV 2").as("cut"))
+    def compact(src: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("value"),
+          (col("user_id") % 8).cast("int").as("bucket"))
+    }
+    val lakeSchema = "user_id BIGINT, us BIGINT, event_id BIGINT, " +
+      "value DOUBLE, bucket INT"
+    def readLake(): DataFrame = s.read.schema(lakeSchema).parquet(base)
+    def listing(): DataFrame = readLake()
+      .select(col("bucket"), input_file_name().as("f")).distinct()
+    compact(ev.crossJoin(broadcast(cutoff))
+        .filter(col("us") <= col("cut")))
+      .repartition(8, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(base)
+    val v1Files = listing().withColumnRenamed("f", "f1")
+    val touched = ev.crossJoin(broadcast(cutoff))
+      .filter(col("us") > col("cut"))
+      .select((col("user_id") % 8).cast("int").as("bucket")).distinct()
+    compact(ev).join(broadcast(touched), Seq("bucket"))
+      .select(col("user_id"), col("us"), col("event_id"),
+        col("value"), col("bucket"))
+      .repartition(8, col("bucket"))
+      .write.partitionBy("bucket").mode("append").parquet(base)
+    // Orphans: v1 files inside rewritten buckets. MATERIALIZED to
+    // the driver before the deletes (the one-file-per-bucket
+    // discipline caps this at |buckets| rows) — the lazy frame
+    // would re-list the very files the vacuum removes.
+    import s.implicits._
+    val orphanRows = v1Files.join(broadcast(touched), Seq("bucket"))
+      .select(col("bucket"), col("f1")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    orphanRows.foreach { case (_, p) => fs.delete(
+      new org.apache.hadoop.fs.Path(new java.net.URI(p)), false) }
+    val removed = orphanRows.groupBy(_._1).view
+      .mapValues(_.length.toLong).toSeq
+      .toDF("bucket", "files_removed")
+    readLake()
+      .select(col("bucket"), col("value"), input_file_name().as("f"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"),
+        countDistinct(col("f")).as("files_live"))
+      .join(broadcast(removed), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_rows"), col("total_value"),
+        col("files_live"),
+        coalesce(col("files_removed"), lit(0L)).as("files_removed"))
+      .orderBy("bucket")
+  }
 }

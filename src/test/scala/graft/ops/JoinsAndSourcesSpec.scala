@@ -210,4 +210,37 @@ class JoinsAndSourcesSpec extends SparkSpec {
       s"cutoff must split the feed: pre=$pre total=$total")
   }
 
+  test("q75: after the vacuum the directory holds EXACTLY the " +
+      "manifest — one live file per bucket, zero orphans left") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_q75_spec").toFile
+    try {
+      val out = SourceSinks.lakeVacuum(spark, dir,
+        new java.io.File(base, "lake").getAbsolutePath).collect()
+      // Non-vacuous: some bucket was rewritten and vacuumed.
+      assert(out.map(_.getLong(4)).sum > 0, "no orphan was ever created")
+      // Physical truth: walk the directory — every bucket dir must
+      // hold exactly ONE parquet file (the orphan really was deleted,
+      // the live file really wasn't).
+      val lakeDir = new java.io.File(base, "lake")
+      val perBucket = lakeDir.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet")))
+      assert(perBucket.nonEmpty)
+      perBucket.foreach { case (b, n) =>
+        assert(n == 1, s"$b holds $n parquet files, want 1")
+      }
+      assert(perBucket.length == out.length,
+        s"${perBucket.length} bucket dirs vs ${out.length} output rows")
+      // And the reported files_live agrees with the filesystem.
+      assert(out.map(_.getLong(3)).sum == perBucket.length)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(base)
+    }
+  }
+
 }
