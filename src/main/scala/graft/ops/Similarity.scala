@@ -4355,6 +4355,185 @@ object Similarity {
         // retrieval endpoint runs between ANN search and the user.
         mmrRerank(emb(s, dir), kCand = 20, k = 8,
           lam = 0.7, mu = 0.3),
-      Some(sqlMmrUnrolled(kCand = 20, k = 8, lam = 0.7, mu = 0.3)))
+      Some(sqlMmrUnrolled(kCand = 20, k = 8, lam = 0.7, mu = 0.3))),
+    // ------------------------------------------------------------------
+    Q(
+      "s37_pca_project",
+      (s, dir) =>
+        // Top-principal-component projection (see [[pcaProject]]):
+        // the "all-but-the-top" embedding post-processing — each
+        // vector's score along the corpus' dominant direction plus
+        // the norm of what remains after removing it.
+        pcaProject(emb(s, dir)),
+      Some(sqlPcaUnrolled(dims = 64, iters = 20)))
   )
+
+  /** Top-principal-component projection (s37) — the embedding
+    * post-processing step behind "all-but-the-top" / SIF-style
+    * common-component removal: the corpus' dominant variance
+    * direction is found by 20 power-iteration steps on the exact
+    * covariance, and every vector ships its score along it (pc1)
+    * plus the L2 norm of its residual after that component is
+    * removed.
+    *
+    * Scale shape — two corpus passes and a map-only apply:
+    *  1. per-dim means: one posexplode + (dim)-keyed aggregate over
+    *     exact DECIMAL sums (the seedCentroids discipline), dims
+    *     rows fetched;
+    *  2. covariance: each row folds its dims² centered products
+    *     through a Generate feeding a PARTIAL aggregate — the
+    *     combine happens before the exchange, so the shuffle carries
+    *     ≤ dims² rows per task, never corpus rows; dims² = 4096 rows
+    *     fetched (the t11 bounded-fetch convention);
+    *  3. the 64×64 power iteration runs on the driver in
+    *     microseconds, and the resulting (mean, direction) literals
+    *     broadcast into a pure per-row projection.
+    * The oracle restates ALL of it — decimal mean/covariance sums
+    * and the 20 iterations unrolled as generated CTEs with the same
+    * left-to-right index-order FP folds ([[sqlPcaUnrolled]]) — so
+    * the hash match proves the distributed covariance and the
+    * driver-side eigensolve bit-agree with the single-node
+    * restatement.
+    *
+    * v₀ = e₁ with a norm-0 guard: a covariance that annihilates e₁
+    * keeps v at e₁ (stated identically in the oracle); real
+    * embedding covariances are dense, so the guard is never the
+    * steady state.
+    */
+  def pcaProject(e: DataFrame, dims: Int = 64,
+      iters: Int = 20): DataFrame = {
+    val s = e.sparkSession
+    VectorExpressions.register(s) // graft_dot for direct callers
+    import s.implicits._
+    val rows = e.filter(col("v").isNotNull)
+    val n = rows.count()
+    if (n == 0L)
+      return Seq.empty[(Long, Double, Double)]
+        .toDF("vec_id", "pc1", "resid_norm")
+    val m: Array[Double] = rows
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1).map(_._2)
+    val mcol = typedLit(m.toSeq)
+    val cRows = rows
+      .withColumn("m", mcol)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dims - 1}), i ->
+              transform(sequence(0, ${dims - 1}), j ->
+                struct(i, j,
+                  (element_at(v, i + 1) - element_at(m, i + 1)) *
+                  (element_at(v, j + 1) - element_at(m, j + 1))
+                    AS p))))""")).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(28,12)")).as("sp"))
+      .collect()
+    val c = Array.ofDim[Double](dims, dims)
+    cRows.foreach { r =>
+      c(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue / n
+    }
+    // Power iteration — left-to-right index-order folds, the same
+    // order the oracle's list_sum walks.
+    var v = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dims) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var nr = 0.0
+      var i = 0
+      while (i < dims) { nr += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(nr)
+      if (nrm != 0.0) v = w.map(_ / nrm)
+    }
+    rows.withColumn("m", mcol).withColumn("pc", typedLit(v.toSeq))
+      .withColumn("cvec", expr("zip_with(v, m, (a, b) -> a - b)"))
+      .withColumn("pc1", dot(col("cvec"), col("pc")))
+      .select(col("vec_id"), round(col("pc1"), 6).as("pc1"),
+        round(sqrt(expr(
+          """aggregate(zip_with(cvec, pc, (a, b) -> a - pc1 * b),
+               cast(0.0 as double), (acc, x) -> acc + x * x)""")), 6)
+          .as("resid_norm"))
+      .orderBy("vec_id")
+  }
+
+  /** The s37 oracle: decimal mean/covariance sums plus the power
+    * iteration unrolled as `iters` generated CTE pairs — every dot
+    * product a list_sum over an index-ordered zip, matching the
+    * Spark side's fold order exactly.
+    */
+  private[graft] def sqlPcaUnrolled(dims: Int, iters: Int): String = {
+    // MATERIALIZED is load-bearing: v$k references v${k-1} twice, so
+    // DuckDB's default CTE inlining would expand the chain 2^iters
+    // times (and re-open the parquet at every leaf).
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (
+        SELECT list_transform(C, row ->
+          list_sum(list_transform(list_zip(row, v),
+            p -> p[1] * p[2]))) AS w
+        FROM cmat, v${k - 1}),
+      v$k AS MATERIALIZED (
+        SELECT CASE WHEN nrm = 0 THEN (SELECT v FROM v${k - 1})
+               ELSE list_transform(w, x -> x / nrm) END AS v
+        FROM (SELECT w,
+                sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm
+              FROM w$k))"""
+    }.mkString(",\n        ")
+    s"""
+      WITH e AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      nn AS (SELECT COUNT(*) AS n FROM e),
+      dimx AS (
+        SELECT CAST(u.i AS INT) - 1 AS dim, u.x AS x
+        FROM e, unnest(list_transform(range(1, len(v) + 1),
+                       i -> {'i': i, 'x': v[i]})) AS s(u)),
+      mean AS MATERIALIZED (
+        SELECT list(mx ORDER BY dim) AS m FROM (
+          SELECT dim,
+            CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+              AS mx
+          FROM dimx GROUP BY dim)),
+      prods AS (
+        SELECT ij.i AS i, ij.j AS j,
+          (e.v[ij.i + 1] - mean.m[ij.i + 1]) *
+          (e.v[ij.j + 1] - mean.m[ij.j + 1]) AS p
+        FROM e, mean,
+          (SELECT a.ii AS i, b.jj AS j
+           FROM unnest(range(0, $dims)) AS a(ii),
+                unnest(range(0, $dims)) AS b(jj)) ij),
+      cmat AS MATERIALIZED (
+        SELECT list(rowl ORDER BY i) AS C FROM (
+          SELECT i, list(CAST(sp AS DOUBLE) / (SELECT n FROM nn)
+                         ORDER BY j) AS rowl
+          FROM (SELECT i, j, SUM(CAST(p AS DECIMAL(28,12))) AS sp
+                FROM prods GROUP BY i, j)
+          GROUP BY i)),
+      v0 AS (SELECT list_transform(range(0, $dims),
+               i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS v),
+      $steps,
+      cent AS (
+        SELECT e.vec_id,
+          list_transform(range(1, ${dims + 1}),
+            i -> e.v[i] - mean.m[i]) AS c
+        FROM e, mean),
+      sc AS (
+        SELECT vec_id, c,
+          list_sum(list_transform(
+            list_zip(c, (SELECT v FROM v$iters)),
+            p -> p[1] * p[2])) AS pc1
+        FROM cent)
+      SELECT vec_id, ROUND(pc1, 6) AS pc1,
+        ROUND(sqrt(list_sum(list_transform(
+          list_zip(c, (SELECT v FROM v$iters)),
+          p -> (p[1] - pc1 * p[2]) * (p[1] - pc1 * p[2])))), 6)
+          AS resid_norm
+      FROM sc ORDER BY vec_id"""
+  }
 }

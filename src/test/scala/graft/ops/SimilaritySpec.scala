@@ -1237,4 +1237,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1, 1L), (2, 3L), (3, 2L)), got)
   }
 
+  test("s37 PCA: planar data recovers the analytic top component, " +
+      "and pc1/residual obey Pythagoras") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def v64(a: Double, b: Double): Seq[Double] =
+      Seq(a, b) ++ Seq.fill(62)(0.0)
+    // Points in the (e1, e2) plane: mean (0,0), covariance
+    // [[2.5, 1], [1, 0.5]] — dense in e1, so the e1 start never hits
+    // the norm-0 guard. The spec re-derives the direction with its
+    // OWN 20-step power iteration from the analytic covariance and
+    // demands the operator's per-vector scores match it.
+    val pts = Seq((1.0, 0.0), (-1.0, 0.0), (2.0, 1.0), (-2.0, -1.0))
+    val e = pts.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, 0, v64(a, b)) }.toDF("vec_id", "label", "v")
+    val got = Similarity.pcaProject(e, dims = 64, iters = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // Independent recompute on the 2x2 block (the rest is zero).
+    var (v1, v2) = (1.0, 0.0)
+    for (_ <- 1 to 20) {
+      val (w1, w2) = (2.5 * v1 + 1.0 * v2, 1.0 * v1 + 0.5 * v2)
+      val nrm = math.sqrt(w1 * w1 + w2 * w2)
+      if (nrm != 0.0) { v1 = w1 / nrm; v2 = w2 / nrm }
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    pts.zipWithIndex.foreach { case ((a, b), i) =>
+      val pc1 = a * v1 + b * v2
+      val r1 = a - pc1 * v1
+      val r2 = b - pc1 * v2
+      val resid = math.sqrt(r1 * r1 + r2 * r2)
+      val (gp, gr) = got(i.toLong)
+      assert(math.abs(gp - pc1) < 2e-6, s"vec $i pc1 $gp vs $pc1")
+      assert(math.abs(gr - resid) < 2e-6, s"vec $i resid $gr vs $resid")
+      // Pythagoras: |centered|^2 == pc1^2 + resid^2 (v is unit).
+      assert(math.abs((a * a + b * b) - (gp * gp + gr * gr)) < 1e-4,
+        s"vec $i norm split")
+      assert(r6(gr) == gr && r6(gp) == gp, "outputs are 6-dp rounded")
+    }
+    // The dominant direction leans e1 (var 2.5 > 0.5): the extreme
+    // point (2,1) must carry the largest |pc1|.
+    assert(got(2L)._1.abs >= got.values.map(_._1.abs).max - 1e-9)
+  }
+
 }
