@@ -29,7 +29,9 @@ object ScaleSmoke {
       |  funnel [f]      st23 horizon-bounded buffers under ×f replicas
       |  timeseries [f]  q69/q70 spine-bounded window cost on events ×f
       |  dsir [f]      t23 model-size invariance + weight cost ×1 vs ×f
-      |  lakemerge [f] st28 partition-scoped merge cost on a ×f lake""".stripMargin
+      |  lakemerge [f] st28 partition-scoped merge cost on a ×f lake
+      |  tokenbudget [f]  c17 histogram bound + boundary share ×1 vs ×f
+      |  pca [f]       s37 covariance-shuffle invariance + cost ×1 vs ×f""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -515,6 +517,84 @@ object ScaleSmoke {
     docsN.unpersist()
   }
 
+  /** c17 scale structure (`runMain graft.ScaleSmoke tokenbudget [f]`):
+    * the design claim is that the global quality-prefix cut never
+    * sorts the corpus — the histogram the driver walks is BOUNDED by
+    * the 4096-bucket space no matter the corpus size, and the one
+    * window's input is only the boundary bucket's slice. Measures
+    * both structures and the end-to-end time at ×1 and ×factor.
+    */
+  def runTokenBudget(spark: SparkSession, factor: Int): Unit = {
+    import graft.functions.TextFunctions.{tokens, qualitySignals, qualityScore}
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val docsN = scaled(docs1, "doc_id", factor).cache()
+    val rowsN = docsN.count()
+    println(s"[tokenbudget] documents: $rowsN rows (×$factor)")
+    def structure(d: DataFrame): (Int, Long, Long) = {
+      val scored = d.filter(col("text").isNotNull)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id") +:
+          qualitySignals(col("text"), col("toks")): _*)
+        .filter(col("n_tokens") >= 1 && col("n_chars") >= 1)
+        .select(col("n_tokens").cast("long").as("n_tokens"),
+          floor(qualityScore(col("n_chars"), col("n_tokens"),
+            col("n_stop"), col("n_punct")) * 4096).cast("int")
+            .as("bucket"))
+      val h = scored.groupBy("bucket")
+        .agg(sum("n_tokens").as("mass"), count(lit(1)).as("nd"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(-_._1)
+      val budget = h.map(_._2).sum / 2
+      var acc = 0L
+      var bnd = 0L
+      var total = 0L
+      h.foreach { case (_, mass, nd) =>
+        total += nd
+        if (bnd == 0L && acc + mass > budget) bnd = nd else acc += mass
+      }
+      (h.length, bnd, total)
+    }
+    val (h1, b1, t1) = structure(docs1)
+    val (hN, bN, tN) = structure(docsN)
+    println(s"[tokenbudget] histogram rows ×1: $h1, ×$factor: $hN " +
+      s"(bound 4097) — the driver fetch is corpus-size-INVARIANT")
+    println(s"[tokenbudget] boundary-window rows ×1: $b1/$t1, " +
+      s"×$factor: $bN/$tN — only this slice ever sorts")
+    assert(hN <= 4097, s"histogram exceeded the bucket bound: $hN")
+    time("c17 token budget ×1")(
+      ops.Curation.tokenBudgetSelect(docs1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"c17 token budget ×$factor")(
+      ops.Curation.tokenBudgetSelect(docsN)
+        .write.format("noop").mode("overwrite").save())
+    docsN.unpersist()
+  }
+
+  /** s37 scale structure (`runMain graft.ScaleSmoke pca [f]`): the
+    * covariance build folds each row's dims² centered products
+    * through a partial aggregate, so the exchange carries at most
+    * dims² groups per task at ANY corpus size — the linear per-row
+    * fold is the only cost that grows. Times the full operator at ×1
+    * and ×factor.
+    */
+  def runPca(spark: SparkSession, factor: Int): Unit = {
+    val e1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val eN = scaled(e1, "vec_id", factor).cache()
+    println(s"[pca] embeddings: ${eN.count()} rows (×$factor); " +
+      "covariance exchange: ≤4096 groups at every size — " +
+      "corpus-size-INVARIANT")
+    time("s37 pca project ×1")(
+      ops.Similarity.pcaProject(e1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"s37 pca project ×$factor")(
+      ops.Similarity.pcaProject(eN)
+        .write.format("noop").mode("overwrite").save())
+    eN.unpersist()
+  }
+
   def runText(spark: SparkSession, factor: Int): Unit = {
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
       .select("doc_id", "text")
@@ -950,7 +1030,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
       "text", "curation", "multimodal", "containment", "indexmaint",
-      "funnel", "timeseries", "dsir", "lakemerge")
+      "funnel", "timeseries", "dsir", "lakemerge", "tokenbudget", "pca")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -985,6 +1065,8 @@ object ScaleSmoke {
         case "timeseries" => 20
         case "dsir" => 20
         case "lakemerge" => 5
+        case "tokenbudget" => 20
+        case "pca" => 10
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -1012,6 +1094,8 @@ object ScaleSmoke {
     if (mode == "timeseries") { runTimeseries(spark, factor); spark.stop(); return }
     if (mode == "lakemerge") { runLakeMerge(spark, factor); spark.stop(); return }
     if (mode == "dsir") { runDsir(spark, factor); spark.stop(); return }
+    if (mode == "tokenbudget") { runTokenBudget(spark, factor); spark.stop(); return }
+    if (mode == "pca") { runPca(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)

@@ -142,6 +142,73 @@ case class Sq8Dist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the dense self outer product:
+  * array<double> of n elements → array<double> of n² products in
+  * row-major order (pos = i·n + j). The covariance build (s37) emits
+  * one of these per corpus row; the composable
+  * `flatten(transform(cv, a -> transform(cv, b -> a*b)))` form runs
+  * n² interpreted lambda dispatches with n+1 array allocations per
+  * row. Tight primitive loop into an UnsafeArrayData; each product is
+  * the same IEEE multiply the HOF form computes, so downstream sums
+  * are bit-identical.
+  */
+case class OuterProduct(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_outer requires array<double>, got ${t.catalogString}")
+    }
+
+  override def prettyName: String = "graft_outer"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n * n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      var j = 0
+      while (j < n) { out(k) = xi * x.getDouble(j); k += 1; j += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val xi = ctx.freshName("xi")
+      s"""
+        int $n = $a.numElements();
+        double[] $arr = new double[$n * $n];
+        int $k = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          for (int $j = 0; $j < $n; $j++) {
+            $arr[$k++] = $xi * $a.getDouble($j);
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions
+          .UnsafeArrayData.fromPrimitiveArray($arr);
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Idempotently register graft's native expressions on a session. */
@@ -154,6 +221,10 @@ object VectorExpressions {
       "graft_sq8dist",
       (exprs: Seq[Expression]) => Sq8Dist(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_outer",
+      (exprs: Seq[Expression]) => OuterProduct(exprs(0)),
+      "built-in")
   }
 
   /** Dot product of two array<double> columns (requires `register`). */
@@ -164,4 +235,9 @@ object VectorExpressions {
     */
   def sq8dist(a: Column, b: Column): Column =
     call_function("graft_sq8dist", a, b)
+
+  /** Row-major self outer product of an array<double> column
+    * (requires `register`).
+    */
+  def outer(a: Column): Column = call_function("graft_outer", a)
 }

@@ -913,11 +913,12 @@ object Curation {
           col("n_stop"), col("n_punct")).as("quality"))
       .withColumn("bucket",
         floor(col("quality") * buckets).cast("int"))
-    val budget = scored.agg(coalesce(sum("n_tokens"), lit(0L)))
-      .collect()(0).getLong(0) / 2
-    // ≤ buckets+1 rows — the histogram IS the sort at scale.
+    // ≤ buckets+1 rows — the histogram IS the sort at scale, and the
+    // budget (half the total token mass) falls out of it for free:
+    // one corpus aggregation serves both.
     val hist = scored.groupBy("bucket").agg(sum("n_tokens").as("mass"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    val budget = hist.map(_._2).sum / 2
     var acc = 0L
     var boundary: Option[(Int, Long)] = None // (b*, mass above b*)
     hist.foreach { case (b, m) =>

@@ -4418,22 +4418,35 @@ object Similarity {
       .collect().map(r => r.getInt(0) -> r.getDouble(1))
       .sortBy(_._1).map(_._2)
     val mcol = typedLit(m.toSeq)
-    val cRows = rows
+    // The covariance fold multiplies each row's work by dims², so a
+    // small input (one parquet block → ONE partition) would run the
+    // whole corpus single-threaded. Fan out ONLY when the scan gives
+    // fewer splits than cores — at real scale maxPartitionBytes
+    // already yields thousands of partitions and no shuffle happens.
+    val par = s.sparkContext.defaultParallelism
+    val spread = if (rows.rdd.getNumPartitions < par)
+      rows.repartition(par) else rows
+    // Center once per row, then the outer product runs as the native
+    // codegen'd [[graft.functions.OuterProduct]] (the HOF form pays
+    // dims² interpreted lambda dispatches per row) — position
+    // pos = i*dims + j carries the matrix coordinates through the
+    // one bounded aggregation.
+    val cRows = spread
       .withColumn("m", mcol)
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, ${dims - 1}), i ->
-              transform(sequence(0, ${dims - 1}), j ->
-                struct(i, j,
-                  (element_at(v, i + 1) - element_at(m, i + 1)) *
-                  (element_at(v, j + 1) - element_at(m, j + 1))
-                    AS p))))""")).as("c"))
-      .select(col("c.i"), col("c.j"), col("c.p"))
-      .groupBy("i", "j")
-      .agg(sum(col("p").cast("decimal(28,12)")).as("sp"))
+      .withColumn("cv", expr("zip_with(v, m, (a, b) -> a - b)"))
+      .select(posexplode(VectorExpressions.outer(col("cv")))
+        .as(Seq("pos", "p")))
+      .groupBy("pos")
+      // decimal(18,12): the same scale-12 rounding as the oracle's
+      // DECIMAL(28,12) cast (precision only bounds range — fine while
+      // |centered product| < 10⁶), but it keeps Spark's compact-long
+      // Decimal fast path on the dims²-per-row hot aggregation.
+      .agg(sum(col("p").cast("decimal(18,12)")).as("sp"))
       .collect()
     val c = Array.ofDim[Double](dims, dims)
     cRows.foreach { r =>
-      c(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue / n
+      val pos = r.getInt(0)
+      c(pos / dims)(pos % dims) = r.getDecimal(1).doubleValue / n
     }
     // Power iteration — left-to-right index-order folds, the same
     // order the oracle's list_sum walks.
