@@ -4365,8 +4365,101 @@ object Similarity {
         // vector's score along the corpus' dominant direction plus
         // the norm of what remains after removing it.
         pcaProject(emb(s, dir)),
-      Some(sqlPcaUnrolled(dims = 64, iters = 20)))
+      Some(sqlPcaUnrolled(dims = 64, iters = 20))),
+    // ------------------------------------------------------------------
+    Q(
+      "s38_abtt_topk",
+      (s, dir) =>
+        // Retrieval in the all-but-the-top space (see [[abttTopk]]):
+        // s01's cosine top-k re-run on s37's residual vectors — the
+        // serving side of common-component removal.
+        abttTopk(emb(s, dir), k = 5, nq = 5),
+      Some(sqlAbttTopk(dims = 64, iters = 20, k = 5, nq = 5)))
   )
+
+  /** All-but-the-top retrieval (s38) — the SERVING consequence of
+    * s37: retrieval quality improves when the corpus' dominant common
+    * direction (which inflates every pairwise cosine without
+    * discriminating) is removed before ranking. Each vector becomes
+    * its centered residual r = c − (c·v₁)v₁ in one map-only pass
+    * under the broadcast (mean, v₁) literals, then s01's exact
+    * machinery runs unchanged: per-side norms precomputed, query side
+    * broadcast, one corpus pass, a per-query top-k window. Cost over
+    * s01 is [[pcaAxis]] (two bounded-output passes) plus nothing —
+    * the residual transform fuses into the scan projection.
+    */
+  def abttTopk(e: DataFrame, k: Int, nq: Int, dims: Int = 64,
+      iters: Int = 20): DataFrame = {
+    val s = e.sparkSession
+    VectorExpressions.register(s)
+    val rows = e.filter(col("v").isNotNull)
+    val n = rows.count()
+    val (m, v1) =
+      if (n == 0L) (Array.fill(dims)(0.0),
+        Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0))
+      else pcaAxis(rows, n, dims, iters)
+    val r = rows
+      .withColumn("m", typedLit(m.toSeq))
+      .withColumn("pc", typedLit(v1.toSeq))
+      .withColumn("cvec", expr("zip_with(v, m, (a, b) -> a - b)"))
+      .withColumn("pc1", dot(col("cvec"), col("pc")))
+      .select(col("vec_id"),
+        expr("zip_with(cvec, pc, (a, b) -> a - pc1 * b)").as("r"))
+      .withColumn("nrm", sqrt(dot(col("r"), col("r"))))
+    val queries = r.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("r").as("qr"),
+        col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_resid").desc, col("vec_id"))
+    r.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qr"), col("r")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_resid"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
+  /** The s38 oracle: [[sqlPcaChain]]'s mean/axis, the residual
+    * transform, and s01's ranking restatement.
+    */
+  private[graft] def sqlAbttTopk(dims: Int, iters: Int, k: Int,
+      nq: Int): String =
+    s"""
+      WITH ${sqlPcaChain(dims, iters)},
+      cent AS (
+        SELECT e.vec_id,
+          list_transform(range(1, ${dims + 1}),
+            i -> e.v[i] - mean.m[i]) AS c
+        FROM e, mean),
+      sc AS (
+        SELECT vec_id, c,
+          list_sum(list_transform(
+            list_zip(c, (SELECT v FROM v$iters)),
+            p -> p[1] * p[2])) AS pc1
+        FROM cent),
+      rr AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(list_zip(c, (SELECT v FROM v$iters)),
+            p -> p[1] - pc1 * p[2]) AS r
+        FROM sc),
+      q AS (SELECT vec_id AS qid, r AS qr FROM rr WHERE vec_id < $nq),
+      scored AS (
+        SELECT q.qid, rr.vec_id,
+          ROUND(
+            list_sum(list_transform(list_zip(q.qr, rr.r),
+              p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform(q.qr, x -> x * x))) *
+             sqrt(list_sum(list_transform(rr.r, x -> x * x)))), 6)
+            AS cos_resid
+        FROM rr JOIN q ON rr.vec_id <> q.qid)
+      SELECT qid, vec_id, cos_resid, rnk FROM (
+        SELECT qid, vec_id, cos_resid,
+          ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY cos_resid DESC, vec_id) AS rnk
+        FROM scored)
+      WHERE rnk <= $k
+      ORDER BY qid, rnk"""
 
   /** Top-principal-component projection (s37) — the embedding
     * post-processing step behind "all-but-the-top" / SIF-style
@@ -4410,6 +4503,26 @@ object Similarity {
     if (n == 0L)
       return Seq.empty[(Long, Double, Double)]
         .toDF("vec_id", "pc1", "resid_norm")
+    val (m, v) = pcaAxis(rows, n, dims, iters)
+    val mcol = typedLit(m.toSeq)
+    rows.withColumn("m", mcol).withColumn("pc", typedLit(v.toSeq))
+      .withColumn("cvec", expr("zip_with(v, m, (a, b) -> a - b)"))
+      .withColumn("pc1", dot(col("cvec"), col("pc")))
+      .select(col("vec_id"), round(col("pc1"), 6).as("pc1"),
+        round(sqrt(expr(
+          """aggregate(zip_with(cvec, pc, (a, b) -> a - pc1 * b),
+               cast(0.0 as double), (acc, x) -> acc + x * x)""")), 6)
+          .as("resid_norm"))
+      .orderBy("vec_id")
+  }
+
+  /** (mean, top-eigenvector) of a (vec_id, v) frame — the shared
+    * machinery of s37/s38. `rows` must be pre-filtered non-null and
+    * `n` its count.
+    */
+  private[graft] def pcaAxis(rows: DataFrame, n: Long, dims: Int,
+      iters: Int): (Array[Double], Array[Double]) = {
+    val s = rows.sparkSession
     val m: Array[Double] = rows
       .select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim")
@@ -4464,15 +4577,7 @@ object Similarity {
       val nrm = math.sqrt(nr)
       if (nrm != 0.0) v = w.map(_ / nrm)
     }
-    rows.withColumn("m", mcol).withColumn("pc", typedLit(v.toSeq))
-      .withColumn("cvec", expr("zip_with(v, m, (a, b) -> a - b)"))
-      .withColumn("pc1", dot(col("cvec"), col("pc")))
-      .select(col("vec_id"), round(col("pc1"), 6).as("pc1"),
-        round(sqrt(expr(
-          """aggregate(zip_with(cvec, pc, (a, b) -> a - pc1 * b),
-               cast(0.0 as double), (acc, x) -> acc + x * x)""")), 6)
-          .as("resid_norm"))
-      .orderBy("vec_id")
+    (m, v)
   }
 
   /** The s37 oracle: decimal mean/covariance sums plus the power
@@ -4480,7 +4585,32 @@ object Similarity {
     * product a list_sum over an index-ordered zip, matching the
     * Spark side's fold order exactly.
     */
-  private[graft] def sqlPcaUnrolled(dims: Int, iters: Int): String = {
+  private[graft] def sqlPcaUnrolled(dims: Int, iters: Int): String =
+    s"""
+      WITH ${sqlPcaChain(dims, iters)},
+      cent AS (
+        SELECT e.vec_id,
+          list_transform(range(1, ${dims + 1}),
+            i -> e.v[i] - mean.m[i]) AS c
+        FROM e, mean),
+      sc AS (
+        SELECT vec_id, c,
+          list_sum(list_transform(
+            list_zip(c, (SELECT v FROM v$iters)),
+            p -> p[1] * p[2])) AS pc1
+        FROM cent)
+      SELECT vec_id, ROUND(pc1, 6) AS pc1,
+        ROUND(sqrt(list_sum(list_transform(
+          list_zip(c, (SELECT v FROM v$iters)),
+          p -> (p[1] - pc1 * p[2]) * (p[1] - pc1 * p[2])))), 6)
+          AS resid_norm
+      FROM sc ORDER BY vec_id"""
+
+  /** The shared PCA CTE chain (s37/s38 oracles): `e` (non-null
+    * doubles), `mean`, `cmat`, and v0..v`iters` of the unrolled power
+    * iteration.
+    */
+  private[graft] def sqlPcaChain(dims: Int, iters: Int): String = {
     // MATERIALIZED is load-bearing: v$k references v${k-1} twice, so
     // DuckDB's default CTE inlining would expand the chain 2^iters
     // times (and re-open the parquet at every leaf).
@@ -4497,8 +4627,7 @@ object Similarity {
                 sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm
               FROM w$k))"""
     }.mkString(",\n        ")
-    s"""
-      WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
         SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings WHERE embedding IS NOT NULL),
@@ -4530,23 +4659,6 @@ object Similarity {
           GROUP BY i)),
       v0 AS (SELECT list_transform(range(0, $dims),
                i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS v),
-      $steps,
-      cent AS (
-        SELECT e.vec_id,
-          list_transform(range(1, ${dims + 1}),
-            i -> e.v[i] - mean.m[i]) AS c
-        FROM e, mean),
-      sc AS (
-        SELECT vec_id, c,
-          list_sum(list_transform(
-            list_zip(c, (SELECT v FROM v$iters)),
-            p -> p[1] * p[2])) AS pc1
-        FROM cent)
-      SELECT vec_id, ROUND(pc1, 6) AS pc1,
-        ROUND(sqrt(list_sum(list_transform(
-          list_zip(c, (SELECT v FROM v$iters)),
-          p -> (p[1] - pc1 * p[2]) * (p[1] - pc1 * p[2])))), 6)
-          AS resid_norm
-      FROM sc ORDER BY vec_id"""
+      $steps"""
   }
 }

@@ -1282,4 +1282,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L)._1.abs >= got.values.map(_._1.abs).max - 1e-9)
   }
 
+  test("s38 ABTT: removing the common component flips an " +
+      "anti-correlated neighbor from cosine ~1 to negative") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def v64(a: Double, b: Double, c: Double): Seq[Double] =
+      Seq(a, b, c) ++ Seq.fill(61)(0.0)
+    // A huge shared e1 component with varying magnitude (so PC1 ≈ e1)
+    // plus ±e2/e3 "meaning": raw cosine calls EVERYTHING a neighbor
+    // (>0.99); in the residual space the e2-opposed vector must go
+    // NEGATIVE and the e2-aligned one must rank first.
+    val e = Seq(
+      (0L, 0, v64(90.0, 1.0, 0.0)), // query
+      (1L, 0, v64(110.0, 1.0, 0.0)), // same meaning
+      (2L, 0, v64(100.0, -1.0, 0.0)), // opposite meaning
+      (3L, 0, v64(120.0, 0.0, 1.0))) // orthogonal meaning
+      .toDF("vec_id", "label", "v")
+    val out = Similarity.abttTopk(e, k = 3, nq = 1).collect()
+      .map(r => (r.getInt(3), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 3, out.mkString(";"))
+    assert(out.head._2 == 1L, s"rank 1 should be the e2-aligned: $out")
+    val cos2 = out.find(_._2 == 2L).get._3
+    assert(cos2 < 0, s"e2-opposed residual cosine should be negative: $cos2")
+    // And the raw cosine the removal corrects really was ~1.
+    val raw = (90.0 * 100 - 1) /
+      (math.sqrt(90.0 * 90 + 1) * math.sqrt(100.0 * 100 + 1))
+    assert(raw > 0.99, s"premise: raw cosine $raw")
+  }
+
 }
