@@ -492,6 +492,34 @@ object Multimodal {
         col("st.runs").as("n_runs"), col("st.best").as("longest_run"))
       .orderBy("doc_id")
 
+  /** m14 body: silence-TRIM execution — m13 measures silent runs,
+    * this removes them: every frame whose 28-bit feature falls below
+    * the silence threshold is dropped in place, and the trimmed track
+    * ships as kept-count + an order-exact digest over the surviving
+    * frame digests. Same map-only shape as m13 (one per-row HOF pass,
+    * no shuffle, no explode) — at 100 TB trimming is a map stage
+    * whose cost is the scan.
+    */
+  def silenceTrim(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(
+        // (digest, feature) per frame — the digest is the frame's
+        // identity, the feature its stand-in decode (m03/m13's rule).
+        """transform(
+             sequence(0, (greatest(length(text), 1) - 1) div 192),
+             i -> named_struct(
+               'd', md5(substring(text, i*192 + 1, 64)),
+               'f', cast(conv(substring(
+                      md5(substring(text, i*192 + 1, 64)),
+                      1, 7), 16, 10) as bigint)))""").as("fs"))
+      .select(col("doc_id"), size(col("fs")).as("n_frames"),
+        expr("filter(fs, s -> s.f >= 67108864)").as("kept"))
+      .select(col("doc_id"), col("n_frames"),
+        size(col("kept")).as("n_kept"),
+        md5(concat_ws("", expr("transform(kept, s -> s.d)")))
+          .as("trim_digest"))
+      .orderBy("doc_id")
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -1156,6 +1184,33 @@ object Multimodal {
           CAST(COALESCE(ra.n_runs, 0) AS INT) AS n_runs,
           CAST(COALESCE(ra.longest, 0) AS INT) AS longest_run
         FROM base b LEFT JOIN ra ON b.doc_id = ra.doc_id
-        ORDER BY b.doc_id"""))
+        ORDER BY b.doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m14_silence_trim",
+      (s, dir) =>
+        // Silence-trim execution (see [[silenceTrim]]): m13's silent
+        // frames removed in place, the surviving track digested
+        // order-exactly.
+        silenceTrim(Tables.load(s, dir, "documents")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+            list_transform(range(0, (greatest(length(text), 1) - 1) // 192 + 1),
+              i -> md5(substr(text, CAST(i*192 + 1 AS INT), 64))) AS ds
+          FROM documents),
+        k AS (
+          SELECT doc_id, len(ds) AS n_frames,
+            list_filter(ds, d ->
+              CAST('0x' || substr(d, 1, 7) AS BIGINT) >= 67108864)
+              AS kept
+          FROM f)
+        SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+          CAST(len(kept) AS INT) AS n_kept,
+          -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+          -- concat_ws over an empty array is '' — pin the fully-
+          -- trimmed track to md5('') in both engines.
+          md5(COALESCE(array_to_string(kept, ''), '')) AS trim_digest
+        FROM k ORDER BY doc_id"""))
   )
 }

@@ -2041,7 +2041,10 @@ object TextAnalysis {
           FROM ch)
         SELECT doc_id, CAST(n_chunks AS INT) AS n_chunks,
           CAST(n_chunks - len(clean) AS INT) AS n_removed,
-          md5(array_to_string(clean, ' ')) AS clean_digest
+          -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+          -- concat_ws over an empty array is '' — pin the chunkless
+          -- doc (under 2 tokens) to md5('') in both engines.
+          md5(COALESCE(array_to_string(clean, ' '), '')) AS clean_digest
         FROM ded ORDER BY doc_id""")),
     // ----------------------------------------------------------------
     Q(

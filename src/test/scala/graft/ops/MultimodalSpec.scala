@@ -385,4 +385,30 @@ class MultimodalSpec extends SparkSpec {
     // a ≥3-frame run and more than one distinct run.
     assert(out(2L)._4 >= 3 && out(2L)._3 >= 2, out.toString)
   }
+
+  test("m14 trims exactly the frames m13 calls silent, and a fully-" +
+      "silent track digests to md5('')") {
+    val dir = "/root/testdata/sf0.001"
+    val runs = graft.SparkEntry.queries("m13_silence_runs")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    val trim = graft.SparkEntry.queries("m14_silence_trim")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(trim.keySet === runs.keySet)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    trim.foreach { case (id, (nf, nk, digest)) =>
+      val (mf, ms) = runs(id)
+      assert(nf == mf, s"doc $id frame count: $nf vs m13's $mf")
+      assert(nk == mf - ms, s"doc $id kept: $nk vs ${mf - ms}")
+      if (nk == 0) assert(digest == emptyMd5, s"doc $id empty digest")
+      else assert(digest != emptyMd5, s"doc $id non-empty digest")
+    }
+    // Non-vacuous: the corpus contains silent frames AND at least one
+    // fully-silent (all-trimmed) track.
+    assert(trim.values.exists(v => v._2 < v._1), "nothing trimmed")
+    assert(trim.values.exists(v => v._2 == 0 && v._1 > 0),
+      "no fully-silent track at this SF")
+  }
 }
