@@ -630,14 +630,77 @@ object SourceSinks {
           CAST(CASE WHEN bucket IN (SELECT bucket FROM touched)
                      AND bucket IN (SELECT bucket FROM v1b)
                THEN 1 ELSE 0 END AS BIGINT) AS files_removed
-        FROM lake GROUP BY bucket ORDER BY bucket"""))
+        FROM lake GROUP BY bucket ORDER BY bucket""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q76_time_travel",
+      (s, dir) =>
+        // Time-travel read (see [[timeTravelRead]]): both snapshots
+        // of the two-commit copy-on-write lake served from the SAME
+        // directory by manifest file selection; the oracle restates
+        // each snapshot's logical state from the base tables, so the
+        // hash match proves the v2 commit never disturbed a
+        // v1-pinned reader.
+        timeTravelRead(s, dir,
+          new File(tmp("graft_q76"), "lake").getAbsolutePath),
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
+        comp_all AS (
+          SELECT user_id, value, CAST(user_id % 8 AS INT) AS bucket
+          FROM (SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY us DESC, event_id DESC) AS rn FROM ev e)
+          WHERE rn = 1),
+        comp_v1 AS (
+          SELECT user_id, value, CAST(user_id % 8 AS INT) AS bucket
+          FROM (SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY us DESC, event_id DESC) AS rn
+                FROM ev e, cut WHERE e.us <= cut.cut)
+          WHERE rn = 1),
+        touched AS (
+          SELECT DISTINCT CAST(user_id % 8 AS INT) AS bucket
+          FROM ev, cut WHERE us > cut.cut),
+        v2lake AS (
+          SELECT * FROM comp_all
+          WHERE bucket IN (SELECT bucket FROM touched)
+          UNION ALL
+          SELECT * FROM comp_v1
+          WHERE bucket NOT IN (SELECT bucket FROM touched))
+        SELECT 'v1' AS snapshot, bucket, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+            AS total_value
+        FROM comp_v1 GROUP BY bucket
+        UNION ALL
+        SELECT 'v2' AS snapshot, bucket, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+            AS total_value
+        FROM v2lake GROUP BY bucket
+        ORDER BY snapshot, bucket"""))
   )
 
   /** Lake vacuum execution (q75) — see the q75 entry for the story;
     * factored so specs can point it at their own directory and
     * inspect the physical file set afterwards.
     */
-  def lakeVacuum(s: SparkSession, dir: String, base: String): DataFrame = {
+  private[graft] val lakeSchema =
+    "user_id BIGINT, us BIGINT, event_id BIGINT, value DOUBLE, bucket INT"
+
+  /** The shared two-commit copy-on-write lake of q75/q76: v1 writes
+    * the cutoff-compacted CDC state key-bucketed (deterministic ONE
+    * file per bucket — repartition BY the bucket column before
+    * partitionBy), a superseding commit APPENDS the fully-current
+    * state of only the TOUCHED buckets (buckets with post-cutoff
+    * activity; the v1 files stay on disk). Returns the collected v1
+    * listing, the post-append listing, and the touched-bucket set —
+    * all bounded by the one-file-per-bucket discipline (≤ 2·|buckets|
+    * rows total).
+    */
+  private def twoCommitLake(s: SparkSession, dir: String, base: String)
+      : (Array[(Int, String)], Array[(Int, String)], Set[Int]) = {
     val ev = t(s, dir)("events")
       .filter(col("event_type").isNotNull && col("value").isNotNull)
       .select(col("event_id"), col("user_id"),
@@ -653,16 +716,15 @@ object SourceSinks {
           col("value"),
           (col("user_id") % 8).cast("int").as("bucket"))
     }
-    val lakeSchema = "user_id BIGINT, us BIGINT, event_id BIGINT, " +
-      "value DOUBLE, bucket INT"
-    def readLake(): DataFrame = s.read.schema(lakeSchema).parquet(base)
-    def listing(): DataFrame = readLake()
+    def listing(): Array[(Int, String)] = s.read.schema(lakeSchema)
+      .parquet(base)
       .select(col("bucket"), input_file_name().as("f")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1)))
     compact(ev.crossJoin(broadcast(cutoff))
         .filter(col("us") <= col("cut")))
       .repartition(8, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(base)
-    val v1Files = listing().withColumnRenamed("f", "f1")
+    val v1Files = listing()
     val touched = ev.crossJoin(broadcast(cutoff))
       .filter(col("us") > col("cut"))
       .select((col("user_id") % 8).cast("int").as("bucket")).distinct()
@@ -671,14 +733,18 @@ object SourceSinks {
         col("value"), col("bucket"))
       .repartition(8, col("bucket"))
       .write.partitionBy("bucket").mode("append").parquet(base)
-    // Orphans: v1 files inside rewritten buckets. MATERIALIZED to
-    // the driver before the deletes (the one-file-per-bucket
-    // discipline caps this at |buckets| rows) — the lazy frame
-    // would re-list the very files the vacuum removes.
+    val touchedSet = touched.collect().map(_.getInt(0)).toSet
+    (v1Files, listing(), touchedSet)
+  }
+
+  def lakeVacuum(s: SparkSession, dir: String, base: String): DataFrame = {
+    val (v1Files, _, touched) = twoCommitLake(s, dir, base)
+    // Orphans: v1 files inside rewritten buckets — already
+    // materialized on the driver (the one-file-per-bucket discipline
+    // caps the listing at |buckets| rows), so the deletes can't pull
+    // the rug from under a lazy listing.
     import s.implicits._
-    val orphanRows = v1Files.join(broadcast(touched), Seq("bucket"))
-      .select(col("bucket"), col("f1")).collect()
-      .map(r => (r.getInt(0), r.getString(1)))
+    val orphanRows = v1Files.filter { case (b, _) => touched(b) }
     val fs = org.apache.hadoop.fs.FileSystem
       .get(s.sparkContext.hadoopConfiguration)
     orphanRows.foreach { case (_, p) => fs.delete(
@@ -686,7 +752,7 @@ object SourceSinks {
     val removed = orphanRows.groupBy(_._1).view
       .mapValues(_.length.toLong).toSeq
       .toDF("bucket", "files_removed")
-    readLake()
+    s.read.schema(lakeSchema).parquet(base)
       .select(col("bucket"), col("value"), input_file_name().as("f"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
@@ -698,5 +764,39 @@ object SourceSinks {
         col("files_live"),
         coalesce(col("files_removed"), lit(0L)).as("files_removed"))
       .orderBy("bucket")
+  }
+
+  /** Time-travel read (q76) — the copy-on-write invariant q75's
+    * vacuum exists to eventually break ON PURPOSE: after the v2
+    * commit, a reader pinned to the v1 MANIFEST still sees exactly
+    * the v1 state (the superseding commit appended, never mutated),
+    * while a v2-manifest reader sees the current state of touched
+    * buckets beside the v1 state of untouched ones. Both snapshots
+    * are served from the SAME directory purely by file selection —
+    * the `basePath` option keeps partition-column recovery intact on
+    * explicit path lists. Manifests are driver-side arrays bounded by
+    * the one-file-per-bucket discipline.
+    */
+  def timeTravelRead(s: SparkSession, dir: String, base: String): DataFrame = {
+    val (v1Files, files2, touched) = twoCommitLake(s, dir, base)
+    val v1set = v1Files.map(_._2).toSet
+    val v1paths = v1Files.map(_._2).toSeq
+    val v2paths = (files2.collect { case (_, f) if !v1set(f) => f } ++
+      v1Files.collect { case (b, f) if !touched(b) => f }).toSeq
+    def readSnap(paths: Seq[String], tag: String): DataFrame = {
+      val snap =
+        if (paths.isEmpty)
+          s.read.schema(lakeSchema).parquet(base).filter(lit(false))
+        else s.read.option("basePath", base).schema(lakeSchema)
+          .parquet(paths: _*)
+      snap.groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(12,2)")).cast("double")
+            .as("total_value"))
+        .select(lit(tag).as("snapshot"), col("bucket"),
+          col("n_rows"), col("total_value"))
+    }
+    readSnap(v1paths, "v1").unionByName(readSnap(v2paths, "v2"))
+      .orderBy("snapshot", "bucket")
   }
 }

@@ -243,4 +243,35 @@ class JoinsAndSourcesSpec extends SparkSpec {
     }
   }
 
+  test("q76: the v2 commit APPENDS — every v1 file survives on disk, " +
+      "and snapshots disagree exactly where buckets were rewritten") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_q76_spec").toFile
+    try {
+      val out = SourceSinks.timeTravelRead(spark, dir,
+        new java.io.File(base, "lake").getAbsolutePath).collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val v1 = out.collect { case (("v1", b), v) => b -> v }
+      val v2 = out.collect { case (("v2", b), v) => b -> v }
+      // Copy-on-write: v1 buckets can only gain in v2, never vanish.
+      assert(v1.keySet.subsetOf(v2.keySet), s"v1 ${v1.keySet} v2 ${v2.keySet}")
+      // The commit did something: some shared bucket changed state.
+      assert(v1.exists { case (b, v) => v2(b) != v },
+        "no bucket differs between snapshots — commit vacuous")
+      // Physical truth: rewritten buckets hold BOTH commits' files
+      // (nothing was deleted); at least one dir carries two files.
+      val perBucket = new java.io.File(base, "lake").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+      assert(perBucket.forall(n => n == 1 || n == 2), perBucket.toSeq)
+      assert(perBucket.exists(_ == 2), "append left no second file")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(base)
+    }
+  }
+
 }
