@@ -19,7 +19,7 @@ object SparkEntry {
       ops.Dedup.all ++
       ops.TextAnalysis.all ++ ops.Similarity.all ++ ops.Multimodal.all ++
       ops.StreamingOps.all ++ ops.Pipeline.all ++ ops.SourceSinks.all ++
-      ops.Curation.all ++ etl.EtlParity.all
+      ops.Curation.all ++ ops.Graph.all ++ etl.EtlParity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

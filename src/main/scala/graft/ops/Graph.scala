@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the TPC-H trade graph — the operator family a
+  * corpus pipeline reaches for when documents/entities link to each
+  * other (citation ranks for quality priors, influence scores for
+  * source weighting).
+  *
+  * Everything here follows the integer-exact discipline: ranks live
+  * in 10⁻¹² units as LONGs and every division is an integral DIV, so
+  * the recurrence is a deterministic function of the edge set — both
+  * engines run the IDENTICAL integer recurrence and the hash match is
+  * exact, with no FP-order caveats anywhere.
+  */
+object Graph {
+
+  /** Exact integer PageRank (q77) over the bipartite supplier↔customer
+    * trade graph (edge per distinct supplied-to pair, both
+    * directions, so no dangling-mass handling is needed: every node
+    * with an out-edge has an in-edge).
+    *
+    * The recurrence (d = 0.85, all integral):
+    *   base  = 10¹² DIV N
+    *   r₀(u) = base
+    *   rₖ(v) = (15·base) DIV 100 + (85·Σ_{u→v} rₖ₋₁(u) DIV outdeg(u)) DIV 100
+    *
+    * Scale shape: the classic edge-partitioned iteration — the edge
+    * list (with out-degrees attached) materializes ONCE and each of
+    * the `iters` rounds is one join keyed on src plus one dst-keyed
+    * map-side-combining LONG sum; rank frames are node-sized and
+    * localCheckpoint'd per round so the plan stays flat (a deployment
+    * persists exactly these two artifacts). Nothing ever enumerates
+    * paths; cost per round is |E| join + |E|→|V| aggregate.
+    */
+  def pageRank(lineitem: DataFrame, orders: DataFrame,
+      iters: Int = 10, k: Int = 25): DataFrame = {
+    val s = lineitem.sparkSession
+    import s.implicits._
+    val pairs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+      .distinct()
+    // Disjoint node ids: supplier 2k, customer 2k+1.
+    val edges0 = pairs
+      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+    val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edges = edges0.join(outdeg, "src").localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0L)
+      return Seq.empty[(Int, String, Long, Long)]
+        .toDF("rnk", "node_type", "node_id", "r")
+    val base = 1000000000000L / n
+    val teleport = (15L * base) / 100L
+    var ranks = nodes.select(col("node"), lit(base).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val insum = edges.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("insum"))
+      ranks = nodes.join(insum, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"${teleport}L + (85 * coalesce(insum, 0L)) div 100")
+            .as("r"))
+        .localCheckpoint()
+    }
+    val top = ranks.orderBy(col("r").desc, col("node")).limit(k)
+    top
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("r").desc, col("node"))))
+      .select(col("rnk"),
+        expr("CASE WHEN node % 2 = 0 THEN 'supplier' " +
+          "ELSE 'customer' END").as("node_type"),
+        expr("node div 2").as("node_id"), col("r"))
+      .orderBy("rnk")
+  }
+
+  /** The q77 oracle: the identical integer recurrence with the
+    * iterations unrolled as MATERIALIZED CTEs (s37's convention —
+    * each step references its predecessor, so default inlining would
+    * expand the chain exponentially).
+    */
+  private[graft] def sqlPageRank(iters: Int, k: Int): String = {
+    val steps = (1 to iters).map { it =>
+      s"""r$it AS MATERIALIZED (
+        SELECT n.node,
+          (15 * (SELECT base FROM nb)) // 100 +
+          (85 * COALESCE(i.insum, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN (
+          -- CAST: DuckDB's SUM(BIGINT) is HUGEINT, which would float
+          -- through pandas; the mass fits BIGINT by construction.
+          SELECT e.dst AS node,
+            CAST(SUM(r.r // e.outdeg) AS BIGINT) AS insum
+          FROM edges e JOIN r${it - 1} r ON r.node = e.src
+          GROUP BY e.dst) i ON i.node = n.node)"""
+    }.mkString(",\n        ")
+    s"""
+      WITH pairs AS (
+        SELECT DISTINCT l.l_suppkey AS sk, o.o_custkey AS ck
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      edges0 AS (
+        SELECT sk * 2 AS src, ck * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT ck * 2 + 1 AS src, sk * 2 AS dst FROM pairs),
+      od AS (SELECT src, COUNT(*) AS outdeg FROM edges0 GROUP BY src),
+      edges AS MATERIALIZED (
+        SELECT e.src, e.dst, od.outdeg
+        FROM edges0 e JOIN od ON od.src = e.src),
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+      nb AS (SELECT 1000000000000 // COUNT(*) AS base FROM nodes),
+      r0 AS MATERIALIZED (
+        SELECT node, (SELECT base FROM nb) AS r FROM nodes),
+      $steps
+      SELECT CAST(rnk AS INT) AS rnk,
+        CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+          AS node_type,
+        node // 2 AS node_id, CAST(r AS BIGINT) AS r
+      FROM (
+        SELECT node, r,
+          ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rnk
+        FROM r$iters)
+      WHERE rnk <= $k
+      ORDER BY rnk"""
+  }
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    Q(
+      "q77_pagerank",
+      (s, dir) =>
+        // Exact integer PageRank (see [[pageRank]]): 10 rounds over
+        // the supplier↔customer trade graph, top-25 by rank.
+        pageRank(Tables.load(s, dir, "lineitem"),
+          Tables.load(s, dir, "orders")),
+      Some(sqlPageRank(iters = 10, k = 25)))
+  )
+}

@@ -274,4 +274,46 @@ class JoinsAndSourcesSpec extends SparkSpec {
     }
   }
 
+  test("q77: the distributed iteration reproduces a hand-run of the " +
+      "integer PageRank recurrence on an asymmetric toy graph") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Supplier 1 supplies customers 1 and 2; supplier 2 supplies
+    // customer 1 only — customer 1 must outrank customer 2, supplier
+    // 1 must outrank supplier 2.
+    val li = Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((1L, 1L), (2L, 2L), (3L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = Graph.pageRank(li, ord, iters = 10, k = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // Independent hand-run over the explicit adjacency:
+    // nodes s1=2, s2=4, c1=3, c2=5; symmetric edges.
+    val adj = Map( // node -> out-neighbors
+      2L -> Seq(3L, 5L), 4L -> Seq(3L), 3L -> Seq(2L, 4L), 5L -> Seq(2L))
+    val n = adj.size
+    val base = 1000000000000L / n
+    val teleport = 15L * base / 100L
+    var r = adj.keys.map(_ -> base).toMap
+    for (_ <- 1 to 10) {
+      val in = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      adj.foreach { case (u, outs) =>
+        outs.foreach(v => in(v) += r(u) / outs.length)
+      }
+      r = adj.keys.map(u => u -> (teleport + 85L * in(u) / 100L)).toMap
+    }
+    val want = r.toSeq.sortBy { case (node, rv) => (-rv, node) }
+      .zipWithIndex.map { case ((node, rv), i) =>
+        (i + 1,
+          if (node % 2 == 0) "supplier" else "customer",
+          node / 2, rv)
+      }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // The structural expectations the graph was built for.
+    val byId = got.map(g => (g._2, g._3) -> g._1).toMap
+    assert(byId(("customer", 1L)) < byId(("customer", 2L)))
+    assert(byId(("supplier", 1L)) < byId(("supplier", 2L)))
+  }
+
 }
