@@ -63,7 +63,7 @@ object Graph {
     val teleport = (15L * base) / 100L
     var ranks = nodes.select(col("node"), lit(base).as("r"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val insum = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("insum"))
@@ -71,7 +71,10 @@ object Graph {
         .select(col("node"),
           expr(s"${teleport}L + (85 * coalesce(insum, 0L)) div 100")
             .as("r"))
-        .localCheckpoint()
+      // Flatten the lineage every third round: per-round eager
+      // checkpoints cost a full job each, while three chained rounds
+      // plan fine and run as one.
+      if (it % 3 == 0 || it == iters) ranks = ranks.localCheckpoint()
     }
     val top = ranks.orderBy(col("r").desc, col("node")).limit(k)
     top
