@@ -135,6 +135,97 @@ object Graph {
       ORDER BY rnk"""
   }
 
+  /** BFS seed distance (q78) — the link-distance quality prior
+    * web-corpus pipelines run (hop distance from a trusted seed set,
+    * the harmonic-centrality-style signal behind crawl frontier
+    * filtering), computed on the same trade graph: seeds are the
+    * suppliers of nations 0-4 at distance 0, and `rounds` min-plus
+    * relaxations propagate d(v) = min(d(v), min_{u→v} d(u)+1).
+    * Pure integer min — deterministic in both engines by
+    * construction. Unreached nodes keep the 999 sentinel.
+    *
+    * Scale shape: identical to [[pageRank]] — one src-keyed join and
+    * one dst-keyed map-side-combining MIN per round over the
+    * once-materialized edge list; distance frames are node-sized.
+    * Output is the bounded (node_type, dist) histogram.
+    */
+  def seedDistance(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, rounds: Int = 6): DataFrame = {
+    val s = lineitem.sparkSession
+    import s.implicits._
+    val pairs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+      .distinct()
+    val edges = pairs
+      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+      .localCheckpoint()
+    val seeds = supplier.filter(col("s_nationkey") < 5)
+      .select((col("s_suppkey") * 2).as("node"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var dist = nodes.join(seeds.withColumn("z", lit(0)),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("z"), lit(999)).as("dist"))
+    for (it <- 1 to rounds) {
+      val relaxed = edges.join(dist, col("src") === col("node"))
+        .select(col("dst"), (col("dist") + 1).as("cand"))
+        .groupBy("dst").agg(min("cand").as("reach"))
+      dist = dist.join(relaxed, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("reach"), lit(999)))
+            .as("dist"))
+      if (it % 3 == 0 || it == rounds) dist = dist.localCheckpoint()
+    }
+    dist
+      .select(expr("CASE WHEN node % 2 = 0 THEN 'supplier' " +
+        "ELSE 'customer' END").as("node_type"), col("dist"))
+      .groupBy("node_type", "dist")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("node_type", "dist")
+  }
+
+  /** The q78 oracle: the identical min-plus relaxation unrolled
+    * ([[sqlPageRank]]'s convention).
+    */
+  private[graft] def sqlSeedDistance(rounds: Int): String = {
+    val steps = (1 to rounds).map { it =>
+      s"""d$it AS MATERIALIZED (
+        SELECT d.node,
+          LEAST(d.dist, COALESCE(i.reach, 999)) AS dist
+        FROM d${it - 1} d LEFT JOIN (
+          SELECT e.dst AS node, MIN(r.dist + 1) AS reach
+          FROM edges e JOIN d${it - 1} r ON r.node = e.src
+          GROUP BY e.dst) i ON i.node = d.node)"""
+    }.mkString(",\n        ")
+    s"""
+      WITH pairs AS (
+        SELECT DISTINCT l.l_suppkey AS sk, o.o_custkey AS ck
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      edges AS MATERIALIZED (
+        SELECT sk * 2 AS src, ck * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT ck * 2 + 1 AS src, sk * 2 AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      seeds AS (SELECT s_suppkey * 2 AS node FROM supplier
+                WHERE s_nationkey < 5),
+      d0 AS MATERIALIZED (
+        SELECT n.node,
+          CASE WHEN n.node IN (SELECT node FROM seeds)
+               THEN 0 ELSE 999 END AS dist
+        FROM nodes n),
+      $steps
+      SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+          AS node_type,
+        CAST(dist AS INT) AS dist, COUNT(*) AS n_nodes
+      FROM d$rounds
+      GROUP BY 1, 2
+      ORDER BY node_type, dist"""
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -144,6 +235,16 @@ object Graph {
         // the supplier↔customer trade graph, top-25 by rank.
         pageRank(Tables.load(s, dir, "lineitem"),
           Tables.load(s, dir, "orders")),
-      Some(sqlPageRank(iters = 10, k = 25)))
+      Some(sqlPageRank(iters = 10, k = 25))),
+    // ----------------------------------------------------------------
+    Q(
+      "q78_seed_distance",
+      (s, dir) =>
+        // BFS seed distance (see [[seedDistance]]): hop distance
+        // from nation-0..4 suppliers, 6 min-plus rounds, histogram out.
+        seedDistance(Tables.load(s, dir, "lineitem"),
+          Tables.load(s, dir, "orders"),
+          Tables.load(s, dir, "supplier")),
+      Some(sqlSeedDistance(rounds = 6)))
   )
 }

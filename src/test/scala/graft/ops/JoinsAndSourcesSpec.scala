@@ -316,4 +316,22 @@ class JoinsAndSourcesSpec extends SparkSpec {
     assert(byId(("supplier", 1L)) < byId(("supplier", 2L)))
   }
 
+  test("q78: BFS distances on a hand-checkable chain — seed 0, " +
+      "neighbor 1, two hops 2, three hops 3") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // s1—c1, s2—c1, s2—c2; only s1 is a seed (nation 0 < 5, s2's
+    // nation 9 is not). Distances: s1=0, c1=1, s2=2, c2=3.
+    val li = Seq((1L, 1L), (2L, 2L), (3L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val sup = Seq((1L, 0L), (2L, 9L)).toDF("s_suppkey", "s_nationkey")
+    val got = Graph.seedDistance(li, ord, sup, rounds = 6).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("supplier", 0) -> 1L, ("supplier", 2) -> 1L,
+      ("customer", 1) -> 1L, ("customer", 3) -> 1L), got.toString)
+  }
+
 }

@@ -1034,6 +1034,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected only the output-sort exchange:\n$p")
   }
 
+  test("m14: silence trim is a pure projection — no exchange before " +
+    "the output sort, no generate") {
+    val p = plan("m14_silence_trim")
+    // Trimming is in-place array arithmetic: frames never become
+    // rows, and the only exchange is the presentation sort's.
+    assert(!p.contains("Generate"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the output-sort exchange:\n$p")
+  }
+
   test("t24: zipf term counts combine map-side; OLS runs on the " +
     "top-k rows only") {
     val p = plan("t24_zipf_slope")
