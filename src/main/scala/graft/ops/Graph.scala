@@ -41,6 +41,10 @@ object Graph {
       iters: Int = 10, k: Int = 25): DataFrame = {
     val s = lineitem.sparkSession
     import s.implicits._
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
     val pairs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -52,17 +56,17 @@ object Graph {
       .unionByName(pairs
         .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
     val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edges = edges0.join(outdeg, "src").localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+    val edges = cp(edges0.join(outdeg, "src"))
+    val nodes = cp(edges.select(col("src").as("node")).distinct())
     val n = nodes.count()
-    if (n == 0L)
+    if (n == 0L) {
+      cps.foreach(Similarity.freeCheckpoint)
       return Seq.empty[(Int, String, Long, Long)]
         .toDF("rnk", "node_type", "node_id", "r")
+    }
     val base = 1000000000000L / n
     val teleport = (15L * base) / 100L
-    var ranks = nodes.select(col("node"), lit(base).as("r"))
-      .localCheckpoint()
+    var ranks = cp(nodes.select(col("node"), lit(base).as("r")))
     for (it <- 1 to iters) {
       val insum = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
@@ -74,10 +78,12 @@ object Graph {
       // Flatten the lineage every third round: per-round eager
       // checkpoints cost a full job each, while three chained rounds
       // plan fine and run as one.
-      if (it % 3 == 0 || it == iters) ranks = ranks.localCheckpoint()
+      if (it % 3 == 0 || it == iters) ranks = cp(ranks)
     }
-    val top = ranks.orderBy(col("r").desc, col("node")).limit(k)
-    top
+    // The result is bounded (k rows): materialize it and FREE every
+    // checkpoint block — a bench/session running many queries must
+    // not inherit this op's working set.
+    val out = ranks.orderBy(col("r").desc, col("node")).limit(k)
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("r").desc, col("node"))))
       .select(col("rnk"),
@@ -85,6 +91,10 @@ object Graph {
           "ELSE 'customer' END").as("node_type"),
         expr("node div 2").as("node_id"), col("r"))
       .orderBy("rnk")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    cps.foreach(Similarity.freeCheckpoint)
+    out.toSeq.toDF("rnk", "node_type", "node_id", "r")
   }
 
   /** The q77 oracle: the identical integer recurrence with the
@@ -158,11 +168,15 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
       .distinct()
-    val edges = pairs
+    val edges0 = pairs
       .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
       .unionByName(pairs
         .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
-      .localCheckpoint()
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    val edges = cp(edges0)
     val seeds = supplier.filter(col("s_nationkey") < 5)
       .select((col("s_suppkey") * 2).as("node"))
     val nodes = edges.select(col("src").as("node")).distinct()
@@ -178,14 +192,20 @@ object Graph {
         .select(col("node"),
           least(col("dist"), coalesce(col("reach"), lit(999)))
             .as("dist"))
-      if (it % 3 == 0 || it == rounds) dist = dist.localCheckpoint()
+      if (it % 3 == 0 || it == rounds) dist = cp(dist)
     }
-    dist
+    // Bounded histogram out; free the checkpoint working set (the
+    // pageRank rule).
+    val out = dist
       .select(expr("CASE WHEN node % 2 = 0 THEN 'supplier' " +
         "ELSE 'customer' END").as("node_type"), col("dist"))
       .groupBy("node_type", "dist")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("node_type", "dist")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    cps.foreach(Similarity.freeCheckpoint)
+    out.toSeq.toDF("node_type", "dist", "n_nodes")
   }
 
   /** The q78 oracle: the identical min-plus relaxation unrolled
