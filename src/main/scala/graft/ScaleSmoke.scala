@@ -31,7 +31,8 @@ object ScaleSmoke {
       |  dsir [f]      t23 model-size invariance + weight cost ×1 vs ×f
       |  lakemerge [f] st28 partition-scoped merge cost on a ×f lake
       |  tokenbudget [f]  c17 histogram bound + boundary share ×1 vs ×f
-      |  pca [f]       s37 covariance-shuffle invariance + cost ×1 vs ×f""".stripMargin
+      |  pca [f]       s37 covariance-shuffle invariance + cost ×1 vs ×f
+      |  graph [f]     q77/q78 cost on ×f disjoint graph copies""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -515,6 +516,46 @@ object ScaleSmoke {
       ops.TextAnalysis.dsirWeights(docsN, "src1", 4096)
         .write.format("noop").mode("overwrite").save())
     docsN.unpersist()
+  }
+
+  /** Graph scale structure (`runMain graft.ScaleSmoke graph [f]`):
+    * q77/q78 cost on ×factor DISJOINT graph copies (keys shifted, so
+    * nodes and edges both grow ×factor with no new connectivity) —
+    * the per-round cost is one |E| join plus one |E|→|V| aggregate,
+    * so wall time should grow ~linearly while the round COUNT stays
+    * fixed. Replicating via key shifts (not row duplication, which
+    * the distinct pair set would collapse).
+    */
+  def runGraph(spark: SparkSession, factor: Int): Unit = {
+    val li1 = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+      .select("l_orderkey", "l_suppkey")
+    val or1 = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      .select("o_orderkey", "o_custkey")
+    val su1 = Tables.load(spark, "/root/testdata/sf0.1", "supplier")
+      .select("s_suppkey", "s_nationkey")
+    def shiftN(df: DataFrame, cols: Seq[String]): DataFrame =
+      (0 until factor).map { i =>
+        cols.foldLeft(df) { (d, c) =>
+          d.withColumn(c, col(c) + lit(i.toLong * 10000000L))
+        }
+      }.reduce(_ unionByName _)
+    val liN = shiftN(li1, Seq("l_orderkey", "l_suppkey")).cache()
+    val orN = shiftN(or1, Seq("o_orderkey", "o_custkey")).cache()
+    val suN = su1 // seeds only in copy 0: distances grow, mass shrinks
+    println(s"[graph] lineitem: ${liN.count()} rows (×$factor disjoint copies)")
+    time("q77 pagerank ×1")(
+      ops.Graph.pageRank(li1, or1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"q77 pagerank ×$factor")(
+      ops.Graph.pageRank(liN, orN)
+        .write.format("noop").mode("overwrite").save())
+    time("q78 seed distance ×1")(
+      ops.Graph.seedDistance(li1, or1, su1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"q78 seed distance ×$factor")(
+      ops.Graph.seedDistance(liN, orN, suN)
+        .write.format("noop").mode("overwrite").save())
+    liN.unpersist(); orN.unpersist()
   }
 
   /** c17 scale structure (`runMain graft.ScaleSmoke tokenbudget [f]`):
@@ -1030,7 +1071,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
       "text", "curation", "multimodal", "containment", "indexmaint",
-      "funnel", "timeseries", "dsir", "lakemerge", "tokenbudget", "pca")
+      "funnel", "timeseries", "dsir", "lakemerge", "tokenbudget", "pca", "graph")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -1067,6 +1108,7 @@ object ScaleSmoke {
         case "lakemerge" => 5
         case "tokenbudget" => 20
         case "pca" => 10
+        case "graph" => 5
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -1096,6 +1138,7 @@ object ScaleSmoke {
     if (mode == "dsir") { runDsir(spark, factor); spark.stop(); return }
     if (mode == "tokenbudget") { runTokenBudget(spark, factor); spark.stop(); return }
     if (mode == "pca") { runPca(spark, factor); spark.stop(); return }
+    if (mode == "graph") { runGraph(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)
