@@ -843,7 +843,40 @@ object Curation {
           FROM s)
         SELECT doc_id, n_tokens, quality,
           CAST(cum <= b.budget AS INT) AS admitted
-        FROM r, b ORDER BY doc_id"""))
+        FROM r, b ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c18_source_budget",
+      (s, dir) =>
+        // Per-source token-budget selection (see
+        // [[sourceBudgetSelect]]): half the corpus' token mass split
+        // equally across sources, each source filled quality-first.
+        // The ORACLE is the per-source global-sort prefix; Spark
+        // computes it from the bounded (source, bucket) histogram —
+        // the hash match proves the per-source histogram cut IS the
+        // per-source sort.
+        sourceBudgetSelect(docs(s, dir)),
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, source,
+            $sqlQualitySignals
+          FROM documents WHERE text IS NOT NULL),
+        s AS (
+          SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+            $sqlQuality AS quality
+          FROM c WHERE n_tokens >= 1 AND n_chars >= 1),
+        a AS (
+          SELECT (COALESCE(SUM(n_tokens), 0) // 2)
+                 // COUNT(DISTINCT source) AS alloc
+          FROM s),
+        r AS (
+          SELECT doc_id, source, n_tokens, quality,
+            SUM(n_tokens) OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS cum
+          FROM s)
+        SELECT doc_id, source, n_tokens, quality,
+          CAST(cum <= a.alloc AS INT) AS admitted
+        FROM r, a ORDER BY doc_id"""))
   )
 
   /** DSIR selection execution (c16) — t23 scores the pool against the
@@ -945,6 +978,74 @@ object Curation {
               .otherwise(coalesce(col("adm_b"), lit(0))).as("admitted"))
           .orderBy("doc_id")
     }
+  }
+
+  /** Per-source token-budget selection (c18) — the uniform-mixture
+    * cap a multi-source training run enforces: half the corpus'
+    * token mass split EQUALLY across sources (alloc = (total DIV 2)
+    * DIV n_sources), each source filled with its own best documents
+    * first — c17's quality-prefix greedy run independently per
+    * source, so one over-represented scrape can't crowd the mix
+    * (c03's discipline with token-exact accounting). Sources with
+    * less mass than their allocation admit everything; leftover
+    * allocation is NOT redistributed (the cap is the semantics).
+    *
+    * Scale shape: [[tokenBudgetSelect]]'s histogram argument per
+    * source — ONE (source, bucket)-keyed aggregate bounded by
+    * |sources|·(buckets+1) rows, a driver walk per source, and ONE
+    * window over the union of per-source boundary slices
+    * (partitioned by source, each slice ~1/buckets of its source).
+    * Equality with the per-source global sort holds by c17's
+    * argument applied within each partition.
+    */
+  def sourceBudgetSelect(documents: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val scored = documents.filter(col("text").isNotNull)
+      .withColumn("toks", tokens(col("text")))
+      .select(Seq(col("doc_id"), col("source")) ++
+        qualitySignals(col("text"), col("toks")): _*)
+      .filter(col("n_tokens") >= 1 && col("n_chars") >= 1)
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        qualityScore(col("n_chars"), col("n_tokens"),
+          col("n_stop"), col("n_punct")).as("quality"))
+      .withColumn("bucket",
+        floor(col("quality") * buckets).cast("int"))
+    val hist = scored.groupBy("source", "bucket")
+      .agg(sum("n_tokens").as("mass"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    if (hist.isEmpty)
+      return scored.select(col("doc_id"), col("source"),
+        col("n_tokens"), col("quality"), lit(1).as("admitted"))
+    val alloc = hist.map(_._3).sum / 2 / hist.map(_._1).distinct.length
+    val bdf = hist.groupBy(_._1).map { case (src, rows) =>
+      val desc = rows.map(t => t._2 -> t._3).sortBy(-_._1)
+      var acc = 0L
+      var b: Option[(Int, Long)] = None
+      desc.foreach { case (bk, m) =>
+        if (b.isEmpty) {
+          if (acc + m > alloc) b = Some((bk, alloc - acc)) else acc += m
+        }
+      }
+      (src, b.map(_._1).getOrElse(Int.MinValue),
+        b.map(_._2).getOrElse(0L), b.isEmpty)
+    }.toSeq.toDF("source", "bstar", "leftover", "allfit")
+    val withB = scored.join(broadcast(bdf), Seq("source"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bnd = withB.filter(col("bucket") === col("bstar"))
+      .withColumn("cum", sum("n_tokens").over(win))
+      .select(col("doc_id"),
+        (col("cum") <= col("leftover")).cast("int").as("adm_b"))
+    withB.join(broadcast(bnd), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality"),
+        when(col("allfit") || col("bucket") > col("bstar"), lit(1))
+          .otherwise(coalesce(col("adm_b"), lit(0))).as("admitted"))
+      .orderBy("doc_id")
   }
 
   /** Temperature-mixture EXECUTION (c14) — c13 computes the α=1/2

@@ -260,4 +260,28 @@ class CurationSpec extends SparkSpec {
     // Non-vacuous both ways.
     assert(got.values.sum > 0 && got.values.sum < got.size)
   }
+
+  test("c18: each source fills quality-first within the equal split, " +
+      "independent of the other sources' mass") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Source A: 4 identical 4-token docs (mass 16). Source B: two
+    // 4-token docs of DIFFERENT quality — b-high has no punctuation,
+    // b-low is punctuation-heavy. total = 24, alloc = 12 div 2 = 6:
+    // each source admits exactly ONE doc — A's lowest doc_id (pure
+    // tie-break), B's HIGHER-quality doc even though its doc_id is
+    // larger (quality outranks id).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "A"),
+      (2L, "alpha beta gamma delta", "A"),
+      (3L, "alpha beta gamma delta", "A"),
+      (4L, "alpha beta gamma delta", "A"),
+      (5L, "a!!! b??? c,,, d...", "B"),
+      (6L, "the and of to", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.sourceBudgetSelect(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0,
+      5L -> 0, 6L -> 1), out.toString)
+  }
 }
