@@ -841,7 +841,7 @@ object Curation {
           SELECT doc_id, n_tokens, quality,
             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
           FROM s)
-        SELECT doc_id, n_tokens, quality,
+        SELECT doc_id, n_tokens, ROUND(quality, 6) AS quality,
           CAST(cum <= b.budget AS INT) AS admitted
         FROM r, b ORDER BY doc_id""")),
     // ----------------------------------------------------------------
@@ -874,7 +874,7 @@ object Curation {
             SUM(n_tokens) OVER (PARTITION BY source
                                 ORDER BY quality DESC, doc_id) AS cum
           FROM s)
-        SELECT doc_id, source, n_tokens, quality,
+        SELECT doc_id, source, n_tokens, ROUND(quality, 6) AS quality,
           CAST(cum <= a.alloc AS INT) AS admitted
         FROM r, a ORDER BY doc_id"""))
   )
@@ -959,9 +959,14 @@ object Curation {
         if (acc + m > budget) boundary = Some((b, acc)) else acc += m
       }
     }
+    // Ranking/bucketing uses the RAW quality; the emitted column is
+    // round(·, 6) — the repo's emitted-doubles discipline, so the
+    // hash match never depends on both engines bit-agreeing on the
+    // full FP fold of qualityScore.
     boundary match {
       case None => // everything fits (empty corpus, or budget >= total)
-        scored.select(col("doc_id"), col("n_tokens"), col("quality"),
+        scored.select(col("doc_id"), col("n_tokens"),
+          round(col("quality"), 6).as("quality"),
           lit(1).as("admitted")).orderBy("doc_id")
       case Some((bstar, above)) =>
         val leftover = budget - above
@@ -973,7 +978,8 @@ object Curation {
           .select(col("doc_id"),
             (col("cum") <= leftover).cast("int").as("adm_b"))
         scored.join(broadcast(bnd), Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"), col("quality"),
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("quality"), 6).as("quality"),
             when(col("bucket") > bstar, lit(1))
               .otherwise(coalesce(col("adm_b"), lit(0))).as("admitted"))
           .orderBy("doc_id")
@@ -1018,7 +1024,8 @@ object Curation {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     if (hist.isEmpty)
       return scored.select(col("doc_id"), col("source"),
-        col("n_tokens"), col("quality"), lit(1).as("admitted"))
+        col("n_tokens"), round(col("quality"), 6).as("quality"),
+        lit(1).as("admitted"))
     val alloc = hist.map(_._3).sum / 2 / hist.map(_._1).distinct.length
     val bdf = hist.groupBy(_._1).map { case (src, rows) =>
       val desc = rows.map(t => t._2 -> t._3).sortBy(-_._1)
@@ -1040,9 +1047,11 @@ object Curation {
       .withColumn("cum", sum("n_tokens").over(win))
       .select(col("doc_id"),
         (col("cum") <= col("leftover")).cast("int").as("adm_b"))
+    // Emitted quality is round(·, 6) (c17's discipline); ranking and
+    // bucketing above stay on the raw value.
     withB.join(broadcast(bnd), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("quality"),
+        round(col("quality"), 6).as("quality"),
         when(col("allfit") || col("bucket") > col("bstar"), lit(1))
           .otherwise(coalesce(col("adm_b"), lit(0))).as("admitted"))
       .orderBy("doc_id")

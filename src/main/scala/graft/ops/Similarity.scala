@@ -793,12 +793,15 @@ object Similarity {
       s"""list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) /
             (sqrt(list_sum(list_transform($a, x -> x*x))) *
              sqrt(list_sum(list_transform($b, x -> x*x))))"""
+    // Each s_{r-1} is referenced twice per round (by c_r and s_r), so
+    // DuckDB's default CTE inlining would expand the chain 2^k times —
+    // pin AS MATERIALIZED (the s37/q77 convention).
     val rounds = (2 to k).map { r =>
       s"""
-        c$r AS (
+        c$r AS MATERIALIZED (
           SELECT vec_id, v, md FROM s${r - 1}
           ORDER BY md DESC, vec_id LIMIT 1),
-        s$r AS (
+        s$r AS MATERIALIZED (
           SELECT s.vec_id, s.v,
             LEAST(s.md, ROUND(1 - ${cos("s.v", "c.v")}, 6)) AS md
           FROM s${r - 1} s CROSS JOIN c$r c)"""
@@ -811,8 +814,9 @@ object Similarity {
           SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
-        c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
-        s1 AS (
+        c1 AS MATERIALIZED (
+          SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+        s1 AS MATERIALIZED (
           SELECT e.vec_id, e.v, ROUND(1 - ${cos("e.v", "c.v")}, 6) AS md
           FROM e CROSS JOIN c1 c),$rounds,
         sel AS (
@@ -2376,14 +2380,16 @@ object Similarity {
              sqrt(list_sum(list_transform($b, x -> x*x))))"""
     // Round r FIRST drops c_{r-1} and folds it into ms, THEN argmaxes
     // — picking before reducing would let an earlier winner repeat.
+    // Each s_r is referenced twice (by c_r and s_{r+1}): MATERIALIZED,
+    // or DuckDB's default inlining expands the chain 2^k times.
     val rounds = (2 to k).map { r =>
       s"""
-        s$r AS (
+        s$r AS MATERIALIZED (
           SELECT s.vec_id, s.v, s.rel,
             GREATEST(s.ms, ROUND(${cos("s.v", "c.v")}, 6)) AS ms
           FROM s${r - 1} s CROSS JOIN c${r - 1} c
           WHERE s.vec_id <> c.vec_id),
-        c$r AS (
+        c$r AS MATERIALIZED (
           SELECT vec_id, v, rel, ms FROM s$r
           ORDER BY $lam * rel - $mu * ms DESC, vec_id LIMIT 1)"""
     }.mkString(",")
@@ -2403,8 +2409,8 @@ object Similarity {
               ROUND(${cos("e.v", "q.qv")}, 6) AS rel
             FROM e, q WHERE e.vec_id <> 0
             ORDER BY rel DESC, vec_id LIMIT $kCand)),
-        s1 AS (SELECT * FROM cand),
-        c1 AS (
+        s1 AS MATERIALIZED (SELECT * FROM cand),
+        c1 AS MATERIALIZED (
           SELECT vec_id, v, rel, ms FROM s1
           ORDER BY $lam * rel - $mu * ms DESC, vec_id LIMIT 1)${
         if (k >= 2) "," else ""}$rounds
@@ -4523,13 +4529,19 @@ object Similarity {
   private[graft] def pcaAxis(rows: DataFrame, n: Long, dims: Int,
       iters: Int): (Array[Double], Array[Double]) = {
     val s = rows.sparkSession
-    val m: Array[Double] = rows
+    // One bounded pass yields both the per-dim mean AND the global
+    // |x| bound (the extra max is free — same shuffle, same groups).
+    val mRows = rows
       .select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim")
       .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-        count(lit(1))).as("mx"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1))
-      .sortBy(_._1).map(_._2)
+        count(lit(1))).as("mx"),
+        max(abs(col("x"))).as("ax"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val m: Array[Double] = mRows.map(_._2)
+    val maxAbsX: Double =
+      if (mRows.isEmpty) 0.0 else mRows.map(_._3).max
     val mcol = typedLit(m.toSeq)
     // The covariance fold multiplies each row's work by dims², so a
     // small input (one parquet block → ONE partition) would run the
@@ -4544,17 +4556,25 @@ object Similarity {
     // dims² interpreted lambda dispatches per row) — position
     // pos = i*dims + j carries the matrix coordinates through the
     // one bounded aggregation.
+    // decimal(18,12) keeps Spark's compact-long Decimal fast path on
+    // the dims²-per-row hot aggregation, but with ANSI off a cast of
+    // any |product| ≥ 10⁶ silently becomes NULL and DROPS from the
+    // covariance sum — a data-dependent divergence from the oracle's
+    // DECIMAL(28,12). Precision only bounds range (scale-12 rounding
+    // is identical), so pick the width from the PROVEN bound:
+    // |centered| ≤ max|x| + max|m|, product ≤ bound². Falls back to
+    // the wide (slower, never-nulling) type instead of corrupting.
+    val centeredBound = maxAbsX + (if (m.isEmpty) 0.0 else m.map(math.abs).max)
+    val prodDec =
+      if (centeredBound * centeredBound < 1e6) "decimal(18,12)"
+      else "decimal(28,12)"
     val cRows = spread
       .withColumn("m", mcol)
       .withColumn("cv", expr("zip_with(v, m, (a, b) -> a - b)"))
       .select(posexplode(VectorExpressions.outer(col("cv")))
         .as(Seq("pos", "p")))
       .groupBy("pos")
-      // decimal(18,12): the same scale-12 rounding as the oracle's
-      // DECIMAL(28,12) cast (precision only bounds range — fine while
-      // |centered product| < 10⁶), but it keeps Spark's compact-long
-      // Decimal fast path on the dims²-per-row hot aggregation.
-      .agg(sum(col("p").cast("decimal(18,12)")).as("sp"))
+      .agg(sum(col("p").cast(prodDec)).as("sp"))
       .collect()
     val c = Array.ofDim[Double](dims, dims)
     cRows.foreach { r =>

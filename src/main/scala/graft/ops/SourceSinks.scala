@@ -745,10 +745,14 @@ object SourceSinks {
     // the rug from under a lazy listing.
     import s.implicits._
     val orphanRows = v1Files.filter { case (b, _) => touched(b) }
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(s.sparkContext.hadoopConfiguration)
-    orphanRows.foreach { case (_, p) => fs.delete(
-      new org.apache.hadoop.fs.Path(new java.net.URI(p)), false) }
+    // Resolve the filesystem PER PATH: the paths carry their own
+    // scheme (input_file_name), and the default FS may be a different
+    // store entirely on a non-local deployment.
+    orphanRows.foreach { case (_, p) =>
+      val hp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, false)
+    }
     val removed = orphanRows.groupBy(_._1).view
       .mapValues(_.length.toLong).toSeq
       .toDF("bucket", "files_removed")

@@ -355,7 +355,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("p08: eval-gram probe broadcasts; no cartesian beyond the scalar") {
-    val p = plan("p08_admission_gate")
+    // The registered query serves the memoized gate (a checkpoint
+    // scan), so pin the plan of the UNDERLYING construction.
+    val (gate, lm) = Pipeline.admissionGateFresh(spark, dir)
+    val p = gate.queryExecution.executedPlan.toString
+    Similarity.freeCheckpoint(lm)
     // d20's contamination probe inside the gate: the tiny eval gram
     // set broadcasts — the corpus side never shuffles by gram
     assert(p.contains("BroadcastHashJoin"), p)
