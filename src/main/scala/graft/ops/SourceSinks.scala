@@ -679,7 +679,20 @@ object SourceSinks {
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
             AS total_value
         FROM v2lake GROUP BY bucket
-        ORDER BY snapshot, bucket"""))
+        ORDER BY snapshot, bucket""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q79_lake_optimize",
+      (s, dir) =>
+        // Small-file compaction / OPTIMIZE (see [[lakeOptimizeFull]]):
+        // 6 micro-batch appends → bin-packed rewrite → manifest swap;
+        // both snapshots read back via their manifests. The oracle
+        // restates content from the base table and the file counts
+        // from the slice/bin arithmetic, so the hash match proves
+        // the rewrite lossless and the layout as planned.
+        lakeOptimize(s, dir,
+          tmp("graft_q79").getAbsolutePath),
+      Some(sqlLakeOptimize(slices = 6, fanout = 16)))
   )
 
   /** Lake vacuum execution (q75) — see the q75 entry for the story;
@@ -769,6 +782,174 @@ object SourceSinks {
         coalesce(col("files_removed"), lit(0L)).as("files_removed"))
       .orderBy("bucket")
   }
+
+  /** Small-file compaction / OPTIMIZE (q79) — the most-run lakehouse
+    * maintenance job: a streaming sink's per-micro-batch commits
+    * (st08/st28's shape) accumulate many small files, and OPTIMIZE
+    * bin-packs them into target-size files under a NEW commit, then
+    * swaps the manifest — the old files stay on disk, so a reader
+    * pinned to the pre-compaction manifest is untouched (q76's
+    * invariant) and q75's vacuum later reclaims them.
+    *
+    * The lake here: 6 time-slice micro-batch appends of the events
+    * CDC feed, each `repartition(bucket)`+`partitionBy(bucket)` so
+    * every append commits exactly one file per touched bucket —
+    * ≤ 6·|buckets| small files. The OPTIMIZE plan is driver-side
+    * over file-level stats only (one bounded aggregate standing in
+    * for the parquet footer row counts a table format keeps in its
+    * manifest — ≤ 6·|buckets| rows): within each bucket, files in
+    * time order pack by CUMULATIVE-OFFSET binning, bin =
+    * rows_before DIV target (the same rule Spark's own
+    * maxPartitionBytes uses to coalesce small files into scan
+    * partitions) with target = total_rows DIV 16. A production
+    * OPTIMIZE bins by bytes; rows is the deterministic stand-in
+    * that lets the oracle restate the exact bin count. The rewrite
+    * itself is ONE distributed job: the v1 files joined to the
+    * broadcast (file → bin) plan, one shuffle keyed (bucket, bin),
+    * one file out per bin.
+    *
+    * Returns (result frame, v1 manifest, v2 manifest) so the spec
+    * can prove the time-travel and vacuum properties physically.
+    * The frame carries both snapshots' per-bucket content read back
+    * VIA THEIR MANIFESTS plus physical file counts — the oracle
+    * restates content from the base table and the file counts from
+    * the slice/bin arithmetic, so the hash match proves the rewrite
+    * was lossless AND the layout matched the plan.
+    */
+  private[graft] def lakeOptimizeFull(s: SparkSession, dir: String,
+      base: String, slices: Int = 6, fanout: Int = 16)
+      : (DataFrame, Array[(Int, String)], Array[(Int, String)]) = {
+    import s.implicits._
+    val data1 = new File(base, "data1").getAbsolutePath
+    val data2 = new File(base, "data2").getAbsolutePath
+    def empty = Seq.empty[(String, Int, Long, Double, Long)]
+      .toDF("snapshot", "bucket", "n_rows", "total_value", "n_files")
+    val ev = t(s, dir)("events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val b = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .collect()(0) // 1-row bounded fetch
+    if (b.isNullAt(0)) return (empty, Array.empty, Array.empty)
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    // Integer slice id: (us - mn) * slices DIV span — slices time
+    // ranges standing in for micro-batch commit boundaries.
+    val sliced = ev
+      .withColumn("bucket", (col("user_id") % 8).cast("int"))
+      .withColumn("slice",
+        expr(s"CAST(((us - ${mn}L) * $slices) DIV ${mx - mn + 1}L AS INT)"))
+      .localCheckpoint() // 6 slice filters below reuse one scan
+    for (i <- 0 until slices)
+      sliced.filter(col("slice") === i)
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("value"), col("bucket"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(data1)
+    // Planning stats — the manifest's file-level metadata (row count
+    // + min timestamp per file), ≤ slices·|buckets| rows.
+    val stats = s.read.schema(lakeSchema).parquet(data1)
+      .groupBy(col("bucket"), input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"), min(col("us")).as("ord"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val v1Manifest = stats.map { case (bk, f, _, _) => (bk, f) }
+    val target = math.max(1L, stats.map(_._3).sum / fanout)
+    // Cumulative-offset binning per bucket, files in time order.
+    val plan = stats.groupBy(_._1).toSeq.flatMap { case (_, fs) =>
+      var cum = 0L
+      fs.sortBy(_._4).map { case (_, f, n, _) =>
+        val bin = (cum / target).toInt
+        cum += n
+        (f, bin)
+      }
+    }.toDF("f", "bin")
+    // The rewrite: one job, one shuffle keyed (bucket, bin), one
+    // file per bin (each group lands wholly in one task; partitionBy
+    // splits a task's output per directory).
+    s.read.schema(lakeSchema).parquet(data1)
+      .withColumn("f", input_file_name())
+      .join(broadcast(plan), "f")
+      .select(col("user_id"), col("us"), col("event_id"),
+        col("value"), col("bucket"), col("bin"))
+      .repartition(col("bucket"), col("bin"))
+      .write.partitionBy("bucket", "bin").mode("append").parquet(data2)
+    val v2Manifest = s.read.schema(lakeSchema + ", bin INT")
+      .parquet(data2)
+      .select(col("bucket"), input_file_name().as("f")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    Similarity.freeCheckpoint(sliced)
+    // Both snapshots read back VIA THEIR MANIFESTS (explicit path
+    // lists — the swap is which list a reader gets), with physical
+    // per-bucket file counts from the manifests themselves.
+    def snap(tag: String, basePath: String, schema: String,
+        manifest: Array[(Int, String)]): DataFrame = {
+      val nf = manifest.groupBy(_._1).view.mapValues(_.length.toLong)
+        .toSeq.toDF("bucket", "n_files")
+      s.read.option("basePath", basePath).schema(schema)
+        .parquet(manifest.map(_._2).toSeq: _*)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(12,2)")).cast("double")
+            .as("total_value"))
+        .join(broadcast(nf), Seq("bucket"))
+        .select(lit(tag).as("snapshot"), col("bucket"),
+          col("n_rows"), col("total_value"), col("n_files"))
+    }
+    val out = snap("pre", data1, lakeSchema, v1Manifest)
+      .unionByName(snap("post", data2, lakeSchema + ", bin INT",
+        v2Manifest))
+      .orderBy("snapshot", "bucket")
+    (out, v1Manifest, v2Manifest)
+  }
+
+  def lakeOptimize(s: SparkSession, dir: String, base: String): DataFrame =
+    lakeOptimizeFull(s, dir, base)._1
+
+  /** The q79 oracle: content per bucket straight from the base
+    * table; pre file counts = slices with activity per bucket; post
+    * file counts = distinct cumulative-offset bins (the identical
+    * integer binning rule).
+    */
+  private[graft] def sqlLakeOptimize(slices: Int, fanout: Int): String =
+    s"""
+      WITH ev AS (
+        SELECT event_id, user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      bounds AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      sliced AS (
+        SELECT user_id, value,
+          CAST(user_id % 8 AS INT) AS bucket,
+          CAST(((us - mn) * $slices) // (mx - mn + 1) AS INT) AS slice
+        FROM ev, bounds),
+      fc AS (
+        SELECT bucket, slice, COUNT(*) AS n
+        FROM sliced GROUP BY bucket, slice),
+      tgt AS (SELECT GREATEST(1, SUM(n) // $fanout) AS target FROM fc),
+      binned AS (
+        SELECT bucket, slice, n,
+          COALESCE(SUM(n) OVER (PARTITION BY bucket ORDER BY slice
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cumb
+        FROM fc),
+      bins AS (
+        SELECT bucket, COUNT(DISTINCT cumb // t.target) AS n_bins
+        FROM binned, tgt t GROUP BY bucket),
+      pre AS (SELECT bucket, COUNT(*) AS nf FROM fc GROUP BY bucket),
+      content AS (
+        SELECT bucket, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+            AS total_value
+        FROM sliced GROUP BY bucket)
+      SELECT 'pre' AS snapshot, c.bucket, c.n_rows, c.total_value,
+        CAST(p.nf AS BIGINT) AS n_files
+      FROM content c JOIN pre p USING (bucket)
+      UNION ALL
+      SELECT 'post' AS snapshot, c.bucket, c.n_rows, c.total_value,
+        CAST(b.n_bins AS BIGINT) AS n_files
+      FROM content c JOIN bins b USING (bucket)
+      ORDER BY snapshot, bucket"""
 
   /** Time-travel read (q76) — the copy-on-write invariant q75's
     * vacuum exists to eventually break ON PURPOSE: after the v2

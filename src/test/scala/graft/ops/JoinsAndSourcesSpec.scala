@@ -274,6 +274,51 @@ class JoinsAndSourcesSpec extends SparkSpec {
     }
   }
 
+  test("q79: OPTIMIZE shrinks the file count, leaves the pre-compaction " +
+      "manifest readable byte-for-byte, and vacuum reclaims only v1") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_q79_spec").toFile
+    try {
+      val (out, v1, v2) = SourceSinks.lakeOptimizeFull(spark, dir,
+        base.getAbsolutePath)
+      val rows = out.collect()
+      val pre = rows.filter(_.getString(0) == "pre")
+      val post = rows.filter(_.getString(0) == "post")
+      // Lossless rewrite: identical per-bucket content either side.
+      assert(pre.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet ==
+        post.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSet)
+      // The point of the job: strictly fewer files, and the input
+      // really was a small-file lake (more files than buckets).
+      assert(v1.length > pre.length, s"v1 not small-file: ${v1.length}")
+      assert(v2.length < v1.length,
+        s"no compaction: ${v1.length} -> ${v2.length}")
+      // Time travel: the v1 manifest still reads EXACTLY the same
+      // state after the rewrite (the commit only added files).
+      val v1Again = spark.read
+        .option("basePath", new java.io.File(base, "data1").getAbsolutePath)
+        .schema(SourceSinks.lakeSchema).parquet(v1.map(_._2).toSeq: _*)
+      assert(v1Again.count() == pre.map(_.getLong(2)).sum)
+      // Vacuum after the swap: delete the superseded v1 files; the
+      // v2 manifest must be untouched and still serve full content.
+      v1.foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, false)
+      }
+      val v2After = spark.read
+        .option("basePath", new java.io.File(base, "data2").getAbsolutePath)
+        .schema(SourceSinks.lakeSchema + ", bin INT")
+        .parquet(v2.map(_._2).toSeq: _*)
+      assert(v2After.count() == post.map(_.getLong(2)).sum)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(base)
+    }
+  }
+
   test("q77: the distributed iteration reproduces a hand-run of the " +
       "integer PageRank recurrence on an asymmetric toy graph") {
     val sparkS = spark
