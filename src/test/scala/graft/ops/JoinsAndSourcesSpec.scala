@@ -319,6 +319,39 @@ class JoinsAndSourcesSpec extends SparkSpec {
     }
   }
 
+  test("q80: two nations that never trade across form exactly two " +
+      "components; labels are converged on the testdata") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Nation 0: supplier 1 trades with customers 1 and 2 (component
+    // of 3 nodes). Nation 1: supplier 2 trades with customer 3
+    // (component of 2). The cross-nation order (supplier 1 →
+    // customer 3) MUST be dropped by the same-nation filter.
+    val li = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val cust = Seq((1L, 0L), (2L, 0L), (3L, 1L))
+      .toDF("c_custkey", "c_nationkey")
+    val supp = Seq((1L, 0L), (2L, 1L))
+      .toDF("s_suppkey", "s_nationkey")
+    val got = Graph.connectedComponents(li, ord, cust, supp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 1L), (2L, 1L)), got)
+    // Convergence on the real testdata: one EXTRA round must not
+    // move the histogram (fixed rounds ≥ the propagation depth).
+    def hist(rounds: Int) = Graph.connectedComponents(
+      Tables.load(spark, dir, "lineitem"),
+      Tables.load(spark, dir, "orders"),
+      Tables.load(spark, dir, "customer"),
+      Tables.load(spark, dir, "supplier"), rounds = rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h10 = hist(10)
+    assert(h10 == hist(11), "label propagation not converged at 10 rounds")
+    // Non-vacuous: the same-nation graph really has >1 component.
+    assert(h10.map(_._2).sum > 1, h10)
+  }
+
   test("q77: the distributed iteration reproduces a hand-run of the " +
       "integer PageRank recurrence on an asymmetric toy graph") {
     val sparkS = spark
