@@ -876,8 +876,79 @@ object Curation {
           FROM s)
         SELECT doc_id, source, n_tokens, ROUND(quality, 6) AS quality,
           CAST(cum <= a.alloc AS INT) AS admitted
-        FROM r, a ORDER BY doc_id"""))
+        FROM r, a ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c19_graph_budget",
+      (s, dir) =>
+        // Graph-prior-weighted budget (see [[graphBudgetSelect]]):
+        // BFS distance from the seed source over the band-sharing
+        // source graph reweights c18's per-source allocation 4/2/1.
+        // Integer-exact end to end, so the oracle's restatement (the
+        // same 3 relaxations unrolled + the weighted prefix cut) is
+        // mechanical.
+        graphBudgetSelect(docs(s, dir)),
+      Some(sqlGraphBudget(seed = "src1", rounds = 3)))
   )
+
+  /** The c19 oracle: d02's band CTE chain → source adjacency →
+    * `rounds` unrolled min-plus relaxations (q78's convention) →
+    * integer weights → the per-source weighted prefix cut.
+    */
+  private def sqlGraphBudget(seed: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { it =>
+      s"""g$it AS MATERIALIZED (
+          SELECT d.source, LEAST(d.dist, COALESCE(i.r, 9)) AS dist
+          FROM g${it - 1} d LEFT JOIN (
+            SELECT e.sb AS source, MIN(r.dist + 1) AS r
+            FROM se e JOIN g${it - 1} r ON r.source = e.sa
+            GROUP BY e.sb) i USING (source))"""
+    }.mkString(",\n        ")
+    s"""
+        ${Dedup.sqlBandsCte},
+        sbnd AS (
+          SELECT DISTINCT d.source, b.band_id, b.band_hash
+          FROM bands b JOIN documents d USING (doc_id)),
+        se AS (
+          SELECT DISTINCT a.source AS sa, b.source AS sb
+          FROM sbnd a JOIN sbnd b USING (band_id, band_hash)
+          WHERE a.source <> b.source),
+        nodes AS (SELECT DISTINCT source FROM documents),
+        g0 AS MATERIALIZED (
+          SELECT source,
+            CASE WHEN source = '$seed' THEN 0 ELSE 9 END AS dist
+          FROM nodes),
+        $steps,
+        c AS (
+          SELECT doc_id, source,
+            $sqlQualitySignals
+          FROM documents WHERE text IS NOT NULL),
+        s AS (
+          SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+            $sqlQuality AS quality
+          FROM c WHERE n_tokens >= 1 AND n_chars >= 1),
+        bb AS (SELECT COALESCE(SUM(n_tokens), 0) // 2 AS budget FROM s),
+        ssrc AS (SELECT DISTINCT source FROM s),
+        wts AS (
+          SELECT g.source,
+            CASE WHEN g.dist = 0 THEN 4
+                 WHEN g.dist = 1 THEN 2 ELSE 1 END AS w
+          FROM g$rounds g JOIN ssrc USING (source)),
+        tw AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM wts),
+        al AS (
+          SELECT w.source, (bb.budget * w.w) // tw.sumw AS alloc
+          FROM wts w, bb, tw),
+        r AS (
+          SELECT doc_id, source, n_tokens, quality,
+            SUM(n_tokens) OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS cum
+          FROM s)
+        SELECT r.doc_id, r.source, CAST(g.dist AS INT) AS dist,
+          r.n_tokens, ROUND(r.quality, 6) AS quality,
+          CAST(r.cum <= al.alloc AS INT) AS admitted
+        FROM r JOIN al USING (source) JOIN g$rounds g USING (source)
+        ORDER BY doc_id"""
+  }
 
   /** DSIR selection execution (c16) — t23 scores the pool against the
     * target domain; this is the step a pipeline actually runs on the
@@ -1006,9 +1077,25 @@ object Curation {
     */
   def sourceBudgetSelect(documents: DataFrame,
       buckets: Int = 4096): DataFrame = {
-    val s = documents.sparkSession
-    import s.implicits._
-    val scored = documents.filter(col("text").isNotNull)
+    val scored = scoredWithSource(documents, buckets)
+    val hist = sourceHistogram(scored)
+    if (hist.isEmpty)
+      return scored.select(col("doc_id"), col("source"),
+        col("n_tokens"), round(col("quality"), 6).as("quality"),
+        lit(1).as("admitted"))
+    val alloc = hist.map(_._3).sum / 2 / hist.map(_._1).distinct.length
+    perSourceFill(scored, hist, _ => alloc)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("quality"), 6).as("quality"), col("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, source, n_tokens, quality, bucket) — the shared scored
+    * projection of c18/c19.
+    */
+  private def scoredWithSource(documents: DataFrame,
+      buckets: Int): DataFrame =
+    documents.filter(col("text").isNotNull)
       .withColumn("toks", tokens(col("text")))
       .select(Seq(col("doc_id"), col("source")) ++
         qualitySignals(col("text"), col("toks")): _*)
@@ -1019,15 +1106,30 @@ object Curation {
           col("n_stop"), col("n_punct")).as("quality"))
       .withColumn("bucket",
         floor(col("quality") * buckets).cast("int"))
-    val hist = scored.groupBy("source", "bucket")
+
+  /** The bounded (source, bucket, token mass) histogram — ≤
+    * |sources|·(buckets+1) rows, the driver fetch both budget ops
+    * plan from.
+    */
+  private def sourceHistogram(scored: DataFrame)
+      : Array[(String, Int, Long)] =
+    scored.groupBy("source", "bucket")
       .agg(sum("n_tokens").as("mass"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    if (hist.isEmpty)
-      return scored.select(col("doc_id"), col("source"),
-        col("n_tokens"), round(col("quality"), 6).as("quality"),
-        lit(1).as("admitted"))
-    val alloc = hist.map(_._3).sum / 2 / hist.map(_._1).distinct.length
+
+  /** The per-source quality-prefix fill shared by c18/c19: walk each
+    * source's bucket histogram descending against its OWN allocation,
+    * window only the boundary-bucket slices ([[tokenBudgetSelect]]'s
+    * equality-with-the-sort argument, applied per source). Emits
+    * `scored`'s columns plus `admitted`.
+    */
+  private def perSourceFill(scored: DataFrame,
+      hist: Array[(String, Int, Long)],
+      allocOf: String => Long): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
     val bdf = hist.groupBy(_._1).map { case (src, rows) =>
+      val alloc = allocOf(src)
       val desc = rows.map(t => t._2 -> t._3).sortBy(-_._1)
       var acc = 0L
       var b: Option[(Int, Long)] = None
@@ -1047,13 +1149,85 @@ object Curation {
       .withColumn("cum", sum("n_tokens").over(win))
       .select(col("doc_id"),
         (col("cum") <= col("leftover")).cast("int").as("adm_b"))
-    // Emitted quality is round(·, 6) (c17's discipline); ranking and
-    // bucketing above stay on the raw value.
     withB.join(broadcast(bnd), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        round(col("quality"), 6).as("quality"),
+      .withColumn("admitted",
         when(col("allfit") || col("bucket") > col("bstar"), lit(1))
-          .otherwise(coalesce(col("adm_b"), lit(0))).as("admitted"))
+          .otherwise(coalesce(col("adm_b"), lit(0))))
+      .drop("bstar", "leftover", "allfit", "adm_b")
+  }
+
+  /** Graph-prior-weighted budget selection (c19) — the q77/q78 graph
+    * tier composed into curation (the stated motivation of
+    * [[graft.ops.Graph]]): a link-distance prior over SOURCES
+    * reweights c18's per-source token allocation, so content-adjacent
+    * sources get a larger share of the budget at equal quality — what
+    * a crawl-frontier pipeline does with a seed-proximity signal.
+    *
+    * The source graph is derived from the corpus itself: sources are
+    * adjacent when any of their documents share a MinHash band bucket
+    * (d02's banding — shared near-dup content IS the link). BFS from
+    * the seed source (`src1`, c16's DSIR target domain) gives an
+    * integer hop distance (3 fixed rounds, sentinel 9 beyond), mapped
+    * to weights 4/2/1 for dist 0/1/≥2; each source's allocation is
+    * (budget · w) DIV Σw and the fill is c18's histogram cut.
+    *
+    * Scale shape: the band table is d02's (shuffles signatures, never
+    * text); the source projection collapses it to ≤ |sources|·8·
+    * |buckets-per-source| rows and the EDGE list is ≤ |sources|²
+    * (sources are a catalog-scale dimension — thousands, not
+    * billions), so the BFS runs on the driver over a bounded edge
+    * set, exactly like c17's histogram walk. Everything downstream
+    * is c18's machinery.
+    */
+  def graphBudgetSelect(documents: DataFrame, seed: String = "src1",
+      buckets: Int = 4096, rounds: Int = 3): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val scored = scoredWithSource(documents, buckets)
+    val hist = sourceHistogram(scored)
+    if (hist.isEmpty)
+      return Seq.empty[(Long, String, Int, Long, Double, Int)]
+        .toDF("doc_id", "source", "dist", "n_tokens", "quality",
+          "admitted")
+    // Source adjacency from shared band buckets — bounded driver
+    // fetch (≤ |sources|² pairs).
+    val sb = Dedup.minhashBands(documents)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("band_id"), col("band_hash"))
+      .distinct()
+    val edges = sb.as("a").join(sb.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // Synchronous min-plus relaxation, `rounds` rounds — the same
+    // recurrence as q78, run on the driver because the node set is
+    // the bounded source catalog.
+    val allSources = documents.select(col("source")).distinct()
+      .collect().map(_.getString(0))
+    var dist = allSources.map(src =>
+      src -> (if (src == seed) 0 else 9)).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (sa, _) => dist(sa) + 1 }.min
+      }
+      dist = dist.map { case (src, d) =>
+        src -> math.min(d, relaxed.getOrElse(src, 9))
+      }
+    }
+    val budget = hist.map(_._3).sum / 2
+    def weight(d: Int): Long = if (d == 0) 4L else if (d == 1) 2L else 1L
+    val scoredSources = hist.map(_._1).distinct
+    val sumW = scoredSources.map(src => weight(dist(src))).sum
+    val allocOf = (src: String) => budget * weight(dist(src)) / sumW
+    val distDf = dist.toSeq.toDF("source", "dist")
+    perSourceFill(scored, hist, allocOf)
+      .join(broadcast(distDf), Seq("source"))
+      .select(col("doc_id"), col("source"), col("dist"),
+        col("n_tokens"), round(col("quality"), 6).as("quality"),
+        col("admitted"))
       .orderBy("doc_id")
   }
 

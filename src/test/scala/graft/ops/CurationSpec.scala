@@ -284,4 +284,43 @@ class CurationSpec extends SparkSpec {
     assert(out === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0,
       5L -> 0, 6L -> 1), out.toString)
   }
+
+  test("c19: at EQUAL quality the near-seed source wins budget the " +
+      "far source loses — the graph prior is the only difference") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // The seed source src1 holds one doc. Source NEAR shares that
+    // exact text (same minhash signature → shared band → 1 hop from
+    // the seed); source FAR holds only its own text. NEAR and FAR
+    // also hold identical FILLER MASS: 4 docs each, pairwise equal
+    // signal counts (same n_chars/n_tokens/n_stop/n_punct → equal
+    // quality) but DIFFERENT words, so no band links NEAR to FAR.
+    // total = 486 tokens, budget = 243; weights 4/2/1 of Σ7 give
+    // NEAR 69 tokens (2 filler docs) vs FAR 34 (1 filler doc).
+    val seedText = "seedaa seedbb seedcc"
+    def filler(tag: String) =
+      (1 to 10).map(d => (1 to 24).map(i => f"$tag$d%02d$i%02d")
+        .mkString(" "))
+    val rows =
+      Seq((1L, "src1", seedText), (2L, "NEAR", seedText)) ++
+        filler("nr").zipWithIndex.map { case (t, i) =>
+          (10L + i, "NEAR", t) } ++
+        filler("fr").zipWithIndex.map { case (t, i) =>
+          (30L + i, "FAR", t) }
+    val docs = rows.toDF("doc_id", "source", "text")
+    val out = Curation.graphBudgetSelect(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getInt(5)))
+    // The prior: seed at 0, NEAR one hop, FAR unreachable.
+    val distBySrc = out.map(t => t._2 -> t._3).toMap
+    assert(distBySrc == Map("src1" -> 0, "NEAR" -> 1, "FAR" -> 9),
+      distBySrc.toString)
+    // Equal-quality filler, unequal admission: NEAR's larger
+    // allocation admits strictly more filler tokens than FAR's.
+    def admittedTokens(src: String) = out
+      .filter(t => t._2 == src && t._1 >= 10L && t._5 == 1)
+      .map(_._4).sum
+    assert(admittedTokens("NEAR") > admittedTokens("FAR"),
+      out.mkString("\n"))
+  }
 }
