@@ -1032,6 +1032,135 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Trainable quality/domain classifier (t28) — the supervised step
+    * current-generation pipelines add on top of rule filters
+    * (FineWeb-Edu's classifier, CCNet/DSIR's domain discriminator):
+    * distributed logistic-family regression fit by `iters` full-batch
+    * gradient-descent rounds, coefficients broadcast back (as plan
+    * literals) for corpus-wide scoring.
+    *
+    * Training signal: target-domain membership (source = `seed`,
+    * c16/t23's target) — the discriminative importance model of
+    * DSIR/CCNet. Features: the engineered quality signals (stopword
+    * ratio, punctuation ratio, capped length) plus a bias.
+    *
+    * Determinism contract (what makes 10 FP iterations bit-exact
+    * across engines, the s37 eigensolve's discipline): the link is
+    * the Elliott fast sigmoid σ̃(z) = 0.5 + z/(2(1+|z|)) — only
+    * +,*,/,abs, all IEEE-exact and identical in both engines, where
+    * exp() (the textbook sigmoid) is libm-dependent and drifts in
+    * ULPs that compound over iterations. Per-row gradient terms cast
+    * to DECIMAL(18,12) (scale-12 rounding is part of the recurrence,
+    * identical both sides) so the cross-row SUM is exact and
+    * order-free; the weight update divides two already-identical
+    * numbers.
+    *
+    * Scale shape: the feature frame materializes once; each round is
+    * ONE map-side-combining aggregate (4 decimal sums + a count — a
+    * 1-row driver fetch), so the fit is `iters` cheap passes with no
+    * shuffle wider than the partial-agg tree, and scoring is a
+    * map-only projection. The classic distributed full-batch GD.
+    */
+  def qualityClassifier(documents: DataFrame, seed: String = "src1",
+      iters: Int = 10, lr: Double = 0.5): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    def featFrame = documents.filter(col("text").isNotNull)
+      .withColumn("toks", tokens(col("text")))
+      .select(Seq(col("doc_id"), col("source")) ++
+        qualitySignals(col("text"), col("toks")): _*)
+      .filter(col("n_tokens") >= 1 && col("n_chars") >= 1)
+      .select(col("doc_id"), col("source"),
+        when(col("source") === seed, 1.0).otherwise(0.0).as("y"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("x1"),
+        (col("n_punct").cast("double") / col("n_chars")).as("x2"),
+        least(lit(1.0), col("n_chars").cast("double") / lit(500.0))
+          .as("x3"))
+    val feats = featFrame.localCheckpoint()
+    def zOf(w: Array[Double]) =
+      lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+    def sigmoid(z: Column) =
+      lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to iters) {
+      val rc = col("y") - sigmoid(zOf(w))
+      val row = feats.select(
+        sum(rc.cast("decimal(18,12)")).as("g0"),
+        sum((rc * col("x1")).cast("decimal(18,12)")).as("g1"),
+        sum((rc * col("x2")).cast("decimal(18,12)")).as("g2"),
+        sum((rc * col("x3")).cast("decimal(18,12)")).as("g3"),
+        count(lit(1)).as("n")).collect()(0) // 1-row bounded fetch
+      val n = row.getLong(4)
+      if (n == 0L) {
+        graft.ops.Similarity.freeCheckpoint(feats)
+        return Seq.empty[(Long, String, Int, Double, Int)]
+          .toDF("doc_id", "source", "label", "score", "pred")
+      }
+      for (j <- 0 to 3)
+        w(j) += lr * (row.getDecimal(j).doubleValue / n.toDouble)
+    }
+    // Score from the UN-checkpointed plan so the training working
+    // set can be freed (the output is corpus-sized — it cannot be
+    // collected and returned as literals like the graph ops').
+    val zf = zOf(w)
+    val out = featFrame.select(col("doc_id"), col("source"),
+      col("y").cast("int").as("label"),
+      round(sigmoid(zf), 6).as("score"),
+      (zf >= 0).cast("int").as("pred"))
+      .orderBy("doc_id")
+    graft.ops.Similarity.freeCheckpoint(feats)
+    out
+  }
+
+  /** The t28 oracle: the identical GD recurrence unrolled as `iters`
+    * MATERIALIZED CTE pairs (gradient aggregate g_k, weight row w_k)
+    * — s37's sqlPcaChain convention applied to gradient descent.
+    */
+  private[graft] def sqlQualityClassifier(seed: String, iters: Int,
+      lr: Double): String = {
+    def zExpr(w: String) =
+      s"$w.w0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3"
+    val sig = "0.5 + z / (2.0 * (1.0 + abs(z)))"
+    val steps = (1 to iters).map { k =>
+      s"""g$k AS MATERIALIZED (
+          SELECT CAST(SUM(CAST(r AS DECIMAL(18,12))) AS DOUBLE) AS g0,
+            CAST(SUM(CAST(r * x1 AS DECIMAL(18,12))) AS DOUBLE) AS g1,
+            CAST(SUM(CAST(r * x2 AS DECIMAL(18,12))) AS DOUBLE) AS g2,
+            CAST(SUM(CAST(r * x3 AS DECIMAL(18,12))) AS DOUBLE) AS g3,
+            COUNT(*) AS c
+          FROM (
+            SELECT y - ($sig) AS r, x1, x2, x3
+            FROM (SELECT f.*, ${zExpr("w")} AS z
+                  FROM f, w${k - 1} w))),
+        w$k AS MATERIALIZED (
+          SELECT w.w0 + $lr * (g.g0 / g.c) AS w0,
+            w.w1 + $lr * (g.g1 / g.c) AS w1,
+            w.w2 + $lr * (g.g2 / g.c) AS w2,
+            w.w3 + $lr * (g.g3 / g.c) AS w3
+          FROM w${k - 1} w, g$k g)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH c AS (
+          SELECT doc_id, source,
+            $sqlQualitySignals
+          FROM documents WHERE text IS NOT NULL),
+        f AS MATERIALIZED (
+          SELECT doc_id, source,
+            CASE WHEN source = '$seed' THEN 1.0 ELSE 0.0 END AS y,
+            CAST(n_stop AS DOUBLE) / n_tokens AS x1,
+            CAST(n_punct AS DOUBLE) / n_chars AS x2,
+            LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS x3
+          FROM c WHERE n_tokens >= 1 AND n_chars >= 1),
+        w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+        $steps
+        SELECT doc_id, source, CAST(y AS INT) AS label,
+          ROUND($sig, 6) AS score,
+          CAST(z >= 0 AS INT) AS pred
+        FROM (SELECT f.*, ${zExpr("w")} AS z FROM f, w$iters w)
+        ORDER BY doc_id"""
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     Q(
@@ -2075,6 +2204,19 @@ object TextAnalysis {
         FROM ch
         WHERE chunk NOT IN (SELECT chunk FROM hot)
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "t28_quality_classifier",
+      (s, dir) =>
+        // Trainable domain/quality classifier (see
+        // [[qualityClassifier]]): 10 full-batch GD rounds on the
+        // engineered quality features against the target-domain
+        // label, scored corpus-wide. The oracle unrolls the
+        // IDENTICAL recurrence (Elliott link + decimal gradient
+        // folds), so the hash match proves 10 bit-exact FP
+        // iterations.
+        qualityClassifier(docs(s, dir)),
+      Some(sqlQualityClassifier(seed = "src1", iters = 10, lr = 0.5)))
   )
 }

@@ -512,4 +512,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((2L,
       md5hex(pair + " w1 w2 w3 w4 w5 w6 w7 w8"))))
   }
+
+  test("t28: the classifier separates a feature-distinct target " +
+      "domain, and learns NOTHING when the signal is switched off") {
+    import spark.implicits._
+    // ON: src1 docs are long and punctuation-free; the rest are
+    // short and punctuation-heavy — the engineered features carry
+    // the label, so 10 GD rounds must separate them.
+    val longClean = (1 to 60).map(i => f"word$i%03d").mkString(" ")
+    val shortNoisy = "a!!! b??? c,,, d... e;;; f:::"
+    val on = Seq(
+      (1L, longClean, "src1"), (2L, longClean + " extra", "src1"),
+      (10L, shortNoisy, "srcA"), (11L, shortNoisy + " g!!!", "srcA"),
+      (12L, shortNoisy, "srcB"))
+      .toDF("doc_id", "text", "source")
+    val scoredOn = TextAnalysis.qualityClassifier(on)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    val srcScores = scoredOn.filter(_._2 == 1).map(_._3)
+    val restScores = scoredOn.filter(_._2 == 0).map(_._3)
+    assert(srcScores.min > restScores.max,
+      s"no separation: $scoredOn")
+    // OFF: identical feature profiles across sources — the gradient
+    // has no feature direction to move along, so scores collapse to
+    // one value for every doc (the classifier can only fit the base
+    // rate, never invent a split).
+    val off = Seq(
+      (1L, longClean, "src1"), (2L, longClean, "srcA"),
+      (3L, longClean, "srcB"), (4L, longClean, "srcC"))
+      .toDF("doc_id", "text", "source")
+    val scoredOff = TextAnalysis.qualityClassifier(off)
+      .collect().map(r => r.getDouble(3)).distinct
+    assert(scoredOff.length == 1, s"off-signal scores split: $scoredOff")
+  }
 }
