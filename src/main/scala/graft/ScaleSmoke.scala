@@ -32,7 +32,8 @@ object ScaleSmoke {
       |  lakemerge [f] st28 partition-scoped merge cost on a ×f lake
       |  tokenbudget [f]  c17 histogram bound + boundary share ×1 vs ×f
       |  pca [f]       s37 covariance-shuffle invariance + cost ×1 vs ×f
-      |  graph [f]     q77/q78 cost on ×f disjoint graph copies""".stripMargin
+      |  graph [f]     q77/q78 cost on ×f disjoint graph copies
+      |  lifecycle [f]  st27 persist+serve: probed-cell bytes vs corpus ×f""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -912,6 +913,153 @@ object ScaleSmoke {
     }
   }
 
+  /** st27 lifecycle at scale (`runMain graft.ScaleSmoke lifecycle [f]`):
+    * `indexmaint` measures the MAINTAIN state plateau; this measures
+    * the other two phases of the st27 arc — PERSIST (the drained live
+    * index written cell-partitioned) and SERVE (the two-probe SQ8
+    * search against the reloaded store). The design claim under test:
+    * serve cost is bounded by the PROBED CELLS' bytes, not the corpus
+    * — the bounded probe fetch statically prunes the cell-partitioned
+    * scan, so an unprobed cell is a directory the serve never opens.
+    * Measured on a churned-then-drained index: (a) bytes under probed
+    * cell dirs vs the whole store, (b) the serve's own scan-node
+    * numFiles/filesSize on a ×1 vs ×factor store — files must equal
+    * the probed-cell count at BOTH sizes, bytes must track the probed
+    * dirs, never the store.
+    */
+  def runLifecycle(spark: SparkSession, factor: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.{EmbeddingStream, EventStream}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorExpressions.register(spark)
+    val S = ops.Similarity
+    val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centDf = S.seedCentroids(e).coalesce(1).localCheckpoint()
+    val paramsDf = S.sq8Params(e).coalesce(1).localCheckpoint()
+    val cents = centDf.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val (los, his) = paramsDf.collect().headOption
+      .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
+      .getOrElse((Array.empty[Double], Array.empty[Double]))
+    // Dev-tool-only collect (the indexmaint generator): ×factor churn
+    // per key, final round deletes every 9th.
+    val base = e.select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect()
+    val events = (1 to factor).iterator.flatMap { r =>
+      base.iterator.map { case (id, v) =>
+        val del = if (r == factor && id % 9 == 0) 1 else 0
+        EmbeddingStream.VecUpsert(id, r.toLong, del,
+          if (del == 1) Seq.empty[Double]
+          else v.map(x => x * (1.0 + 0.01 * r)))
+      }
+    }.toArray
+    val input = MemoryStream[EmbeddingStream.VecUpsert]
+    val q = EventStream.withStreamShufflePartitions(spark, 8) {
+      EmbeddingStream.maintainIndex(input.toDS(), cents, los, his)
+        .writeStream.format("memory").queryName("idx_lc")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .start()
+    }
+    val idx = try {
+      time(s"maintain ×$factor churn") {
+        events.grouped(math.max(1, events.length / 4)).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      }
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("last_us").desc)
+      spark.table("idx_lc")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("deleted") === 0)
+        .select(col("vec_id"), col("cell"), col("c"))
+        .localCheckpoint()
+    } finally { q.stop(); spark.catalog.dropTempView("idx_lc") }
+    println(s"[lifecycle] ${events.length} events drained to " +
+      s"${idx.count()} live codes")
+    val root = ops.SourceSinks.tmp("graft_lifecycle").getAbsolutePath
+    def persist(df: DataFrame, tag: String): String = {
+      val p = s"$root/codes_$tag"
+      time(s"persist $tag") {
+        df.repartition(col("cell")).write.partitionBy("cell")
+          .mode("overwrite").parquet(p)
+      }
+      p
+    }
+    val p1 = persist(idx, "x1")
+    // The ×factor store: the drained index replicated under fresh ids
+    // (cells unchanged) — a corpus ×factor bigger on disk, same probe.
+    val idxN = (0 until factor).map(i =>
+      idx.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionByName _)
+    val pN = persist(idxN, s"x$factor")
+    // The probe set the serve will compute — recomputed here to name
+    // the pruned cells (2 per query; ONE query so the probed share is
+    // 2/|cells|, the structural point).
+    val probed = e.filter(col("vec_id") < 1).crossJoin(broadcast(centDf))
+      .select(col("vec_id").as("qid"), col("c_label"),
+        S.cosine(col("v"), col("cv")).as("s"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("s").desc, col("c_label"))))
+      .filter(col("rn") <= 2)
+      .select("c_label").distinct().collect().map(_.getInt(0)).toSet
+    def cellBytes(p: String): Map[Int, Long] =
+      new java.io.File(p).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName.drop(5).toInt ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(_.length).sum)
+        .toMap
+    val cb = cellBytes(pN)
+    val probedBytes = probed.toSeq.map(cb.getOrElse(_, 0L)).sum
+    println(f"[lifecycle] ×$factor store: ${cb.size} cells, " +
+      f"${probed.size} probed; probed bytes $probedBytes%,d of " +
+      f"${cb.values.sum}%,d (${100.0 * probedBytes / cb.values.sum}%.1f%%)")
+    // Wall time at local scale is fixed-overhead noise; the
+    // definitive pruning evidence is the codes SCAN NODE's own
+    // numFiles/filesSize metrics after execution — they report the
+    // post-pruning file selection. (This instrument is what exposed
+    // the original DPP-based serve as a no-op full scan —
+    // dynamicpruningexpression(true) — and motivated the static
+    // bounded-probe pruning the serve now uses.)
+    def serve(path: String, label: String): Unit = {
+      val codes = spark.read
+        .schema("vec_id BIGINT, c ARRAY<INT>, cell INT").parquet(path)
+        .select(col("vec_id"), col("cell"), col("c"))
+      val df = EmbeddingStream
+        .searchMaintained(e.filter(col("vec_id") < 1),
+          centDf, paramsDf, codes)
+      time(label)(df.collect()) // bounded top-k output
+      import org.apache.spark.sql.execution.SparkPlan
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => leaves(s.plan)
+        case o if o.children.isEmpty => Seq(o)
+        case o => o.children.flatMap(leaves)
+      }
+      val scans = leaves(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths
+              .exists(_.toString.contains("codes_")) => f
+      }
+      val nf = scans.map(_.metrics("numFiles").value).sum
+      val fs = scans.map(_.metrics("filesSize").value).sum
+      println(f"[lifecycle] $label%-22s codes scan: $nf files, " +
+        f"$fs%,d bytes")
+    }
+    serve(p1, "serve ×1")
+    serve(pN, s"serve ×$factor")
+    Seq(centDf, paramsDf, idx).foreach(S.freeCheckpoint)
+  }
+
   /** st23 funnel state bound under replica churn
     * (`runMain graft.ScaleSmoke funnel [factor]`): feed the sf0.1
     * funnel events through [[graft.streaming.EventStream
@@ -1071,7 +1219,8 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
       "text", "curation", "multimodal", "containment", "indexmaint",
-      "funnel", "timeseries", "dsir", "lakemerge", "tokenbudget", "pca", "graph")
+      "funnel", "timeseries", "dsir", "lakemerge", "tokenbudget", "pca",
+      "graph", "lifecycle")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -1109,6 +1258,7 @@ object ScaleSmoke {
         case "tokenbudget" => 20
         case "pca" => 10
         case "graph" => 5
+        case "lifecycle" => 20
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -1139,6 +1289,7 @@ object ScaleSmoke {
     if (mode == "tokenbudget") { runTokenBudget(spark, factor); spark.stop(); return }
     if (mode == "pca") { runPca(spark, factor); spark.stop(); return }
     if (mode == "graph") { runGraph(spark, factor); spark.stop(); return }
+    if (mode == "lifecycle") { runLifecycle(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)

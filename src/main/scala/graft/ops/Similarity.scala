@@ -1496,7 +1496,22 @@ object Similarity {
     val qcodes = codes.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("c").as("qc"))
     val pq = probe.join(qcodes, "qid")
-    codes.join(broadcast(pq),
+    // STATIC partition pruning: the probed labels are a bounded
+    // driver fetch (≤ |queries| values), rendered as an isin filter
+    // the scan planner turns into PartitionFilters — when `codes` is
+    // a cell-partitioned store (s26), an unprobed cell is a directory
+    // never opened. Deliberately NOT left to dynamic partition
+    // pruning: Spark's DPP cost heuristic planned the pruning
+    // subquery away to dynamicpruningexpression(true) — a full scan —
+    // on exactly this join (measured in ScaleSmoke lifecycle), and a
+    // serve path must not depend on an optimizer estimate for its
+    // core cost bound.
+    val probedLabels = probe.select(col("probe_label")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ |queries| cells
+    val pruned =
+      if (probedLabels.isEmpty) codes.filter(lit(false))
+      else codes.filter(col("label").isin(probedLabels: _*))
+    pruned.join(broadcast(pq),
         col("label") === col("probe_label") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("probe_label"), col("vec_id"),
         VectorExpressions.sq8dist(col("qc"), col("c")).as("idist"))
@@ -3637,9 +3652,9 @@ object Similarity {
         // against what came back from disk — same oracle as s18, so
         // the hash match proves the round trip byte-lossless for
         // search purposes. The cell partitioning is the scale story:
-        // the probe join drives DYNAMIC PARTITION PRUNING on the
-        // reloaded scan (plan-pinned), so at 100 TB an unprobed cell
-        // is a directory never opened.
+        // the bounded probe fetch STATICALLY prunes the reloaded
+        // scan (PartitionFilters IN, plan-pinned), so at 100 TB an
+        // unprobed cell is a directory never opened.
         val root = persistIndex(s, dir)
         // explicit schemas (from the shared in-memory artifacts, a
         // memoized no-op here): an EMPTY corpus writes a store with

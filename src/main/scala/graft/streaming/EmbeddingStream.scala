@@ -373,7 +373,7 @@ object EmbeddingStream {
     * (st22) or their reloaded-from-disk counterparts (st27) — the
     * search only ever reads cells + codes, never raw corpus vectors.
     */
-  private def searchMaintained(e: DataFrame, centDf: DataFrame,
+  private[graft] def searchMaintained(e: DataFrame, centDf: DataFrame,
       paramsDf: DataFrame, idx: DataFrame): DataFrame = {
     val S = graft.ops.Similarity
     val queries = e.filter(col("vec_id") < 3)
@@ -392,7 +392,19 @@ object EmbeddingStream {
         paramsDf)
       .select(col("vec_id").as("qid"), col("c").as("qc"))
     val pq = probe.join(qcodes, "qid")
-    idx.join(broadcast(pq),
+    // STATIC partition pruning via a bounded probe fetch
+    // (ivfSq8Search's rule): when `idx` is the reloaded
+    // cell-partitioned store (st27), the isin filter becomes
+    // PartitionFilters and an unprobed cell is a directory never
+    // opened — guaranteed, not left to the DPP cost heuristic
+    // (which planned this exact join's pruning subquery away to a
+    // no-op; measured in ScaleSmoke lifecycle).
+    val probedCells = probe.select(col("probe_label")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ 2·|queries| cells
+    val pruned =
+      if (probedCells.isEmpty) idx.filter(lit(false))
+      else idx.filter(col("cell").isin(probedCells: _*))
+    pruned.join(broadcast(pq),
         col("cell") === col("probe_label") &&
           col("vec_id") =!= col("qid"))
       .select(col("qid"), col("probe_label"), col("vec_id"),
@@ -414,10 +426,11 @@ object EmbeddingStream {
     * tiny artifact tables beside them), SERVE (the two-probe SQ8
     * search run against what came back FROM DISK — centroids, grid
     * and codes all reloaded; nothing in the serve path touches an
-    * in-memory frame from the maintain phase). The probe join drives
-    * dynamic partition pruning on the reloaded cell-partitioned scan,
-    * so at 100 TB an unprobed cell is a directory the serve never
-    * opens. The oracle is st22's fixpoint statement UNCHANGED: the
+    * in-memory frame from the maintain phase). The bounded probe
+    * fetch statically prunes the reloaded cell-partitioned scan
+    * (PartitionFilters IN), so at 100 TB an unprobed cell is a
+    * directory the serve never opens. The oracle is st22's fixpoint
+    * statement UNCHANGED: the
     * hash match proves the persistence round trip is lossless for
     * search purposes — the served top-k equals a batch rebuild of the
     * surviving set.

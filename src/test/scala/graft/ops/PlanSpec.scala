@@ -949,23 +949,30 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected <=1 BNLJ (the centroid probe), got $bnlj\n$p")
   }
 
-  test("s26: the reloaded-index search dynamically prunes unprobed " +
+  test("s26: the reloaded-index search STATICALLY prunes unprobed " +
       "cell partitions") {
     val p = plan("s26_index_persistence")
-    // the probe join drives DPP on the cell-partitioned codes scan —
-    // an unprobed cell is a directory never opened
-    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    // the bounded probe fetch renders as a PartitionFilters IN on
+    // the cell-partitioned codes scan — an unprobed cell is a
+    // directory never opened. (The earlier dynamic-pruning pin was
+    // hollow: DPP's cost heuristic planned the subquery away to
+    // dynamicpruningexpression(true), a full scan.)
+    assert(
+      "PartitionFilters: \\[[^\\]]*label#\\d+ IN \\(".r
+        .findFirstIn(p).isDefined, p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("st27: the lifecycle's serve phase dynamically prunes " +
+  test("st27: the lifecycle's serve phase STATICALLY prunes " +
       "unprobed cell partitions of the RELOADED index") {
     // maintain -> persist -> serve: the plan audited here is the
     // serve half, whose codes scan reads s26-style cell-partitioned
-    // files the probe join must prune dynamically.
+    // files pruned by the bounded probe fetch (s26's rule).
     val p = plan("st27_stream_index_lifecycle")
-    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(
+      "PartitionFilters: \\[[^\\]]*cell#\\d+ IN \\(".r
+        .findFirstIn(p).isDefined, p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
