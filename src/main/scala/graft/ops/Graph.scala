@@ -246,6 +246,128 @@ object Graph {
       ORDER BY node_type, dist"""
   }
 
+  /** Personalized PageRank (q81) — [[pageRank]] with the teleport
+    * mass restricted to a TRUSTED SEED SET (q78's nation-0..4
+    * suppliers): the canonical "influence relative to a trust core"
+    * signal (TrustRank / personalized PR), the graph prior a corpus
+    * pipeline uses to weight sources by proximity-weighted influence
+    * rather than raw popularity. Identical integer discipline: seed
+    * mass base = 10¹² DIV |seeds|, r₀ = base on seeds and 0
+    * elsewhere, rₖ(v) = [v ∈ seeds]·(15·base) DIV 100 +
+    * (85·Σ_{u→v} rₖ₋₁(u) DIV outdeg(u)) DIV 100 — every step
+    * integral, so both engines run the identical recurrence.
+    *
+    * Scale shape: exactly [[pageRank]]'s — the seed membership joins
+    * in as a broadcast flag on the node frame; nothing else changes.
+    */
+  def personalizedPageRank(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, iters: Int = 10, k: Int = 25): DataFrame = {
+    val s = lineitem.sparkSession
+    import s.implicits._
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    val pairs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+      .distinct()
+    val edges0 = pairs
+      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+    val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edges = cp(edges0.join(outdeg, "src"))
+    val seedIds = supplier.filter(col("s_nationkey") < 5)
+      .select((col("s_suppkey") * 2).as("node"))
+    val nodes = cp(edges.select(col("src").as("node")).distinct()
+      .join(broadcast(seedIds.withColumn("z", lit(1))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("z"), lit(0)).as("is_seed")))
+    val nSeeds = nodes.filter(col("is_seed") === 1).count()
+    if (nSeeds == 0L) {
+      cps.foreach(Similarity.freeCheckpoint)
+      return Seq.empty[(Int, String, Long, Long)]
+        .toDF("rnk", "node_type", "node_id", "r")
+    }
+    val base = 1000000000000L / nSeeds
+    val teleport = (15L * base) / 100L
+    var ranks = cp(nodes.select(col("node"),
+      (col("is_seed") * base).as("r")))
+    for (it <- 1 to iters) {
+      val insum = edges.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("insum"))
+      ranks = nodes.join(insum, col("node") === col("dst"), "left")
+        .select(col("node"), col("is_seed"),
+          expr(s"is_seed * ${teleport}L + " +
+            "(85 * coalesce(insum, 0L)) div 100").as("r"))
+      if (it % 3 == 0 || it == iters) ranks = cp(ranks)
+    }
+    val out = ranks.orderBy(col("r").desc, col("node")).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("r").desc, col("node"))))
+      .select(col("rnk"),
+        expr("CASE WHEN node % 2 = 0 THEN 'supplier' " +
+          "ELSE 'customer' END").as("node_type"),
+        expr("node div 2").as("node_id"), col("r"))
+      .orderBy("rnk")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    cps.foreach(Similarity.freeCheckpoint)
+    out.toSeq.toDF("rnk", "node_type", "node_id", "r")
+  }
+
+  /** The q81 oracle: [[sqlPageRank]] with the seeded teleport. */
+  private[graft] def sqlPersonalizedPageRank(iters: Int, k: Int): String = {
+    val steps = (1 to iters).map { it =>
+      s"""r$it AS MATERIALIZED (
+        SELECT n.node, n.is_seed,
+          n.is_seed * ((15 * (SELECT base FROM nb)) // 100) +
+          (85 * COALESCE(i.insum, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node,
+            CAST(SUM(r.r // e.outdeg) AS BIGINT) AS insum
+          FROM edges e JOIN r${it - 1} r ON r.node = e.src
+          GROUP BY e.dst) i ON i.node = n.node)"""
+    }.mkString(",\n        ")
+    s"""
+      WITH pairs AS (
+        SELECT DISTINCT l.l_suppkey AS sk, o.o_custkey AS ck
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      edges0 AS (
+        SELECT sk * 2 AS src, ck * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT ck * 2 + 1 AS src, sk * 2 AS dst FROM pairs),
+      od AS (SELECT src, COUNT(*) AS outdeg FROM edges0 GROUP BY src),
+      edges AS MATERIALIZED (
+        SELECT e.src, e.dst, od.outdeg
+        FROM edges0 e JOIN od ON od.src = e.src),
+      seeds AS (SELECT s_suppkey * 2 AS node FROM supplier
+                WHERE s_nationkey < 5),
+      nodes AS MATERIALIZED (
+        SELECT n.node,
+          CASE WHEN n.node IN (SELECT node FROM seeds)
+               THEN 1 ELSE 0 END AS is_seed
+        FROM (SELECT DISTINCT src AS node FROM edges) n),
+      nb AS (SELECT 1000000000000 // COUNT(*) AS base
+             FROM nodes WHERE is_seed = 1),
+      r0 AS MATERIALIZED (
+        SELECT node, is_seed,
+          is_seed * (SELECT base FROM nb) AS r FROM nodes),
+      $steps
+      SELECT CAST(rnk AS INT) AS rnk,
+        CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+          AS node_type,
+        node // 2 AS node_id, CAST(r AS BIGINT) AS r
+      FROM (
+        SELECT node, r,
+          ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rnk
+        FROM r$iters)
+      WHERE rnk <= $k
+      ORDER BY rnk"""
+  }
+
   /** Weakly-connected components (q80) — the graph tier's grouping
     * primitive (d08's min-label propagation is the same algorithm on
     * the near-dup graph; here it's registered as a first-class graph
@@ -381,6 +503,17 @@ object Graph {
           Tables.load(s, dir, "orders"),
           Tables.load(s, dir, "customer"),
           Tables.load(s, dir, "supplier")),
-      Some(sqlConnectedComponents(rounds = 10)))
+      Some(sqlConnectedComponents(rounds = 10))),
+    // ----------------------------------------------------------------
+    Q(
+      "q81_personalized_pagerank",
+      (s, dir) =>
+        // Personalized PageRank (see [[personalizedPageRank]]):
+        // teleport mass restricted to the nation-0..4 supplier seed
+        // set — trust-relative influence, top-25.
+        personalizedPageRank(Tables.load(s, dir, "lineitem"),
+          Tables.load(s, dir, "orders"),
+          Tables.load(s, dir, "supplier")),
+      Some(sqlPersonalizedPageRank(iters = 10, k = 25)))
   )
 }

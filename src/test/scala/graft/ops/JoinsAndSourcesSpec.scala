@@ -352,6 +352,32 @@ class JoinsAndSourcesSpec extends SparkSpec {
     assert(h10.map(_._2).sum > 1, h10)
   }
 
+  test("q81: teleport mass stays in the seed component — a component " +
+      "unreachable from seeds ranks at exactly zero") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Seed component: supplier 1 (nation 0) trades with customers
+    // 1 and 2. Disjoint non-seed component: supplier 2 (nation 9)
+    // trades with customer 3 — no path from any seed, so its rank
+    // must be EXACTLY 0 (integer arithmetic, not epsilon-small),
+    // while plain q77 PageRank would give it teleport mass.
+    val li = Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val supp = Seq((1L, 0L), (2L, 9L))
+      .toDF("s_suppkey", "s_nationkey")
+    val got = Graph.personalizedPageRank(li, ord, supp, iters = 10, k = 10)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got(("supplier", 1L)) > 0L, got)
+    assert(got(("customer", 1L)) > 0L && got(("customer", 2L)) > 0L, got)
+    assert(got(("supplier", 2L)) == 0L, got)
+    assert(got(("customer", 3L)) == 0L, got)
+    // The seed holds the most mass (it receives ALL teleport).
+    assert(got.values.max == got(("supplier", 1L)), got)
+  }
+
   test("q77: the distributed iteration reproduces a hand-run of the " +
       "integer PageRank recurrence on an asymmetric toy graph") {
     val sparkS = spark
