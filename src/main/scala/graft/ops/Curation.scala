@@ -888,7 +888,34 @@ object Curation {
         // same 3 relaxations unrolled + the weighted prefix cut) is
         // mechanical.
         graphBudgetSelect(docs(s, dir)),
-      Some(sqlGraphBudget(seed = "src1", rounds = 3)))
+      Some(sqlGraphBudget(seed = "src1", rounds = 3))),
+    // ----------------------------------------------------------------
+    Q(
+      "c20_classifier_budget",
+      (s, dir) =>
+        // Classifier-gated budget (see [[classifierBudgetSelect]]):
+        // t28's trained score replaces the heuristic quality in
+        // c17's prefix cut. The oracle re-derives the SAME ten GD
+        // rounds (the shared sqlClassifierChain) and states the
+        // global-sort prefix over the score; the hash match proves
+        // fit + score + histogram cut end-to-end.
+        classifierBudgetSelect(docs(s, dir)),
+      Some(s"""
+        WITH ${TextAnalysis.sqlClassifierChain("src1", 10, 0.5)},
+        sc AS (
+          SELECT doc_id, n_tokens,
+            ${TextAnalysis.sqlClassifierSigmoid} AS score
+          FROM (SELECT f.doc_id, f.n_tokens,
+                  ${TextAnalysis.sqlClassifierZ("w")} AS z
+                FROM f, w10 w)),
+        b AS (SELECT COALESCE(SUM(n_tokens), 0) // 2 AS budget FROM sc),
+        r AS (
+          SELECT doc_id, n_tokens, score,
+            SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum
+          FROM sc)
+        SELECT doc_id, n_tokens, ROUND(score, 6) AS score,
+          CAST(cum <= b.budget AS INT) AS admitted
+        FROM r, b ORDER BY doc_id"""))
   )
 
   /** The c19 oracle: d02's band CTE chain → source adjacency →
@@ -1017,9 +1044,19 @@ object Curation {
           col("n_stop"), col("n_punct")).as("quality"))
       .withColumn("bucket",
         floor(col("quality") * buckets).cast("int"))
-    // ≤ buckets+1 rows — the histogram IS the sort at scale, and the
-    // budget (half the total token mass) falls out of it for free:
-    // one corpus aggregation serves both.
+    globalFill(scored, "quality")
+  }
+
+  /** The global quality-prefix fill shared by c17/c20: one bounded
+    * (bucket → token mass) histogram (≤ buckets+1 rows — the
+    * histogram IS the sort at scale, and the half-mass budget falls
+    * out of the same aggregate), a driver boundary walk, and ONE
+    * window over the boundary bucket's slice alone. `rank` names the
+    * (0,1)-valued ranking column; ranking/bucketing use its RAW
+    * value, the emitted column is round(·, 6) (the repo's
+    * emitted-doubles discipline).
+    */
+  private def globalFill(scored: DataFrame, rank: String): DataFrame = {
     val hist = scored.groupBy("bucket").agg(sum("n_tokens").as("mass"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
     val budget = hist.map(_._2).sum / 2
@@ -1030,18 +1067,14 @@ object Curation {
         if (acc + m > budget) boundary = Some((b, acc)) else acc += m
       }
     }
-    // Ranking/bucketing uses the RAW quality; the emitted column is
-    // round(·, 6) — the repo's emitted-doubles discipline, so the
-    // hash match never depends on both engines bit-agreeing on the
-    // full FP fold of qualityScore.
     boundary match {
       case None => // everything fits (empty corpus, or budget >= total)
         scored.select(col("doc_id"), col("n_tokens"),
-          round(col("quality"), 6).as("quality"),
+          round(col(rank), 6).as(rank),
           lit(1).as("admitted")).orderBy("doc_id")
       case Some((bstar, above)) =>
         val leftover = budget - above
-        val win = Window.orderBy(col("quality").desc, col("doc_id"))
+        val win = Window.orderBy(col(rank).desc, col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // The ONLY window: over the boundary bucket's slice alone.
         val bnd = scored.filter(col("bucket") === bstar)
@@ -1050,10 +1083,42 @@ object Curation {
             (col("cum") <= leftover).cast("int").as("adm_b"))
         scored.join(broadcast(bnd), Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"),
-            round(col("quality"), 6).as("quality"),
+            round(col(rank), 6).as(rank),
             when(col("bucket") > bstar, lit(1))
               .otherwise(coalesce(col("adm_b"), lit(0))).as("admitted"))
           .orderBy("doc_id")
+    }
+  }
+
+  /** Classifier-gated budget selection (c20) — t28's TRAINED score
+    * replacing c17's heuristic quality in the token-budget cut: the
+    * FineWeb-Edu admission pattern (train a quality/domain
+    * classifier, gate the corpus on its score) composed end-to-end —
+    * fit (10 GD rounds), score map-only, then the bounded-histogram
+    * prefix cut over (score DESC, doc_id).
+    *
+    * Scale shape: t28's fit (iters cheap aggregate passes) plus
+    * exactly [[tokenBudgetSelect]]'s cut — no global sort anywhere;
+    * the score is computed twice (once inside the histogram
+    * aggregate, once on the emit path), both map-only over the scan.
+    */
+  def classifierBudgetSelect(documents: DataFrame,
+      seed: String = "src1", iters: Int = 10, lr: Double = 0.5,
+      buckets: Int = 4096): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    TextAnalysis.classifierFit(documents, seed, iters, lr) match {
+      case None =>
+        Seq.empty[(Long, Long, Double, Int)]
+          .toDF("doc_id", "n_tokens", "score", "admitted")
+      case Some((feats, w)) =>
+        val sc = TextAnalysis
+          .classifierSigmoid(TextAnalysis.classifierZ(w))
+        val scored = feats.select(col("doc_id"), col("n_tokens"),
+          sc.as("score"))
+          .withColumn("bucket",
+            floor(col("score") * buckets).cast("int"))
+        globalFill(scored, "score")
     }
   }
 

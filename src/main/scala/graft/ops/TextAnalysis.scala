@@ -1065,26 +1065,88 @@ object TextAnalysis {
       iters: Int = 10, lr: Double = 0.5): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    def featFrame = documents.filter(col("text").isNotNull)
+    classifierFit(documents, seed, iters, lr) match {
+      case None =>
+        Seq.empty[(Long, String, Int, Double, Int)]
+          .toDF("doc_id", "source", "label", "score", "pred")
+      case Some((featFrame, w)) =>
+        val zf = classifierZ(w)
+        featFrame.select(col("doc_id"), col("source"),
+          col("y").cast("int").as("label"),
+          round(classifierSigmoid(zf), 6).as("score"),
+          (zf >= 0).cast("int").as("pred"))
+          .orderBy("doc_id")
+    }
+  }
+
+  /** z = w·x over the classifier feature columns, left-associated
+    * exactly as the oracle writes it.
+    */
+  private[graft] def classifierZ(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3")
+
+  /** The Elliott fast sigmoid — see [[qualityClassifier]]'s
+    * determinism contract.
+    */
+  private[graft] def classifierSigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** Per-(session, seed, iters, lr, plan) memo of the trained
+    * weights — the gateMemo/decodedMemo discipline: t28 AND c20 fit
+    * the same model, so a multi-pass bench would otherwise run the
+    * 10-round GD twice per pass. Keyed by the feature frame's
+    * ANALYZED PLAN (two different corpora never collide); entries of
+    * stopped sessions dropped on insert. The weights are 4 doubles —
+    * nothing checkpointed, so there is no block-manager footprint to
+    * free.
+    */
+  private val fitMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Double, String),
+      Option[Array[Double]]]
+
+  /** The t28 FIT, factored so compositions (c20's classifier-gated
+    * budget) can reuse the trained coefficients: returns the feature
+    * frame PLAN (doc_id, source, y, n_tokens, x1..x3 — re-executable,
+    * not pinned) and the trained weights, or None on an empty
+    * feature set. The training working set (one localCheckpoint) is
+    * freed before returning; scoring runs off the returned plan.
+    * Weights memoized per session/corpus (see [[fitMemo]]).
+    */
+  private[graft] def classifierFit(documents: DataFrame, seed: String,
+      iters: Int, lr: Double): Option[(DataFrame, Array[Double])] = {
+    val s0 = documents.sparkSession
+    fitMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(fitMemo.remove)
+    val key = (s0, seed, iters, lr,
+      documents.queryExecution.analyzed.canonicalized.toString)
+    fitMemo.getOrElseUpdate(key,
+      classifierFitFresh(documents, seed, iters, lr).map(_._2))
+      .map(w => (classifierFeatures(documents, seed), w))
+  }
+
+  private def classifierFeatures(documents: DataFrame,
+      seed: String): DataFrame =
+    documents.filter(col("text").isNotNull)
       .withColumn("toks", tokens(col("text")))
       .select(Seq(col("doc_id"), col("source")) ++
         qualitySignals(col("text"), col("toks")): _*)
       .filter(col("n_tokens") >= 1 && col("n_chars") >= 1)
       .select(col("doc_id"), col("source"),
         when(col("source") === seed, 1.0).otherwise(0.0).as("y"),
+        col("n_tokens").cast("long").as("n_tokens"),
         (col("n_stop").cast("double") / col("n_tokens")).as("x1"),
         (col("n_punct").cast("double") / col("n_chars")).as("x2"),
         least(lit(1.0), col("n_chars").cast("double") / lit(500.0))
           .as("x3"))
+
+  private def classifierFitFresh(documents: DataFrame, seed: String,
+      iters: Int, lr: Double): Option[(DataFrame, Array[Double])] = {
+    def featFrame = classifierFeatures(documents, seed)
     val feats = featFrame.localCheckpoint()
-    def zOf(w: Array[Double]) =
-      lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
-        lit(w(3)) * col("x3")
-    def sigmoid(z: Column) =
-      lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
     val w = Array(0.0, 0.0, 0.0, 0.0)
     for (_ <- 1 to iters) {
-      val rc = col("y") - sigmoid(zOf(w))
+      val rc = col("y") - classifierSigmoid(classifierZ(w))
       val row = feats.select(
         sum(rc.cast("decimal(18,12)")).as("g0"),
         sum((rc * col("x1")).cast("decimal(18,12)")).as("g1"),
@@ -1094,8 +1156,7 @@ object TextAnalysis {
       val n = row.getLong(4)
       if (n == 0L) {
         graft.ops.Similarity.freeCheckpoint(feats)
-        return Seq.empty[(Long, String, Int, Double, Int)]
-          .toDF("doc_id", "source", "label", "score", "pred")
+        return None
       }
       for (j <- 0 to 3)
         w(j) += lr * (row.getDecimal(j).doubleValue / n.toDouble)
@@ -1103,25 +1164,22 @@ object TextAnalysis {
     // Score from the UN-checkpointed plan so the training working
     // set can be freed (the output is corpus-sized — it cannot be
     // collected and returned as literals like the graph ops').
-    val zf = zOf(w)
-    val out = featFrame.select(col("doc_id"), col("source"),
-      col("y").cast("int").as("label"),
-      round(sigmoid(zf), 6).as("score"),
-      (zf >= 0).cast("int").as("pred"))
-      .orderBy("doc_id")
     graft.ops.Similarity.freeCheckpoint(feats)
-    out
+    Some((featFrame, w))
   }
 
-  /** The t28 oracle: the identical GD recurrence unrolled as `iters`
-    * MATERIALIZED CTE pairs (gradient aggregate g_k, weight row w_k)
-    * — s37's sqlPcaChain convention applied to gradient descent.
+  private[graft] def sqlClassifierZ(w: String): String =
+    s"$w.w0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3"
+
+  private[graft] val sqlClassifierSigmoid: String =
+    "0.5 + z / (2.0 * (1.0 + abs(z)))"
+
+  /** The t28 GD chain as a WITH body (features f, gradient/weight
+    * CTE pairs g_k/w_k) — s37's sqlPcaChain convention applied to
+    * gradient descent, shared by the t28 and c20 oracles.
     */
-  private[graft] def sqlQualityClassifier(seed: String, iters: Int,
+  private[graft] def sqlClassifierChain(seed: String, iters: Int,
       lr: Double): String = {
-    def zExpr(w: String) =
-      s"$w.w0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3"
-    val sig = "0.5 + z / (2.0 * (1.0 + abs(z)))"
     val steps = (1 to iters).map { k =>
       s"""g$k AS MATERIALIZED (
           SELECT CAST(SUM(CAST(r AS DECIMAL(18,12))) AS DOUBLE) AS g0,
@@ -1130,8 +1188,8 @@ object TextAnalysis {
             CAST(SUM(CAST(r * x3 AS DECIMAL(18,12))) AS DOUBLE) AS g3,
             COUNT(*) AS c
           FROM (
-            SELECT y - ($sig) AS r, x1, x2, x3
-            FROM (SELECT f.*, ${zExpr("w")} AS z
+            SELECT y - ($sqlClassifierSigmoid) AS r, x1, x2, x3
+            FROM (SELECT f.*, ${sqlClassifierZ("w")} AS z
                   FROM f, w${k - 1} w))),
         w$k AS MATERIALIZED (
           SELECT w.w0 + $lr * (g.g0 / g.c) AS w0,
@@ -1140,26 +1198,34 @@ object TextAnalysis {
             w.w3 + $lr * (g.g3 / g.c) AS w3
           FROM w${k - 1} w, g$k g)"""
     }.mkString(",\n        ")
-    s"""
-        WITH c AS (
+    s"""c AS (
           SELECT doc_id, source,
             $sqlQualitySignals
           FROM documents WHERE text IS NOT NULL),
         f AS MATERIALIZED (
           SELECT doc_id, source,
             CASE WHEN source = '$seed' THEN 1.0 ELSE 0.0 END AS y,
+            CAST(n_tokens AS BIGINT) AS n_tokens,
             CAST(n_stop AS DOUBLE) / n_tokens AS x1,
             CAST(n_punct AS DOUBLE) / n_chars AS x2,
             LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS x3
           FROM c WHERE n_tokens >= 1 AND n_chars >= 1),
         w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-        $steps
-        SELECT doc_id, source, CAST(y AS INT) AS label,
-          ROUND($sig, 6) AS score,
-          CAST(z >= 0 AS INT) AS pred
-        FROM (SELECT f.*, ${zExpr("w")} AS z FROM f, w$iters w)
-        ORDER BY doc_id"""
+        $steps"""
   }
+
+  /** The t28 oracle: the identical GD recurrence unrolled
+    * ([[sqlClassifierChain]]) plus the scoring projection.
+    */
+  private[graft] def sqlQualityClassifier(seed: String, iters: Int,
+      lr: Double): String =
+    s"""
+        WITH ${sqlClassifierChain(seed, iters, lr)}
+        SELECT doc_id, source, CAST(y AS INT) AS label,
+          ROUND($sqlClassifierSigmoid, 6) AS score,
+          CAST(z >= 0 AS INT) AS pred
+        FROM (SELECT f.*, ${sqlClassifierZ("w")} AS z FROM f, w$iters w)
+        ORDER BY doc_id"""
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------

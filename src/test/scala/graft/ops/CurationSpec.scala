@@ -323,4 +323,29 @@ class CurationSpec extends SparkSpec {
     assert(admittedTokens("NEAR") > admittedTokens("FAR"),
       out.mkString("\n"))
   }
+
+  test("c20: the trained score gates admission — every target-domain " +
+      "doc outranks every noisy doc at the budget cut") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // t28's ON-signal corpus shape: src1 long and punctuation-free,
+    // the rest short and punctuation-heavy. Equal doc counts, so the
+    // half-token budget can only be filled by score order: all src1
+    // docs must admit before any noisy doc.
+    val longClean = (1 to 60).map(i => f"word$i%03d").mkString(" ")
+    val shortNoisy = "a!!! b??? c,,, d... e;;; f:::"
+    val docs = (
+      (1L to 4L).map(i => (i, longClean + s" tail$i", "src1")) ++
+        (10L to 13L).map(i => (i, shortNoisy + s" g$i!!!", "srcA")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.classifierBudgetSelect(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // The budget (half the total mass) is smaller than src1's mass,
+    // so it fills INSIDE the high-score tier: everything admitted is
+    // src1, no noisy doc sneaks in past a rejected src1 doc.
+    val admitted = out.filter(_._2 == 1).keySet
+    assert(admitted.nonEmpty && admitted.forall(_ <= 4L), out.toString)
+    (10L to 13L).foreach(i =>
+      assert(out(i) == 0, s"noisy doc $i admitted: $out"))
+  }
 }
