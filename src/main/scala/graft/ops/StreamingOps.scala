@@ -814,6 +814,23 @@ object StreamingOps {
         FROM ch
         WHERE chunk NOT IN (SELECT chunk FROM hot)
         GROUP BY doc_id
+        ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "st31_stream_classifier_scoring",
+      (s, dir) => DocumentStream.runStreamClassifierScoring(s, dir),
+      // Streaming classifier scoring (see
+      // [[DocumentStream.runStreamClassifierScoring]]): t28's model
+      // trained offline, its coefficients applied statelessly on the
+      // ingest stream. The oracle re-derives the identical fit (the
+      // shared unrolled GD chain) and scores batch-wise.
+      Some(s"""
+        WITH ${TextAnalysis.sqlClassifierChain("src1", 10, 0.5)}
+        SELECT doc_id,
+          ROUND(${TextAnalysis.sqlClassifierSigmoid}, 6) AS score,
+          CAST(z >= 0 AS INT) AS pred
+        FROM (SELECT f.doc_id, ${TextAnalysis.sqlClassifierZ("w")} AS z
+              FROM f, w10 w)
         ORDER BY doc_id"""))
   )
 }

@@ -1125,7 +1125,11 @@ object TextAnalysis {
       .map(w => (classifierFeatures(documents, seed), w))
   }
 
-  private def classifierFeatures(documents: DataFrame,
+  /** The classifier feature projection — map-only, so it runs
+    * unchanged on a STREAMING frame (st31 scores the ingest stream
+    * with it).
+    */
+  private[graft] def classifierFeatures(documents: DataFrame,
       seed: String): DataFrame =
     documents.filter(col("text").isNotNull)
       .withColumn("toks", tokens(col("text")))

@@ -404,6 +404,37 @@ object DocumentStream {
     drainToTable(spark, scrubbed).orderBy("doc_id")
   }
 
+  /** Streaming classifier scoring (st31): t28's arc DEPLOYED — the
+    * quality/domain classifier trains OFFLINE (one batch fit, 10 GD
+    * rounds, memoized per session) and its four coefficients ride
+    * the streaming plan as literals; each arriving document computes
+    * its own features and score as pure per-row arithmetic (the st30
+    * train-offline/apply-statelessly pattern — no state store, no
+    * shuffle, scales with ingest rate alone). The oracle re-derives
+    * the same fit (the shared unrolled GD chain) and scores
+    * batch-wise, so the drained stream hash-matching it proves the
+    * deployed scorer equals the trained model exactly.
+    */
+  def runStreamClassifierScoring(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    TextAnalysis.classifierFit(
+        graft.Tables.load(spark, dir, "documents"),
+        "src1", iters = 10, lr = 0.5) match {
+      case None => // nothing to train on — nothing to score
+        Seq.empty[(Long, Double, Int)].toDF("doc_id", "score", "pred")
+      case Some((_, w)) =>
+        val z = TextAnalysis.classifierZ(w)
+        val scored = TextAnalysis
+          .classifierFeatures(readStream(spark, dir), "src1")
+          .select(col("doc_id"),
+            round(TextAnalysis.classifierSigmoid(z), 6).as("score"),
+            (z >= 0).cast("int").as("pred"))
+        drainToTable(spark, scored).orderBy("doc_id")
+    }
+  }
+
   /** The PRIMARY near-dup runner: TTL'd streaming near-dup end-to-end
     * with a 120 s horizon
     * over the 1-doc/sec synthetic clock: only pairs whose arrivals are
