@@ -540,9 +540,15 @@ object ScaleSmoke {
           d.withColumn(c, col(c) + lit(i.toLong * 10000000L))
         }
       }.reduce(_ unionByName _)
+    val cu1 = Tables.load(spark, "/root/testdata/sf0.1", "customer")
+      .select("c_custkey", "c_nationkey")
     val liN = shiftN(li1, Seq("l_orderkey", "l_suppkey")).cache()
     val orN = shiftN(or1, Seq("o_orderkey", "o_custkey")).cache()
     val suN = su1 // seeds only in copy 0: distances grow, mass shrinks
+    // key-shifted, nation kept: copies stay disjoint (no cross-copy
+    // trades), every copy carries the full nation structure
+    val suAll = shiftN(su1, Seq("s_suppkey")).cache()
+    val cuAll = shiftN(cu1, Seq("c_custkey")).cache()
     println(s"[graph] lineitem: ${liN.count()} rows (×$factor disjoint copies)")
     time("q77 pagerank ×1")(
       ops.Graph.pageRank(li1, or1)
@@ -556,7 +562,19 @@ object ScaleSmoke {
     time(s"q78 seed distance ×$factor")(
       ops.Graph.seedDistance(liN, orN, suN)
         .write.format("noop").mode("overwrite").save())
-    liN.unpersist(); orN.unpersist()
+    time("q80 components ×1")(
+      ops.Graph.connectedComponents(li1, or1, cu1, su1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"q80 components ×$factor")(
+      ops.Graph.connectedComponents(liN, orN, cuAll, suAll)
+        .write.format("noop").mode("overwrite").save())
+    time("q81 personalized PR ×1")(
+      ops.Graph.personalizedPageRank(li1, or1, su1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"q81 personalized PR ×$factor")(
+      ops.Graph.personalizedPageRank(liN, orN, suN)
+        .write.format("noop").mode("overwrite").save())
+    liN.unpersist(); orN.unpersist(); suAll.unpersist(); cuAll.unpersist()
   }
 
   /** c17 scale structure (`runMain graft.ScaleSmoke tokenbudget [f]`):
