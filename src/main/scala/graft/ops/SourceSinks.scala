@@ -692,7 +692,21 @@ object SourceSinks {
         // the rewrite lossless and the layout as planned.
         lakeOptimize(s, dir,
           tmp("graft_q79").getAbsolutePath),
-      Some(sqlLakeOptimize(slices = 6, fanout = 16)))
+      Some(sqlLakeOptimize(slices = 6, fanout = 16))),
+    // ----------------------------------------------------------------
+    Q(
+      "q82_lake_optimistic_commit",
+      (s, dir) =>
+        // Optimistic-concurrency commits (see [[lakeOptimisticFull]]):
+        // two writers prepared against the same snapshot, one CAS
+        // win, one detected conflict + rebase + retry; the three
+        // version states read back via their manifests. The oracle
+        // restates the sequential snapshot states and the retry
+        // audit, so the hash match proves the protocol serialized
+        // the writers without losing either update.
+        lakeOptimisticCommit(s, dir,
+          tmp("graft_q82").getAbsolutePath),
+      Some(sqlLakeOptimistic))
   )
 
   /** Lake vacuum execution (q75) — see the q75 entry for the story;
@@ -950,6 +964,219 @@ object SourceSinks {
         CAST(b.n_bins AS BIGINT) AS n_files
       FROM content c JOIN bins b USING (bucket)
       ORDER BY snapshot, bucket"""
+
+  /** Optimistic-concurrency lake commits (q82) — the write-isolation
+    * protocol every multi-writer table format runs (Delta/Iceberg's
+    * optimistic commit): writers prepare bucket-scoped copy-on-write
+    * files against the snapshot they READ, then claim the next
+    * version by an atomic compare-and-set on the version ledger
+    * (create-exclusive of `_versions/v<n>`); a loser detects the
+    * conflict, REBASES its delta against the now-current snapshot,
+    * and retries. Without the rebase, the loser's stale files would
+    * drop the winner's updates from any co-touched bucket — the
+    * classic lost update, which the spec demonstrates physically.
+    *
+    * The run: v1 = the CDC state compacted at the feed midpoint;
+    * writer A prepares the third-quarter window against v1 and wins
+    * v2; writer B prepares the last-quarter window ALSO against v1
+    * (stale), loses the v2 CAS, rebases against v2, and commits v3.
+    * All window boundaries are integer midpoints, so the oracle
+    * restates the three sequential snapshot states exactly; the
+    * emitted `retries` audit (0/0/1) is itself oracle-checked via
+    * the same window-nonempty flags the protocol branches on.
+    *
+    * Scale shape: commits are bucket-scoped copy-on-write (touched
+    * buckets only, the st28 discipline); the ledger CAS is one
+    * filesystem primitive; a rebase costs one recompute of the
+    * LOSER'S buckets, never a table rewrite. Manifests stay
+    * bounded by the one-file-per-bucket discipline.
+    */
+  private[graft] def lakeOptimisticFull(s: SparkSession, dir: String,
+      base: String): (DataFrame, Array[String], Boolean) = {
+    import s.implicits._
+    def empty = Seq.empty[(String, Int, Long, Double, Int)]
+      .toDF("version", "bucket", "n_rows", "total_value", "retries")
+    val ev = t(s, dir)("events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"),
+        (col("user_id") % 8).cast("int").as("bucket"))
+    val b = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .collect()(0) // 1-row bounded fetch
+    if (b.isNullAt(0)) return (empty, Array.empty, false)
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val cut1 = (mn + mx) / 2
+    val cut2 = (cut1 + mx) / 2
+    def compact(src: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("value"), col("bucket"))
+    }
+    def writeCommit(state: DataFrame, name: String): Unit =
+      state.repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$base/$name")
+    def listing(name: String): Array[(Int, String)] =
+      s.read.schema(lakeSchema).parquet(s"$base/$name")
+        .select(col("bucket"), input_file_name().as("f")).distinct()
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+    // The version ledger: claiming version n = creating v<n>
+    // EXCLUSIVELY — the one atomic filesystem primitive the whole
+    // protocol needs.
+    val ledger = new File(base, "_versions")
+    ledger.mkdirs()
+    def cas(version: Int): Boolean =
+      try {
+        java.nio.file.Files.createFile(
+          new File(ledger, s"v$version").toPath)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    // v1: the base snapshot.
+    writeCommit(compact(ev.filter(col("us") <= cut1)), "c1")
+    require(cas(1), s"ledger not fresh under $base")
+    val v1Files = listing("c1")
+    // Bounded driver fetches: ≤ |buckets| touched-bucket ids each.
+    val touchedA = ev.filter(col("us") > cut1 && col("us") <= cut2)
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+    val touchedB = ev.filter(col("us") > cut2)
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+    if (touchedA.isEmpty || touchedB.isEmpty) {
+      // Degenerate feed: no concurrent writers to race. Emit v1 only.
+      val out = readManifest(s, v1Files).groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(12,2)")).cast("double")
+            .as("total_value"))
+        .select(lit("v1").as("version"), col("bucket"),
+          col("n_rows"), col("total_value"), lit(0).as("retries"))
+        .orderBy("bucket")
+      return (out, v1Files.map(_._2), false)
+    }
+    // Writer A: bucket-scoped copy-on-write against v1 — full state
+    // of its touched buckets as of cut2.
+    writeCommit(compact(ev.filter(col("us") <= cut2))
+      .filter(col("bucket").isin(touchedA.toSeq: _*)), "cA")
+    require(cas(2), "writer A lost a race nobody else was running")
+    val v2Files = v1Files.filterNot(t => touchedA(t._1)) ++ listing("cA")
+    // Writer B: prepared against the STALE v1 — per-user latest of
+    // {v1 state, B's own window}, blind to A's window. These files
+    // are written (a real writer has them on disk before the CAS)
+    // and must LOSE.
+    writeCommit(compact(ev.filter(col("us") <= cut1 || col("us") > cut2))
+      .filter(col("bucket").isin(touchedB.toSeq: _*)), "cB_stale")
+    val staleBFiles = listing("cB_stale").map(_._2)
+    val bFirstCas = cas(2) // conflict: v2 is taken
+    var retries = 0
+    if (!bFirstCas) {
+      // Rebase: recompute B's buckets against the CURRENT snapshot
+      // (which includes A's window), then claim the next version.
+      retries = 1
+      writeCommit(compact(ev)
+        .filter(col("bucket").isin(touchedB.toSeq: _*)), "cB")
+      require(cas(3), "rebased writer B must win v3")
+    }
+    val v3Files = v2Files.filterNot(t => touchedB(t._1)) ++ listing("cB")
+    def agg(files: Array[(Int, String)], tag: String,
+        r: Int): DataFrame =
+      readManifest(s, files).groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(12,2)")).cast("double")
+            .as("total_value"))
+        .select(lit(tag).as("version"), col("bucket"),
+          col("n_rows"), col("total_value"), lit(r).as("retries"))
+    val out = agg(v1Files, "v1", 0)
+      .unionByName(agg(v2Files, "v2", 0))
+      .unionByName(agg(v3Files, "v3", retries))
+      .orderBy("version", "bucket")
+    (out, staleBFiles, !bFirstCas)
+  }
+
+  /** Read a manifest's files (commit data files carry no bucket
+    * column — it is partition metadata; recomputed, it is a pure
+    * function of the key).
+    */
+  private[graft] def readManifest(s: SparkSession,
+      files: Array[(Int, String)]): DataFrame = {
+    val schema = "user_id BIGINT, us BIGINT, event_id BIGINT, value DOUBLE"
+    if (files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          schema + ", bucket INT"))
+    else s.read.schema(schema).parquet(files.map(_._2).toSeq: _*)
+      .withColumn("bucket", (col("user_id") % 8).cast("int"))
+  }
+
+  def lakeOptimisticCommit(s: SparkSession, dir: String,
+      base: String): DataFrame =
+    lakeOptimisticFull(s, dir, base)._1
+
+  /** The q82 oracle: the three sequential snapshot states restated
+    * from the base table (integer window boundaries), plus the
+    * retry audit derived from the same window-nonempty flags the
+    * protocol branches on.
+    */
+  // def, not val: `all` initializes earlier in this object and would
+  // capture a null val (Scala top-to-bottom val init).
+  private[graft] def sqlLakeOptimistic: String = """
+      WITH ev AS (
+        SELECT event_id, user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+          CAST(user_id % 8 AS INT) AS bucket
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      cuts AS (
+        SELECT (MIN(us) + MAX(us)) // 2 AS c1,
+          ((MIN(us) + MAX(us)) // 2 + MAX(us)) // 2 AS c2
+        FROM ev),
+      flags AS (
+        SELECT
+          EXISTS(SELECT 1 FROM ev, cuts WHERE us > c1 AND us <= c2)
+            AND EXISTS(SELECT 1 FROM ev, cuts WHERE us > c2) AS both_w
+        FROM (SELECT 1)),
+      s1 AS (
+        SELECT user_id, value, bucket FROM (
+          SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY us DESC, event_id DESC) AS rn
+          FROM ev e, cuts WHERE e.us <= cuts.c1) WHERE rn = 1),
+      s2full AS (
+        SELECT user_id, value, bucket FROM (
+          SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY us DESC, event_id DESC) AS rn
+          FROM ev e, cuts WHERE e.us <= cuts.c2) WHERE rn = 1),
+      s3full AS (
+        SELECT user_id, value, bucket FROM (
+          SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY us DESC, event_id DESC) AS rn
+          FROM ev e) WHERE rn = 1),
+      ta AS (SELECT DISTINCT bucket FROM ev, cuts
+             WHERE us > c1 AND us <= c2),
+      tb AS (SELECT DISTINCT bucket FROM ev, cuts WHERE us > c2),
+      v2 AS (
+        SELECT * FROM s2full WHERE bucket IN (SELECT bucket FROM ta)
+        UNION ALL
+        SELECT * FROM s1 WHERE bucket NOT IN (SELECT bucket FROM ta)),
+      v3 AS (
+        SELECT * FROM s3full WHERE bucket IN (SELECT bucket FROM tb)
+        UNION ALL
+        SELECT * FROM v2 WHERE bucket NOT IN (SELECT bucket FROM tb))
+      SELECT 'v1' AS version, bucket, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        0 AS retries
+      FROM s1 GROUP BY bucket
+      UNION ALL
+      SELECT 'v2', bucket, COUNT(*),
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 0
+      FROM v2, flags WHERE flags.both_w GROUP BY bucket
+      UNION ALL
+      SELECT 'v3', bucket, COUNT(*),
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 1
+      FROM v3, flags WHERE flags.both_w GROUP BY bucket
+      ORDER BY version, bucket"""
 
   /** Time-travel read (q76) — the copy-on-write invariant q75's
     * vacuum exists to eventually break ON PURPOSE: after the v2

@@ -352,6 +352,74 @@ class JoinsAndSourcesSpec extends SparkSpec {
     assert(h10.map(_._2).sum > 1, h10)
   }
 
+  test("q82: the stale writer's CAS physically fails, its files would " +
+      "have lost the winner's updates, and the rebase restores them") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_q82_spec").toFile
+    // Engineered feed: user 16 (bucket 0) gets its LATEST event in
+    // writer A's window while user 24 (also bucket 0) gets one in
+    // writer B's window — so bucket 0 is co-touched, and B's stale
+    // files (prepared against v1, blind to A) MUST drop A's user-16
+    // update. Timestamps span [0, 4000] seconds so the quarter cuts
+    // land at 2000/3000.
+    val sparkS = spark
+    import sparkS.implicits._
+    val ev = Seq(
+      (1L, 0L, 16L, "view", 10.0), // base window (us <= cut1)
+      (2L, 100L, 24L, "view", 20.0),
+      (3L, 2500L, 16L, "buy", 30.0), // writer A's window (cut1, cut2]
+      (4L, 3500L, 24L, "buy", 40.0), // writer B's window (cut2, max]
+      (5L, 4000L, 25L, "view", 50.0)) // bucket 1, B window
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("sec"))
+          .as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        org.apache.spark.sql.functions.lit("{}").as("props"))
+    val evDir = java.nio.file.Files
+      .createTempDirectory("graft_q82_events").toFile
+    ev.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(evDir, "events.parquet").getAbsolutePath)
+    try {
+      val (out, staleB, conflicted) = SourceSinks.lakeOptimisticFull(
+        spark, evDir.getAbsolutePath, base.getAbsolutePath)
+      assert(conflicted, "writer B's first CAS unexpectedly won")
+      // The ledger carries exactly the three claimed versions.
+      val versions = new java.io.File(base, "_versions").listFiles()
+        .map(_.getName).toSet
+      assert(versions == Set("v1", "v2", "v3"), versions)
+      // The stale files are REAL (B wrote them before losing) ...
+      assert(staleB.nonEmpty)
+      val staleAgg = SourceSinks.readManifest(spark,
+          staleB.map(f => (0, f)))
+        .groupBy("bucket")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(col("value")
+            .cast("decimal(12,2)")).cast("double").as("tv"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      // ... and differ from the committed v3 state on at least one
+      // co-touched bucket: the lost update the rebase prevented.
+      val v3Agg = out.collect()
+        .filter(_.getString(0) == "v3")
+        .map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val diffs = staleAgg.keys.filter(b => v3Agg(b) != staleAgg(b))
+      assert(diffs.nonEmpty,
+        s"stale B state equals v3 — the conflict was vacuous: $staleAgg")
+      // The exact anomaly: bucket 0's stale state carries user 16's
+      // BASE value (10 + B's 40 = 50 total), the rebased v3 carries
+      // A's update (30 + 40 = 70).
+      assert(staleAgg(0) == ((2L, 50.0)), staleAgg)
+      assert(v3Agg(0) == ((2L, 70.0)), v3Agg)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(base); rm(evDir)
+    }
+  }
+
   test("q81: teleport mass stays in the seed component — a component " +
       "unreachable from seeds ranks at exactly zero") {
     val sparkS = spark
