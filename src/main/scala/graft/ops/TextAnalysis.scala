@@ -261,6 +261,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (t29) — the proper
+    * smoothing upgrade over t22's Stupid Backoff (Kneser & Ney 1995;
+    * Chen & Goodman 1998): p(w|v) = max(c(v,w) − D, 0)/c(v·) +
+    * (D·N₁₊(v,·)/c(v·))·p_cont(w), with the continuation probability
+    * p_cont(w) = N₁₊(·,w)/N₁₊(··) — the "how many contexts has w
+    * followed" signal that makes KN the standard count-based LM.
+    * D = 0.75 (exactly representable — 3/4 — so the discount itself
+    * adds no FP caveat). Unseen contexts and first tokens fall back
+    * to p_cont alone; a term never seen as a continuation floors at
+    * 1/(types+1) (t22's 1/N convention on the type space).
+    *
+    * Determinism: every piece is an IEEE division of exact integers
+    * (bigram counts, context totals, type counts), combined by one
+    * +/× each — identical in both engines; ln is rounded to 6 dp
+    * per TERM before the pos-ordered per-doc fold (t15's contract).
+    * Scale shape: t22's — scoring runs over the DISTINCT (prev,
+    * term) table, never token instances; the four model tables are
+    * map-side-combining aggregates of the bigram table; instances
+    * join the finished score once.
+    */
+  def knLogprob(documents: DataFrame): DataFrame = {
+    val tok = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = tok.withColumn("prev", lag(col("term"), 1).over(w))
+    // Reference-slice LM (t22's held-in rule): the lag runs per-doc,
+    // so whole-doc filtering after it trains on the slice exactly.
+    val train = col("doc_id") % 10 =!= 0
+    val bc = bi.filter(col("prev").isNotNull && train)
+      .groupBy("prev", "term").agg(count(lit(1)).as("bcnt"))
+    val cv = bc.groupBy("prev")
+      .agg(sum("bcnt").as("cv"), count(lit(1)).as("n1f"))
+    val cw = bc.groupBy("term").agg(count(lit(1)).as("n1b"))
+    val tt = bc.agg(count(lit(1)).as("tt"))
+    val pk = coalesce(col("prev"), lit("")).as("pk")
+    val scored = bi.select(pk, col("term")).distinct()
+      .join(cw, Seq("term"), "left")
+      .crossJoin(broadcast(tt))
+      // continuation prob with the type-space floor (NULL n1b → the
+      // division is NULL → COALESCE picks the floor, both engines)
+      .withColumn("pc",
+        coalesce(col("n1b").cast("double") / col("tt").cast("double"),
+          lit(1.0) / (col("tt") + lit(1)).cast("double")))
+      .join(cv.select(col("prev").as("pk"), col("cv"), col("n1f")),
+        Seq("pk"), "left")
+      .join(bc.select(col("prev").as("pk"), col("term"), col("bcnt")),
+        Seq("pk", "term"), "left")
+      .select(col("pk"), col("term"), round(log(
+        when(col("pk") === "" || col("cv").isNull, col("pc"))
+          .otherwise(
+            greatest(coalesce(col("bcnt"), lit(0L)).cast("double") -
+              lit(0.75), lit(0.0)) / col("cv").cast("double") +
+              ((lit(0.75) * col("n1f").cast("double")) /
+                col("cv").cast("double")) * col("pc"))), 6).as("lnp"))
+    bi.select(col("doc_id"), col("pos"), pk, col("term"))
+      .join(scored, Seq("pk", "term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("lnp")))).as("ps"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(
+          expr("aggregate(ps, cast(0.0 as double), (a, p) -> a + p.lnp)")
+            / col("n_tokens"), 6).as("avg_logprob_kn"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition signals — the Gopher repetition
     * filters (Rae et al. 2021, appendix A1) at token granularity
     * (this corpus has no newlines, so the line-based variants are
@@ -2287,6 +2354,66 @@ object TextAnalysis {
         // folds), so the hash match proves 10 bit-exact FP
         // iterations.
         qualityClassifier(docs(s, dir)),
-      Some(sqlQualityClassifier(seed = "src1", iters = 10, lr = 0.5)))
+      Some(sqlQualityClassifier(seed = "src1", iters = 10, lr = 0.5))),
+    // ----------------------------------------------------------------
+    Q(
+      "t29_kneser_ney",
+      (s, dir) =>
+        // Interpolated Kneser–Ney bigram LM (see [[knLogprob]]):
+        // discounted bigram + continuation-probability backoff at
+        // D = 0.75, held-in training slice, per-doc mean logprob.
+        knLogprob(docs(s, dir)),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0) AS l
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id, CAST(u.i AS INT) AS pos, u.t AS term
+          FROM toks, unnest(list_transform(range(1, len(l) + 1),
+                            i -> {'i': i, 't': l[i]})) AS s(u)),
+        bi AS (
+          SELECT doc_id, pos, term,
+            LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM tok),
+        bc AS (
+          SELECT prev, term, COUNT(*) AS bcnt
+          FROM bi WHERE prev IS NOT NULL AND doc_id % 10 <> 0
+          GROUP BY prev, term),
+        cv AS (
+          SELECT prev, CAST(SUM(bcnt) AS BIGINT) AS cv,
+            COUNT(*) AS n1f
+          FROM bc GROUP BY prev),
+        cw AS (SELECT term, COUNT(*) AS n1b FROM bc GROUP BY term),
+        tt AS (SELECT COUNT(*) AS tt FROM bc),
+        pairs AS (
+          SELECT p.pk, p.term,
+            COALESCE(w.n1b / CAST(t.tt AS DOUBLE),
+                     1.0 / CAST(t.tt + 1 AS DOUBLE)) AS pc
+          FROM (SELECT DISTINCT COALESCE(prev, '') AS pk, term
+                FROM bi) p
+          LEFT JOIN cw w USING (term) CROSS JOIN tt t),
+        scored AS (
+          SELECT p.pk, p.term, ROUND(ln(
+            CASE WHEN p.pk = '' OR c.cv IS NULL THEN p.pc
+                 ELSE GREATEST(COALESCE(b.bcnt, 0) - 0.75, 0.0)
+                        / CAST(c.cv AS DOUBLE)
+                      + ((0.75 * CAST(c.n1f AS DOUBLE))
+                           / CAST(c.cv AS DOUBLE)) * p.pc
+            END), 6) AS lnp
+          FROM pairs p
+          LEFT JOIN cv c ON c.prev = p.pk
+          LEFT JOIN bc b ON b.prev = p.pk AND b.term = p.term)
+        SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                         list(sc.lnp ORDER BY i.pos)),
+                            (a, b) -> a + b) / COUNT(*), 6)
+            AS avg_logprob_kn
+        FROM (SELECT doc_id, pos, COALESCE(prev, '') AS pk, term
+              FROM bi) i
+        JOIN scored sc ON sc.pk = i.pk AND sc.term = i.term
+        GROUP BY i.doc_id
+        ORDER BY i.doc_id"""))
   )
 }

@@ -513,6 +513,54 @@ class TextAnalysisSpec extends SparkSpec {
       md5hex(pair + " w1 w2 w3 w4 w5 w6 w7 w8"))))
   }
 
+  test("t29: Kneser-Ney matches an independent JVM recompute, and an " +
+      "unseen continuation floors instead of scoring -inf") {
+    import spark.implicits._
+    val train1 = "a b a b c"
+    val train2 = "b a b b"
+    val held = "a b z" // doc 10 is held out; z is never a continuation
+    val docs = Seq((1L, train1), (2L, train2), (10L, held))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knLogprob(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // Independent recompute over explicit token lists.
+    def toks(s: String) = s.split("\\s+").toSeq
+    val trainToks = Seq(toks(train1), toks(train2))
+    val bc = trainToks.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cv = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = bc.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1b = bc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val tt = bc.size.toLong
+    // HALF_UP like Spark's round(), not rint's half-even
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def lnp(prev: String, term: String): Double = {
+      val pc = n1b.get(term).map(_.toDouble / tt)
+        .getOrElse(1.0 / (tt + 1))
+      val p =
+        if (prev == "" || !cv.contains(prev)) pc
+        else math.max(bc.getOrElse((prev, term), 0L).toDouble - 0.75,
+          0.0) / cv(prev) +
+          ((0.75 * n1f(prev)) / cv(prev)) * pc
+      r6(math.log(p))
+    }
+    def avg(text: String): Double = {
+      val t = toks(text)
+      val ps = ("" +: t.init).zip(t).map { case (p, w) => lnp(p, w) }
+      r6(ps.sum / t.size)
+    }
+    Seq(1L -> train1, 2L -> train2, 10L -> held).foreach { case (id, t) =>
+      assert(got(id)._1 == toks(t).size.toLong, got)
+      assert(math.abs(got(id)._2 - avg(t)) < 1e-9,
+        s"doc $id: got ${got(id)._2}, want ${avg(t)}")
+    }
+    // The unseen continuation is finite (the type-space floor) and
+    // the held-out doc scores strictly worse than a training doc.
+    assert(!got(10L)._2.isNegInfinity && !got(10L)._2.isNaN, got)
+    assert(got(10L)._2 < got(1L)._2, got)
+  }
+
   test("t28: the classifier separates a feature-distinct target " +
       "domain, and learns NOTHING when the signal is switched off") {
     import spark.implicits._
