@@ -33,7 +33,8 @@ object ScaleSmoke {
       |  tokenbudget [f]  c17 histogram bound + boundary share ×1 vs ×f
       |  pca [f]       s37 covariance-shuffle invariance + cost ×1 vs ×f
       |  graph [f]     q77/q78 cost on ×f disjoint graph copies
-      |  lifecycle [f]  st27 persist+serve: probed-cell bytes vs corpus ×f""".stripMargin
+      |  lifecycle [f]  st27 persist+serve: probed-cell bytes vs corpus ×f
+      |  classifier [f]  t28 GD fit cost ×1 vs ×f (1-row round shuffles)""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -1078,6 +1079,34 @@ object ScaleSmoke {
     Seq(centDf, paramsDf, idx).foreach(S.freeCheckpoint)
   }
 
+  /** t28 GD scale structure (`runMain graft.ScaleSmoke classifier
+    * [f]`): the fit's distributed shape is `iters` full passes whose
+    * ONLY shuffle is the partial-aggregate tree of one 5-column row
+    * (4 decimal gradient sums + a count) — the driver fetch per
+    * round is 1 row whatever the corpus, so fit cost must track the
+    * scan ~linearly and nothing else grows. Measured: fit+score wall
+    * time on ×1 vs ×factor corpora (distinct plans, so the session
+    * fit memo does not short-circuit the comparison).
+    */
+  def runClassifier(spark: SparkSession, factor: Int): Unit = {
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "source", "text")
+    val docsN = scaled(docs1, "doc_id", factor).cache()
+    println(s"[classifier] documents: ${docsN.count()} rows (×$factor)")
+    // JIT/codegen warmup on a DISTINCT plan (its own fit-memo key),
+    // so the ×1 measurement doesn't pay first-use compilation the
+    // ×factor one inherits.
+    ops.TextAnalysis.qualityClassifier(docs1.limit(2000))
+      .write.format("noop").mode("overwrite").save()
+    time("t28 fit+score ×1")(
+      ops.TextAnalysis.qualityClassifier(docs1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"t28 fit+score ×$factor")(
+      ops.TextAnalysis.qualityClassifier(docsN)
+        .write.format("noop").mode("overwrite").save())
+    docsN.unpersist()
+  }
+
   /** st23 funnel state bound under replica churn
     * (`runMain graft.ScaleSmoke funnel [factor]`): feed the sf0.1
     * funnel events through [[graft.streaming.EventStream
@@ -1238,7 +1267,7 @@ object ScaleSmoke {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
       "text", "curation", "multimodal", "containment", "indexmaint",
       "funnel", "timeseries", "dsir", "lakemerge", "tokenbudget", "pca",
-      "graph", "lifecycle")
+      "graph", "lifecycle", "classifier")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -1277,6 +1306,7 @@ object ScaleSmoke {
         case "pca" => 10
         case "graph" => 5
         case "lifecycle" => 20
+        case "classifier" => 20
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -1308,6 +1338,7 @@ object ScaleSmoke {
     if (mode == "pca") { runPca(spark, factor); spark.stop(); return }
     if (mode == "graph") { runGraph(spark, factor); spark.stop(); return }
     if (mode == "lifecycle") { runLifecycle(spark, factor); spark.stop(); return }
+    if (mode == "classifier") { runClassifier(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)
