@@ -365,6 +365,10 @@ object Graph {
           ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rnk
         FROM r$iters)
       WHERE rnk <= $k
+        -- Spark returns EMPTY when the graph has no seed (nSeeds
+        -- guard); without this gate, nb's 10^12 // 0 would be NULL
+        -- and k NULL-rank rows would leak out.
+        AND (SELECT COUNT(*) FROM nodes WHERE is_seed = 1) > 0
       ORDER BY rnk"""
   }
 

@@ -28,7 +28,7 @@ import graft.Tables
   */
 object SourceSinks {
 
-  private def deleteRecursively(f: File): Unit = {
+  private[graft] def deleteRecursively(f: File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete()
@@ -292,7 +292,8 @@ object SourceSinks {
         // ((min+max) DIV 2 microseconds) -- engine-identical.
         val path = new File(tmp("graft_q72"), "snap").getAbsolutePath
         val ev = t(s, dir)("events")
-          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("us"), col("event_type"),
             col("value"))
@@ -343,7 +344,8 @@ object SourceSinks {
           SELECT event_id, user_id,
             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
           FROM events
-          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+            AND ts IS NOT NULL),
         cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
         v1 AS (
           SELECT user_id, us, event_id,
@@ -600,7 +602,8 @@ object SourceSinks {
           SELECT event_id, user_id,
             epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
           FROM events
-          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+            AND ts IS NOT NULL),
         cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
         comp_all AS (
           SELECT user_id, value, CAST(user_id % 8 AS INT) AS bucket
@@ -648,7 +651,8 @@ object SourceSinks {
           SELECT event_id, user_id,
             epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
           FROM events
-          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+            AND ts IS NOT NULL),
         cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
         comp_all AS (
           SELECT user_id, value, CAST(user_id % 8 AS INT) AS bucket
@@ -729,7 +733,8 @@ object SourceSinks {
   private def twoCommitLake(s: SparkSession, dir: String, base: String)
       : (Array[(Int, String)], Array[(Int, String)], Set[Int]) = {
     val ev = t(s, dir)("events")
-      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"), col("value"))
     val cutoff = ev.agg(expr("(min(us) + max(us)) DIV 2").as("cut"))
@@ -839,7 +844,8 @@ object SourceSinks {
     def empty = Seq.empty[(String, Int, Long, Double, Long)]
       .toDF("snapshot", "bucket", "n_rows", "total_value", "n_files")
     val ev = t(s, dir)("events")
-      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"), col("value"))
     val b = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
@@ -930,7 +936,8 @@ object SourceSinks {
         SELECT event_id, user_id,
           epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
         FROM events
-        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+            AND ts IS NOT NULL),
       bounds AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
       sliced AS (
         SELECT user_id, value,
@@ -997,7 +1004,8 @@ object SourceSinks {
     def empty = Seq.empty[(String, Int, Long, Double, Int)]
       .toDF("version", "bucket", "n_rows", "total_value", "retries")
     val ev = t(s, dir)("events")
-      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"), col("value"),
         (col("user_id") % 8).cast("int").as("bucket"))
@@ -1072,15 +1080,21 @@ object SourceSinks {
     val staleBFiles = listing("cB_stale").map(_._2)
     val bFirstCas = cas(2) // conflict: v2 is taken
     var retries = 0
-    if (!bFirstCas) {
-      // Rebase: recompute B's buckets against the CURRENT snapshot
-      // (which includes A's window), then claim the next version.
-      retries = 1
-      writeCommit(compact(ev)
-        .filter(col("bucket").isin(touchedB.toSeq: _*)), "cB")
-      require(cas(3), "rebased writer B must win v3")
-    }
-    val v3Files = v2Files.filterNot(t => touchedB(t._1)) ++ listing("cB")
+    val bFiles =
+      if (bFirstCas) {
+        // Unreachable under this ledger (A claimed v2 above), but an
+        // uncontended B commits its prepared files as-is.
+        listing("cB_stale")
+      } else {
+        // Rebase: recompute B's buckets against the CURRENT snapshot
+        // (which includes A's window), then claim the next version.
+        retries = 1
+        writeCommit(compact(ev)
+          .filter(col("bucket").isin(touchedB.toSeq: _*)), "cB")
+        require(cas(3), "rebased writer B must win v3")
+        listing("cB")
+      }
+    val v3Files = v2Files.filterNot(t => touchedB(t._1)) ++ bFiles
     def agg(files: Array[(Int, String)], tag: String,
         r: Int): DataFrame =
       readManifest(s, files).groupBy("bucket")
@@ -1128,7 +1142,8 @@ object SourceSinks {
           epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
           CAST(user_id % 8 AS INT) AS bucket
         FROM events
-        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+            AND ts IS NOT NULL),
       cuts AS (
         SELECT (MIN(us) + MAX(us)) // 2 AS c1,
           ((MIN(us) + MAX(us)) // 2 + MAX(us)) // 2 AS c2

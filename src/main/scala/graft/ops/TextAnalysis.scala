@@ -1185,11 +1185,21 @@ object TextAnalysis {
     val s0 = documents.sparkSession
     fitMemo.keys.filter(_._1.sparkContext.isStopped)
       .foreach(fitMemo.remove)
-    val key = (s0, seed, iters, lr,
-      documents.queryExecution.analyzed.canonicalized.toString)
-    fitMemo.getOrElseUpdate(key,
-      classifierFitFresh(documents, seed, iters, lr).map(_._2))
-      .map(w => (classifierFeatures(documents, seed), w))
+    // A LocalRelation/LogicalRDD canonicalizes WITHOUT its data, so
+    // two distinct in-memory corpora would share one key and the
+    // second caller would get the first corpus's weights — memoize
+    // only file-backed corpora, whose identity is the file set plus
+    // the (pushdown-bearing) canonical plan.
+    val files = documents.inputFiles
+    if (files.isEmpty) classifierFitFresh(documents, seed, iters, lr)
+    else {
+      val key = (s0, seed, iters, lr,
+        files.sorted.mkString(",") + "|" +
+          documents.queryExecution.analyzed.canonicalized.toString)
+      fitMemo.getOrElseUpdate(key,
+        classifierFitFresh(documents, seed, iters, lr).map(_._2))
+        .map(w => (classifierFeatures(documents, seed), w))
+    }
   }
 
   /** The classifier feature projection — map-only, so it runs

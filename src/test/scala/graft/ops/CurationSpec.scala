@@ -292,9 +292,10 @@ class CurationSpec extends SparkSpec {
     // The seed source src1 holds one doc. Source NEAR shares that
     // exact text (same minhash signature → shared band → 1 hop from
     // the seed); source FAR holds only its own text. NEAR and FAR
-    // also hold identical FILLER MASS: 4 docs each, pairwise equal
-    // signal counts (same n_chars/n_tokens/n_stop/n_punct → equal
-    // quality) but DIFFERENT words, so no band links NEAR to FAR.
+    // also hold identical FILLER MASS: 10 docs of 24 tokens each,
+    // pairwise equal signal counts (same n_chars/n_tokens/n_stop/
+    // n_punct → equal quality) but DIFFERENT words, so no band links
+    // NEAR to FAR.
     // total = 486 tokens, budget = 243; weights 4/2/1 of Σ7 give
     // NEAR 69 tokens (2 filler docs) vs FAR 34 (1 filler doc).
     val seedText = "seedaa seedbb seedcc"

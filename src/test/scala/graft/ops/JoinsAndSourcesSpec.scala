@@ -131,7 +131,8 @@ class JoinsAndSourcesSpec extends SparkSpec {
     // Independent re-derivation of the two LIVE snapshots (the same
     // statement the oracle makes, built through the batch planner).
     val ev = graft.Tables.load(spark, dir, "events")
-      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
     val cut = ev.agg(expr("(min(us) + max(us)) DIV 2")).collect()(0).getLong(0)
@@ -235,12 +236,7 @@ class JoinsAndSourcesSpec extends SparkSpec {
         s"${perBucket.length} bucket dirs vs ${out.length} output rows")
       // And the reported files_live agrees with the filesystem.
       assert(out.map(_.getLong(3)).sum == perBucket.length)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-      }
-      rm(base)
-    }
+    } finally SourceSinks.deleteRecursively(base)
   }
 
   test("q76: the v2 commit APPENDS — every v1 file survives on disk, " +
@@ -266,12 +262,7 @@ class JoinsAndSourcesSpec extends SparkSpec {
         .map(_.listFiles().count(_.getName.endsWith(".parquet")))
       assert(perBucket.forall(n => n == 1 || n == 2), perBucket.toSeq)
       assert(perBucket.exists(_ == 2), "append left no second file")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-      }
-      rm(base)
-    }
+    } finally SourceSinks.deleteRecursively(base)
   }
 
   test("q79: OPTIMIZE shrinks the file count, leaves the pre-compaction " +
@@ -311,12 +302,7 @@ class JoinsAndSourcesSpec extends SparkSpec {
         .schema(SourceSinks.lakeSchema + ", bin INT")
         .parquet(v2.map(_._2).toSeq: _*)
       assert(v2After.count() == post.map(_.getLong(2)).sum)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-      }
-      rm(base)
-    }
+    } finally SourceSinks.deleteRecursively(base)
   }
 
   test("q80: two nations that never trade across form exactly two " +
@@ -413,10 +399,8 @@ class JoinsAndSourcesSpec extends SparkSpec {
       assert(staleAgg(0) == ((2L, 50.0)), staleAgg)
       assert(v3Agg(0) == ((2L, 70.0)), v3Agg)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-      }
-      rm(base); rm(evDir)
+      SourceSinks.deleteRecursively(base)
+      SourceSinks.deleteRecursively(evDir)
     }
   }
 
