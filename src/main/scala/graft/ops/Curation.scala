@@ -915,6 +915,29 @@ object Curation {
           FROM sc)
         SELECT doc_id, n_tokens, ROUND(score, 6) AS score,
           CAST(cum <= b.budget AS INT) AS admitted
+        FROM r, b ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c21_perplexity_budget",
+      (s, dir) =>
+        // Perplexity-gated budget (see [[perplexityBudgetSelect]]):
+        // t29's Kneser–Ney LM score ranks the corpus and the token
+        // budget admits the best-modeled half. The oracle re-derives
+        // the SAME KN chain (shared sqlKnChain) and states the
+        // global-sort prefix; Spark computes it via the bounded
+        // histogram — the hash match proves LM fit + score + cut.
+        perplexityBudgetSelect(docs(s, dir)),
+      Some(s"""
+        WITH ${TextAnalysis.sqlKnChain},
+        b AS (SELECT COALESCE(SUM(n_tokens), 0) // 2 AS budget FROM kn),
+        r AS (
+          SELECT doc_id, n_tokens, avg_logprob_kn,
+            SUM(n_tokens) OVER (ORDER BY avg_logprob_kn DESC, doc_id)
+              AS cum
+          FROM kn)
+        SELECT doc_id, n_tokens,
+          ROUND(avg_logprob_kn, 6) AS avg_logprob_kn,
+          CAST(cum <= b.budget AS INT) AS admitted
         FROM r, b ORDER BY doc_id"""))
   )
 
@@ -1120,6 +1143,36 @@ object Curation {
             floor(col("score") * buckets).cast("int"))
         globalFill(scored, "score")
     }
+  }
+
+  /** Perplexity-gated budget selection (c21) — the CCNet admission
+    * pattern (Wenzek et al. 2020): a count-based LM trained on a
+    * held-in reference slice scores the corpus, and the token budget
+    * admits the BEST-MODELED half (highest mean KN log-probability =
+    * lowest perplexity) — t29's interpolated Kneser–Ney score
+    * replacing c17's heuristic quality in the prefix cut, the third
+    * ranking signal the budget machinery composes with (heuristic
+    * c17, learned classifier c20, LM perplexity c21).
+    *
+    * Scale shape: t29's scoring (model tables are map-side-combining
+    * aggregates of the DISTINCT bigram table; instances join the
+    * finished per-pair score once) plus exactly
+    * [[tokenBudgetSelect]]'s bounded-histogram cut — no global sort.
+    * The LM score lands in (-∞, 0); buckets fold its practical range
+    * [-16, 0] by a clamped monotone affine floor (clamping only
+    * coarsens the histogram — within-bucket order is re-established
+    * by the boundary window, so the cut still EQUALS the global
+    * prefix). Like c20, the score frame is computed for the histogram
+    * and again on the emit path; a deployment persists it.
+    */
+  def perplexityBudgetSelect(documents: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val scored = TextAnalysis.knLogprob(documents)
+      .withColumn("bucket",
+        greatest(lit(0), least(lit(buckets),
+          floor((col("avg_logprob_kn") + lit(16.0)) *
+            lit(buckets.toDouble / 16.0)).cast("int"))))
+    globalFill(scored, "avg_logprob_kn")
   }
 
   /** Per-source token-budget selection (c18) — the uniform-mixture

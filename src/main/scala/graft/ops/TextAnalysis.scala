@@ -2373,8 +2373,21 @@ object TextAnalysis {
         // discounted bigram + continuation-probability backoff at
         // D = 0.75, held-in training slice, per-doc mean logprob.
         knLogprob(docs(s, dir)),
-      Some("""
-        WITH toks AS (
+      Some(s"""
+        WITH $sqlKnChain
+        SELECT doc_id, n_tokens, avg_logprob_kn
+        FROM kn
+        ORDER BY doc_id"""))
+  )
+
+  /** The KN oracle chain shared by t29 and c21: CTEs ending in
+    * `kn(doc_id, n_tokens, avg_logprob_kn)` — [[knLogprob]]'s exact
+    * recurrence (discounted bigram + continuation backoff, D = 0.75,
+    * held-in slice, per-term round-6 ln, pos-ordered fold).
+    */
+  // lazy: declared after `all`, which interpolates it — a plain val
+  // would read as null during the object's initialization.
+  private[graft] lazy val sqlKnChain: String = """toks AS (
           SELECT doc_id,
             list_filter(string_split_regex(lower(text), '\s+'),
                         x -> len(x) > 0) AS l
@@ -2414,16 +2427,15 @@ object TextAnalysis {
             END), 6) AS lnp
           FROM pairs p
           LEFT JOIN cv c ON c.prev = p.pk
-          LEFT JOIN bc b ON b.prev = p.pk AND b.term = p.term)
-        SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-          ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                         list(sc.lnp ORDER BY i.pos)),
-                            (a, b) -> a + b) / COUNT(*), 6)
-            AS avg_logprob_kn
-        FROM (SELECT doc_id, pos, COALESCE(prev, '') AS pk, term
-              FROM bi) i
-        JOIN scored sc ON sc.pk = i.pk AND sc.term = i.term
-        GROUP BY i.doc_id
-        ORDER BY i.doc_id"""))
-  )
+          LEFT JOIN bc b ON b.prev = p.pk AND b.term = p.term),
+        kn AS (
+          SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                           list(sc.lnp ORDER BY i.pos)),
+                              (a, b) -> a + b) / COUNT(*), 6)
+              AS avg_logprob_kn
+          FROM (SELECT doc_id, pos, COALESCE(prev, '') AS pk, term
+                FROM bi) i
+          JOIN scored sc ON sc.pk = i.pk AND sc.term = i.term
+          GROUP BY i.doc_id)"""
 }

@@ -349,4 +349,28 @@ class CurationSpec extends SparkSpec {
     (10L to 13L).foreach(i =>
       assert(out(i) == 0, s"noisy doc $i admitted: $out"))
   }
+
+  test("c21: the LM admits the predictable half — every repetitive " +
+      "doc outranks every unseen-vocab doc at the budget cut") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // All ids avoid %10==0, so every doc trains the held-in KN model.
+    // The pattern docs' bigrams repeat 60× across the slice (near-1
+    // probabilities); the noise docs' bigrams are all singletons over
+    // a disjoint vocabulary (continuation floors). Equal token counts
+    // (30 each), so the half-mass budget fills with exactly the four
+    // predictable docs.
+    val pattern = Seq.fill(15)("the cat").mkString(" ")
+    val docs = (
+      (1L to 4L).map(i => (i, pattern, "src1")) ++
+        (11L to 14L).map(i =>
+          (i, (1 to 30).map(j => s"u${i}x$j").mkString(" "), "srcA")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.perplexityBudgetSelect(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out.filter(_._2 == 1).keySet == Set(1L, 2L, 3L, 4L),
+      out.toString)
+    (11L to 14L).foreach(i =>
+      assert(out(i) == 0, s"noise doc $i admitted: $out"))
+  }
 }
