@@ -19,6 +19,45 @@ import graft.Tables
   */
 object Graph {
 
+  /** The distinct supplier↔customer pair table every graph query's
+    * edge list derives from — one lineitem⋈orders join plus one
+    * DISTINCT shuffle.
+    */
+  private def derivePairs(lineitem: DataFrame,
+      orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+      .distinct()
+
+  /** Per-(session, dir) memo of the checkpointed pair table — the
+    * [[graft.ops.Pipeline]] `gateMemo` discipline applied to the
+    * graph family's shared scan: all five registered graph queries
+    * (q77/q78/q80/q81/q83) start from the SAME lineitem⋈orders
+    * DISTINCT, so a bench pass would otherwise re-scan both tables
+    * and re-shuffle the distinct five times. Entries of stopped
+    * sessions are dropped on access (their blocks died with the
+    * session).
+    */
+  private val pairsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def tradePairs(s: SparkSession, dir: String): DataFrame = {
+    pairsMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(pairsMemo.remove)
+    pairsMemo.getOrElseUpdate((s, dir),
+      derivePairs(Tables.load(s, dir, "lineitem"),
+        Tables.load(s, dir, "orders")).localCheckpoint())
+  }
+
+  /** Drop (and free) this session's memoized pair table for `dir` —
+    * the explicit invalidation path (`Pipeline.invalidateGate`'s
+    * rule).
+    */
+  def invalidateTradePairs(s: SparkSession, dir: String): Unit =
+    pairsMemo.remove((s, dir)).foreach(Similarity.freeCheckpoint)
+
   /** Exact integer PageRank (q77) over the bipartite supplier↔customer
     * trade graph (edge per distinct supplied-to pair, both
     * directions, so no dangling-mass handling is needed: every node
@@ -38,18 +77,21 @@ object Graph {
     * paths; cost per round is |E| join + |E|→|V| aggregate.
     */
   def pageRank(lineitem: DataFrame, orders: DataFrame,
+      iters: Int = 10, k: Int = 25): DataFrame =
+    pageRankFrom(derivePairs(lineitem, orders), iters, k)
+
+  /** [[pageRank]] from a prebuilt (sk, ck) pair table — the entry
+    * point the registered query uses so the memoized [[tradePairs]]
+    * scan is shared across the graph family.
+    */
+  def pageRankFrom(pairs: DataFrame,
       iters: Int = 10, k: Int = 25): DataFrame = {
-    val s = lineitem.sparkSession
+    val s = pairs.sparkSession
     import s.implicits._
     val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val pairs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
-      .distinct()
     // Disjoint node ids: supplier 2k, customer 2k+1.
     val edges0 = pairs
       .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
@@ -160,14 +202,14 @@ object Graph {
     * Output is the bounded (node_type, dist) histogram.
     */
   def seedDistance(lineitem: DataFrame, orders: DataFrame,
-      supplier: DataFrame, rounds: Int = 6): DataFrame = {
-    val s = lineitem.sparkSession
+      supplier: DataFrame, rounds: Int = 6): DataFrame =
+    seedDistanceFrom(derivePairs(lineitem, orders), supplier, rounds)
+
+  /** [[seedDistance]] from a prebuilt pair table ([[tradePairs]]). */
+  def seedDistanceFrom(pairs: DataFrame, supplier: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
-    val pairs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
-      .distinct()
     val edges0 = pairs
       .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
       .unionByName(pairs
@@ -261,18 +303,21 @@ object Graph {
     * in as a broadcast flag on the node frame; nothing else changes.
     */
   def personalizedPageRank(lineitem: DataFrame, orders: DataFrame,
-      supplier: DataFrame, iters: Int = 10, k: Int = 25): DataFrame = {
-    val s = lineitem.sparkSession
+      supplier: DataFrame, iters: Int = 10, k: Int = 25): DataFrame =
+    personalizedPageRankFrom(derivePairs(lineitem, orders), supplier,
+      iters, k)
+
+  /** [[personalizedPageRank]] from a prebuilt pair table
+    * ([[tradePairs]]).
+    */
+  def personalizedPageRankFrom(pairs: DataFrame, supplier: DataFrame,
+      iters: Int = 10, k: Int = 25): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
     val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val pairs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
-      .distinct()
     val edges0 = pairs
       .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
       .unionByName(pairs
@@ -372,6 +417,319 @@ object Graph {
       ORDER BY rnk"""
   }
 
+  /** HITS hubs & authorities (q83) — Kleinberg's link-analysis pair
+    * (JACM 1999) on the DIRECTED supplier→customer trade graph: a
+    * hub score for suppliers (supplies many well-endorsed customers)
+    * and an authority score for customers (supplied by many strong
+    * hubs) — the two-sided endorsement signal a corpus pipeline uses
+    * when link structure is bipartite (site→page, source→document),
+    * where PageRank's single score conflates the roles.
+    *
+    * Integer-exact discipline: scores live in 10⁻¹² LONG units and
+    * each half-round renormalizes to total mass ~10¹² by the
+    * integral division (raw · 10¹²) DIV Σraw, computed in
+    * DECIMAL(38,0) so the product stays in exact integer space
+    * (raw ≤ 10¹² · maxdeg, so the product ≤ 10²⁴ · maxdeg ≪ 10³⁸;
+    * DuckDB runs the identical recurrence in HUGEINT). Both engines
+    * therefore execute the same integer map — the hash match is
+    * exact with zero FP caveats.
+    *
+    * Scale shape: per half-round, one join keyed on the edge list's
+    * src (resp. dst) plus one map-side-combining LONG sum to a
+    * node-sized frame, exactly [[pageRank]]'s cost class. The raw
+    * frame is localCheckpoint'd every half-round BECAUSE the
+    * normalization references it twice (the aggregate and the emit);
+    * left lazy, each round would re-derive its predecessor twice and
+    * the lineage would blow up 2^rounds — the Spark-side mirror of
+    * the oracle's AS MATERIALIZED pins. Checkpoints are node-sized;
+    * all are freed once the bounded top-k materializes.
+    */
+  def hits(lineitem: DataFrame, orders: DataFrame,
+      iters: Int = 8, k: Int = 20): DataFrame =
+    hitsFrom(derivePairs(lineitem, orders), iters, k)
+
+  /** [[hits]] from a prebuilt pair table ([[tradePairs]]). */
+  def hitsFrom(pairs: DataFrame,
+      iters: Int = 8, k: Int = 20): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    val edges = cp(pairs
+      .select(col("sk").as("src"), col("ck").as("dst")))
+    val nh = edges.select("src").distinct().count()
+    if (nh == 0L) {
+      cps.foreach(Similarity.freeCheckpoint)
+      return Seq.empty[(String, Int, Long, Long)]
+        .toDF("kind", "rnk", "node_id", "score")
+    }
+    // (raw · 10¹²) DIV Σraw in exact decimal — IntegralDivide returns
+    // LONG; the normalized mass sums to ≤ 10¹² by construction.
+    def normalize(raw: DataFrame, key: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(sum("raw").as("tot"))))
+        .select(col(key).as("node"),
+          expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000000 " +
+            "div CAST(tot AS DECIMAL(38,0)) AS BIGINT)").as("score"))
+    var hubs = cp(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000000000L / nh).as("score")))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = cp(edges.join(hubs, col("src") === col("node"))
+        .groupBy("dst").agg(sum("score").as("raw")))
+      auth = normalize(araw, "dst")
+      val hraw = cp(edges.join(auth, col("dst") === col("node"))
+        .groupBy("src").agg(sum("score").as("raw")))
+      hubs = normalize(hraw, "src")
+    }
+    def top(df: DataFrame, kind: String): DataFrame = df
+      .orderBy(col("score").desc, col("node")).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("node"))))
+      .select(lit(kind).as("kind"), col("rnk"),
+        col("node").as("node_id"), col("score"))
+    // Bounded (2k rows) out; free the checkpoint working set.
+    val out = top(hubs, "hub").unionByName(top(auth, "authority"))
+      .orderBy("kind", "rnk")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    cps.foreach(Similarity.freeCheckpoint)
+    out.toSeq.toDF("kind", "rnk", "node_id", "score")
+  }
+
+  /** The q83 oracle: the identical normalize-each-half-round integer
+    * recurrence unrolled as MATERIALIZED CTEs ([[sqlPageRank]]'s
+    * convention), HUGEINT carrying the 10²⁴-scale products.
+    */
+  private[graft] def sqlHits(iters: Int, k: Int): String = {
+    val steps = (1 to iters).map { it =>
+      s"""ar$it AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(SUM(h.score) AS BIGINT) AS raw
+        FROM edges e JOIN h${it - 1} h ON h.node = e.src
+        GROUP BY e.dst),
+      a$it AS MATERIALIZED (
+        SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000000
+          // (SELECT CAST(SUM(raw) AS HUGEINT) FROM ar$it)
+          AS BIGINT) AS score
+        FROM ar$it),
+      hr$it AS MATERIALIZED (
+        SELECT e.src AS node, CAST(SUM(a.score) AS BIGINT) AS raw
+        FROM edges e JOIN a$it a ON a.node = e.dst
+        GROUP BY e.src),
+      h$it AS MATERIALIZED (
+        SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000000
+          // (SELECT CAST(SUM(raw) AS HUGEINT) FROM hr$it)
+          AS BIGINT) AS score
+        FROM hr$it)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH edges AS MATERIALIZED (
+        SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      nb AS (SELECT 1000000000000 // COUNT(DISTINCT src) AS base
+             FROM edges),
+      h0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, (SELECT base FROM nb) AS score
+        FROM edges),
+      $steps
+      SELECT kind, CAST(rnk AS INT) AS rnk, node_id,
+        CAST(score AS BIGINT) AS score
+      FROM (
+        SELECT 'hub' AS kind, node AS node_id, score,
+          ROW_NUMBER() OVER (ORDER BY score DESC, node) AS rnk
+        FROM h$iters
+        UNION ALL
+        SELECT 'authority' AS kind, node AS node_id, score,
+          ROW_NUMBER() OVER (ORDER BY score DESC, node) AS rnk
+        FROM a$iters)
+      WHERE rnk <= $k
+        -- Spark returns EMPTY on an edgeless graph (the nh guard).
+        AND (SELECT COUNT(*) FROM edges) > 0
+      ORDER BY kind, rnk"""
+  }
+
+  /** Butterfly counting (q84) — the bipartite analogue of triangle
+    * counting (Sanei-Mehri et al., KDD 2018, "Butterfly Counting in
+    * Bipartite Networks"): a butterfly is a 2×2 biclique — two
+    * suppliers sharing two customers — the smallest non-trivial
+    * cohesion motif a bipartite graph has (the trade graph has NO
+    * triangles, so the triangle-based clustering signal a corpus
+    * pipeline uses on site→page / source→document link structure is
+    * exactly this). Emits each supplier's butterfly participation,
+    * top-k — the local-clustering prior.
+    *
+    * Exact wedge enumeration, all-integer: each customer contributes
+    * one wedge per supplier pair it connects; a pair with n shared
+    * customers closes C(n,2) butterflies; a supplier's participation
+    * sums C(n,2) over its pairs. Deterministic integer arithmetic —
+    * both engines run the identical count, exact hash match.
+    *
+    * Scale shape: the self-join is keyed on ck (co-partitioned, never
+    * all-pairs) and the wedge volume per customer is C(deg,2), so a
+    * `maxDeg` skew cap EXCLUDES hub customers beyond the cap — the
+    * d-family's maxBucket/maxPosting rule, applied IDENTICALLY in
+    * both engines so the (documented, approximate-by-exclusion) count
+    * stays deterministic. Pair counts and participations are
+    * map-side-combining LONG sums; output is bounded top-k via
+    * orderBy+limit (TakeOrderedAndProject).
+    */
+  def butterflies(lineitem: DataFrame, orders: DataFrame,
+      maxDeg: Int = 256, k: Int = 20): DataFrame =
+    butterfliesFrom(derivePairs(lineitem, orders), maxDeg, k)
+
+  /** [[butterflies]] from a prebuilt pair table ([[tradePairs]]). */
+  def butterfliesFrom(pairs: DataFrame,
+      maxDeg: Int = 256, k: Int = 20): DataFrame = {
+    val kept = pairs
+      .join(pairs.groupBy("ck").agg(count(lit(1)).as("d"))
+        .filter(col("d") <= maxDeg), "ck")
+      .select("sk", "ck")
+    val pc = kept.as("a")
+      .join(kept.as("b"),
+        col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("s1"), col("b.sk").as("s2"))
+      .agg(count(lit(1)).as("n"))
+    val perSupplier = pc.select(col("s1").as("s"), col("n"))
+      .unionByName(pc.select(col("s2").as("s"), col("n")))
+      .groupBy("s")
+      .agg(sum(expr("n * (n - 1) div 2")).as("butterflies"))
+    perSupplier.orderBy(col("butterflies").desc, col("s")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("butterflies").desc, col("s"))))
+      .select(col("rnk"), col("s").as("s_suppkey"), col("butterflies"))
+      .orderBy("rnk")
+  }
+
+  /** The q84 oracle: the identical capped wedge enumeration. */
+  private[graft] def sqlButterflies(maxDeg: Int, k: Int): String =
+    s"""
+      WITH pairs AS (
+        SELECT DISTINCT l.l_suppkey AS sk, o.o_custkey AS ck
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      cd AS (SELECT ck FROM pairs GROUP BY ck
+             HAVING COUNT(*) <= $maxDeg),
+      kept AS MATERIALIZED (
+        SELECT p.sk, p.ck FROM pairs p JOIN cd ON cd.ck = p.ck),
+      pc AS MATERIALIZED (
+        SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS n
+        FROM kept a JOIN kept b ON a.ck = b.ck AND a.sk < b.sk
+        GROUP BY 1, 2),
+      bf AS (
+        SELECT s, CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS butterflies
+        FROM (SELECT s1 AS s, n FROM pc
+              UNION ALL SELECT s2 AS s, n FROM pc)
+        GROUP BY s)
+      SELECT CAST(rnk AS INT) AS rnk, s AS s_suppkey, butterflies
+      FROM (SELECT s, butterflies,
+              ROW_NUMBER() OVER (ORDER BY butterflies DESC, s) AS rnk
+            FROM bf)
+      WHERE rnk <= $k
+      ORDER BY rnk"""
+
+  /** k-core decomposition (q85) — each node's coreness (the largest k
+    * such that the node survives in the k-core, the maximal subgraph
+    * of minimum degree k), the density-tier signal link-graph
+    * pipelines use to separate tightly-knit hubs from peripheral
+    * pages (spam rings and boilerplate farms sit in low cores;
+    * authoritative clusters in high ones). Computed by the
+    * distributed h-index iteration (Lü et al. 2016; Montresor et al.
+    * 2013): c₀(v) = deg(v), cᵣ₊₁(v) = min(cᵣ(v), H({cᵣ(u) : u∼v}))
+    * where H is the h-index — provably monotone non-increasing and
+    * convergent to coreness. `rounds` is FIXED, so both engines run
+    * the identical integer recurrence whether or not it has converged
+    * (the spec asserts convergence on the toy graph; the oracle match
+    * never depends on it). Output is the bounded
+    * (node_type, coreness → n_nodes) histogram.
+    *
+    * Scale shape: per round, one src-keyed join pushes each node's
+    * value to its neighbors, then ONE window partitioned by dst ranks
+    * each neighborhood descending and a map-side-combining MAX folds
+    * H = max(min(rank, value)) — |E| log(deg) per round, the classic
+    * distributed formulation; value frames are node-sized and
+    * lineage-flattened every 3rd round. The h-index is invariant
+    * under permutation of equal values, so the rank's tie order never
+    * reaches the result — both engines agree without a tiebreak.
+    */
+  def kcore(lineitem: DataFrame, orders: DataFrame,
+      rounds: Int = 8): DataFrame =
+    kcoreFrom(derivePairs(lineitem, orders), rounds)
+
+  /** [[kcore]] from a prebuilt pair table ([[tradePairs]]). */
+  def kcoreFrom(pairs: DataFrame, rounds: Int = 8): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    val edges = cp(pairs
+      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst"))))
+    var core = cp(edges.groupBy("src").agg(count(lit(1)).as("c"))
+      .select(col("src").as("node"), col("c")))
+    for (it <- 1 to rounds) {
+      val h = edges.join(core, col("src") === col("node"))
+        .select(col("dst"), col("c").as("nc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("dst").orderBy(col("nc").desc)))
+        .groupBy("dst").agg(max(least(col("rn"), col("nc"))).as("h"))
+      core = core.join(h, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("c"), coalesce(col("h"), lit(0L))).as("c"))
+      if (it % 3 == 0 || it == rounds) core = cp(core)
+    }
+    // Bounded (node_type, coreness) histogram out; free the working
+    // set (the pageRank rule).
+    val out = core
+      .select(expr("CASE WHEN node % 2 = 0 THEN 'supplier' " +
+        "ELSE 'customer' END").as("node_type"),
+        col("c").as("coreness"))
+      .groupBy("node_type", "coreness")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("node_type", "coreness")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    cps.foreach(Similarity.freeCheckpoint)
+    out.toSeq.toDF("node_type", "coreness", "n_nodes")
+  }
+
+  /** The q85 oracle: the identical h-index recurrence unrolled
+    * ([[sqlPageRank]]'s convention).
+    */
+  private[graft] def sqlKcore(rounds: Int): String = {
+    val steps = (1 to rounds).map { it =>
+      s"""h$it AS MATERIALIZED (
+        SELECT dst AS node, MAX(LEAST(rn, nc)) AS h FROM (
+          SELECT e.dst, r.c AS nc,
+            ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY r.c DESC)
+              AS rn
+          FROM edges e JOIN c${it - 1} r ON r.node = e.src)
+        GROUP BY dst),
+      c$it AS MATERIALIZED (
+        SELECT c.node, LEAST(c.c, COALESCE(h.h, 0)) AS c
+        FROM c${it - 1} c LEFT JOIN h$it h ON h.node = c.node)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH pairs AS (
+        SELECT DISTINCT l.l_suppkey AS sk, o.o_custkey AS ck
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      edges AS MATERIALIZED (
+        SELECT sk * 2 AS src, ck * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT ck * 2 + 1 AS src, sk * 2 AS dst FROM pairs),
+      c0 AS MATERIALIZED (
+        SELECT src AS node, COUNT(*) AS c FROM edges GROUP BY src),
+      $steps
+      SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+          AS node_type,
+        CAST(c AS BIGINT) AS coreness, COUNT(*) AS n_nodes
+      FROM c$rounds
+      GROUP BY 1, 2
+      ORDER BY node_type, coreness"""
+  }
+
   /** Weakly-connected components (q80) — the graph tier's grouping
     * primitive (d08's min-label propagation is the same algorithm on
     * the near-dup graph; here it's registered as a first-class graph
@@ -397,25 +755,33 @@ object Graph {
     */
   def connectedComponents(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, supplier: DataFrame,
-      rounds: Int = 10): DataFrame = {
-    val s = lineitem.sparkSession
+      rounds: Int = 10): DataFrame =
+    connectedComponentsFrom(derivePairs(lineitem, orders),
+      customer, supplier, rounds)
+
+  /** [[connectedComponents]] from a prebuilt pair table
+    * ([[tradePairs]]) — the same-nation filter attaches the nation
+    * attributes AFTER the shared distinct (equivalent: (sk, ck)
+    * determines both nations, so filter-after-distinct =
+    * distinct-after-filter).
+    */
+  def connectedComponentsFrom(pairs0: DataFrame, customer: DataFrame,
+      supplier: DataFrame, rounds: Int = 10): DataFrame = {
+    val s = pairs0.sparkSession
     import s.implicits._
     val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val pairs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
+    val pairs = pairs0
       .join(broadcast(supplier.select(col("s_suppkey"),
         col("s_nationkey").as("sn"))),
-        col("l_suppkey") === col("s_suppkey"))
+        col("sk") === col("s_suppkey"))
       .join(customer.select(col("c_custkey"),
         col("c_nationkey").as("cn")),
-        col("o_custkey") === col("c_custkey"))
+        col("ck") === col("c_custkey"))
       .filter(col("sn") === col("cn"))
-      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
-      .distinct()
+      .select(col("sk"), col("ck"))
     val edges = cp(pairs
       .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
       .unionByName(pairs
@@ -483,8 +849,7 @@ object Graph {
       (s, dir) =>
         // Exact integer PageRank (see [[pageRank]]): 10 rounds over
         // the supplier↔customer trade graph, top-25 by rank.
-        pageRank(Tables.load(s, dir, "lineitem"),
-          Tables.load(s, dir, "orders")),
+        pageRankFrom(tradePairs(s, dir)),
       Some(sqlPageRank(iters = 10, k = 25))),
     // ----------------------------------------------------------------
     Q(
@@ -492,8 +857,7 @@ object Graph {
       (s, dir) =>
         // BFS seed distance (see [[seedDistance]]): hop distance
         // from nation-0..4 suppliers, 6 min-plus rounds, histogram out.
-        seedDistance(Tables.load(s, dir, "lineitem"),
-          Tables.load(s, dir, "orders"),
+        seedDistanceFrom(tradePairs(s, dir),
           Tables.load(s, dir, "supplier")),
       Some(sqlSeedDistance(rounds = 6))),
     // ----------------------------------------------------------------
@@ -503,8 +867,7 @@ object Graph {
         // Weakly-connected components (see [[connectedComponents]]):
         // 10 min-label rounds on the same-nation trade graph,
         // bounded (component size → count) histogram out.
-        connectedComponents(Tables.load(s, dir, "lineitem"),
-          Tables.load(s, dir, "orders"),
+        connectedComponentsFrom(tradePairs(s, dir),
           Tables.load(s, dir, "customer"),
           Tables.load(s, dir, "supplier")),
       Some(sqlConnectedComponents(rounds = 10))),
@@ -515,9 +878,35 @@ object Graph {
         // Personalized PageRank (see [[personalizedPageRank]]):
         // teleport mass restricted to the nation-0..4 supplier seed
         // set — trust-relative influence, top-25.
-        personalizedPageRank(Tables.load(s, dir, "lineitem"),
-          Tables.load(s, dir, "orders"),
+        personalizedPageRankFrom(tradePairs(s, dir),
           Tables.load(s, dir, "supplier")),
-      Some(sqlPersonalizedPageRank(iters = 10, k = 25)))
+      Some(sqlPersonalizedPageRank(iters = 10, k = 25))),
+    // ----------------------------------------------------------------
+    Q(
+      "q83_hits",
+      (s, dir) =>
+        // HITS hubs & authorities (see [[hits]]): 8 normalize-each-
+        // half-round integer rounds on the directed supplier→customer
+        // graph, top-20 hubs + top-20 authorities.
+        hitsFrom(tradePairs(s, dir)),
+      Some(sqlHits(iters = 8, k = 20))),
+    // ----------------------------------------------------------------
+    Q(
+      "q84_butterflies",
+      (s, dir) =>
+        // Butterfly counting (see [[butterflies]]): per-supplier 2×2
+        // biclique participation on the bipartite trade graph,
+        // hub-customer degree cap 256, top-20.
+        butterfliesFrom(tradePairs(s, dir)),
+      Some(sqlButterflies(maxDeg = 256, k = 20))),
+    // ----------------------------------------------------------------
+    Q(
+      "q85_kcore",
+      (s, dir) =>
+        // k-core decomposition (see [[kcore]]): 8 h-index rounds on
+        // the bipartite trade graph, bounded
+        // (node_type, coreness → count) histogram out.
+        kcoreFrom(tradePairs(s, dir)),
+      Some(sqlKcore(rounds = 8)))
   )
 }

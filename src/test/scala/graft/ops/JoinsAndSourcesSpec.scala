@@ -472,6 +472,93 @@ class JoinsAndSourcesSpec extends SparkSpec {
     assert(byId(("supplier", 1L)) < byId(("supplier", 2L)))
   }
 
+  test("q83: the distributed HITS iteration reproduces a hand-run of " +
+      "the normalize-each-half-round integer recurrence") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // s1 supplies c1 AND c2; s2 supplies only c1. So s1 is the top
+    // hub (points at more authorities) and c1 the top authority
+    // (endorsed by both hubs).
+    val li = Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((1L, 1L), (2L, 2L), (3L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = Graph.hits(li, ord, iters = 8, k = 20).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // Independent hand-run in BigInt (the HUGEINT/DECIMAL(38,0) map):
+    // each half-round sums the opposite side's scores over the edges,
+    // then renormalizes by (raw * 10^12) div sum(raw).
+    val edges = Seq(1L -> 1L, 1L -> 2L, 2L -> 1L) // src -> dst
+    val unit = BigInt("1000000000000")
+    def norm(raw: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val tot = raw.values.sum
+      raw.map { case (n, v) => n -> v * unit / tot }
+    }
+    var h = Map(1L -> unit / 2, 2L -> unit / 2)
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 8) {
+      a = norm(edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h(e._1)).sum })
+      h = norm(edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => a(e._2)).sum })
+    }
+    def rank(m: Map[Long, BigInt], kind: String) =
+      m.toSeq.sortBy { case (n, v) => (-v, n) }.zipWithIndex.map {
+        case ((n, v), i) => (kind, i + 1, n, v.toLong)
+      }
+    val want = rank(h, "hub") ++ rank(a, "authority")
+    assert(got.toSeq.sortBy(g => (g._1, g._2)) ==
+      want.sortBy(g => (g._1, g._2)), s"got ${got.toSeq}\nwant $want")
+    val byKind = got.groupBy(_._1)
+    assert(byKind("hub").minBy(_._2)._3 == 1L, "s1 must be top hub")
+    assert(byKind("authority").minBy(_._2)._3 == 1L,
+      "c1 must be top authority")
+  }
+
+  test("q84: butterfly participation on a hand-checkable bipartite " +
+      "graph, and the hub-customer degree cap excludes its wedges") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // s1 and s2 both supply c1 AND c2 (one butterfly); s3 supplies
+    // only c1. Participation: s1=1, s2=1, s3=0.
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+    val got = Graph.butterflies(li, ord).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 1L, 1L), (2, 2L, 1L), (3, 3L, 0L)), got.toSeq)
+    // maxDeg = 2 excludes c1 (degree 3): the butterfly opens — only
+    // the (s1, s2, c2) wedge survives, participation drops to zero,
+    // and s3 (present only through c1) leaves the result entirely.
+    val capped = Graph.butterflies(li, ord, maxDeg = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((1, 1L, 0L), (2, 2L, 0L)), capped.toSeq)
+  }
+
+  test("q85: h-index k-core on a hand-checkable graph — the K2,2 " +
+      "block is the 2-core, the pendant supplier stays coreness 1") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // s1,s2 × c1,c2 complete (K2,2) plus pendant s3—c1. Degrees:
+    // s1=s2=c2=2, c1=3, s3=1. Coreness: the K2,2 block is the 2-core
+    // (c1's third edge doesn't save s3 — removing degree-1 s3 leaves
+    // c1 at degree 2); s3 stays at 1. Hand-run of round 1 (converged):
+    //   s1/s2: H({3,2}) = 2; s3: H({3}) = 1; c1: H({2,2,1}) = 2;
+    //   c2: H({2,2}) = 2.
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+    val got = Graph.kcore(li, ord).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("customer", 2L, 2L), ("supplier", 1L, 1L), ("supplier", 2L, 2L)),
+      got.toSeq)
+    // Convergence check: 2 extra rounds change nothing.
+    val more = Graph.kcore(li, ord, rounds = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(more.toSeq == got.toSeq)
+  }
+
   test("q78: BFS distances on a hand-checkable chain — seed 0, " +
       "neighbor 1, two hops 2, three hops 3") {
     val sparkS = spark
