@@ -32,7 +32,7 @@ object ScaleSmoke {
       |  lakemerge [f] st28 partition-scoped merge cost on a ×f lake
       |  tokenbudget [f]  c17 histogram bound + boundary share ×1 vs ×f
       |  pca [f]       s37 covariance-shuffle invariance + cost ×1 vs ×f
-      |  graph [f]     q77/q78 cost on ×f disjoint graph copies
+      |  graph [f]     q77/q78/q80-q85 cost on ×f disjoint graph copies
       |  lifecycle [f]  st27 persist+serve: probed-cell bytes vs corpus ×f
       |  classifier [f]  t28 GD fit cost ×1 vs ×f (1-row round shuffles)""".stripMargin
 
@@ -574,6 +574,24 @@ object ScaleSmoke {
         .write.format("noop").mode("overwrite").save())
     time(s"q81 personalized PR ×$factor")(
       ops.Graph.personalizedPageRank(liN, orN, suN)
+        .write.format("noop").mode("overwrite").save())
+    time("q83 hits ×1")(
+      ops.Graph.hits(li1, or1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"q83 hits ×$factor")(
+      ops.Graph.hits(liN, orN)
+        .write.format("noop").mode("overwrite").save())
+    time("q84 butterflies ×1")(
+      ops.Graph.butterflies(li1, or1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"q84 butterflies ×$factor")(
+      ops.Graph.butterflies(liN, orN)
+        .write.format("noop").mode("overwrite").save())
+    time("q85 kcore ×1")(
+      ops.Graph.kcore(li1, or1)
+        .write.format("noop").mode("overwrite").save())
+    time(s"q85 kcore ×$factor")(
+      ops.Graph.kcore(liN, orN)
         .write.format("noop").mode("overwrite").save())
     liN.unpersist(); orN.unpersist(); suAll.unpersist(); cuAll.unpersist()
   }
