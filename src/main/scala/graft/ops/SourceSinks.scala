@@ -710,7 +710,80 @@ object SourceSinks {
         // the writers without losing either update.
         lakeOptimisticCommit(s, dir,
           tmp("graft_q82").getAbsolutePath),
-      Some(sqlLakeOptimistic))
+      Some(sqlLakeOptimistic)),
+    // ----------------------------------------------------------------
+    Q(
+      "q86_join_delta_mv",
+      (s, dir) => {
+        // JOIN-VIEW INCREMENTAL MAINTENANCE — q74 proves the agg-MV
+        // merge rule; this proves the JOIN delta rule that precedes
+        // it in every real view (DBSP / differential dataflow's
+        // first-order term): for V = A ⋈ B with deltas ΔA, ΔB,
+        //   ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB.
+        // The pre-delta view partial (orders⋈lineitem up to BOTH
+        // mid-stream cutoffs, grouped to decomposable COUNT + exact
+        // DECIMAL SUM per status) is materialized to parquet; the
+        // three delta terms are aggregated alone; the refresh merges
+        // partials read back FROM THE FILES (q74's rule). The oracle
+        // is the full-recompute join aggregate — the hash matches iff
+        // the join-delta expansion is exact through the storage
+        // boundary. At 100 TB each delta term has at least one
+        // delta-sized side (broadcast-able), so a refresh never
+        // re-joins the two base tables — that is the IVM point.
+        val path = new File(tmp("graft_q86"), "mv").getAbsolutePath
+        val o = t(s, dir)("orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            datediff(col("o_orderdate"), lit("1970-01-01"))
+              .cast("long").as("day"))
+        val l = t(s, dir)("lineitem")
+          .select(col("l_orderkey"),
+            col("l_extendedprice").cast("decimal(12,2)").as("price"),
+            datediff(col("l_shipdate").cast("date"), lit("1970-01-01"))
+              .cast("long").as("sday"))
+        val cuts = o.agg(expr("(min(day) + max(day)) DIV 2").as("cuta"))
+          .crossJoin(l.agg(
+            expr("(min(sday) + max(sday)) DIV 2").as("cutb")))
+        val oc = o.crossJoin(broadcast(cuts))
+        val lc = l.crossJoin(broadcast(cuts))
+        val aOld = oc.filter(col("day") <= col("cuta"))
+          .select("o_orderkey", "o_orderstatus")
+        val aDelta = oc.filter(col("day") > col("cuta"))
+          .select("o_orderkey", "o_orderstatus")
+        val bOld = lc.filter(col("sday") <= col("cutb"))
+          .select("l_orderkey", "price")
+        val bDelta = lc.filter(col("sday") > col("cutb"))
+          .select("l_orderkey", "price")
+        def partial(a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b, col("o_orderkey") === col("l_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              sum(col("price")).as("sum_price")) // decimal(22,2)
+        partial(aOld, bOld).write.mode("overwrite").parquet(path)
+        val mv = s.read
+          .schema(
+            "o_orderstatus STRING, n BIGINT, sum_price DECIMAL(22,2)")
+          .parquet(path)
+        mv.unionByName(partial(aDelta, bOld))
+          .unionByName(partial(aOld, bDelta))
+          .unionByName(partial(aDelta, bDelta))
+          .groupBy("o_orderstatus")
+          .agg(sum(col("n")).as("n"),
+            sum(col("sum_price")).as("sum_price"))
+          .select(col("o_orderstatus"), col("n"),
+            col("sum_price").cast("double").as("sum_price"),
+            (col("sum_price").cast("double") /
+              col("n").cast("double")).as("avg_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o.o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS avg_price
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+        ORDER BY o.o_orderstatus"""))
   )
 
   /** Lake vacuum execution (q75) — see the q75 entry for the story;

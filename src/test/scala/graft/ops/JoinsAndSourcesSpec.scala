@@ -211,6 +211,50 @@ class JoinsAndSourcesSpec extends SparkSpec {
       s"cutoff must split the feed: pre=$pre total=$total")
   }
 
+  test("q86: the join-delta refresh equals the full-join recompute, " +
+      "and every delta quadrant is non-empty on the testdata") {
+    import graft.SparkEntry
+    val got = SparkEntry.queries("q86_join_delta_mv")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val want = graft.Tables.load(spark, dir, "orders")
+      .join(graft.Tables.load(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == want && got.nonEmpty)
+    // The proof is only about the DELTA RULE if all four quadrants
+    // actually join rows: old⋈old, Δ⋈old, old⋈Δ, Δ⋈Δ.
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast("long").as("day"))
+    val l = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01"))
+          .cast("long").as("sday"))
+    val cuta = o.agg(expr("(min(day) + max(day)) DIV 2"))
+      .collect()(0).getLong(0)
+    val cutb = l.agg(expr("(min(sday) + max(sday)) DIV 2"))
+      .collect()(0).getLong(0)
+    val j = o.join(l, col("l_orderkey") === col("o_orderkey"))
+    Seq(
+      ("old⋈old", col("day") <= cuta && col("sday") <= cutb),
+      ("Δ⋈old", col("day") > cuta && col("sday") <= cutb),
+      ("old⋈Δ", col("day") <= cuta && col("sday") > cutb),
+      ("Δ⋈Δ", col("day") > cuta && col("sday") > cutb)
+    ).foreach { case (name, cond) =>
+      assert(j.filter(cond).count() > 0, s"empty quadrant: $name")
+    }
+  }
+
   test("q75: after the vacuum the directory holds EXACTLY the " +
       "manifest — one live file per bucket, zero orphans left") {
     val base = java.nio.file.Files
