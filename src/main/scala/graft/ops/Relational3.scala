@@ -462,8 +462,123 @@ object Relational3 {
           CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass,
           CAST(n_false_pos AS BIGINT) AS n_false_pos
         FROM res CROSS JOIN audit
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q87_seasonal_anomaly",
+      (s, dir) => {
+        // SEASONAL-BASELINE ANOMALY DETECTION — the ingest-monitoring
+        // staple a pipeline runs over its own event stream: hourly
+        // per-type counts on a ZERO-FILLED hour grid (a missing hour
+        // is itself a signal, so the spine is not optional), a
+        // seasonal baseline per (type, hour-of-day), and the top-20
+        // hours by |z|. Determinism without FP caveats: hours are
+        // integer epoch-hour indices (hod = idx % 24 — UTC-aligned,
+        // no calendar functions), the baseline is carried as INTEGER
+        // sums (cnt, Σn, Σn²; the variance numerator Σn²·cnt − (Σn)²
+        // computed in DECIMAL(38,0)/HUGEINT exact integer space), and
+        // the doubles appear only in the FINAL identical-expression
+        // division/sqrt — both engines divide the same integers, so
+        // z is bit-identical. Ranking uses the RAW z (the s33 rule);
+        // round(·, 6) only on emit. Constant series (zero variance)
+        // are excluded by the integer num > 0 gate, never by a
+        // float epsilon.
+        //
+        // Scale shape: ONE map-side-combining (type, hour) count over
+        // the corpus; the spine is calendar×types-bounded (explode of
+        // a broadcast 1-row min/max, the q69 discipline); the
+        // baseline is ≤ types·24 rows broadcast back; top-20 via
+        // orderBy+limit (TakeOrderedAndProject).
+        seasonalAnomaly(t(s, dir)("events"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS idx
+          FROM events WHERE ts IS NOT NULL),
+        bounds AS (SELECT MIN(idx) AS i0, MAX(idx) AS i1 FROM e),
+        spine AS (
+          SELECT t.event_type, g.idx
+          FROM (SELECT DISTINCT event_type FROM e) t
+          CROSS JOIN (SELECT unnest(range((SELECT i0 FROM bounds),
+                                          (SELECT i1 FROM bounds) + 1))
+                        AS idx) g),
+        hourly AS (
+          SELECT s.event_type, s.idx, s.idx % 24 AS hod,
+            COALESCE(c.n, 0) AS n
+          FROM spine s LEFT JOIN (
+            SELECT event_type, idx, COUNT(*) AS n FROM e GROUP BY 1, 2) c
+          ON c.event_type = s.event_type AND c.idx = s.idx),
+        base AS (
+          SELECT event_type, hod, COUNT(*) AS cnt,
+            CAST(SUM(n) AS HUGEINT) AS s1,
+            CAST(SUM(n * n) AS HUGEINT) AS s2
+          FROM hourly GROUP BY 1, 2),
+        z AS (
+          SELECT hr.event_type, hr.idx, hr.n, b.cnt, b.s1,
+            b.s2 * b.cnt - b.s1 * b.s1 AS num
+          FROM hourly hr JOIN base b
+            ON b.event_type = hr.event_type AND b.hod = hr.hod
+          WHERE b.s2 * b.cnt - b.s1 * b.s1 > 0),
+        sc AS (
+          SELECT event_type, idx, n,
+            CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean_n,
+            (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+              / sqrt(CAST(num AS DOUBLE) / CAST(cnt * cnt AS DOUBLE))
+              AS zscore
+          FROM z)
+        SELECT CAST(rnk AS INT) AS rnk, event_type,
+          idx * 3600000000 AS hour_us, n,
+          ROUND(mean_n, 6) AS mean_n, ROUND(zscore, 6) AS zscore
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                ORDER BY abs(zscore) DESC, event_type, idx) AS rnk
+              FROM sc)
+        WHERE rnk <= 20
+        ORDER BY rnk"""))
   )
+
+  /** The q87 body, factored for the engineered-spike spec: takes any
+    * frame with (event_type, ts) and returns the top-k anomalous
+    * hours. See the q87 entry for the determinism and scale notes.
+    */
+  def seasonalAnomaly(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(abs(col("zscore")).desc, col("event_type"), col("idx"))
+    val ev = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("idx"))
+    val bounds = ev.agg(min("idx").as("i0"), max("idx").as("i1"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("i0"), col("i1"))).as("idx"))
+    val hourly = spine
+      .join(ev.groupBy("event_type", "idx")
+        .agg(count(lit(1)).as("n")),
+        Seq("event_type", "idx"), "left")
+      .select(col("event_type"), col("idx"),
+        expr("idx % 24").as("hod"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val base = hourly.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
+        sum(expr("n * n")).as("s2"))
+    hourly.join(broadcast(base), Seq("event_type", "hod"))
+      .withColumn("num", expr(
+        "cast(s2 as decimal(38,0)) * cnt - cast(s1 as decimal(38,0)) * s1"))
+      .filter(col("num") > 0)
+      .withColumn("zscore", expr(
+        "(cast(n as double) - cast(s1 as double) / cast(cnt as double))" +
+          " / sqrt(cast(num as double) / cast(cnt * cnt as double))"))
+      .orderBy(abs(col("zscore")).desc, col("event_type"), col("idx"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("event_type"),
+        (col("idx") * 3600000000L).as("hour_us"), col("n"),
+        round(expr("cast(s1 as double) / cast(cnt as double)"), 6)
+          .as("mean_n"),
+        round(col("zscore"), 6).as("zscore"))
+      .orderBy("rnk")
+  }
 
   /** Bloom-prefiltered join (q71) — the runtime-filter pattern made
     * explicit: hash the qualifying build-side keys (customers with

@@ -1092,6 +1092,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("(bucket"), p)
   }
 
+  test("q84: wedges are enumerated by a ck-keyed join (never a " +
+    "cartesian), from the memoized pair checkpoint (never a fresh " +
+    "lineitem/orders parquet scan)") {
+    val p = plan("q84_butterflies")
+    assert(!p.contains("CartesianProduct"), p)
+    // tradePairs' localCheckpoint: every edge derivation in the graph
+    // family reads the in-memory RDD — a bench pass scans the base
+    // tables once for all seven graph queries.
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.toLowerCase.contains("lineitem"), p)
+  }
+
   test("t27: the hot boilerplate set comes back as the SMALL side of " +
     "a broadcast anti-join; no chunk-payload doc-side shuffle") {
     val p = plan("t27_boilerplate_scrub")

@@ -67,4 +67,34 @@ class Relational3Spec extends SparkSpec {
     assert(nPass === nExact + nFp, s"pass=$nPass exact=$nExact fp=$nFp")
     assert(nFp >= 0L)
   }
+
+  test("q87: an engineered hourly spike ranks first; its hod siblings " +
+      "carry the complementary z; a constant series never appears") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 72 hours starting at epoch-hour 1,000,000. Type a: 5 events per
+    // hour except hour index 30 bursts to 50; type b: constant 5.
+    // Only the spiked hour-of-day class (hours 6, 30, 54) has nonzero
+    // variance: samples {5, 5, 50} give mean 20, sigma = sqrt(450),
+    // z = 30/21.2132... = 1.414214 for the spike and -0.707107 for the
+    // two quiet siblings. Every other hod class is constant and must
+    // be excluded by the integer zero-variance gate -- type b (all
+    // constant) must not appear at all.
+    val h0 = 1000000L
+    val rows = (0 until 72).flatMap { i =>
+      val perA = if (i == 30) 50 else 5
+      (0 until perA).map(j => ("a", (h0 + i) * 3600 + j)) ++
+        (0 until 5).map(j => ("b", (h0 + i) * 3600 + j))
+    }
+    val ev = rows.toDF("event_type", "sec")
+      .select(col("event_type"), timestamp_seconds(col("sec")).as("ts"))
+    val got = Relational3.seasonalAnomaly(ev).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val us = (i: Long) => (h0 + i) * 3600000000L
+    assert(got.toSeq == Seq(
+      (1, "a", us(30), 50L, 20.0, 1.414214),
+      (2, "a", us(6), 5L, 20.0, -0.707107),
+      (3, "a", us(54), 5L, 20.0, -0.707107)), got.toSeq)
+  }
 }
