@@ -32,7 +32,7 @@ object ScaleSmoke {
       |  lakemerge [f] st28 partition-scoped merge cost on a ×f lake
       |  tokenbudget [f]  c17 histogram bound + boundary share ×1 vs ×f
       |  pca [f]       s37 covariance-shuffle invariance + cost ×1 vs ×f
-      |  graph [f]     q77/q78/q80-q85 cost on ×f disjoint graph copies
+      |  graph [f]     q77/q78/q80/q81/q83-q85 cost on ×f disjoint graph copies
       |  lifecycle [f]  st27 persist+serve: probed-cell bytes vs corpus ×f
       |  classifier [f]  t28 GD fit cost ×1 vs ×f (1-row round shuffles)""".stripMargin
 
@@ -521,7 +521,8 @@ object ScaleSmoke {
   }
 
   /** Graph scale structure (`runMain graft.ScaleSmoke graph [f]`):
-    * q77/q78 cost on ×factor DISJOINT graph copies (keys shifted, so
+    * the whole family (q77/q78/q80/q81/q83/q84/q85) on ×factor
+    * DISJOINT graph copies (keys shifted, so
     * nodes and edges both grow ×factor with no new connectivity) —
     * the per-round cost is one |E| join plus one |E|→|V| aggregate,
     * so wall time should grow ~linearly while the round COUNT stays

@@ -33,12 +33,12 @@ object Graph {
 
   /** Per-(session, dir) memo of the checkpointed pair table — the
     * [[graft.ops.Pipeline]] `gateMemo` discipline applied to the
-    * graph family's shared scan: all five registered graph queries
-    * (q77/q78/q80/q81/q83) start from the SAME lineitem⋈orders
-    * DISTINCT, so a bench pass would otherwise re-scan both tables
-    * and re-shuffle the distinct five times. Entries of stopped
-    * sessions are dropped on access (their blocks died with the
-    * session).
+    * graph family's shared scan: all seven registered graph queries
+    * (q77/q78/q80/q81/q83/q84/q85) start from the SAME
+    * lineitem⋈orders DISTINCT, so a bench pass would otherwise
+    * re-scan both tables and re-shuffle the distinct once per query.
+    * Entries of stopped sessions are dropped on access (their blocks
+    * died with the session).
     */
   private val pairsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
@@ -57,6 +57,16 @@ object Graph {
     */
   def invalidateTradePairs(s: SparkSession, dir: String): Unit =
     pairsMemo.remove((s, dir)).foreach(Similarity.freeCheckpoint)
+
+  /** The family's shared symmetric edge encoding: disjoint node ids
+    * (supplier 2k, customer 2k+1), one edge per direction. Factored
+    * so the id scheme lives in exactly one place.
+    */
+  private def bipartiteEdges(pairs: DataFrame): DataFrame =
+    pairs
+      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
 
   /** Exact integer PageRank (q77) over the bipartite supplier↔customer
     * trade graph (edge per distinct supplied-to pair, both
@@ -92,11 +102,7 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    // Disjoint node ids: supplier 2k, customer 2k+1.
-    val edges0 = pairs
-      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
-      .unionByName(pairs
-        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+    val edges0 = bipartiteEdges(pairs)
     val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val edges = cp(edges0.join(outdeg, "src"))
     val nodes = cp(edges.select(col("src").as("node")).distinct())
@@ -210,10 +216,7 @@ object Graph {
       rounds: Int = 6): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    val edges0 = pairs
-      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
-      .unionByName(pairs
-        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+    val edges0 = bipartiteEdges(pairs)
     val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
@@ -318,10 +321,7 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val edges0 = pairs
-      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
-      .unionByName(pairs
-        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+    val edges0 = bipartiteEdges(pairs)
     val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val edges = cp(edges0.join(outdeg, "src"))
     val seedIds = supplier.filter(col("s_nationkey") < 5)
@@ -466,21 +466,28 @@ object Graph {
         .toDF("kind", "rnk", "node_id", "score")
     }
     // (raw · 10¹²) DIV Σraw in exact decimal — IntegralDivide returns
-    // LONG; the normalized mass sums to ≤ 10¹² by construction.
+    // LONG; the normalized mass sums to ≤ 10¹² by construction. BOTH
+    // folds (the per-node raw sum and the total) cast to
+    // DECIMAL(38,0) BEFORE summing — the oracle's HUGEINT class; a
+    // plain LONG fold would wrap silently past ~9·10¹⁸ (≈ a node
+    // with > 9·10⁶ full-mass neighbors).
     def normalize(raw: DataFrame, key: String): DataFrame =
       raw.crossJoin(broadcast(raw.agg(sum("raw").as("tot"))))
         .select(col(key).as("node"),
           expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000000 " +
             "div CAST(tot AS DECIMAL(38,0)) AS BIGINT)").as("score"))
+    require(iters >= 1, s"hits needs at least one half-round: $iters")
     var hubs = cp(edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000000000L / nh).as("score")))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val araw = cp(edges.join(hubs, col("src") === col("node"))
-        .groupBy("dst").agg(sum("score").as("raw")))
+        .groupBy("dst")
+        .agg(sum(col("score").cast("decimal(38,0)")).as("raw")))
       auth = normalize(araw, "dst")
       val hraw = cp(edges.join(auth, col("dst") === col("node"))
-        .groupBy("src").agg(sum("score").as("raw")))
+        .groupBy("src")
+        .agg(sum(col("score").cast("decimal(38,0)")).as("raw")))
       hubs = normalize(hraw, "src")
     }
     def top(df: DataFrame, kind: String): DataFrame = df
@@ -503,9 +510,13 @@ object Graph {
     * convention), HUGEINT carrying the 10²⁴-scale products.
     */
   private[graft] def sqlHits(iters: Int, k: Int): String = {
+    // Per-node raws stay HUGEINT end-to-end (DuckDB's SUM(BIGINT)
+    // class) — mirroring the Spark side's DECIMAL(38,0) folds; only
+    // the normalized score (≤ 10¹² by construction) narrows to
+    // BIGINT.
     val steps = (1 to iters).map { it =>
       s"""ar$it AS MATERIALIZED (
-        SELECT e.dst AS node, CAST(SUM(h.score) AS BIGINT) AS raw
+        SELECT e.dst AS node, SUM(h.score) AS raw
         FROM edges e JOIN h${it - 1} h ON h.node = e.src
         GROUP BY e.dst),
       a$it AS MATERIALIZED (
@@ -514,7 +525,7 @@ object Graph {
           AS BIGINT) AS score
         FROM ar$it),
       hr$it AS MATERIALIZED (
-        SELECT e.src AS node, CAST(SUM(a.score) AS BIGINT) AS raw
+        SELECT e.src AS node, SUM(a.score) AS raw
         FROM edges e JOIN a$it a ON a.node = e.dst
         GROUP BY e.src),
       h$it AS MATERIALIZED (
@@ -663,10 +674,7 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val edges = cp(pairs
-      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
-      .unionByName(pairs
-        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst"))))
+    val edges = cp(bipartiteEdges(pairs))
     var core = cp(edges.groupBy("src").agg(count(lit(1)).as("c"))
       .select(col("src").as("node"), col("c")))
     for (it <- 1 to rounds) {
@@ -782,10 +790,7 @@ object Graph {
         col("ck") === col("c_custkey"))
       .filter(col("sn") === col("cn"))
       .select(col("sk"), col("ck"))
-    val edges = cp(pairs
-      .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
-      .unionByName(pairs
-        .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst"))))
+    val edges = cp(bipartiteEdges(pairs))
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (it <- 1 to rounds) {

@@ -559,9 +559,13 @@ object Relational3 {
       .select(col("event_type"), col("idx"),
         expr("idx % 24").as("hod"),
         coalesce(col("n"), lit(0L)).as("n"))
+    // Moment sums in DECIMAL(38,0) — cast BEFORE the fold, so the
+    // sums stay exact to 10³⁸ (the oracle's HUGEINT class); a plain
+    // LONG sum of n² would wrap silently near 10¹⁹.
     val base = hourly.groupBy("event_type", "hod")
-      .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
-        sum(expr("n * n")).as("s2"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n").cast("decimal(38,0)")).as("s1"),
+        sum(expr("cast(n as decimal(38,0)) * n")).as("s2"))
     hourly.join(broadcast(base), Seq("event_type", "hod"))
       .withColumn("num", expr(
         "cast(s2 as decimal(38,0)) * cnt - cast(s1 as decimal(38,0)) * s1"))
