@@ -33,30 +33,79 @@ object Graph {
 
   /** Per-(session, dir) memo of the checkpointed pair table — the
     * [[graft.ops.Pipeline]] `gateMemo` discipline applied to the
-    * graph family's shared scan: all seven registered graph queries
-    * (q77/q78/q80/q81/q83/q84/q85) start from the SAME
-    * lineitem⋈orders DISTINCT, so a bench pass would otherwise
-    * re-scan both tables and re-shuffle the distinct once per query.
-    * Entries of stopped sessions are dropped on access (their blocks
-    * died with the session).
+    * graph family's shared scan: all registered graph queries start
+    * from the SAME lineitem⋈orders DISTINCT, so a bench pass would
+    * otherwise re-scan both tables and re-shuffle the distinct once
+    * per query. Entries of stopped sessions are dropped on access
+    * (their blocks died with the session). The value carries a
+    * FINGERPRINT of the two source parquet directories (sorted file
+    * paths + lengths + mtimes — a footer-free driver listing): if
+    * the files under `dir` are rewritten mid-session, the next
+    * access sees a changed fingerprint, frees the stale checkpoint
+    * and rebuilds — the memo can never serve pairs the oracle's
+    * fresh read would contradict.
     */
   private val pairsMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+    .empty[(SparkSession, String), (Long, DataFrame)]
 
-  def tradePairs(s: SparkSession, dir: String): DataFrame = {
-    pairsMemo.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(pairsMemo.remove)
-    pairsMemo.getOrElseUpdate((s, dir),
-      derivePairs(Tables.load(s, dir, "lineitem"),
-        Tables.load(s, dir, "orders")).localCheckpoint())
+  /** Driver-side listing fingerprint of the tables the pair scan
+    * reads. Sorted before folding so FS listing order can't flip it.
+    */
+  private def pairsFingerprint(s: SparkSession, dir: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    var h = 1125899906842597L
+    Seq("lineitem", "orders").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(Tables.path(dir, t))
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          buf += ((st.getPath.toString, st.getLen,
+            st.getModificationTime))
+        }
+        buf.sortBy(_._1).foreach { case (path, len, mt) =>
+          h = h * 31 + path.hashCode
+          h = h * 31 + len
+          h = h * 31 + mt
+        }
+      }
+    }
+    h
   }
+
+  def tradePairs(s: SparkSession, dir: String): DataFrame =
+    // One coarse lock instead of getOrElseUpdate: TrieMap may run a
+    // getOrElseUpdate default twice under concurrency, leaking the
+    // losing checkpoint's blocks forever. The lock only serialises
+    // the driver-side memo path; concurrent callers of the same
+    // (dir) would have waited on the identical build anyway.
+    pairsMemo.synchronized {
+      pairsMemo.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(pairsMemo.remove)
+      val key = (s, dir)
+      val fp = pairsFingerprint(s, dir)
+      pairsMemo.get(key) match {
+        case Some((`fp`, df)) => df
+        case stale =>
+          stale.foreach { case (_, df) =>
+            Similarity.freeCheckpoint(df)
+          }
+          val built = derivePairs(Tables.load(s, dir, "lineitem"),
+            Tables.load(s, dir, "orders")).localCheckpoint()
+          pairsMemo.put(key, (fp, built))
+          built
+      }
+    }
 
   /** Drop (and free) this session's memoized pair table for `dir` —
     * the explicit invalidation path (`Pipeline.invalidateGate`'s
     * rule).
     */
   def invalidateTradePairs(s: SparkSession, dir: String): Unit =
-    pairsMemo.remove((s, dir)).foreach(Similarity.freeCheckpoint)
+    pairsMemo.remove((s, dir))
+      .foreach { case (_, df) => Similarity.freeCheckpoint(df) }
 
   /** The family's shared symmetric edge encoding: disjoint node ids
     * (supplier 2k, customer 2k+1), one edge per direction. Factored
@@ -451,6 +500,9 @@ object Graph {
   /** [[hits]] from a prebuilt pair table ([[tradePairs]]). */
   def hitsFrom(pairs: DataFrame,
       iters: Int = 8, k: Int = 20): DataFrame = {
+    // Guard BEFORE the first checkpoint: on the failure path nothing
+    // has materialised yet, so nothing can leak.
+    require(iters >= 1, s"hits needs at least one half-round: $iters")
     val s = pairs.sparkSession
     import s.implicits._
     val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -476,7 +528,6 @@ object Graph {
         .select(col(key).as("node"),
           expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000000 " +
             "div CAST(tot AS DECIMAL(38,0)) AS BIGINT)").as("score"))
-    require(iters >= 1, s"hits needs at least one half-round: $iters")
     var hubs = cp(edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000000000L / nh).as("score")))
     var auth: DataFrame = null

@@ -504,7 +504,7 @@ object Relational3 {
                                           (SELECT i1 FROM bounds) + 1))
                         AS idx) g),
         hourly AS (
-          SELECT s.event_type, s.idx, s.idx % 24 AS hod,
+          SELECT s.event_type, s.idx, ((s.idx % 24) + 24) % 24 AS hod,
             COALESCE(c.n, 0) AS n
           FROM spine s LEFT JOIN (
             SELECT event_type, idx, COUNT(*) AS n FROM e GROUP BY 1, 2) c
@@ -544,9 +544,16 @@ object Relational3 {
   def seasonalAnomaly(events: DataFrame, k: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(abs(col("zscore")).desc, col("event_type"), col("idx"))
+    // FLOOR division, not Spark's truncate-toward-zero `div`: DuckDB's
+    // `//` floors, so a pre-1970 timestamp (negative epoch micros)
+    // would land in a different hour under plain `div`. The integer
+    // correction keeps both engines on the identical index for ANY
+    // epoch sign without a lossy double round-trip.
     val ev = events.filter(col("ts").isNotNull)
       .select(col("event_type"),
-        expr("unix_micros(ts) div 3600000000").as("idx"))
+        expr("unix_micros(ts) div 3600000000 + " +
+          "(case when unix_micros(ts) % 3600000000 < 0 " +
+          "then -1 else 0 end)").as("idx"))
     val bounds = ev.agg(min("idx").as("i0"), max("idx").as("i1"))
     val spine = ev.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
@@ -557,7 +564,9 @@ object Relational3 {
         .agg(count(lit(1)).as("n")),
         Seq("event_type", "idx"), "left")
       .select(col("event_type"), col("idx"),
-        expr("idx % 24").as("hod"),
+        // pmod, not %: hour-of-day must stay in [0, 24) even for
+        // negative hour indices (pre-1970 data).
+        expr("pmod(idx, 24)").as("hod"),
         coalesce(col("n"), lit(0L)).as("n"))
     // Moment sums in DECIMAL(38,0) — cast BEFORE the fold, so the
     // sums stay exact to 10³⁸ (the oracle's HUGEINT class); a plain

@@ -745,11 +745,18 @@ object SourceSinks {
             expr("(min(sday) + max(sday)) DIV 2").as("cutb")))
         val oc = o.crossJoin(broadcast(cuts))
         val lc = l.crossJoin(broadcast(cuts))
-        val aOld = oc.filter(col("day") <= col("cuta"))
+        // The split must be EXHAUSTIVE: a NULL date fails both
+        // `day <= cut` and `day > cut`, so without the isNull arm a
+        // null-dated row would vanish from all four quadrants while
+        // the full-recompute oracle's join still counts it. NULLs go
+        // to the 'old' side (they were never "new data").
+        val aOld = oc.filter(
+          col("day").isNull || col("day") <= col("cuta"))
           .select("o_orderkey", "o_orderstatus")
         val aDelta = oc.filter(col("day") > col("cuta"))
           .select("o_orderkey", "o_orderstatus")
-        val bOld = lc.filter(col("sday") <= col("cutb"))
+        val bOld = lc.filter(
+          col("sday").isNull || col("sday") <= col("cutb"))
           .select("l_orderkey", "price")
         val bDelta = lc.filter(col("sday") > col("cutb"))
           .select("l_orderkey", "price")
