@@ -831,6 +831,33 @@ object StreamingOps {
           CAST(z >= 0 AS INT) AS pred
         FROM (SELECT f.doc_id, ${TextAnalysis.sqlClassifierZ("w")} AS z
               FROM f, w10 w)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st32_stream_lake_autocompact",
+      (s, dir) => EventStream.runCdcLakeAutoCompact(s, dir),
+      // CDC append lake with IN-STREAM auto-compaction (see
+      // [[EventStream.AutoCompactLake]]): q79's bin-pack OPTIMIZE run
+      // from inside foreachBatch every 2nd commit, touched buckets
+      // only, manifest swap per commit. The oracle is st28's
+      // compacted-table statement UNCHANGED — the hash matches iff
+      // the final manifest's resolved state survived 3 mid-stream
+      // rewrites byte-identically.
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        last AS (
+          SELECT user_id, us AS last_us, event_type, value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us DESC, event_id DESC) AS rn
+            FROM ev)
+          WHERE rn = 1)
+        SELECT user_id, CAST(user_id % 8 AS INT) AS bucket,
+          last_us, value
+        FROM last WHERE event_type <> 'error'
+        ORDER BY user_id"""))
   )
 }

@@ -1016,6 +1016,265 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  // ------------------------------------------------------------------
+  // st32: streaming CDC append lake + every-N-commits auto-OPTIMIZE.
+  // ------------------------------------------------------------------
+
+  /** Data-file schema of the st32 append lake. `bucket` is DERIVED
+    * (user_id % 8) and encoded only in the directory layout, never in
+    * the file bytes — so one explicit path list can mix append-era
+    * and compaction-era files whose directory depths differ, and a
+    * reader recomputes the bucket from the key.
+    */
+  private[graft] val autoLakeSchema =
+    "user_id BIGINT, last_us BIGINT, last_event_id BIGINT, " +
+      "deleted INT, value DOUBLE"
+
+  /** Versioned-manifest CDC append lake with q79's bin-pack OPTIMIZE
+    * running from INSIDE the sink (st32) — the lakehouse-maintenance
+    * staple q79 left batch-invoked: st28-shaped per-batch appends
+    * accumulate one small file per touched bucket per commit, and
+    * without in-stream compaction the file count grows with stream
+    * LIFETIME, unbounded. Here every `every`-th append commit
+    * triggers the maintenance step q79 proves: per-file row stats
+    * (manifest-metadata scale — one bounded aggregate over the
+    * candidate files, standing in for the footer counts a table
+    * format keeps), cumulative-offset binning with a global
+    * target = rows DIV `fanout`, and ONE distributed rewrite job
+    * keyed (bucket, bin) — TOUCHED buckets only, so the per-commit
+    * maintenance cost tracks the write rate, never the lake size.
+    *
+    * Commits are MANIFEST SWAPS: every append/compaction writes the
+    * new immutable file list as `manifest/v%05d.txt` after its data
+    * files land; a reader resolves the list it was handed, so the
+    * pre-compaction snapshot stays byte-identical (q76's time-travel
+    * invariant — compaction ADDS files and publishes a list that no
+    * longer references the packed inputs; q75's vacuum reclaims them
+    * later). The rewrite is LOSSLESS row-for-row (physical bin-pack,
+    * no semantic merge): latest-per-key resolution happens at read,
+    * identically before and after, which is what makes mid-stream
+    * compaction safe under replay — a re-delivered append only adds
+    * rows that lose the (last_us, last_event_id) outranking.
+    *
+    * Reference hook: the batched-writer flush discipline of
+    * `/root/reference/src/main.rs:398-434` — amortize many small
+    * emissions into bounded-size physical units without changing
+    * the logical content.
+    */
+  final class AutoCompactLake(spark: SparkSession, root: String,
+      every: Int = 2, fanout: Int = 4) {
+    private val dataDir = new java.io.File(root, "data")
+    private val manifestDir = new java.io.File(root, "manifest")
+    dataDir.mkdirs(); manifestDir.mkdirs()
+    // (bucket, path) rows of the CURRENT manifest.
+    private var files = Vector.empty[(Int, String)]
+    private var version = 0
+    private var seq = 0
+    private var appendsSinceCompact = 0
+    private var touched = Set.empty[Int]
+    /** Spec meter: completed compaction commits. */
+    private[graft] var compactions = 0
+
+    def currentVersion: Int = version
+    def currentFiles: Seq[(Int, String)] = files
+
+    private def writeManifest(): Unit = {
+      version += 1
+      val f = new java.io.File(manifestDir, f"v$version%05d.txt")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try files.foreach { case (b, p) => w.println(s"$b\t$p") }
+      finally w.close()
+    }
+
+    /** Read a committed manifest version back from disk — the list a
+      * pinned reader holds across later commits.
+      */
+    def manifestFiles(v: Int): Seq[(Int, String)] =
+      scala.io.Source.fromFile(
+        new java.io.File(manifestDir, f"v$v%05d.txt"), "UTF-8")
+        .getLines().map { line =>
+          val Array(b, p) = line.split("\t", 2)
+          (b.toInt, p)
+        }.toVector
+
+    /** Raw rows of a manifest version (no resolution) — the physical
+      * read-back the lossless-rewrite spec compares.
+      */
+    def readVersion(v: Int): DataFrame = readPaths(
+      manifestFiles(v).map(_._2))
+
+    private def readPaths(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(autoLakeSchema))
+      else spark.read.schema(autoLakeSchema).parquet(paths: _*)
+
+    /** Latest-per-key resolution over the CURRENT manifest, tombstones
+      * dropped — what a consumer reads. Identical before/after any
+      * compaction because the rewrite is row-preserving.
+      */
+    def resolvedCurrent(): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("last_us").desc, col("last_event_id").desc)
+      readPaths(files.map(_._2))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("deleted") === 0)
+        .select(col("user_id"),
+          (col("user_id") % 8).cast("int").as("bucket"),
+          col("last_us"), col("value"))
+    }
+
+    private def listParquet(dir: java.io.File): Seq[(Int, String)] = {
+      val Bucket = ".*bucket=(\\d+).*".r
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(dir).map { f =>
+        val Bucket(b) = f.getAbsolutePath
+        (b.toInt, f.getAbsolutePath)
+      }.sortBy(_._2)
+    }
+
+    /** One CDC micro-batch: compact to latest-per-key, append ONE
+      * file per touched bucket under a fresh commit directory, swap
+      * the manifest, then OPTIMIZE if the commit cadence says so.
+      */
+    def append(batch: DataFrame): Unit = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("last_us").desc, col("last_event_id").desc)
+      val delta = batch
+        .select(col("user_id"), col("us").as("last_us"),
+          col("event_id").as("last_event_id"),
+          (col("event_type") === "error").cast("int").as("deleted"),
+          col("value"),
+          (col("user_id") % 8).cast("int").as("bucket"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      seq += 1
+      val commit = new java.io.File(dataDir, f"b$seq%05d")
+      // repartition BY bucket → every bucket's rows land in one task
+      // → exactly one file per touched bucket per commit.
+      delta.repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(commit.getAbsolutePath)
+      val newFiles = listParquet(commit)
+      if (newFiles.isEmpty) return // empty batch: no commit
+      files ++= newFiles
+      writeManifest()
+      touched ++= newFiles.map(_._1)
+      appendsSinceCompact += 1
+      if (appendsSinceCompact >= every) compact()
+    }
+
+    /** q79's OPTIMIZE as in-stream maintenance: bin-pack the touched
+      * buckets' current files into ≈`fanout` target-size files and
+      * swap the manifest. Untouched buckets' files pass through the
+      * new manifest UNREAD — the 100 TB property.
+      */
+    private def compact(): Unit = {
+      val cand = files.filter { case (b, _) => touched(b) }
+      val keep = files.filterNot { case (b, _) => touched(b) }
+      // Planning stats in input_file_name space (one bounded agg —
+      // ≤ |candidate files| rows; a table format reads these counts
+      // straight from its manifest instead).
+      val stats = readPaths(cand.map(_._2))
+        .select(input_file_name().as("f"),
+          (col("user_id") % 8).cast("int").as("bucket"))
+        .groupBy("f", "bucket").agg(count(lit(1)).as("rows"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val target = math.max(1L, stats.map(_._3).sum / fanout)
+      // Cumulative-offset binning per bucket, files in path order
+      // (commit dirs are zero-padded, so append order is preserved;
+      // ordering only shapes the packing, never the content).
+      val plan = stats.groupBy(_._2).toSeq.flatMap { case (_, fs) =>
+        var cum = 0L
+        fs.sortBy(_._1).map { case (f, b, n) =>
+          val bin = (cum / target).toInt
+          cum += n
+          (f, b, bin)
+        }
+      }
+      import spark.implicits._
+      val planDf = plan.toDF("f", "bucket", "bin")
+      val cdir = new java.io.File(dataDir, f"c${version + 1}%05d")
+      // ONE distributed rewrite keyed (bucket, bin) — one file out
+      // per bin, rows byte-identical to the inputs.
+      readPaths(cand.map(_._2))
+        .withColumn("f", input_file_name())
+        .join(broadcast(planDf), "f")
+        .select(col("user_id"), col("last_us"), col("last_event_id"),
+          col("deleted"), col("value"), col("bucket"), col("bin"))
+        .repartition(col("bucket"), col("bin"))
+        .write.partitionBy("bucket", "bin").mode("overwrite")
+        .parquet(cdir.getAbsolutePath)
+      files = keep ++ listParquet(cdir)
+      writeManifest()
+      compactions += 1
+      appendsSinceCompact = 0
+      touched = Set.empty
+    }
+  }
+
+  /** Streaming CDC → append lake with auto-compaction (st32) — see
+    * [[AutoCompactLake]]. To make the cadence REAL (a single-file
+    * AvailableNow source is one micro-batch), the events feed is
+    * first split into 6 time-slice files (q79's integer slicing) and
+    * streamed with maxFilesPerTrigger=1 → 6 append commits → 3
+    * in-stream compactions. The result is the final manifest's
+    * resolved state — st21/st28's compacted-table statement through
+    * BOTH the storage boundary and the mid-stream rewrites, so the
+    * oracle (st28's, verbatim) hash-matches iff every compaction was
+    * lossless.
+    */
+  def runCdcLakeAutoCompact(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ops.SourceSinks.tmp("graft_st32")
+    val input = new java.io.File(base, "input").getAbsolutePath
+    val root = new java.io.File(base, "lake").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val ev = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+    val b = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .collect()(0) // 1-row bounded fetch
+    val lake = new AutoCompactLake(spark, root, every = 2, fanout = 4)
+    if (!b.isNullAt(0)) {
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val slices = 6
+      val sliced = ev.withColumn("slice",
+        expr(s"CAST(((us - ${mn}L) * $slices) DIV ${mx - mn + 1}L AS INT)"))
+        .localCheckpoint() // the 6 slice filters reuse one scan
+      for (i <- 0 until slices)
+        sliced.filter(col("slice") === i)
+          .select("event_id", "user_id", "us", "event_type", "value")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$input/s$i")
+      graft.ops.Similarity.freeCheckpoint(sliced)
+      withStreamShufflePartitions(spark, 8) {
+        val q = spark.readStream
+          .schema("event_id BIGINT, user_id BIGINT, us BIGINT, " +
+            "event_type STRING, value DOUBLE")
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(input)
+          .writeStream
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+              lake.append(batch.toDF())
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    lake.resolvedCurrent().orderBy("user_id")
+  }
+
   /** st23's per-user state: the first view seen so far plus ONLY the
     * clicks/purchases that could still qualify under any FUTURE first
     * view — see [[windowedFunnel]] for the pruning argument.

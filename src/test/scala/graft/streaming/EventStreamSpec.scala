@@ -689,6 +689,55 @@ class EventStreamSpec extends SparkSpec {
       .map(r => r.mkString("|"))
       .sorted.toSeq
 
+  test("st32 auto-compaction: the 2nd commit bin-packs touched " +
+      "buckets, the pre-compaction manifest still reads identically, " +
+      "and resolution survives replay") {
+    val root = java.nio.file.Files.createTempDirectory("st32_spec_")
+      .resolve("lake").toString
+    val lake = new EventStream.AutoCompactLake(spark, root,
+      every = 2, fanout = 2)
+    // Commit 1: buckets 0 (user 16) and 1 (user 17) → 2 files.
+    lake.append(cdcBatch(Seq(
+      (1L, 16L, 100L, "view", 1.0),
+      (2L, 17L, 100L, "view", 2.0))))
+    assert(lake.currentVersion == 1 && lake.currentFiles.size == 2)
+    // Commit 2: same buckets (users 24/25) → 4 files, then the
+    // cadence fires: 4 rows, target = 4/2 = 2 → one bin per bucket.
+    lake.append(cdcBatch(Seq(
+      (3L, 24L, 200L, "click", 3.0),
+      (4L, 25L, 200L, "click", 4.0))))
+    assert(lake.compactions == 1, "compaction did not fire on cadence")
+    assert(lake.currentVersion == 3, lake.currentVersion) // append + swap
+    assert(lake.currentFiles.size == 2,
+      s"bin-pack left ${lake.currentFiles.size} files, expected 2")
+    // Lossless rewrite: the pre-compaction manifest (v2) and the
+    // post-compaction one (v3) hold the SAME row multiset...
+    def rows(v: Int): Seq[String] = lake.readVersion(v)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(rows(2) == rows(3), "compaction changed content")
+    // ...and v2's files physically survive the swap (time travel —
+    // vacuum, not compaction, reclaims them).
+    assert(lake.manifestFiles(2).forall { case (_, p) =>
+      new java.io.File(p).exists()
+    }, "pre-compaction snapshot files deleted by compaction")
+    // Commit 3 on the compacted lake: a NEWER event for user 16 must
+    // outrank the compacted row (resolution mixes file eras).
+    lake.append(cdcBatch(Seq((5L, 16L, 300L, "view", 9.0))))
+    def resolved(): Seq[(Long, Long, Double)] = lake.resolvedCurrent()
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val afterUpdate = resolved()
+    assert(afterUpdate == Seq((16L, 300L, 9.0), (17L, 100L, 2.0),
+      (24L, 200L, 3.0), (25L, 200L, 4.0)), afterUpdate)
+    // Replay: re-delivering the commit adds rows that only TIE the
+    // outranking — the resolved state cannot move. The re-delivery
+    // is also the 2nd append since the last OPTIMIZE, so the cadence
+    // fires again across the replayed data.
+    lake.append(cdcBatch(Seq((5L, 16L, 300L, "view", 9.0))))
+    assert(lake.compactions == 2)
+    assert(resolved() == afterUpdate, "replay moved the resolved state")
+  }
+
   test("st28 merge: re-applying the same batch leaves the lake " +
       "bit-identical (replay idempotency)") {
     val root = java.nio.file.Files.createTempDirectory("st28_idem_")
