@@ -522,12 +522,27 @@ object Graph {
     // folds (the per-node raw sum and the total) cast to
     // DECIMAL(38,0) BEFORE summing — the oracle's HUGEINT class; a
     // plain LONG fold would wrap silently past ~9·10¹⁸ (≈ a node
-    // with > 9·10⁶ full-mass neighbors).
-    def normalize(raw: DataFrame, key: String): DataFrame =
-      raw.crossJoin(broadcast(raw.agg(sum("raw").as("tot"))))
-        .select(col(key).as("node"),
-          expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000000 " +
-            "div CAST(tot AS DECIMAL(38,0)) AS BIGINT)").as("score"))
+    // with > 9·10⁶ full-mass neighbors). The total is FETCHED from
+    // the checkpointed raw frame (a 1-row driver aggregate over
+    // cached blocks) and embedded as a decimal literal, so each
+    // half-round's plan is one join + one aggregate — no
+    // crossJoin/broadcast-exchange subtree. (The r16 verdict's
+    // rollup-marker-row alternative trips Spark's
+    // DetectAmbiguousSelfJoin on the NEXT half-round's edges⋈auth
+    // join — rollup re-tags the grouping attribute — so the literal
+    // fetch is the workable form of the same trim.)
+    def normalize(raw: DataFrame, key: String): DataFrame = {
+      // 1-row aggregate fetch over the CHECKPOINT (no recompute
+      // behind it), embedded as an exact decimal literal — the same
+      // integral division, minus a crossJoin + broadcast exchange in
+      // every half-round's plan.
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+        .collect()(0).getDecimal(0).toPlainString // never E-notation
+      raw.select(col(key).as("node"),
+        expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000000 " +
+          s"div CAST('$tot' AS DECIMAL(38,0)) AS BIGINT)")
+          .as("score"))
+    }
     var hubs = cp(edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000000000L / nh).as("score")))
     var auth: DataFrame = null
