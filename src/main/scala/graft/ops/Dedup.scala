@@ -1677,5 +1677,178 @@ object Dedup {
                 CAST(SUM(d.n_chars) AS DOUBLE), 6) AS drop_ratio
         FROM documents d LEFT JOIN verdict v USING (doc_id)
         GROUP BY d.source ORDER BY d.source"""))
+    ,
+    // ----------------------------------------------------------------
+    Q(
+      "d22_exact_substring_dedup",
+      (s, dir) =>
+        // Exact-substring passage removal (see
+        // [[exactSubstringDedup]]): every character covered by a
+        // duplicated substring of >= 40 chars — at ANY alignment —
+        // excised, the Lee et al. 2022 semantics d15's fixed token
+        // n-grams approximate.
+        exactSubstringDedup(docs(s, dir)),
+      Some(sqlExactSubstringDedup(minLen = 40)))
   )
+
+  /** Exact-substring passage dedup (d22) — the published standard for
+    * training-corpus passage removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": suffix-array
+    * ExactSubstr): remove every character that lies inside a
+    * substring of length ≥ `minLen` occurring MORE THAN ONCE in the
+    * corpus, at any alignment — within a document or across
+    * documents. d15 approximates this with fixed token 5-grams and
+    * misses any duplicate that never spans five whole shared tokens;
+    * here the anchor set is EVERY length-`minLen` character window,
+    * so the removed region is exactly the union of all duplicated
+    * ≥-`minLen` substrings:
+    *
+    *   - a duplicated substring of length M ≥ minLen duplicates each
+    *     of its M − minLen + 1 length-`minLen` windows, and the union
+    *     of their [p, p+minLen) intervals is precisely the substring;
+    *   - conversely every flagged window IS a duplicated substring —
+    *     no false removal.
+    *
+    * Like the published ExactSubstr tool, ALL copies of a duplicated
+    * span are removed (the acknowledged quirk of the paper's
+    * released implementation), which also makes the verdict a pure
+    * per-position predicate — no keeper election, no ordering.
+    *
+    * Scale shape: one Generate emits n − minLen + 1 anchor windows
+    * per document (the per-row array is len·minLen chars — bounded
+    * by doc length, never corpus); ONE shuffle keyed on the window
+    * string with a partition-count window (duplicated-window groups
+    * are tiny — the count is all that's read); interval union is the
+    * classic gaps-and-islands window PARTITIONED PER DOCUMENT
+    * (bounded by doc length); the rebuild is a per-row fold over the
+    * merged islands. The shuffle carries ~minLen× the corpus bytes —
+    * at 100 TB a deployment swaps the window key for a Karp–Rabin
+    * rolling fingerprint (8 bytes, computed map-side, same grouping)
+    * or the paper's suffix array; the count/island/rebuild skeleton
+    * is unchanged, which is what this operator pins.
+    *
+    * Output per document: char counts, merged duplicate-region
+    * count, and the md5 of the REBUILT text — the oracle recomputes
+    * the rebuild independently, so the hash match proves the excision
+    * byte-exact, not just the arithmetic.
+    */
+  def exactSubstringDedup(documents: DataFrame,
+      minLen: Int = 40): DataFrame = {
+    val d = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("len"))
+    val grams = d.filter(col("len") >= minLen)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, len - $minLen + 1), " +
+          s"p -> substring(text, p, $minLen))")).as(Seq("off", "g")))
+      .select(col("doc_id"), (col("off") + 1).cast("int").as("p"),
+        col("g"))
+    // One pass: windows whose corpus count exceeds 1 (same doc or
+    // not) flag their [p, p+minLen) interval.
+    val flagged = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("p").as("s"),
+        (col("p") + minLen).cast("int").as("e"))
+    // Gaps-and-islands per doc: a window that starts at or before the
+    // running max end extends the island (adjacent = contiguous
+    // region, still one cut).
+    val wp = Window.partitionBy("doc_id").orderBy("s")
+    val islands = flagged
+      .withColumn("maxe", max("e").over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1)
+          .otherwise(0))
+      .withColumn("island", sum("brk").over(wp))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("s"), max("e").as("e"))
+    val per = islands.groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).cast("long").as("n_dup_chars"),
+        count(lit(1)).as("n_regions"),
+        sort_array(collect_list(struct(col("s"), col("e"))))
+          .as("ivs"))
+    d.join(per, Seq("doc_id"), "left")
+      .withColumn("clean", coalesce(expr(
+        """aggregate(ivs,
+             named_struct('acc', cast('' as string), 'prev', 1),
+             (st, iv) -> named_struct(
+               'acc', concat(st.acc,
+                 substring(text, st.prev, iv.s - st.prev)),
+               'prev', iv.e),
+             st -> concat(st.acc,
+               substring(text, st.prev, len - st.prev + 1)))"""),
+        col("text")))
+      .select(col("doc_id"), col("len").cast("long").as("n_chars"),
+        coalesce(col("n_dup_chars"), lit(0L)).as("n_dup_chars"),
+        (col("len") - coalesce(col("n_dup_chars"), lit(0L)))
+          .cast("long").as("n_kept_chars"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The d22 oracle: the identical window-count / island-merge /
+    * segment-rebuild statement — string_agg over the complement
+    * segments reconstructs the clean text independently.
+    */
+  private[graft] def sqlExactSubstringDedup(minLen: Int): String =
+    s"""
+      WITH d AS (
+        SELECT doc_id, text, CAST(length(text) AS INT) AS len
+        FROM documents WHERE text IS NOT NULL),
+      g AS (
+        SELECT doc_id, CAST(t.p AS INT) AS p,
+          substring(text, CAST(t.p AS INT), $minLen) AS g
+        FROM d, unnest(range(1, len - $minLen + 2)) AS t(p)
+        WHERE len >= $minLen),
+      f AS (
+        SELECT doc_id, p AS s, p + $minLen AS e FROM (
+          SELECT doc_id, p, COUNT(*) OVER (PARTITION BY g) AS c
+          FROM g)
+        WHERE c > 1),
+      isl0 AS (
+        SELECT doc_id, s, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        FROM f),
+      isl1 AS (
+        SELECT doc_id, s, e,
+          SUM(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl0),
+      isl AS (
+        SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+        FROM isl1 GROUP BY doc_id, island),
+      seg AS (
+        SELECT doc_id,
+          COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+            AS ks,
+          s AS ke
+        FROM isl
+        UNION ALL
+        SELECT i.doc_id, MAX(i.e) AS ks, MIN(d.len) + 1 AS ke
+        FROM isl i JOIN d USING (doc_id) GROUP BY i.doc_id),
+      agg AS (
+        SELECT s.doc_id,
+          string_agg(substring(d.text, s.ks, s.ke - s.ks), ''
+                     ORDER BY s.ks) AS clean,
+          CAST(SUM(s.ke - s.ks) AS BIGINT) AS n_kept
+        FROM seg s JOIN d USING (doc_id)
+        GROUP BY s.doc_id),
+      st AS (
+        SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_dup_chars,
+          COUNT(*) AS n_regions
+        FROM isl GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.len AS BIGINT) AS n_chars,
+        COALESCE(st.n_dup_chars, 0) AS n_dup_chars,
+        CAST(d.len - COALESCE(st.n_dup_chars, 0) AS BIGINT)
+          AS n_kept_chars,
+        COALESCE(st.n_regions, 0) AS n_regions,
+        md5(COALESCE(a.clean, d.text)) AS clean_md5
+      FROM d
+      LEFT JOIN st USING (doc_id)
+      LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""
 }

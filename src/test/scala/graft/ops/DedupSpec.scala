@@ -298,6 +298,60 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, "tiny doc")))
   }
 
+  test("d22 exact-substring dedup: arbitrary-alignment passage excised " +
+      "where d15's token grams are blind, self-repeats removed, rebuild " +
+      "byte-exact") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def run(seq: Seq[(Long, String)]) = Dedup
+      .exactSubstringDedup(seq.toDF("doc_id", "text"), minLen = 40)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // Non-repetitive fillers (indexed triplets, distinct letter per
+    // filler) so the ONLY >=40-char duplicates are the planted ones.
+    def fill(c: Char, n: Int): String =
+      (0 until n).map(i => f"$c$i%02d").mkString
+    // The shared passage has NO spaces and lands at DIFFERENT offsets
+    // inside each doc (60- vs 75-char prefixes), glued directly into
+    // the surrounding token — no five whole tokens are shared, so
+    // d15's fixed token grams cannot see it; d22 must cut exactly it.
+    val passage = fill('p', 20) // 60 chars
+    val doc1 = fill('a', 20) + passage + fill('b', 20)
+    val doc2 = fill('c', 25) + passage + fill('d', 20)
+    // Self-repetition: the SAME 54-char phrase twice WITHIN one doc
+    // (both copies removed — the published ExactSubstr behavior).
+    // Distinct sentinel chars around each copy stop the maximal
+    // duplicate from extending into the fillers' shared digits.
+    val q = fill('q', 18) // 54 chars
+    val doc3 = fill('x', 20) + "#" + q + "%" + fill('y', 20) +
+      "&" + q + "@" + fill('z', 20)
+    val doc4 = fill('m', 40) // fully unique
+    val out = run(Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4)))
+    // docs 1/2: exactly the 60 passage chars, one region each.
+    assert(out(1L) == ((180L, 60L, 120L, 1L,
+      md5hex(fill('a', 20) + fill('b', 20)))), out(1L))
+    assert(out(2L) == ((195L, 60L, 135L, 1L,
+      md5hex(fill('c', 25) + fill('d', 20)))), out(2L))
+    // doc 3: both internal copies cut, two regions.
+    assert(out(3L) == ((292L, 108L, 184L, 2L,
+      md5hex(fill('x', 20) + "#" + "%" + fill('y', 20) +
+        "&" + "@" + fill('z', 20)))), out(3L))
+    // doc 4: untouched, md5 of the original text.
+    assert(out(4L) == ((120L, 0L, 120L, 0L, md5hex(doc4))), out(4L))
+    // d15's token 5-grams are provably blind here: no doc loses a
+    // single token (the passage never spans five shared whole tokens).
+    val d15 = Dedup.removePassages(
+      Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"),
+      n = 5, minDocs = 2).collect()
+    assert(d15.forall(_.getLong(2) == 0L),
+      "d15 unexpectedly saw the unaligned passage")
+  }
+
   test("d16 edit-distance verify: reorder-blind Jaccard caught, near-identical kept") {
     val sparkS = spark
     import sparkS.implicits._
