@@ -938,7 +938,17 @@ object Curation {
         SELECT doc_id, n_tokens,
           ROUND(avg_logprob_kn, 6) AS avg_logprob_kn,
           CAST(cum <= b.budget AS INT) AS admitted
-        FROM r, b ORDER BY doc_id"""))
+        FROM r, b ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "c22_coreness_budget",
+      (s, dir) =>
+        // Coreness-prior budget (see [[corenessBudgetSelect]]): q85's
+        // h-index coreness over the band-sharing source graph tiers
+        // the per-source allocation min(core+1, 4) — low-core
+        // (farm-shaped) sources lose budget share at equal quality.
+        corenessBudgetSelect(docs(s, dir)),
+      Some(sqlCorenessBudget(rounds = 4)))
   )
 
   /** The c19 oracle: d02's band CTE chain → source adjacency →
@@ -1297,6 +1307,159 @@ object Curation {
     * set, exactly like c17's histogram walk. Everything downstream
     * is c18's machinery.
     */
+  /** The band-sharing SOURCE graph shared by c19/c22: sources are
+    * adjacent when any of their documents share a MinHash band bucket
+    * (d02's banding — shared near-dup content IS the link). Directed
+    * both ways, distinct. Bounded driver fetch: the edge set is
+    * ≤ |sources|² and sources are a catalog-scale dimension
+    * (thousands, not billions); the corpus-scale work is d02's band
+    * pass, which shuffles signatures, never text.
+    */
+  private def sourceEdges(documents: DataFrame)
+      : Array[(String, String)] = {
+    val sb = Dedup.minhashBands(documents)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("band_id"), col("band_hash"))
+      .distinct()
+    sb.as("a").join(sb.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+  }
+
+  /** Fixed-round h-index coreness over a bounded symmetric edge list —
+    * q85's recurrence run on the driver because the node set is the
+    * source catalog (c19's BFS altitude argument). `rounds` rounds of
+    * c_k(v) = min(c_{k-1}(v), h-index over neighbors' c_{k-1}); c_0 =
+    * degree. Integer-exact and tie-insensitive (the h-index is
+    * invariant under permuting equal neighbor values), so the oracle
+    * restates it mechanically.
+    */
+  private[graft] def sourceCoreness(edges: Array[(String, String)],
+      nodes: Array[String], rounds: Int): Map[String, Long] = {
+    val adj = edges.groupBy(_._1).map { case (a, es) =>
+      a -> es.map(_._2)
+    }
+    var c: Map[String, Long] = nodes.map(n =>
+      n -> adj.get(n).map(_.length.toLong).getOrElse(0L)).toMap
+    for (_ <- 1 to rounds) {
+      val h = adj.map { case (n, nbrs) =>
+        val vals = nbrs.map(c).sortBy(-_)
+        n -> vals.zipWithIndex
+          .map { case (v, i) => math.min(i + 1L, v) }.max
+      }
+      c = c.map { case (n, cv) =>
+        n -> math.min(cv, h.getOrElse(n, 0L))
+      }
+    }
+    c
+  }
+
+  /** Coreness-prior budget selection (c22) — q85's stated motivation
+    * made real: spam rings and boilerplate farms sit in LOW cores of
+    * the content-sharing graph (a farm's near-dup links concentrate
+    * on few counterparties, so its h-index collapses under the
+    * k-core peel), while well-embedded sources survive to deeper
+    * cores. The coreness TIER of each source in the band-sharing
+    * source graph reweights c18's per-source allocation — weight
+    * min(coreness + 1, 4), so a low-core source loses budget share
+    * at equal quality. Everything downstream is c18's bounded
+    * histogram cut; the coreness recurrence is [[sourceCoreness]]
+    * (q85 at catalog altitude). Scale shape: c19's — d02's band pass
+    * is the only corpus-scale work.
+    */
+  def corenessBudgetSelect(documents: DataFrame,
+      buckets: Int = 4096, rounds: Int = 4): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val scored = scoredWithSource(documents, buckets)
+    val hist = sourceHistogram(scored)
+    if (hist.isEmpty)
+      return Seq.empty[(Long, String, Long, Long, Double, Int)]
+        .toDF("doc_id", "source", "coreness", "n_tokens", "quality",
+          "admitted")
+    val edges = sourceEdges(documents)
+    val allSources = documents.select(col("source")).distinct()
+      .collect().map(_.getString(0))
+    val core = sourceCoreness(edges, allSources, rounds)
+    val budget = hist.map(_._3).sum / 2
+    def weight(c: Long): Long = math.min(c + 1, 4L)
+    val scoredSources = hist.map(_._1).distinct
+    val sumW = scoredSources.map(src => weight(core(src))).sum
+    val allocOf = (src: String) => budget * weight(core(src)) / sumW
+    val coreDf = core.toSeq.toDF("source", "coreness")
+    perSourceFill(scored, hist, allocOf)
+      .join(broadcast(coreDf), Seq("source"))
+      .select(col("doc_id"), col("source"), col("coreness"),
+        col("n_tokens"), round(col("quality"), 6).as("quality"),
+        col("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** The c22 oracle: [[sourceCoreness]]'s h-index rounds unrolled over
+    * the band-derived source edge set ([[sqlGraphBudget]]'s graph
+    * CTEs + q85's step convention), then c18's weighted prefix cut.
+    */
+  private def sqlCorenessBudget(rounds: Int): String = {
+    val steps = (1 to rounds).map { it =>
+      s"""h$it AS MATERIALIZED (
+          SELECT dst AS source, MAX(LEAST(rn, nc)) AS h FROM (
+            SELECT e.sb AS dst, r.c AS nc,
+              ROW_NUMBER() OVER (PARTITION BY e.sb
+                                 ORDER BY r.c DESC) AS rn
+            FROM se e JOIN k${it - 1} r ON r.source = e.sa)
+          GROUP BY dst),
+        k$it AS MATERIALIZED (
+          SELECT k.source, LEAST(k.c, COALESCE(h.h, 0)) AS c
+          FROM k${it - 1} k LEFT JOIN h$it h USING (source))"""
+    }.mkString(",\n        ")
+    s"""
+        ${Dedup.sqlBandsCte},
+        sbnd AS (
+          SELECT DISTINCT d.source, b.band_id, b.band_hash
+          FROM bands b JOIN documents d USING (doc_id)),
+        se AS (
+          SELECT DISTINCT a.source AS sa, b.source AS sb
+          FROM sbnd a JOIN sbnd b USING (band_id, band_hash)
+          WHERE a.source <> b.source),
+        nodes AS (SELECT DISTINCT source FROM documents),
+        deg AS (SELECT sa AS source, COUNT(*) AS c FROM se GROUP BY sa),
+        k0 AS MATERIALIZED (
+          SELECT n.source, COALESCE(d.c, 0) AS c
+          FROM nodes n LEFT JOIN deg d USING (source)),
+        $steps,
+        c AS (
+          SELECT doc_id, source,
+            $sqlQualitySignals
+          FROM documents WHERE text IS NOT NULL),
+        s AS (
+          SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+            $sqlQuality AS quality
+          FROM c WHERE n_tokens >= 1 AND n_chars >= 1),
+        bb AS (SELECT COALESCE(SUM(n_tokens), 0) // 2 AS budget FROM s),
+        ssrc AS (SELECT DISTINCT source FROM s),
+        wts AS (
+          SELECT k.source, LEAST(k.c + 1, 4) AS w
+          FROM k$rounds k JOIN ssrc USING (source)),
+        tw AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM wts),
+        al AS (
+          SELECT w.source, (bb.budget * w.w) // tw.sumw AS alloc
+          FROM wts w, bb, tw),
+        r AS (
+          SELECT doc_id, source, n_tokens, quality,
+            SUM(n_tokens) OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS cum
+          FROM s)
+        SELECT r.doc_id, r.source, CAST(k.c AS BIGINT) AS coreness,
+          r.n_tokens, ROUND(r.quality, 6) AS quality,
+          CAST(r.cum <= al.alloc AS INT) AS admitted
+        FROM r JOIN al USING (source) JOIN k$rounds k USING (source)
+        ORDER BY doc_id"""
+  }
+
   def graphBudgetSelect(documents: DataFrame, seed: String = "src1",
       buckets: Int = 4096, rounds: Int = 3): DataFrame = {
     val s = documents.sparkSession
@@ -1309,17 +1472,7 @@ object Curation {
           "admitted")
     // Source adjacency from shared band buckets — bounded driver
     // fetch (≤ |sources|² pairs).
-    val sb = Dedup.minhashBands(documents)
-      .join(documents.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("band_id"), col("band_hash"))
-      .distinct()
-    val edges = sb.as("a").join(sb.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.source") =!= col("b.source"))
-      .select(col("a.source").as("sa"), col("b.source").as("sb"))
-      .distinct()
-      .collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = sourceEdges(documents)
     // Synchronous min-plus relaxation, `rounds` rounds — the same
     // recurrence as q78, run on the driver because the node set is
     // the bounded source catalog.

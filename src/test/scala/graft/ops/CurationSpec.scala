@@ -325,6 +325,41 @@ class CurationSpec extends SparkSpec {
       out.mkString("\n"))
   }
 
+  test("c22: the low-core farm source loses budget to the clique at " +
+      "equal token mass — coreness is the only difference") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Source graph by construction: A, B, C share one identical
+    // clique text (pairwise edges — a 2-core triangle); farm F
+    // shares one text with A only (degree 1 — the h-index peels it
+    // to coreness 1). Every source holds exactly 4 docs of 24 tokens
+    // (96-token mass each), so allocation arithmetic alone fixes the
+    // admitted counts: budget = 192, weights 3/3/3/2 (min(core+1,4)
+    // of 2/2/2/1), Σw = 11 → clique alloc 52 admits 2 docs, farm
+    // alloc 34 admits 1.
+    def words(tag: String) =
+      (1 to 24).map(i => f"$tag$i%02d").mkString(" ")
+    val clique = words("cq")
+    val farm = words("fm")
+    val rows =
+      Seq((1L, "A", clique), (2L, "B", clique), (3L, "C", clique),
+        (4L, "A", farm), (5L, "F", farm)) ++
+        Seq("A", "B", "C", "F").zipWithIndex.flatMap { case (src, s) =>
+          val n = if (src == "A") 2 else 3
+          (1 to n).map(d => (10L + s * 10 + d, src, words(s"u$s$d")))
+        }
+    val out = Curation.corenessBudgetSelect(rows.toDF(
+      "doc_id", "source", "text")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(5)))
+    val coreBySrc = out.map(t => t._1 -> t._2).toMap
+    assert(coreBySrc == Map("A" -> 2L, "B" -> 2L, "C" -> 2L,
+      "F" -> 1L), coreBySrc.toString)
+    val admitted = out.groupBy(_._1).view
+      .mapValues(_.count(_._3 == 1)).toMap
+    assert(admitted == Map("A" -> 2, "B" -> 2, "C" -> 2, "F" -> 1),
+      admitted.toString)
+  }
+
   test("c20: the trained score gates admission — every target-domain " +
       "doc outranks every noisy doc at the budget cut") {
     val sparkS = spark
