@@ -34,7 +34,9 @@ object ScaleSmoke {
       |  pca [f]       s37 covariance-shuffle invariance + cost ×1 vs ×f
       |  graph [f]     q77/q78/q80/q81/q83-q85 cost on ×f disjoint graph copies
       |  lifecycle [f]  st27 persist+serve: probed-cell bytes vs corpus ×f
-      |  classifier [f]  t28 GD fit cost ×1 vs ×f (1-row round shuffles)""".stripMargin
+      |  classifier [f]  t28 GD fit cost ×1 vs ×f (1-row round shuffles)
+      |  autocompact [f]  st32 OPTIMIZE bytes: 1-bucket vs full-lake pass ×f
+      |  incwcc [f]    q88 seeded 6-round delta vs 10-round scratch ×f""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -1232,6 +1234,133 @@ object ScaleSmoke {
     evN.unpersist(); ev1.unpersist()
   }
 
+  /** st32's in-stream OPTIMIZE claim, measured: compaction cost is
+    * proportional to the data of the TOUCHED buckets, never the lake.
+    * Against a ×factor lake, a maintenance pass fired by narrow
+    * appends (one key bucket) must rewrite ~1/8 of the bytes the
+    * full-lake pass rewrites, and every untouched bucket's manifest
+    * entry must pass through as the SAME path (never read, never
+    * rewritten).
+    */
+  def runAutoCompact(spark: SparkSession, factor: Int): Unit = {
+    import graft.streaming.EventStream
+    val ev0 = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+    val base = (0 until factor).map { i =>
+      ev0.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000))
+    }.reduce(_ unionByName _).cache()
+    println(s"[autocompact] base rows: ${base.count()} (x$factor)")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_smoke_ac_").resolve("lake").toString
+    val lake = new EventStream.AutoCompactLake(spark, root,
+      every = 2, fanout = 8)
+    def cBytes(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+          .toSeq.flatMap(walk)
+        else Seq(f)
+      val d = new java.io.File(root, "data")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("c")).map { c =>
+          c.getName -> walk(c).filter(_.getName.endsWith(".parquet"))
+            .map(_.length()).sum
+        }.toMap
+    }
+    // Two wide appends (every bucket) → the cadence fires a FULL-lake
+    // compaction.
+    val half1 = base.filter(col("event_id") % 2 === 0)
+    val half2 = base.filter(col("event_id") % 2 =!= 0)
+    time("wide append 1")(lake.append(half1))
+    time("wide append 2 + full OPTIMIZE")(lake.append(half2))
+    val fullBytes = cBytes().values.sum
+    val preNarrow = lake.currentFiles.filter(_._1 != 0).toSet
+    // Two narrow appends (bucket 0 keys only) → the next maintenance
+    // pass may only touch bucket 0: ~1/8 of the lake's bytes.
+    val narrow = base.filter(pmod(col("user_id"), lit(8)) === 0)
+    val n1 = narrow.filter(col("event_id") % 2 === 0)
+      .withColumn("us", col("us") + 1)
+    val n2 = narrow.filter(col("event_id") % 2 =!= 0)
+      .withColumn("us", col("us") + 1)
+    time("narrow append 1")(lake.append(n1))
+    time("narrow append 2 + 1-bucket OPTIMIZE")(lake.append(n2))
+    val narrowBytes = cBytes().values.sum - fullBytes
+    println(s"[autocompact] rewrite bytes: full=$fullBytes " +
+      s"narrow=$narrowBytes (${
+        if (narrowBytes > 0) f"${fullBytes.toDouble / narrowBytes}%.1f"
+        else "inf"}x less)")
+    assert(lake.compactions == 2, s"cadence: ${lake.compactions}")
+    assert(narrowBytes * 3 < fullBytes,
+      s"narrow OPTIMIZE rewrote $narrowBytes of $fullBytes bytes — " +
+        "not bucket-scoped")
+    val postNarrow = lake.currentFiles.filter(_._1 != 0).toSet
+    assert(preNarrow == postNarrow,
+      "untouched buckets' manifest entries changed across the " +
+        "narrow OPTIMIZE")
+    base.unpersist()
+  }
+
+  /** q88's steady-state claim, measured: on the SAME ×factor edge
+    * set, the seeded delta pass (6 rounds from the stored base
+    * labels) costs a fraction of the from-scratch batch recompute
+    * (10 rounds from identity), and both reach the identical
+    * component histogram. The ×factor graph is `factor` disjoint
+    * id-shifted copies (the `graph` mode convention), so per-round
+    * |E| scales while the diameter stays fixed.
+    */
+  def runIncWcc(spark: SparkSession, factor: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val dated0 = ops.Graph.datedTradePairs(li, ord)
+    val dated = (0 until factor).map { i =>
+      dated0.select(
+        (col("sk") + lit(i.toLong * 10000000)).as("sk"),
+        (col("ck") + lit(i.toLong * 10000000)).as("ck"),
+        col("d0"))
+    }.reduce(_ unionByName _)
+    // Same-nation filter skipped: the copies are already disjoint
+    // clusters; the split/seed mechanics are what's being measured.
+    val b = dated.agg(min("d0").as("mn"), max("d0").as("mx")).collect()(0)
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    val baseEdges = cp(ops.Graph.bipartiteEdges(
+      dated.filter(col("d0") <= cut).select("sk", "ck")))
+    val edges = cp(ops.Graph.bipartiteEdges(dated.select("sk", "ck")))
+    println(s"[incwcc] edges: base=${baseEdges.count()} " +
+      s"full=${edges.count()} (x$factor)")
+    val baseLabels = time("base fixpoint (10 rounds, once)")(
+      cp(ops.Graph.relaxRounds(baseEdges,
+        baseEdges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label")),
+        10, cp)))
+    val nodes = cp(edges.select(col("src").as("node")).distinct())
+    val seeded = cp(nodes
+      .join(baseLabels.withColumnRenamed("node", "bn")
+        .withColumnRenamed("label", "bl"),
+        col("node") === col("bn"), "left")
+      .select(col("node"), coalesce(col("bl"), col("node")).as("label")))
+    def hist(labels: DataFrame): Seq[(Long, Long)] = labels
+      .groupBy("label").agg(count(lit(1)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n")).orderBy("s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hInc = time("DAILY seeded delta (6 rounds)")(
+      hist(ops.Graph.relaxRounds(edges, seeded, 6, cp)))
+    val hBatch = time("DAILY from-scratch (10 rounds)")(
+      hist(ops.Graph.relaxRounds(edges,
+        nodes.select(col("node"), col("node").as("label")), 10, cp)))
+    assert(hInc == hBatch, "incremental and batch histograms diverge")
+    println(s"[incwcc] histograms identical (${hInc.size} size classes)")
+    cps.foreach(ops.Similarity.freeCheckpoint)
+  }
+
   /** st28's partition-scoped copy-on-write claim, measured: against a
     * ×factor lake, a delta batch confined to 1 of the 8 key buckets
     * must rewrite exactly that one partition, while an equal-sized
@@ -1286,7 +1415,7 @@ object ScaleSmoke {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
       "text", "curation", "multimodal", "containment", "indexmaint",
       "funnel", "timeseries", "dsir", "lakemerge", "tokenbudget", "pca",
-      "graph", "lifecycle", "classifier")
+      "graph", "lifecycle", "classifier", "autocompact", "incwcc")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -1326,6 +1455,8 @@ object ScaleSmoke {
         case "graph" => 5
         case "lifecycle" => 20
         case "classifier" => 20
+        case "autocompact" => 5
+        case "incwcc" => 5
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -1358,6 +1489,8 @@ object ScaleSmoke {
     if (mode == "graph") { runGraph(spark, factor); spark.stop(); return }
     if (mode == "lifecycle") { runLifecycle(spark, factor); spark.stop(); return }
     if (mode == "classifier") { runClassifier(spark, factor); spark.stop(); return }
+    if (mode == "autocompact") { runAutoCompact(spark, factor); spark.stop(); return }
+    if (mode == "incwcc") { runIncWcc(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)

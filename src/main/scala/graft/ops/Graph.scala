@@ -111,7 +111,7 @@ object Graph {
     * (supplier 2k, customer 2k+1), one edge per direction. Factored
     * so the id scheme lives in exactly one place.
     */
-  private def bipartiteEdges(pairs: DataFrame): DataFrame =
+  private[graft] def bipartiteEdges(pairs: DataFrame): DataFrame =
     pairs
       .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
       .unionByName(pairs
@@ -877,7 +877,7 @@ object Graph {
     * map-side-combining MIN; label frames node-sized; lineage
     * flattened through `cp` every 3rd round.
     */
-  private def relaxRounds(edges: DataFrame, labels0: DataFrame,
+  private[graft] def relaxRounds(edges: DataFrame, labels0: DataFrame,
       rounds: Int, cp: DataFrame => DataFrame): DataFrame = {
     var labels = labels0
     for (it <- 1 to rounds) {
