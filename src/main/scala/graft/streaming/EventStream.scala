@@ -1089,13 +1089,15 @@ object EventStream {
     /** Read a committed manifest version back from disk — the list a
       * pinned reader holds across later commits.
       */
-    def manifestFiles(v: Int): Seq[(Int, String)] =
-      scala.io.Source.fromFile(
+    def manifestFiles(v: Int): Seq[(Int, String)] = {
+      val src = scala.io.Source.fromFile(
         new java.io.File(manifestDir, f"v$v%05d.txt"), "UTF-8")
-        .getLines().map { line =>
-          val Array(b, p) = line.split("\t", 2)
-          (b.toInt, p)
-        }.toVector
+      try src.getLines().map { line =>
+        val Array(b, p) = line.split("\t", 2)
+        (b.toInt, p)
+      }.toVector
+      finally src.close()
+    }
 
     /** Raw rows of a manifest version (no resolution) — the physical
       * read-back the lossless-rewrite spec compares.
