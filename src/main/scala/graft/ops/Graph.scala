@@ -979,14 +979,19 @@ object Graph {
       .filter(col("sn") === col("cn"))
       .select(col("sk"), col("ck"), col("d0")))
     // Median-day cut — a 1-row bounded fetch (the oracle never sees
-    // the cut: it recomputes the union from scratch).
+    // the cut: it recomputes the union from scratch). A pair whose
+    // every trade is date-less (d0 NULL) fails `d0 <= cut`, so it is
+    // delta-only — correct, because the UNION side below never
+    // consults d0 (the q86 NULL-exhaustiveness rule). If NO pair has
+    // a date the base is empty and the seeded pass IS a from-scratch
+    // run, so it must get the batch round budget, not the delta one.
     val b = pairs.agg(min("d0").as("mn"), max("d0").as("mx"))
       .collect()(0)
-    if (b.isNullAt(0)) {
-      cps.foreach(Similarity.freeCheckpoint)
-      return Seq.empty[(Long, Long)].toDF("c_size", "n_components")
-    }
-    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    val allDateless = b.isNullAt(0)
+    val cut = if (allDateless) Long.MinValue
+      else (b.getLong(0) + b.getLong(1)) / 2
+    val rounds = if (allDateless) math.max(baseRounds, deltaRounds)
+      else deltaRounds
     // Base fixpoint, batch-style, persisted — yesterday's artifact.
     val baseEdges = cp(bipartiteEdges(
       pairs.filter(col("d0") <= cut).select("sk", "ck")))
@@ -1008,7 +1013,7 @@ object Graph {
         col("node") === col("bn"), "left")
       .select(col("node"),
         coalesce(col("bl"), col("node")).as("label")))
-    val labels = relaxRounds(edges, seeded, deltaRounds, cp)
+    val labels = relaxRounds(edges, seeded, rounds, cp)
     // Bounded (size → count) histogram out; free the working set.
     val out = labels.groupBy("label").agg(count(lit(1)).as("c_size"))
       .groupBy("c_size").agg(count(lit(1)).as("n_components"))

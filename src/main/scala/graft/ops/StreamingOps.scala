@@ -858,6 +858,31 @@ object StreamingOps {
         SELECT user_id, CAST(user_id % 8 AS INT) AS bucket,
           last_us, value
         FROM last WHERE event_type <> 'error'
+        ORDER BY user_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st33_stream_lake_retention",
+      (s, dir) => EventStream.runCdcLakeRetention(s, dir),
+      // The full in-stream maintenance loop (see
+      // [[EventStream.runCdcLakeRetention]]): append -> OPTIMIZE ->
+      // retention vacuum of files outside the newest-3 manifests, all
+      // from inside foreachBatch. Same oracle as st28/st32 -- the
+      // hash matches iff no live or retained file was reclaimed.
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        last AS (
+          SELECT user_id, us AS last_us, event_type, value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us DESC, event_id DESC) AS rn
+            FROM ev)
+          WHERE rn = 1)
+        SELECT user_id, CAST(user_id % 8 AS INT) AS bucket,
+          last_us, value
+        FROM last WHERE event_type <> 'error'
         ORDER BY user_id"""))
   )
 }

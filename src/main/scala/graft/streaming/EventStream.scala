@@ -1062,7 +1062,8 @@ object EventStream {
     * the logical content.
     */
   final class AutoCompactLake(spark: SparkSession, root: String,
-      every: Int = 2, fanout: Int = 4) {
+      every: Int = 2, fanout: Int = 4,
+      retainVersions: Option[Int] = None) {
     private val dataDir = new java.io.File(root, "data")
     private val manifestDir = new java.io.File(root, "manifest")
     dataDir.mkdirs(); manifestDir.mkdirs()
@@ -1074,6 +1075,8 @@ object EventStream {
     private var touched = Set.empty[Int]
     /** Spec meter: completed compaction commits. */
     private[graft] var compactions = 0
+    /** Spec meter: data files physically reclaimed by retention. */
+    private[graft] var filesVacuumed = 0
 
     def currentVersion: Int = version
     def currentFiles: Seq[(Int, String)] = files
@@ -1217,6 +1220,29 @@ object EventStream {
       compactions += 1
       appendsSinceCompact = 0
       touched = Set.empty
+      retainVersions.foreach(vacuum)
+    }
+
+    /** Retention vacuum (st33) — q75's reclaim run from INSIDE the
+      * stream, after each OPTIMIZE: every data file not referenced by
+      * one of the newest `keepVersions` manifests is physically
+      * deleted. Snapshots older than the retention window thereby
+      * EXPIRE (that is the contract — time travel is bounded by
+      * retention, exactly as in a production table format); the
+      * retained window and the current state are untouched, because
+      * a file referenced by ANY retained manifest is kept. Driver
+      * cost is manifest-scale: a set union over ≤ keepVersions file
+      * lists and one directory walk.
+      */
+    def vacuum(keepVersions: Int): Int = {
+      val keepFrom = math.max(1, version - keepVersions + 1)
+      val live = (keepFrom to version)
+        .flatMap(v => manifestFiles(v).map(_._2)).toSet
+      val orphans = listParquet(dataDir)
+        .map(_._2).filterNot(live)
+      orphans.foreach(p => new java.io.File(p).delete())
+      filesVacuumed += orphans.size
+      orphans.size
     }
   }
 
@@ -1231,8 +1257,25 @@ object EventStream {
     * oracle (st28's, verbatim) hash-matches iff every compaction was
     * lossless.
     */
-  def runCdcLakeAutoCompact(spark: SparkSession, dir: String): DataFrame = {
-    val base = graft.ops.SourceSinks.tmp("graft_st32")
+  def runCdcLakeAutoCompact(spark: SparkSession, dir: String): DataFrame =
+    runAutoCompactStream(spark, dir, "graft_st32", None)
+
+  /** Streaming CDC lake with auto-compaction AND retention (st33) —
+    * the full in-stream maintenance loop: append → every-2nd-commit
+    * OPTIMIZE → vacuum of every data file outside the newest-3
+    * manifests. Snapshots older than the retention window expire
+    * (q75's reclaim, now on the stream's own cadence — the bounded
+    * time travel a production table format actually offers); the
+    * oracle is st28's compacted-table statement UNCHANGED, so the
+    * hash match proves retention never reclaims a live or retained
+    * file.
+    */
+  def runCdcLakeRetention(spark: SparkSession, dir: String): DataFrame =
+    runAutoCompactStream(spark, dir, "graft_st33", Some(3))
+
+  private def runAutoCompactStream(spark: SparkSession, dir: String,
+      tag: String, retain: Option[Int]): DataFrame = {
+    val base = graft.ops.SourceSinks.tmp(tag)
     val input = new java.io.File(base, "input").getAbsolutePath
     val root = new java.io.File(base, "lake").getAbsolutePath
     val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
@@ -1242,7 +1285,8 @@ object EventStream {
         unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
     val b = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
       .collect()(0) // 1-row bounded fetch
-    val lake = new AutoCompactLake(spark, root, every = 2, fanout = 4)
+    val lake = new AutoCompactLake(spark, root, every = 2, fanout = 4,
+      retainVersions = retain)
     if (!b.isNullAt(0)) {
       val (mn, mx) = (b.getLong(0), b.getLong(1))
       val slices = 6

@@ -454,6 +454,17 @@ class JoinsAndSourcesSpec extends SparkSpec {
       Graph.datedTradePairs(cli, cord), ccust, csupp)
     assert(cSeeded < cScratch,
       s"chain: seeded $cSeeded not faster than scratch $cScratch")
+    // A fully date-less corpus (every o_orderdate NULL) has an empty
+    // base, so the "seeded" pass IS from-scratch and must get the
+    // batch round budget — the chain above needs ~6 rounds from
+    // scratch, which the delta budget alone would cover only
+    // accidentally. Result must still equal the full component.
+    val nullOrd = cord.select(col("o_orderkey"), col("o_custkey"),
+      lit(null).cast("string").as("o_orderdate"))
+    val dateless = Graph.incrementalWccFrom(
+      Graph.datedTradePairs(cli, nullOrd), ccust, csupp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dateless == Set((8L, 1L)), dateless)
   }
 
   test("q82: the stale writer's CAS physically fails, its files would " +

@@ -738,6 +738,48 @@ class EventStreamSpec extends SparkSpec {
     assert(resolved() == afterUpdate, "replay moved the resolved state")
   }
 
+  test("st33 retention: files outside the newest manifests are " +
+      "physically reclaimed, the retained window stays readable, " +
+      "resolution is untouched") {
+    val root = java.nio.file.Files.createTempDirectory("st33_spec_")
+      .resolve("lake").toString
+    val lake = new EventStream.AutoCompactLake(spark, root,
+      every = 2, fanout = 2, retainVersions = Some(2))
+    def rows(v: Int): Seq[String] = lake.readVersion(v)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    // Era 1: two appends -> v1, v2; OPTIMIZE -> v3; vacuum keeps
+    // {v2, v3}, and v2 still references every append file, so the
+    // FIRST vacuum must reclaim nothing (retention, not eagerness).
+    lake.append(cdcBatch(Seq(
+      (1L, 16L, 100L, "view", 1.0), (2L, 17L, 100L, "view", 2.0))))
+    val v1Files = lake.manifestFiles(1)
+    lake.append(cdcBatch(Seq(
+      (3L, 24L, 200L, "click", 3.0), (4L, 25L, 200L, "click", 4.0))))
+    assert(lake.compactions == 1 && lake.filesVacuumed == 0,
+      s"first vacuum reclaimed ${lake.filesVacuumed} files " +
+        "still covered by the retained window")
+    assert(rows(2) == rows(3)) // both retained, both fully readable
+    // Era 2: two more appends -> v4, v5; OPTIMIZE -> v6; vacuum keeps
+    // {v5, v6} — the era-1 append files (referenced only by v1/v2)
+    // are now OUTSIDE retention and must be physically gone.
+    lake.append(cdcBatch(Seq((5L, 16L, 300L, "view", 9.0))))
+    lake.append(cdcBatch(Seq((6L, 25L, 300L, "buy", 8.0))))
+    assert(lake.compactions == 2)
+    assert(lake.filesVacuumed > 0, "second vacuum reclaimed nothing")
+    assert(v1Files.exists { case (_, p) =>
+      !new java.io.File(p).exists()
+    }, "an era-1 append file survived past its retention window")
+    // The retained window is untouched: v5 and v6 read in full and
+    // agree row-for-row (the OPTIMIZE between them was lossless).
+    assert(rows(5) == rows(6))
+    // And the consumer's view is exactly the latest-wins state.
+    val resolved = lake.resolvedCurrent().collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(resolved == Seq((16L, 300L, 9.0), (17L, 100L, 2.0),
+      (24L, 200L, 3.0), (25L, 300L, 8.0)), resolved)
+  }
+
   test("st28 merge: re-applying the same batch leaves the lake " +
       "bit-identical (replay idempotency)") {
     val root = java.nio.file.Files.createTempDirectory("st28_idem_")
