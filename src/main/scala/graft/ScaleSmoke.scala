@@ -1326,6 +1326,10 @@ object ScaleSmoke {
     // Same-nation filter skipped: the copies are already disjoint
     // clusters; the split/seed mechanics are what's being measured.
     val b = dated.agg(min("d0").as("mn"), max("d0").as("mx")).collect()(0)
+    if (b.isNullAt(0)) {
+      println("[incwcc] no dated trade pairs in the testdata — aborting")
+      return
+    }
     val cut = (b.getLong(0) + b.getLong(1)) / 2
     val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def cp(df: DataFrame): DataFrame = {

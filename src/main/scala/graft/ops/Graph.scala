@@ -960,15 +960,22 @@ object Graph {
     * table — same-nation filtered like q80 (the filter commutes with
     * the grouping: (sk, ck) determines both nations).
     */
-  def incrementalWccFrom(dated: DataFrame, customer: DataFrame,
-      supplier: DataFrame, baseRounds: Int = 10,
-      deltaRounds: Int = 6): DataFrame = {
+  /** The shared q88 split/seed machinery — same-nation filter, median
+    * first-trade-day cut, base fixpoint PERSISTED to parquet and read
+    * back, full edge set, seed frame. Used by the registered query
+    * AND the convergence meter so the guards live in exactly one
+    * place: a pair whose every trade is date-less (d0 NULL) fails
+    * `d0 <= cut` and is delta-only — correct, because the union side
+    * never consults d0 (the q86 NULL-exhaustiveness rule); if NO
+    * pair has a date (or the graph is empty) the base is empty and
+    * the seeded pass IS a from-scratch run, so it gets the batch
+    * round budget, not the delta one. Returns (edges, seeded,
+    * rounds).
+    */
+  private def q88Seed(dated: DataFrame, customer: DataFrame,
+      supplier: DataFrame, baseRounds: Int, deltaRounds: Int,
+      cp: DataFrame => DataFrame): (DataFrame, DataFrame, Int) = {
     val s = dated.sparkSession
-    import s.implicits._
-    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    def cp(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(); cps += c; c
-    }
     val pairs = cp(dated
       .join(broadcast(supplier.select(col("s_suppkey"),
         col("s_nationkey").as("sn"))),
@@ -979,12 +986,7 @@ object Graph {
       .filter(col("sn") === col("cn"))
       .select(col("sk"), col("ck"), col("d0")))
     // Median-day cut — a 1-row bounded fetch (the oracle never sees
-    // the cut: it recomputes the union from scratch). A pair whose
-    // every trade is date-less (d0 NULL) fails `d0 <= cut`, so it is
-    // delta-only — correct, because the UNION side below never
-    // consults d0 (the q86 NULL-exhaustiveness rule). If NO pair has
-    // a date the base is empty and the seeded pass IS a from-scratch
-    // run, so it must get the batch round budget, not the delta one.
+    // the cut: it recomputes the union from scratch).
     val b = pairs.agg(min("d0").as("mn"), max("d0").as("mx"))
       .collect()(0)
     val allDateless = b.isNullAt(0)
@@ -1013,6 +1015,20 @@ object Graph {
         col("node") === col("bn"), "left")
       .select(col("node"),
         coalesce(col("bl"), col("node")).as("label")))
+    (edges, seeded, rounds)
+  }
+
+  def incrementalWccFrom(dated: DataFrame, customer: DataFrame,
+      supplier: DataFrame, baseRounds: Int = 10,
+      deltaRounds: Int = 6): DataFrame = {
+    val s = dated.sparkSession
+    import s.implicits._
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    val (edges, seeded, rounds) =
+      q88Seed(dated, customer, supplier, baseRounds, deltaRounds, cp)
     val labels = relaxRounds(edges, seeded, rounds, cp)
     // Bounded (size → count) histogram out; free the working set.
     val out = labels.groupBy("label").agg(count(lit(1)).as("c_size"))
@@ -1046,33 +1062,10 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val pairs = cp(dated
-      .join(broadcast(supplier.select(col("s_suppkey"),
-        col("s_nationkey").as("sn"))),
-        col("sk") === col("s_suppkey"))
-      .join(customer.select(col("c_custkey"),
-        col("c_nationkey").as("cn")),
-        col("ck") === col("c_custkey"))
-      .filter(col("sn") === col("cn"))
-      .select(col("sk"), col("ck"), col("d0")))
-    val b = pairs.agg(min("d0").as("mn"), max("d0").as("mx"))
-      .collect()(0)
-    val cut = (b.getLong(0) + b.getLong(1)) / 2
-    val baseEdges = cp(bipartiteEdges(
-      pairs.filter(col("d0") <= cut).select("sk", "ck")))
-    val baseLabels = relaxRounds(baseEdges,
-      baseEdges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label")),
-      baseRounds, cp)
-    val edges = cp(bipartiteEdges(pairs.select("sk", "ck")))
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val seeded = cp(nodes
-      .join(baseLabels.withColumnRenamed("node", "bn")
-        .withColumnRenamed("label", "bl"),
-        col("node") === col("bn"), "left")
-      .select(col("node"),
-        coalesce(col("bl"), col("node")).as("label")))
-    val scratch = nodes.select(col("node"), col("node").as("label"))
+    val (edges, seeded, _) =
+      q88Seed(dated, customer, supplier, baseRounds, 6, cp)
+    val scratch = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
     val out = (wccRoundsToFixpoint(edges, seeded),
       wccRoundsToFixpoint(edges, scratch))
     cps.foreach(Similarity.freeCheckpoint)

@@ -493,8 +493,15 @@ object Relational3 {
       },
       Some("""
         WITH e AS (
+          -- FLOOR division, stated explicitly: DuckDB's // TRUNCATES
+          -- toward zero (-7 // 2 = -3, verified on 1.0.0), so the
+          -- Spark side's floor correction needs the same here. The
+          -- numerator is made exactly divisible by subtracting the
+          -- positive remainder, so // on it is floor = truncate.
           SELECT event_type,
-            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS idx
+            (epoch_us(CAST(ts AS TIMESTAMP))
+             - ((epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000)
+                + 3600000000) % 3600000000) // 3600000000 AS idx
           FROM events WHERE ts IS NOT NULL),
         bounds AS (SELECT MIN(idx) AS i0, MAX(idx) AS i1 FROM e),
         spine AS (
@@ -544,11 +551,12 @@ object Relational3 {
   def seasonalAnomaly(events: DataFrame, k: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(abs(col("zscore")).desc, col("event_type"), col("idx"))
-    // FLOOR division, not Spark's truncate-toward-zero `div`: DuckDB's
-    // `//` floors, so a pre-1970 timestamp (negative epoch micros)
-    // would land in a different hour under plain `div`. The integer
-    // correction keeps both engines on the identical index for ANY
-    // epoch sign without a lossy double round-trip.
+    // FLOOR division on BOTH sides, stated explicitly: Spark `div`
+    // and DuckDB `//` BOTH truncate toward zero (the latter verified
+    // empirically on 1.0.0 — an earlier advisory claimed it floors),
+    // so each engine gets an explicit floor form and a pre-1970
+    // timestamp (negative epoch micros) lands in the same hour in
+    // both. Integer corrections only — no lossy double round-trip.
     val ev = events.filter(col("ts").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(ts) div 3600000000 + " +

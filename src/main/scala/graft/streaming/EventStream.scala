@@ -1132,7 +1132,9 @@ object EventStream {
     }
 
     private def listParquet(dir: java.io.File): Seq[(Int, String)] = {
-      val Bucket = ".*bucket=(\\d+).*".r
+      // -? : Spark % is sign-of-dividend (as is the oracle's), so a
+      // negative user_id legitimately writes a bucket=-N directory.
+      val Bucket = ".*bucket=(-?\\d+).*".r
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty

@@ -97,4 +97,32 @@ class Relational3Spec extends SparkSpec {
       (2, "a", us(6), 5L, 20.0, -0.707107),
       (3, "a", us(54), 5L, 20.0, -0.707107)), got.toSeq)
   }
+
+  test("q87: pre-1970 timestamps bucket by FLOOR — an event inside a " +
+      "negative epoch hour stays in that hour, never rounds up") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // The spike corpus anchored at a NEGATIVE epoch hour: every event
+    // sits j in [0, 50) seconds INSIDE its hour, so truncate-toward-
+    // zero division (sign-of-dividend) would push each non-aligned
+    // pre-1970 event one hour UP and scramble the counts; floor keeps
+    // the engineered structure intact and the exact z's identical to
+    // the positive-epoch case.
+    val h0 = -1000L
+    val rows = (0 until 72).flatMap { i =>
+      val perA = if (i == 30) 50 else 5
+      (0 until perA).map(j => ("a", (h0 + i) * 3600 + j)) ++
+        (0 until 5).map(j => ("b", (h0 + i) * 3600 + j))
+    }
+    val ev = rows.toDF("event_type", "sec")
+      .select(col("event_type"), timestamp_seconds(col("sec")).as("ts"))
+    val got = Relational3.seasonalAnomaly(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getDouble(5)))
+    val us = (i: Long) => (h0 + i) * 3600000000L
+    assert(got.toSeq == Seq(
+      (1, us(30), 50L, 1.414214),
+      (2, us(6), 5L, -0.707107),
+      (3, us(54), 5L, -0.707107)), got.toSeq)
+  }
 }
