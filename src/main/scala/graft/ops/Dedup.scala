@@ -1688,6 +1688,17 @@ object Dedup {
         // excised, the Lee et al. 2022 semantics d15's fixed token
         // n-grams approximate.
         exactSubstringDedup(docs(s, dir)),
+      Some(sqlExactSubstringDedup(minLen = 40))),
+    // ----------------------------------------------------------------
+    Q(
+      "d23_exact_substring_fast",
+      (s, dir) =>
+        // d22's semantics at the 100 TB shuffle width (see
+        // [[exactSubstringDedupFast]]): 8-byte rolling Karp–Rabin
+        // fingerprints replace the 40-char window keys; the oracle is
+        // d22's string-window restatement VERBATIM, so the hash match
+        // doubles as the collision-freeness certificate.
+        exactSubstringDedupFast(docs(s, dir)),
       Some(sqlExactSubstringDedup(minLen = 40)))
   )
 
@@ -1734,15 +1745,63 @@ object Dedup {
     */
   def exactSubstringDedup(documents: DataFrame,
       minLen: Int = 40): DataFrame = {
-    val d = documents.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text"),
-        length(col("text")).as("len"))
+    val d = docFrame(documents)
     val grams = d.filter(col("len") >= minLen)
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(1, len - $minLen + 1), " +
           s"p -> substring(text, p, $minLen))")).as(Seq("off", "g")))
       .select(col("doc_id"), (col("off") + 1).cast("int").as("p"),
         col("g"))
+    excision(d, grams, minLen)
+  }
+
+  /** Exact-substring dedup via rolling Karp–Rabin fingerprints (d23) —
+    * d22's SEMANTICS at the 100 TB shuffle width: instead of shipping
+    * every length-`minLen` character window as a shuffle key (minLen×
+    * the corpus bytes), each window ships one 8-byte double-modulus
+    * fingerprint computed by the native codegen'd
+    * [[graft.functions.RollingFingerprints]] expression — O(n) per
+    * document, one static call per row, no per-window substring
+    * materialization. Everything downstream (window-keyed count,
+    * per-doc island union, rebuild) is d22's code, SHARED.
+    *
+    * The oracle is d22's oracle VERBATIM: equal windows hash equal by
+    * construction and unequal windows collide with probability ≈ 2⁻⁶²
+    * per pair, so the byte-exact md5 match against the
+    * string-window restatement is simultaneously the correctness
+    * proof and the collision-freeness certificate on the corpus under
+    * test (the d05 invariant-oracle discipline, but exact). The spec
+    * additionally pins rolling ≡ direct recomputation and d23 ≡ d22
+    * on multibyte (non-ASCII) text — the fingerprint rolls over CODE
+    * POINTS, the unit both engines' `substring` counts.
+    */
+  def exactSubstringDedupFast(documents: DataFrame,
+      minLen: Int = 40): DataFrame = {
+    val s = documents.sparkSession
+    graft.functions.RollingHash.register(s)
+    val d = docFrame(documents)
+    val grams = d.filter(col("len") >= minLen)
+      .select(col("doc_id"),
+        posexplode(graft.functions.RollingHash.fingerprints(
+          expr("encode(text, 'UTF-8')"), minLen)).as(Seq("off", "g")))
+      .select(col("doc_id"), (col("off") + 1).cast("int").as("p"),
+        col("g"))
+    excision(d, grams, minLen)
+  }
+
+  /** (doc_id, text, len) — the shared head of d22/d23. */
+  private def docFrame(documents: DataFrame): DataFrame =
+    documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("len"))
+
+  /** The shared d22/d23 tail: flag windows whose corpus count exceeds
+    * 1, union the flagged intervals per document, excise and rebuild.
+    * `grams` is (doc_id, p, g) with g of ANY equatable type — the
+    * character window itself (d22) or its fingerprint (d23).
+    */
+  private def excision(d: DataFrame, grams: DataFrame,
+      minLen: Int): DataFrame = {
     // One pass: windows whose corpus count exceeds 1 (same doc or
     // not) flag their [p, p+minLen) interval.
     val flagged = grams

@@ -352,6 +352,44 @@ class DedupSpec extends SparkSpec {
       "d15 unexpectedly saw the unaligned passage")
   }
 
+  test("d23 rolling fingerprints: rolling == direct recomputation, " +
+      "and the fast path reproduces d22 byte-exactly on multibyte text") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.functions.RollingFingerprints
+    // The rolling update must equal the windowed recomputation for
+    // every position — ASCII, 2- and 3-byte UTF-8, repeats, and the
+    // shorter-than-window edge.
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog and then some more",
+      "café au lait 中文文本 mixed script café au lait again and again",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "short")
+    for (t <- samples; l <- Seq(5, 12, 40)) {
+      val bytes = t.getBytes("UTF-8")
+      assert(RollingFingerprints.compute(bytes, l).toSeq ==
+        RollingFingerprints.computeDirect(bytes, l).toSeq,
+        s"rolling != direct for len=$l text=$t")
+    }
+    // d23 == d22 on a corpus with a multibyte shared passage at
+    // DIFFERENT byte offsets (2-byte é's shift the byte grid, so a
+    // byte-windowed hash would misalign; code points keep it exact).
+    def fill(c: Char, n: Int): String =
+      (0 until n).map(i => f"$c$i%02d").mkString
+    val passage = "café".repeat(12) + fill('p', 4) // 60 cps
+    val docs = Seq(
+      (1L, "ééé" + fill('a', 19) + passage + fill('b', 20)),
+      (2L, fill('c', 25) + passage + fill('d', 20)),
+      (3L, fill('m', 40))).toDF("doc_id", "text")
+    def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(docs).collect().map(_.mkString("|")).toSeq
+    val slow = run(Dedup.exactSubstringDedup(_))
+    val fast = run(Dedup.exactSubstringDedupFast(_))
+    assert(slow == fast, s"d23 diverged from d22:\n$slow\n$fast")
+    // Non-vacuous: the shared passage really was excised.
+    assert(slow.exists(_.contains("|60|")), slow)
+  }
+
   test("d16 edit-distance verify: reorder-blind Jaccard caught, near-identical kept") {
     val sparkS = spark
     import sparkS.implicits._
