@@ -43,7 +43,10 @@ object Graph {
     * the files under `dir` are rewritten mid-session, the next
     * access sees a changed fingerprint, frees the stale checkpoint
     * and rebuilds — the memo can never serve pairs the oracle's
-    * fresh read would contradict.
+    * fresh read would contradict. Resolution bound: a rewrite that
+    * lands inside one mtime granule with identical paths AND lengths
+    * is below what a listing can distinguish;
+    * [[invalidateTradePairs]] is the explicit path for that case.
     */
   private val pairsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Long, DataFrame)]
@@ -75,16 +78,34 @@ object Graph {
     h
   }
 
-  def tradePairs(s: SparkSession, dir: String): DataFrame =
-    // One coarse lock instead of getOrElseUpdate: TrieMap may run a
-    // getOrElseUpdate default twice under concurrency, leaking the
-    // losing checkpoint's blocks forever. The lock only serialises
-    // the driver-side memo path; concurrent callers of the same
-    // (dir) would have waited on the identical build anyway.
-    pairsMemo.synchronized {
-      pairsMemo.keys.filter(_._1.sparkContext.isStopped)
-        .foreach(pairsMemo.remove)
-      val key = (s, dir)
+  /** Per-key build monitors for [[tradePairs]]: the r17 version held
+    * ONE global lock across the fingerprint listing AND the
+    * derivePairs build (a cluster job), so callers for unrelated
+    * (session, dir) keys blocked behind each other. Now the global
+    * lock is held only long enough to resolve the key's monitor
+    * (no cluster work under it — getOrElseUpdate alone could mint
+    * two monitors under a race); the fingerprint + build + memo
+    * update run under the PER-KEY monitor, so distinct dirs build
+    * concurrently while same-key callers still serialize (they would
+    * have waited on the identical build anyway, and double-building
+    * would leak the losing checkpoint's blocks).
+    */
+  private val pairsLocks = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Object]
+
+  def tradePairs(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val lock = pairsLocks.synchronized {
+      // Stopped sessions: drop their memo entries (the checkpointed
+      // blocks died with the session — nothing to free) and their
+      // monitors.
+      pairsLocks.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
+        pairsLocks.remove(k)
+        pairsMemo.remove(k)
+      }
+      pairsLocks.getOrElseUpdate(key, new Object)
+    }
+    lock.synchronized {
       val fp = pairsFingerprint(s, dir)
       pairsMemo.get(key) match {
         case Some((`fp`, df)) => df
@@ -98,6 +119,7 @@ object Graph {
           built
       }
     }
+  }
 
   /** Drop (and free) this session's memoized pair table for `dir` —
     * the explicit invalidation path (`Pipeline.invalidateGate`'s
@@ -163,7 +185,31 @@ object Graph {
     }
     val base = 1000000000000L / n
     val teleport = (15L * base) / 100L
-    var ranks = cp(nodes.select(col("node"), lit(base).as("r")))
+    val ranks = prRounds(edges, nodes,
+      cp(nodes.select(col("node"), lit(base).as("r"))),
+      teleport, iters, cp)
+    // The result is bounded (k rows): materialize it and FREE every
+    // checkpoint block — a bench/session running many queries must
+    // not inherit this op's working set.
+    val out = prTopK(ranks, k)
+    cps.foreach(Similarity.freeCheckpoint)
+    out.toSeq.toDF("rnk", "node_type", "node_id", "r")
+  }
+
+  /** `iters` rounds of the exact integer PageRank recurrence (see
+    * [[pageRank]]) over a pre-checkpointed edge list carrying outdeg —
+    * factored out of [[pageRankFrom]] so the q89 incremental path
+    * (base pass + seeded pass with a different teleport) runs the
+    * IDENTICAL per-round plan: one src-keyed |E| join + one dst-keyed
+    * map-side-combining LONG sum; rank frames node-sized; lineage
+    * flattened through `cp` every 3rd round (per-round eager
+    * checkpoints cost a full job each, while three chained rounds
+    * plan fine and run as one).
+    */
+  private[graft] def prRounds(edges: DataFrame, nodes: DataFrame,
+      ranks0: DataFrame, teleport: Long, iters: Int,
+      cp: DataFrame => DataFrame): DataFrame = {
+    var ranks = ranks0
     for (it <- 1 to iters) {
       val insum = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
@@ -172,15 +218,17 @@ object Graph {
         .select(col("node"),
           expr(s"${teleport}L + (85 * coalesce(insum, 0L)) div 100")
             .as("r"))
-      // Flatten the lineage every third round: per-round eager
-      // checkpoints cost a full job each, while three chained rounds
-      // plan fine and run as one.
       if (it % 3 == 0 || it == iters) ranks = cp(ranks)
     }
-    // The result is bounded (k rows): materialize it and FREE every
-    // checkpoint block — a bench/session running many queries must
-    // not inherit this op's working set.
-    val out = ranks.orderBy(col("r").desc, col("node")).limit(k)
+    ranks
+  }
+
+  /** Bounded top-k materialization of a (node, r) rank frame in the
+    * q77 output shape — TakeOrderedAndProject then a k-row window.
+    */
+  private def prTopK(ranks: DataFrame, k: Int)
+      : Seq[(Int, String, Long, Long)] =
+    ranks.orderBy(col("r").desc, col("node")).limit(k)
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("r").desc, col("node"))))
       .select(col("rnk"),
@@ -190,9 +238,7 @@ object Graph {
       .orderBy("rnk")
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    cps.foreach(Similarity.freeCheckpoint)
-    out.toSeq.toDF("rnk", "node_type", "node_id", "r")
-  }
+      .toSeq
 
   /** The q77 oracle: the identical integer recurrence with the
     * iterations unrolled as MATERIALIZED CTEs (s37's convention —
@@ -1027,17 +1073,32 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val (edges, seeded, rounds) =
-      q88Seed(dated, customer, supplier, baseRounds, deltaRounds, cp)
-    val labels = relaxRounds(edges, seeded, rounds, cp)
-    // Bounded (size → count) histogram out; free the working set.
-    val out = labels.groupBy("label").agg(count(lit(1)).as("c_size"))
-      .groupBy("c_size").agg(count(lit(1)).as("n_components"))
-      .orderBy("c_size")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    cps.foreach(Similarity.freeCheckpoint)
-    out.toSeq.toDF("c_size", "n_components")
+    try {
+      val (edges, seeded, rounds) =
+        q88Seed(dated, customer, supplier, baseRounds, deltaRounds, cp)
+      val labels = relaxRounds(edges, seeded, rounds, cp)
+      // Convergence guard (the r17 verdict's insurance): the fixed
+      // `deltaRounds` budget is sound only while the delta's change
+      // diameter stays under it — a production delta that exceeds it
+      // would otherwise SILENTLY emit a non-fixpoint histogram. One
+      // extra relaxation round plus a bounded changed-row probe turns
+      // that into a loud error for the cost of one |E|-join job.
+      val extra = relaxRounds(edges, labels, 1, cp)
+      val moved = extra
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).limit(1).count()
+      if (moved > 0)
+        throw new IllegalStateException(
+          s"q88: labels still moving after $rounds seeded rounds — " +
+            "the delta's change diameter exceeds deltaRounds; raise it")
+      // Bounded (size → count) histogram out; free the working set.
+      val out = labels.groupBy("label").agg(count(lit(1)).as("c_size"))
+        .groupBy("c_size").agg(count(lit(1)).as("n_components"))
+        .orderBy("c_size")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      out.toSeq.toDF("c_size", "n_components")
+    } finally cps.foreach(Similarity.freeCheckpoint)
   }
 
   /** (seeded, scratch) rounds-to-fixpoint on `dir`'s same-nation
@@ -1072,6 +1133,34 @@ object Graph {
     out
   }
 
+  /** Min-label relaxation run to an OBSERVED fixpoint (loud cap) —
+    * st34's in-stream refresh primitive: unlike q88's fixed
+    * `deltaRounds` (whose budget the convergence guard polices after
+    * the fact), the streaming maintainer cannot know each delta's
+    * change diameter up front, so it relaxes until a round moves no
+    * label and THROWS at `maxRounds` rather than emitting a
+    * non-fixpoint. Cost per round is one |E| join + one bounded
+    * changed-row probe; the returned frame is checkpointed through
+    * `cp`, so a caller may overwrite the storage it was seeded from.
+    */
+  private[graft] def relaxToFixpoint(edges: DataFrame,
+      labels0: DataFrame, maxRounds: Int,
+      cp: DataFrame => DataFrame): DataFrame = {
+    var labels = cp(labels0)
+    var r = 0
+    while (r < maxRounds) {
+      val next = cp(relaxRounds(edges, labels, 1, identity))
+      val moved = next
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).limit(1).count() > 0
+      if (!moved) return next
+      labels = next
+      r += 1
+    }
+    throw new IllegalStateException(
+      s"wcc relaxation still moving after $maxRounds rounds")
+  }
+
   /** Rounds of min-label relaxation until nothing changes — the
     * spec's convergence meter for q88 (seeded-from-stored must beat
     * from-scratch). Each round adds one bounded changed-count job;
@@ -1097,6 +1186,295 @@ object Graph {
     }
     cps.foreach(Similarity.freeCheckpoint)
     r
+  }
+
+  // ------------------------------------------------------------------
+  // q89: incremental PageRank maintenance.
+  // ------------------------------------------------------------------
+
+  /** Incremental PageRank maintenance (q89) — q88's seeded-refresh
+    * discipline applied to the rank tier: the daily corpus-delta
+    * refresh of q77's citation-rank prior (the signal c19's curation
+    * budget is shaped like) WITHOUT re-running the full batch
+    * iteration from a cold uniform start.
+    *
+    * The pair set splits at the median first-trade day (q88's cut,
+    * floor-div so both engines agree on any sign — the q87 lesson).
+    * The base-era graph runs `baseIters` batch rounds, the full rank
+    * VECTOR is PERSISTED to parquet and read back (the q86/q88
+    * storage boundary: yesterday's artifact, not a live frame), then
+    * the full graph runs `deltaIters` rounds SEEDED from the stored
+    * ranks — existing nodes start at their stored rank rescaled by
+    * the node-count ratio nBase/n (an exact integer split,
+    * (r div n)·nBase + ((r mod n)·nBase) div n ≡ (r·nBase) div n
+    * without the overflow — sound because base nodes ⊆ full nodes so
+    * nBase ≤ n and every term stays under the 10¹² mass bound), new
+    * nodes at the re-based uniform rank 10¹² div n; the teleport
+    * constant is likewise re-based to the full node count. Seeding
+    * near the old equilibrium is the whole point: the 0.85
+    * contraction then only has to close the DELTA's perturbation,
+    * not the full cold-start error — the spec meters exactly that
+    * (seeded reaches a stable vector in fewer rounds than
+    * from-scratch).
+    *
+    * WHY THE ORACLE RESTATES THE SEEDED RECURRENCE rather than being
+    * q77's from-scratch recompute (the q88 convention): min-label
+    * relaxation has a START-INDEPENDENT exact fixpoint, so q88 could
+    * let the hash prove incremental ≡ batch. Integer PageRank does
+    * not — the 10-round iterate is start-dependent, and the integer
+    * map's truncation slop admits nearby fixpoints (a hash compare
+    * of seeded vs cold iterates would be red by honest ±1-unit
+    * differences). So q89's oracle pins what CAN be exact — the
+    * entire incremental pipeline (cut arithmetic, base rounds,
+    * storage round trip, rescale, seeded rounds) as one unrolled
+    * integer recurrence, hash-exact at every SF — and the
+    * incremental-≈-batch claim is spec-metered (stability rounds +
+    * the convergence gap shrinking under seeding) instead of
+    * hash-asserted. All-dateless corpora degrade gracefully: the
+    * base era is empty, every node is "new", and the seeded pass IS
+    * a (short) cold run — still oracle-exact, because the oracle
+    * restates the same split.
+    *
+    * Scale shape: identical per-round cost to q77 (|E| join +
+    * node-sized LONG sum); the steady-state daily run pays
+    * `deltaIters` rounds plus ONE rank-store read, vs `baseIters`
+    * rounds for the recompute it replaces. Reference hook: the
+    * one-pass incremental design of the reference pipeline
+    * (`/root/reference/src/main.rs:436-473` — never re-reads what it
+    * already emitted).
+    */
+  def incrementalPageRank(s: SparkSession, dir: String,
+      baseIters: Int = 10, deltaIters: Int = 4, k: Int = 25): DataFrame =
+    incrementalPageRankFrom(
+      datedTradePairs(Tables.load(s, dir, "lineitem"),
+        Tables.load(s, dir, "orders")), baseIters, deltaIters, k)
+
+  def incrementalPageRankFrom(dated0: DataFrame, baseIters: Int = 10,
+      deltaIters: Int = 4, k: Int = 25): DataFrame = {
+    val s = dated0.sparkSession
+    import s.implicits._
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    try {
+      val (edges, nodes, n, seeded, teleport) =
+        q89Seed(dated0, baseIters, cp)
+      if (n == 0L)
+        return Seq.empty[(Int, String, Long, Long)]
+          .toDF("rnk", "node_type", "node_id", "r")
+      val ranks = prRounds(edges, nodes, seeded, teleport,
+        deltaIters, cp)
+      prTopK(ranks, k).toDF("rnk", "node_type", "node_id", "r")
+    } finally cps.foreach(Similarity.freeCheckpoint)
+  }
+
+  /** The shared q89 split/seed machinery — median-day cut, base
+    * rank fixpoint approximation persisted to parquet and read back,
+    * full edge set with outdeg, rescaled seed frame, re-based
+    * teleport. Returns (edges, nodes, n, seededRanks, teleport).
+    * Factored so the registered query and the spec's stability meter
+    * share one definition.
+    */
+  private def q89Seed(dated0: DataFrame, baseIters: Int,
+      cp: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, Long, DataFrame, Long) = {
+    val s = dated0.sparkSession
+    val dated = cp(dated0)
+    // Median-day cut — a 1-row bounded fetch. floorDiv, not /: the
+    // oracle's // FLOORS, and a negative day sum must agree (q87).
+    val b = dated.agg(min("d0").as("mn"), max("d0").as("mx"))
+      .collect()(0)
+    val cut = if (b.isNullAt(0)) Long.MinValue
+      else Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    // Base era: batch rank rounds, persisted — yesterday's artifact.
+    // (A dateless pair fails d0 <= cut and is delta-only — the q86
+    // NULL-exhaustiveness rule, as in q88.)
+    val baseEdges0 = bipartiteEdges(
+      dated.filter(col("d0") <= cut).select("sk", "ck"))
+    val baseOut = baseEdges0.groupBy("src")
+      .agg(count(lit(1)).as("outdeg"))
+    val baseEdges = cp(baseEdges0.join(baseOut, "src"))
+    val baseNodes = cp(baseEdges.select(col("src").as("node"))
+      .distinct())
+    val nBase = baseNodes.count()
+    val baseRanks =
+      if (nBase == 0L)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType
+            .fromDDL("node BIGINT, r BIGINT"))
+      else {
+        val bb = 1000000000000L / nBase
+        prRounds(baseEdges, baseNodes,
+          cp(baseNodes.select(col("node"), lit(bb).as("r"))),
+          (15L * bb) / 100L, baseIters, cp)
+      }
+    val store = new java.io.File(SourceSinks.tmp("graft_q89"),
+      "ranks").getAbsolutePath
+    baseRanks.write.mode("overwrite").parquet(store)
+    val stored = s.read.schema("node BIGINT, r BIGINT").parquet(store)
+    // Today's run: full edge set, seeded from the STORED ranks.
+    val edges0 = bipartiteEdges(dated.select("sk", "ck"))
+    val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edges = cp(edges0.join(outdeg, "src"))
+    val nodes = cp(edges.select(col("src").as("node")).distinct())
+    val n = nodes.count()
+    if (n == 0L) return (edges, nodes, 0L, nodes, 0L)
+    val base = 1000000000000L / n
+    val teleport = (15L * base) / 100L
+    // Exact integer rescale by nBase/n (see [[incrementalPageRank]]);
+    // all args non-negative, so div/% truncation = floor in both
+    // engines.
+    val seeded = cp(nodes
+      .join(stored.withColumnRenamed("node", "bn")
+        .withColumnRenamed("r", "br"),
+        col("node") === col("bn"), "left")
+      .select(col("node"),
+        coalesce(
+          expr(s"(br div ${n}L) * ${nBase}L + " +
+            s"((br % ${n}L) * ${nBase}L) div ${n}L"),
+          lit(base)).as("r")))
+    (edges, nodes, n, seeded, teleport)
+  }
+
+  /** Rounds of the rank recurrence until no node moves by more than
+    * `tol` units — the spec's stability meter for q89 (the seeded
+    * start must beat the cold start). Each round adds one bounded
+    * changed-count job; spec-scale only.
+    */
+  private[graft] def prRoundsToStable(edges: DataFrame,
+      nodes: DataFrame, ranks0: DataFrame, teleport: Long, tol: Long,
+      maxRounds: Int = 60): Int = {
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    try {
+      var ranks = cp(ranks0)
+      var r = 0
+      var moving = true
+      while (moving && r < maxRounds) {
+        val next = cp(prRounds(edges, nodes, ranks, teleport, 1,
+          identity))
+        moving = next
+          .join(ranks.withColumnRenamed("r", "pr"), "node")
+          .filter(abs(col("r") - col("pr")) > tol).limit(1).count() > 0
+        ranks = next
+        if (moving) r += 1
+      }
+      r
+    } finally cps.foreach(Similarity.freeCheckpoint)
+  }
+
+  /** (seeded, scratch) rounds-to-stability on a dated pair table —
+    * q89's convergence meter, [[q88ConvergenceRoundsFrom]]'s shape:
+    * same tolerance, same full edge set, only the start differs
+    * (stored-rank seed vs cold uniform). Spec-scale only.
+    */
+  private[graft] def q89ConvergenceRoundsFrom(dated: DataFrame,
+      baseIters: Int = 10, tolDivisor: Long = 1000L): (Int, Int) = {
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    try {
+      val (edges, nodes, n, seeded, teleport) =
+        q89Seed(dated, baseIters, cp)
+      require(n > 0L, "empty graph")
+      val base = 1000000000000L / n
+      val tol = math.max(1L, base / tolDivisor)
+      val cold = cp(nodes.select(col("node"), lit(base).as("r")))
+      (prRoundsToStable(edges, nodes, seeded, teleport, tol),
+        prRoundsToStable(edges, nodes, cold, teleport, tol))
+    } finally cps.foreach(Similarity.freeCheckpoint)
+  }
+
+  /** The q89 oracle: the ENTIRE incremental pipeline — cut, base
+    * rounds, rescaled seed, seeded rounds — as one unrolled
+    * MATERIALIZED-CTE integer recurrence ([[sqlPageRank]]'s
+    * convention; see [[incrementalPageRank]] for why the oracle
+    * restates the seeded recurrence instead of the from-scratch
+    * recompute).
+    */
+  private[graft] def sqlIncrementalPageRank(baseIters: Int,
+      deltaIters: Int, k: Int): String = {
+    def steps(prefix: String, edges: String, nodes: String,
+        tele: String, iters: Int): String =
+      (1 to iters).map { it =>
+        s"""$prefix$it AS MATERIALIZED (
+        SELECT n.node,
+          $tele +
+          (85 * COALESCE(i.insum, 0)) // 100 AS r
+        FROM $nodes n LEFT JOIN (
+          -- CAST: DuckDB's SUM(BIGINT) is HUGEINT (the q77 rule).
+          SELECT e.dst AS node,
+            CAST(SUM(r.r // e.outdeg) AS BIGINT) AS insum
+          FROM $edges e JOIN $prefix${it - 1} r ON r.node = e.src
+          GROUP BY e.dst) i ON i.node = n.node)"""
+      }.mkString(",\n        ")
+    s"""
+      WITH dated AS (
+        SELECT l.l_suppkey AS sk, o.o_custkey AS ck,
+          MIN(CAST(date_diff('day', DATE '1970-01-01',
+            CAST(o.o_orderdate AS DATE)) AS BIGINT)) AS d0
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      -- // FLOORS, matching the Scala floorDiv (the q87 lesson).
+      cutv AS (SELECT (MIN(d0) + MAX(d0)) // 2 AS cut FROM dated),
+      bpairs AS (
+        SELECT sk, ck FROM dated, cutv WHERE d0 <= cut),
+      bedges0 AS (
+        SELECT sk * 2 AS src, ck * 2 + 1 AS dst FROM bpairs
+        UNION ALL
+        SELECT ck * 2 + 1 AS src, sk * 2 AS dst FROM bpairs),
+      bod AS (SELECT src, COUNT(*) AS outdeg FROM bedges0 GROUP BY src),
+      bedges AS MATERIALIZED (
+        SELECT e.src, e.dst, od.outdeg FROM bedges0 e
+        JOIN bod od ON od.src = e.src),
+      bnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM bedges),
+      bnb AS (SELECT COUNT(*) AS nb_cnt,
+        1000000000000 // NULLIF(COUNT(*), 0) AS base FROM bnodes),
+      b0 AS MATERIALIZED (
+        SELECT node, (SELECT base FROM bnb) AS r FROM bnodes),
+      ${steps("b", "bedges", "bnodes",
+        "(15 * (SELECT base FROM bnb)) // 100", baseIters)},
+      edges0 AS (
+        SELECT sk * 2 AS src, ck * 2 + 1 AS dst FROM dated
+        UNION ALL
+        SELECT ck * 2 + 1 AS src, sk * 2 AS dst FROM dated),
+      od AS (SELECT src, COUNT(*) AS outdeg FROM edges0 GROUP BY src),
+      edges AS MATERIALIZED (
+        SELECT e.src, e.dst, od.outdeg FROM edges0 e
+        JOIN od ON od.src = e.src),
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+      nb AS (SELECT COUNT(*) AS n_cnt,
+        1000000000000 // NULLIF(COUNT(*), 0) AS base FROM nodes),
+      s0 AS MATERIALIZED (
+        -- stored base ranks rescaled by nb_cnt/n_cnt (exact integer
+        -- split — every term under the 10^12 mass bound); new nodes
+        -- at the re-based uniform rank.
+        SELECT n.node,
+          CASE WHEN b.r IS NULL THEN (SELECT base FROM nb)
+               ELSE (b.r // (SELECT n_cnt FROM nb))
+                      * (SELECT nb_cnt FROM bnb)
+                    + ((b.r % (SELECT n_cnt FROM nb))
+                      * (SELECT nb_cnt FROM bnb))
+                      // (SELECT n_cnt FROM nb)
+          END AS r
+        FROM nodes n LEFT JOIN b$baseIters b ON b.node = n.node),
+      ${steps("s", "edges", "nodes",
+        "(15 * (SELECT base FROM nb)) // 100", deltaIters)}
+      SELECT CAST(rnk AS INT) AS rnk,
+        CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+          AS node_type,
+        node // 2 AS node_id, CAST(r AS BIGINT) AS r
+      FROM (
+        SELECT node, r,
+          ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rnk
+        FROM s$deltaIters)
+      WHERE rnk <= $k
+      ORDER BY rnk"""
   }
 
   /** The q80 oracle: the identical fixed-round min-label relaxation
@@ -1209,6 +1587,20 @@ object Graph {
         // recompute on the union — the hash match proves
         // incremental ≡ batch through the storage boundary.
         incrementalWcc(s, dir),
-      Some(sqlConnectedComponents(rounds = 10)))
+      Some(sqlConnectedComponents(rounds = 10))),
+    // ----------------------------------------------------------------
+    Q(
+      "q89_incremental_pagerank",
+      (s, dir) =>
+        // Incremental PageRank maintenance (see
+        // [[incrementalPageRank]]): base ranks persisted to parquet,
+        // full graph re-converged in 4 rounds SEEDED from the stored
+        // vector (rescaled by the node-count ratio, teleport
+        // re-based). The oracle restates the whole seeded recurrence
+        // — see the Scaladoc for why PageRank (unlike q88's WCC)
+        // cannot hash-match a from-scratch recompute.
+        incrementalPageRank(s, dir),
+      Some(sqlIncrementalPageRank(baseIters = 10, deltaIters = 4,
+        k = 25)))
   )
 }

@@ -467,6 +467,95 @@ class JoinsAndSourcesSpec extends SparkSpec {
     assert(dateless == Set((8L, 1L)), dateless)
   }
 
+  test("q88 convergence guard: a deltaRounds budget below the delta's " +
+      "change diameter throws instead of silently emitting a " +
+      "non-fixpoint") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Base era (day 0): the single pair s1-c1. Delta era (day 10):
+    // the rest of an 8-node bipartite chain s1-c1-s2-c2-s3-c3-s4-c4.
+    // The stored base label (2) must flood SIX delta hops to reach
+    // c4, so deltaRounds = 1 leaves labels moving — exactly the
+    // silent-under-convergence shape the guard exists to catch.
+    val li = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 3L),
+      (6L, 4L), (7L, 4L)).toDF("l_orderkey", "l_suppkey")
+    val ord = Seq(
+      (1L, 1L, "1970-01-01"), (2L, 1L, "1970-01-11"),
+      (3L, 2L, "1970-01-11"), (4L, 2L, "1970-01-11"),
+      (5L, 3L, "1970-01-11"), (6L, 3L, "1970-01-11"),
+      (7L, 4L, "1970-01-11"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
+      .toDF("c_custkey", "c_nationkey")
+    val supp = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
+      .toDF("s_suppkey", "s_nationkey")
+    val ex = intercept[IllegalStateException] {
+      Graph.incrementalWccFrom(Graph.datedTradePairs(li, ord),
+        cust, supp, deltaRounds = 1)
+    }
+    assert(ex.getMessage.contains("still moving"), ex.getMessage)
+    // An honest budget converges, the guard stays quiet, and the
+    // emitted histogram is the merged 8-node component.
+    val ok = Graph.incrementalWccFrom(Graph.datedTradePairs(li, ord),
+      cust, supp, deltaRounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == Set((8L, 1L)), ok)
+  }
+
+  test("q89: with an empty delta the seeded pass RESUMES the stored " +
+      "iteration exactly (incremental 10+4 ≡ batch 14); a dateless " +
+      "corpus degrades to a cold 4-round run; seeding beats the cold " +
+      "start to stability") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Int, String, Long, Long)] =
+      df.collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // An 8-node bipartite chain, every pair in the base era: the cut
+    // equals the single day, the delta is empty, n == nBase so the
+    // integer rescale is the identity — the seeded 4 rounds are
+    // therefore rounds 11..14 of the SAME recurrence, proving the
+    // parquet round trip + seed arithmetic lossless.
+    val li = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 3L),
+      (6L, 4L), (7L, 4L)).toDF("l_orderkey", "l_suppkey")
+    val ord = Seq(
+      (1L, 1L, "1970-01-01"), (2L, 1L, "1970-01-01"),
+      (3L, 2L, "1970-01-01"), (4L, 2L, "1970-01-01"),
+      (5L, 3L, "1970-01-01"), (6L, 3L, "1970-01-01"),
+      (7L, 4L, "1970-01-01"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val inc = rows(Graph.incrementalPageRankFrom(
+      Graph.datedTradePairs(li, ord)))
+    val batch14 = rows(Graph.pageRank(li, ord, iters = 14))
+    assert(inc == batch14,
+      s"resume != 14-round batch:\n$inc\n$batch14")
+    // Non-vacuous: the iterate was still moving past round 10, so
+    // the equality above really exercises the resumed rounds.
+    assert(inc != rows(Graph.pageRank(li, ord, iters = 10)))
+    // Dateless corpus: the base era is empty, every node is "new",
+    // and the seeded pass is a cold `deltaIters`-round run — still
+    // exactly defined (and exactly what the oracle restates).
+    val nullOrd = ord.select(col("o_orderkey"), col("o_custkey"),
+      lit(null).cast("string").as("o_orderdate"))
+    val dateless = rows(Graph.incrementalPageRankFrom(
+      Graph.datedTradePairs(li, nullOrd)))
+    assert(dateless == rows(Graph.pageRank(li, nullOrd, iters = 4)),
+      dateless)
+    // The maintenance value: the stored-rank seed reaches a stable
+    // vector strictly faster than the cold uniform start on the
+    // resumed chain, and never slower on the real testdata split.
+    val (s1, c1) = Graph.q89ConvergenceRoundsFrom(
+      Graph.datedTradePairs(li, ord), tolDivisor = 100L)
+    assert(s1 < c1, s"one-day chain: seeded $s1 not < cold $c1")
+    val dir = "/root/testdata/sf0.001"
+    val (s2, c2) = Graph.q89ConvergenceRoundsFrom(
+      Graph.datedTradePairs(Tables.load(spark, dir, "lineitem"),
+        Tables.load(spark, dir, "orders")), tolDivisor = 100L)
+    assert(s2 <= c2, s"testdata: seeded $s2 slower than cold $c2")
+  }
+
   test("q82: the stale writer's CAS physically fails, its files would " +
       "have lost the winner's updates, and the rebase restores them") {
     val base = java.nio.file.Files

@@ -778,6 +778,84 @@ class EventStreamSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(resolved == Seq((16L, 300L, 9.0), (17L, 100L, 2.0),
       (24L, 200L, 3.0), (25L, 300L, 8.0)), resolved)
+    // Snapshot expiry includes metadata: the era-1 manifests were
+    // diffed once and deleted with their exclusive files — the next
+    // vacuum never re-reads them (the r18 manifest-diff altitude).
+    assert(!new java.io.File(root, "manifest/v00001.txt").exists(),
+      "expired manifest v1 survived its own expiry")
+    // Crash-orphan sweep: a data file that belongs to NO manifest (a
+    // writer died before its manifest swap) is invisible to the
+    // manifest diff by design; the explicit deep walk reclaims it and
+    // touches nothing live.
+    val crash = new java.io.File(root, "data/b99999/bucket=0")
+    crash.mkdirs()
+    val orphan = new java.io.File(crash, "part-crash.parquet")
+    orphan.createNewFile()
+    assert(lake.sweepOrphans() == 1 && !orphan.exists(),
+      "crash orphan not reclaimed by the deep sweep")
+    assert(lake.currentFiles.forall { case (_, p) =>
+      new java.io.File(p).exists()
+    }, "sweepOrphans touched a live file")
+    val resolvedAfter = lake.resolvedCurrent().collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(resolvedAfter == resolved, "sweepOrphans moved the state")
+  }
+
+  test("st32/st33 null-ts routing: a null-ts event flows through the " +
+      "lake into slice 0 instead of silently matching no slice " +
+      "(r17 ADVICE), and an all-dateless feed still commits") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def writeEvents(rows: Seq[(Long, Option[java.sql.Timestamp], Long,
+        String, Double)]): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("st32_nullts_").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit(null).cast("string"))
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .coalesce(1)
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val dir = writeEvents(Seq(
+      // user 100: the dated event outranks its null-ts sibling (the
+      // DESC resolution is NULLS LAST in both engines).
+      (1L, Some(t1), 100L, "view", 1.0),
+      (2L, None, 100L, "click", 2.0),
+      // user 200: ONLY a null-ts event — the row the r17 slice
+      // expression dropped while the shared st28 oracle emitted it.
+      (3L, None, 200L, "view", 3.0),
+      // user 300: dated, so min/max are non-null and real slicing
+      // runs alongside the coalesced slice-0 route.
+      (4L, Some(t2), 300L, "view", 4.0)))
+    val got = EventStream.runCdcLakeAutoCompact(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3)))
+      .toSeq
+    assert(got.map(_._1) == Seq(100L, 200L, 300L), got)
+    assert(got(0)._3 == 1.0 && got(0)._2.isDefined,
+      s"dated event lost to a null-ts sibling: $got")
+    assert(got(1) == ((200L, None, 3.0)),
+      s"null-ts-only user missing or misread: $got")
+    assert(got(2)._3 == 4.0, got)
+    // All-dateless feed (mn/mx NULL): the degenerate one-slice case
+    // must still commit every row instead of skipping the stream.
+    val dir2 = writeEvents(Seq(
+      (1L, None, 10L, "view", 1.5),
+      (2L, None, 11L, "click", 2.5)))
+    val got2 = EventStream.runCdcLakeRetention(spark, dir2)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3)))
+      .toSeq
+    assert(got2 == Seq((10L, None, 1.5), (11L, None, 2.5)), got2)
   }
 
   test("st28 merge: re-applying the same batch leaves the lake " +
