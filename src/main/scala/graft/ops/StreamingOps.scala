@@ -883,6 +883,20 @@ object StreamingOps {
         SELECT user_id, CAST(user_id % 8 AS INT) AS bucket,
           last_us, value
         FROM last WHERE event_type <> 'error'
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+    // ------------------------------------------------------------------
+    Q(
+      "st34_stream_wcc_maintenance",
+      (s, dir) => EventStream.runStreamWccMaintenance(s, dir),
+      // Streaming graph maintenance (see
+      // [[EventStream.WccLabelLake]]): q88's seeded WCC converge run
+      // from INSIDE foreachBatch every 2nd pair-delta commit, the
+      // label store living in the lake. The oracle is q80's batch
+      // component histogram UNCHANGED -- min-label relaxation has a
+      // start-independent fixpoint and every refresh converges to an
+      // observed fixpoint, so the hash match proves the in-stream
+      // incremental maintenance ≡ the batch recompute through every
+      // storage boundary.
+      Some(Graph.sqlConnectedComponents(rounds = 10)))
   )
 }

@@ -1374,6 +1374,188 @@ object EventStream {
     lake.resolvedCurrent().orderBy("user_id")
   }
 
+  // ------------------------------------------------------------------
+  // st34: streaming graph maintenance — WCC labels refreshed in-stream.
+  // ------------------------------------------------------------------
+
+  /** Streaming WCC label maintenance (st34) — q88's seeded converge
+    * composed into the st32 in-stream maintenance pattern: trade-pair
+    * deltas arrive as micro-batches, the pair set and the component
+    * LABEL STORE both live in the lake (parquet, read back before
+    * every use — the q86/q88 storage boundary), and every `every`-th
+    * commit a refresh re-converges the labels SEEDED from the stored
+    * vector: existing nodes start at their stored component label,
+    * new nodes at their own id. The refresh relaxes to an OBSERVED
+    * fixpoint ([[graft.ops.Graph.relaxToFixpoint]] — a streaming
+    * maintainer cannot know each delta's change diameter up front,
+    * so it probes per round and throws at the cap rather than
+    * publishing a non-fixpoint), which, by q88's seeding-soundness
+    * argument (labels only decrease; every stored label is a node id
+    * inside the same full component whose minimum labels itself),
+    * equals the from-scratch fixpoint — so the batch q80 statement
+    * is an EXACT oracle for the stream's final label store.
+    *
+    * Scale shape: per-refresh cost is (change-diameter + 1) rounds of
+    * one |E| join + a node-sized MIN each — the rounds track the
+    * DELTA's diameter, not the graph's, because the flood only has
+    * to cross newly merged boundaries; the label store read/write is
+    * node-sized; commits between refreshes cost one bounded append.
+    * At 100 TB the pair lake would be st32's bucketed manifest table;
+    * the refresh cadence amortizes the label rebuild over `every`
+    * commits exactly as st32 amortizes its OPTIMIZE.
+    */
+  final class WccLabelLake(spark: SparkSession, root: String,
+      every: Int = 2, maxRounds: Int = 50) {
+    private val pairsDir = new java.io.File(root, "pairs")
+    private val labelsDir = new java.io.File(root, "labels")
+    pairsDir.mkdirs()
+    private var seq = 0
+    private var pendingSinceRefresh = 0
+    /** Spec meter: completed label refreshes. */
+    private[graft] var refreshes = 0
+
+    private def readPairs(): DataFrame =
+      spark.read.schema("sk BIGINT, ck BIGINT")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(pairsDir.getAbsolutePath)
+
+    private def readLabels(): DataFrame =
+      if (!labelsDir.exists())
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL("node BIGINT, label BIGINT"))
+      else spark.read.schema("node BIGINT, label BIGINT")
+        .parquet(labelsDir.getAbsolutePath)
+
+    /** One micro-batch of (sk, ck) pair deltas: append to the pair
+      * lake under a fresh commit directory, refresh on cadence.
+      */
+    def append(batch: DataFrame): Unit = {
+      val delta = batch.select(col("sk"), col("ck"))
+      if (delta.isEmpty) return
+      seq += 1
+      delta.write.mode("overwrite")
+        .parquet(new java.io.File(pairsDir, f"b$seq%05d")
+          .getAbsolutePath)
+      pendingSinceRefresh += 1
+      if (pendingSinceRefresh >= every) refresh()
+    }
+
+    /** Seeded converge over the full accumulated pair set, label
+      * store overwritten in place (the converged frame is
+      * checkpointed before the write, so overwriting the storage it
+      * was seeded from is safe).
+      */
+    def refresh(): Unit = {
+      val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      def cp(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(); cps += c; c
+      }
+      try {
+        val edges = cp(graft.ops.Graph.bipartiteEdges(readPairs()))
+        val nodes = edges.select(col("src").as("node")).distinct()
+        val seeded = nodes
+          .join(readLabels().withColumnRenamed("node", "bn")
+            .withColumnRenamed("label", "bl"),
+            col("node") === col("bn"), "left")
+          .select(col("node"),
+            coalesce(col("bl"), col("node")).as("label"))
+        val converged = graft.ops.Graph.relaxToFixpoint(
+          edges, seeded, maxRounds, cp)
+        converged.write.mode("overwrite")
+          .parquet(labelsDir.getAbsolutePath)
+        refreshes += 1
+        pendingSinceRefresh = 0
+      } finally cps.foreach(graft.ops.Similarity.freeCheckpoint)
+    }
+
+    /** Refresh only if commits landed since the last one — the
+      * stream-end flush.
+      */
+    def refreshIfPending(): Unit =
+      if (pendingSinceRefresh > 0) refresh()
+
+    /** The q80-shaped (c_size → n_components) histogram of the label
+      * STORE — read back from disk, so the emitted numbers are what a
+      * downstream consumer of the lake actually sees.
+      */
+    def labelsHistogram(): DataFrame =
+      readLabels().groupBy("label").agg(count(lit(1)).as("c_size"))
+        .groupBy("c_size").agg(count(lit(1)).as("n_components"))
+        .orderBy("c_size")
+  }
+
+  /** Streaming WCC maintenance end-to-end (st34): the same-nation
+    * dated trade pairs (q88's pair set) split into 6 first-trade-day
+    * slices (null-day pairs route to slice 0 — the st32 rule) and
+    * streamed one file per trigger → 6 append commits → 3 in-stream
+    * seeded refreshes. The result is the final label store's
+    * component histogram; the oracle is q80's batch statement
+    * UNCHANGED, so the hash match proves the in-stream incremental
+    * maintenance converged to exactly the batch answer through every
+    * storage boundary.
+    */
+  def runStreamWccMaintenance(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = graft.ops.SourceSinks.tmp("graft_st34")
+    val input = new java.io.File(base, "input").getAbsolutePath
+    val root = new java.io.File(base, "lake").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val dated = graft.ops.Graph.datedTradePairs(
+        graft.Tables.load(spark, dir, "lineitem"),
+        graft.Tables.load(spark, dir, "orders"))
+      .join(broadcast(graft.Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("sn"))),
+        col("sk") === col("s_suppkey"))
+      .join(graft.Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("cn")),
+        col("ck") === col("c_custkey"))
+      .filter(col("sn") === col("cn"))
+      .select(col("sk"), col("ck"), col("d0"))
+    val b = dated.agg(min("d0").as("mn"), max("d0").as("mx"),
+      count(lit(1)).as("n")).collect()(0) // 1-row bounded fetch
+    val lake = new WccLabelLake(spark, root, every = 2)
+    if (b.getLong(2) > 0) {
+      val slices = 6
+      val sliceExpr =
+        if (b.isNullAt(0)) lit(0)
+        else {
+          val (mn, mx) = (b.getLong(0), b.getLong(1))
+          coalesce(expr(
+            s"CAST(((d0 - ${mn}L) * $slices) DIV ${mx - mn + 1}L AS INT)"),
+            lit(0))
+        }
+      val sliced = dated.withColumn("slice", sliceExpr)
+        .localCheckpoint() // the 6 slice filters reuse one scan
+      for (i <- 0 until slices)
+        sliced.filter(col("slice") === i)
+          .select("sk", "ck")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$input/s$i")
+      graft.ops.Similarity.freeCheckpoint(sliced)
+      withStreamShufflePartitions(spark, 8) {
+        val q = spark.readStream
+          .schema("sk BIGINT, ck BIGINT")
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(input)
+          .writeStream
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+              lake.append(batch.toDF())
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      lake.refreshIfPending() // commits after the last cadence point
+    }
+    lake.labelsHistogram()
+  }
+
   /** st23's per-user state: the first view seen so far plus ONLY the
     * clicks/purchases that could still qualify under any FUTURE first
     * view — see [[windowedFunnel]] for the pruning argument.

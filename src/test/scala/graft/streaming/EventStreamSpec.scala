@@ -858,6 +858,50 @@ class EventStreamSpec extends SparkSpec {
     assert(got2 == Seq((10L, None, 1.5), (11L, None, 2.5)), got2)
   }
 
+  test("st34 WCC lake: a component-merging delta lands in the label " +
+      "store on the refresh cadence, the store is one commit stale " +
+      "between cadence points, and the stream equals the batch " +
+      "recompute") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("st34_spec_")
+      .resolve("lake").toString
+    val lake = new EventStream.WccLabelLake(spark, root, every = 2)
+    def hist(): Set[(Long, Long)] = lake.labelsHistogram()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Commit 1: two disjoint pairs — below the cadence, no refresh.
+    lake.append(Seq((1L, 1L), (2L, 2L)).toDF("sk", "ck"))
+    assert(lake.refreshes == 0)
+    // Commit 2: s1-c2 merges the two components; the cadence fires
+    // and the STORE (read back from disk) shows one 4-node component
+    // mid-stream — the labels crossed the pre-existing component
+    // boundary, so only a seeded re-converge can have produced them.
+    lake.append(Seq((1L, 2L)).toDF("sk", "ck"))
+    assert(lake.refreshes == 1)
+    assert(hist() == Set((4L, 1L)), hist())
+    // Commit 3: a new isolated pair lands; between cadence points the
+    // store is one commit stale BY DESIGN.
+    lake.append(Seq((5L, 5L)).toDF("sk", "ck"))
+    assert(lake.refreshes == 1 && hist() == Set((4L, 1L)))
+    // Stream-end flush picks up the pending commit.
+    lake.refreshIfPending()
+    assert(lake.refreshes == 2)
+    assert(hist() == Set((4L, 1L), (2L, 1L)), hist())
+    // End-to-end: the streamed maintenance over the sliced testdata
+    // feed converges to exactly q80's batch histogram.
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.runStreamWccMaintenance(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.Graph.connectedComponents(
+      graft.Tables.load(spark, dir, "lineitem"),
+      graft.Tables.load(spark, dir, "orders"),
+      graft.Tables.load(spark, dir, "customer"),
+      graft.Tables.load(spark, dir, "supplier"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed $streamed != batch $batch")
+  }
+
   test("st28 merge: re-applying the same batch leaves the lake " +
       "bit-identical (replay idempotency)") {
     val root = java.nio.file.Files.createTempDirectory("st28_idem_")
