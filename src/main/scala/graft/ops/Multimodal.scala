@@ -1211,6 +1211,83 @@ object Multimodal {
           -- concat_ws over an empty array is '' — pin the fully-
           -- trimmed track to md5('') in both engines.
           md5(COALESCE(array_to_string(kept, ''), '')) AS trim_digest
-        FROM k ORDER BY doc_id"""))
+        FROM k ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m15_wav_decode",
+      (s, dir) => {
+        // The family's ONE honest end-to-end decode (r17 verdict):
+        // a REAL RIFF/WAVE PCM container is built around each
+        // document's bytes (every 3rd with an extra LIST chunk, so
+        // fixed-offset "parsing" would misread exactly those rows),
+        // then [[WavCodec.parse]] walks the chunk list byte-for-byte
+        // and the integer-exact features come off the DECODED
+        // samples. The oracle recomputes the same features straight
+        // from the document bytes — the hash match proves the
+        // container round trip (header, chunk walk, alignment pads,
+        // LE sample decode) lossless, not just the arithmetic.
+        // Same mapPartitions batch boundary as m02; a Left here is
+        // a builder/parser drift and must be LOUD, never a row.
+        val spark = s
+        import spark.implicits._
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .filter(col("payload").isNotNull)
+          .as[Blob]
+          .mapPartitions(_.grouped(64).flatMap(_.map { b =>
+            val wav = WavCodec.build(b.payload,
+              withJunk = b.doc_id % 3 == 0)
+            WavCodec.parse(wav) match {
+              case Right(w) =>
+                val (n, peak, sumAbs, zc) = WavCodec.features(w)
+                WavRow(b.doc_id, w.nChannels, w.sampleRate,
+                  n, peak, sumAbs, zc)
+              case Left(err) => throw new IllegalStateException(
+                s"m15: doc ${b.doc_id} failed to decode: $err")
+            }
+          }))
+          .toDF()
+          .orderBy("doc_id")
+      },
+      // Samples are the text's UTF-8 byte pairs as LE int16 (odd
+      // trailing byte dropped); all features integer folds.
+      Some("""
+        WITH hx AS (
+          SELECT doc_id, octet_length(encode(text)) AS nb,
+            hex(encode(text)) AS h
+          FROM documents WHERE text IS NOT NULL),
+        sm AS (
+          SELECT doc_id,
+            list_transform(
+              list_transform(range(0, CAST(nb // 2 AS BIGINT)),
+                i -> CAST(('0x' || substr(h, CAST(4*i + 1 AS INT), 2))
+                       AS INT)
+                   + 256 * CAST(('0x' || substr(h, CAST(4*i + 3 AS INT),
+                       2)) AS INT)),
+              u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS v
+          FROM hx)
+        SELECT doc_id,
+          CAST(1 AS INT) AS n_channels,
+          CAST(8000 AS INT) AS sample_rate,
+          CAST(len(v) AS BIGINT) AS n_samples,
+          CAST(COALESCE(list_max(list_transform(v, x -> abs(x))), 0)
+            AS BIGINT) AS peak,
+          CAST(COALESCE(list_sum(list_transform(v, x -> abs(x))), 0)
+            AS BIGINT) AS sum_abs,
+          CAST(COALESCE(list_sum(list_transform(range(1, len(v)),
+            i -> CASE WHEN (v[i] < 0) <> (v[i+1] < 0) THEN 1 ELSE 0
+                 END)), 0) AS BIGINT) AS zero_crossings
+        FROM sm ORDER BY doc_id"""))
   )
+
+  /** m15 output row: header fields + integer-exact sample features. */
+  final case class WavRow(
+      doc_id: Long,
+      n_channels: Int,
+      sample_rate: Int,
+      n_samples: Long,
+      peak: Long,
+      sum_abs: Long,
+      zero_crossings: Long)
 }

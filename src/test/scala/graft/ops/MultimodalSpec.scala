@@ -411,4 +411,57 @@ class MultimodalSpec extends SparkSpec {
     assert(trim.values.exists(v => v._2 == 0 && v._1 > 0),
       "no fully-silent track at this SF")
   }
+
+  test("m15 WAV codec: the parser round-trips the builder through " +
+      "both physical layouts, and malformed containers fail with " +
+      "typed reasons, never garbage rows") {
+    // 3 LE samples + one odd trailing byte (dropped by contract):
+    // 0x0001 = 1, 0x8010 = -32752, 0x7fff = 32767.
+    val pcm = Array[Byte](1, 0, 0x10, 0x80.toByte, 0xff.toByte, 0x7f, 9)
+    val wav = WavCodec.build(pcm)
+    val w = WavCodec.parse(wav).toOption.get
+    assert(w.nChannels == 1 && w.sampleRate == 8000 &&
+      w.bitsPerSample == 16)
+    assert(w.samples.toSeq == Seq[Short](1, -32752, 32767))
+    // Integer features off the DECODED samples: signs + - + give two
+    // sign changes.
+    assert(WavCodec.features(w) ==
+      ((3L, 32767L, 1L + 32752L + 32767L, 2L)))
+    // The LIST-chunk layout holds the same logical audio through a
+    // different chunk walk (fixed-offset parsing would misread it —
+    // and its odd-sized payload exercises the alignment pad).
+    val w2 = WavCodec.parse(WavCodec.build(pcm, withJunk = true))
+      .toOption.get
+    assert(w2.samples.toSeq == w.samples.toSeq &&
+      w2.sampleRate == w.sampleRate)
+    // Typed failures.
+    assert(WavCodec.parse(Array[Byte](1, 2, 3)) ==
+      Left("truncated header"))
+    assert(WavCodec.parse(
+      "JUNK".getBytes("US-ASCII") ++ wav.drop(4)) ==
+      Left("not a RIFF container"))
+    assert(WavCodec.parse(wav.dropRight(1)) ==
+      Left("truncated container"))
+    val notWave = wav.clone()
+    System.arraycopy("AIFF".getBytes("US-ASCII"), 0, notWave, 8, 4)
+    assert(WavCodec.parse(notWave) == Left("not a WAVE form"))
+    val badCodec = wav.clone()
+    badCodec(20) = 3 // fmt audioFormat low byte: 12 (RIFF hdr) + 8
+    assert(WavCodec.parse(badCodec) ==
+      Left("unsupported codec 3 (want PCM)"))
+    val bad8bit = wav.clone()
+    bad8bit(34) = 8 // bitsPerSample low byte: 12 + 8 + 14
+    assert(WavCodec.parse(bad8bit) ==
+      Left("unsupported sample width 8 (want 16)"))
+    // fmt-only container: header + fmt chunk, declared size patched.
+    val fmtOnly = java.util.Arrays.copyOf(wav, 12 + 24)
+    java.nio.ByteBuffer.wrap(fmtOnly)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, 28)
+    assert(WavCodec.parse(fmtOnly) == Left("missing data chunk"))
+    // Empty audio is VALID (a zero-length data chunk), not an error.
+    val empty = WavCodec.parse(WavCodec.build(Array.empty[Byte]))
+      .toOption.get
+    assert(empty.samples.isEmpty &&
+      WavCodec.features(empty) == ((0L, 0L, 0L, 0L)))
+  }
 }
