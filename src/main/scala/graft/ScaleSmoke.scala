@@ -36,7 +36,8 @@ object ScaleSmoke {
       |  lifecycle [f]  st27 persist+serve: probed-cell bytes vs corpus ×f
       |  classifier [f]  t28 GD fit cost ×1 vs ×f (1-row round shuffles)
       |  autocompact [f]  st32 OPTIMIZE bytes: 1-bucket vs full-lake pass ×f
-      |  incwcc [f]    q88 seeded 6-round delta vs 10-round scratch ×f""".stripMargin
+      |  incwcc [f]    q88 seeded 6-round delta vs 10-round scratch ×f
+      |  incpr [f]     q89 seeded 4-round rank refresh vs 10-round scratch ×f""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -1365,6 +1366,85 @@ object ScaleSmoke {
     cps.foreach(ops.Similarity.freeCheckpoint)
   }
 
+  /** q89's maintenance claim, measured at ×factor: the DAILY refresh
+    * (4 rank rounds seeded from the stored base vector) vs the
+    * from-scratch 10-round recompute it replaces — wall time for
+    * both, plus the stability meter (rounds until no node moves more
+    * than base/100) proving the seeded start re-converges in no more
+    * rounds than the cold start. Copies are disjoint id-shifted
+    * clusters, so per-copy dynamics match ×1 and only the VOLUME
+    * scales — the point is that both paths stay |E|-join-per-round
+    * with node-sized rank frames.
+    */
+  def runIncPr(spark: SparkSession, factor: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val dated0 = ops.Graph.datedTradePairs(li, ord)
+    val dated = (0 until factor).map { i =>
+      dated0.select(
+        (col("sk") + lit(i.toLong * 10000000)).as("sk"),
+        (col("ck") + lit(i.toLong * 10000000)).as("ck"),
+        col("d0"))
+    }.reduce(_ unionByName _)
+    val b = dated.agg(min("d0").as("mn"), max("d0").as("mx")).collect()(0)
+    if (b.isNullAt(0)) {
+      println("[incpr] no dated trade pairs in the testdata — aborting")
+      return
+    }
+    val cut = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    def withDeg(pairs: DataFrame): (DataFrame, DataFrame, Long) = {
+      val e0 = ops.Graph.bipartiteEdges(pairs)
+      val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val e = cp(e0.join(deg, "src"))
+      val n = cp(e.select(col("src").as("node")).distinct())
+      (e, n, n.count())
+    }
+    val (bEdges, bNodes, nBase) =
+      withDeg(dated.filter(col("d0") <= cut).select("sk", "ck"))
+    val (edges, nodes, n) = withDeg(dated.select("sk", "ck"))
+    println(s"[incpr] nodes: base=$nBase full=$n (x$factor)")
+    val bb = 1000000000000L / nBase
+    val baseRanks = time("base ranks (10 rounds, once)")(
+      cp(ops.Graph.prRounds(bEdges, bNodes,
+        cp(bNodes.select(col("node"), lit(bb).as("r"))),
+        (15L * bb) / 100L, 10, cp)))
+    val base = 1000000000000L / n
+    val teleport = (15L * base) / 100L
+    val seeded = cp(nodes
+      .join(baseRanks.withColumnRenamed("node", "bn")
+        .withColumnRenamed("r", "br"),
+        col("node") === col("bn"), "left")
+      .select(col("node"),
+        coalesce(
+          expr(s"(br div ${n}L) * ${nBase}L + " +
+            s"((br % ${n}L) * ${nBase}L) div ${n}L"),
+          lit(base)).as("r")))
+    val cold = cp(nodes.select(col("node"), lit(base).as("r")))
+    time("DAILY seeded refresh (4 rounds)")(
+      ops.Graph.prRounds(edges, nodes, seeded, teleport, 4, cp)
+        .write.format("noop").mode("overwrite").save())
+    time("DAILY from-scratch (10 rounds)")(
+      ops.Graph.prRounds(edges, nodes, cold, teleport, 10, cp)
+        .write.format("noop").mode("overwrite").save())
+    val tol = math.max(1L, base / 100L)
+    val rSeeded = ops.Graph.prRoundsToStable(edges, nodes, seeded,
+      teleport, tol)
+    val rCold = ops.Graph.prRoundsToStable(edges, nodes, cold,
+      teleport, tol)
+    println(s"[incpr] rounds to |Δr| <= $tol: seeded=$rSeeded " +
+      s"cold=$rCold")
+    assert(rSeeded <= rCold,
+      s"seeded start ($rSeeded) slower to stability than cold ($rCold)")
+    cps.foreach(ops.Similarity.freeCheckpoint)
+  }
+
   /** st28's partition-scoped copy-on-write claim, measured: against a
     * ×factor lake, a delta batch confined to 1 of the 8 key buckets
     * must rewrite exactly that one partition, while an equal-sized
@@ -1419,7 +1499,8 @@ object ScaleSmoke {
     val modes = Set("skew", "q56", "sim", "ttl", "stjoin", "sessions",
       "text", "curation", "multimodal", "containment", "indexmaint",
       "funnel", "timeseries", "dsir", "lakemerge", "tokenbudget", "pca",
-      "graph", "lifecycle", "classifier", "autocompact", "incwcc")
+      "graph", "lifecycle", "classifier", "autocompact", "incwcc",
+      "incpr")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -1461,6 +1542,7 @@ object ScaleSmoke {
         case "classifier" => 20
         case "autocompact" => 5
         case "incwcc" => 5
+        case "incpr" => 5
         case _ => 4
       })
     val spark = SparkSession.builder()
@@ -1495,6 +1577,7 @@ object ScaleSmoke {
     if (mode == "classifier") { runClassifier(spark, factor); spark.stop(); return }
     if (mode == "autocompact") { runAutoCompact(spark, factor); spark.stop(); return }
     if (mode == "incwcc") { runIncWcc(spark, factor); spark.stop(); return }
+    if (mode == "incpr") { runIncPr(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)
