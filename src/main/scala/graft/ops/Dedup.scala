@@ -1699,8 +1699,147 @@ object Dedup {
         // d22's string-window restatement VERBATIM, so the hash match
         // doubles as the collision-freeness certificate.
         exactSubstringDedupFast(docs(s, dir)),
-      Some(sqlExactSubstringDedup(minLen = 40)))
+      Some(sqlExactSubstringDedup(minLen = 40))),
+    // ----------------------------------------------------------------
+    Q(
+      "d24_incremental_dedup",
+      (s, dir) =>
+        // Incremental dedup maintenance (see [[incrementalDedup]]):
+        // the base era's band signatures PERSISTED to parquet, only
+        // the delta hashed today, admission = no shared band with the
+        // stored corpus or a smaller-id delta doc. The q88/q89
+        // discipline applied to the dedup tier.
+        incrementalDedup(docs(s, dir)),
+      Some(sqlIncrementalDedup))
   )
+
+  /** Incremental dedup maintenance (d24) — the q88/q89 seeded-refresh
+    * discipline applied to the dedup tier: the daily production shape
+    * of MinHash/LSH dedup, where yesterday's corpus is represented by
+    * its PERSISTED band-signature store and only today's delta
+    * documents are tokenized and hashed. The corpus splits at the
+    * median doc_id (floorDiv — the q87 floor rule; the id axis stands
+    * in for the ingest date the testdata lacks): base-era docs'
+    * signatures are computed batch-style and written to parquet (the
+    * store build is yesterday's run, paid here so the oracle can
+    * check the whole pipeline), then TODAY's work touches only the
+    * delta — its signatures, one band-keyed join against the store
+    * read back from disk, and a d07-style min-id keeper election
+    * inside the delta:
+    *
+    *   - `dup_of_base`: the delta doc shares a (band_id, band_hash)
+    *     with a stored base doc — the corpus already has this
+    *     content; the store answers WITHOUT re-reading base text.
+    *   - `dup_in_delta`: it shares a band with a SMALLER-id delta doc
+    *     (first-writer-wins — computed linearly via per-band min ids,
+    *     never in-bucket pair expansion).
+    *   - `admitted`: neither — the doc enters the corpus, and a real
+    *     deployment would append its signatures to the store.
+    *
+    * Band-sharing is the same candidate semantics as d07's keeper
+    * families (only near-identical docs collide on a full minhash
+    * band); the exact-Jaccard verify tier (d03) composes after
+    * admission screening when byte-budgets allow.
+    *
+    * Scale shape: today's cost is hashing the DELTA (explode →
+    * codegen projections → min-agg, the d02 shape) plus one
+    * (band_id, band_hash)-keyed shuffle against a store that holds 8
+    * band hashes per doc — signature-sized, never corpus-sized — and
+    * a map-side-combining per-band MIN inside the delta. Nothing
+    * re-reads or re-tokenizes the base corpus; that is the entire
+    * point of the operator.
+    */
+  def incrementalDedup(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val d = documents.filter(col("text").isNotNull)
+    val b = d.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .collect()(0) // 1-row bounded fetch
+    if (b.isNullAt(0))
+      return Seq.empty[(Long, Int, Int, Int)]
+        .toDF("doc_id", "dup_of_base", "dup_in_delta", "admitted")
+    val cut = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    // Yesterday's run: base signatures persisted — the artifact.
+    val storeRoot = graft.ops.SourceSinks.tmp("graft_d24")
+    val store = new java.io.File(storeRoot, "sigs").getAbsolutePath
+    minhashBands(d.filter(col("doc_id") <= cut))
+      .write.mode("overwrite").parquet(store)
+    val stored = s.read
+      .schema("doc_id BIGINT, band_id INT, band_hash STRING")
+      .parquet(store)
+    // Today: hash ONLY the delta, and persist ITS signatures beside
+    // the base's — exactly what a deployment does (today's delta is
+    // tomorrow's base; the store only ever grows by signature-sized
+    // appends). The read-back also shares one signature job across
+    // the three consumers below without a checkpoint whose lifetime
+    // would have to outlive this lazy result (a localCheckpoint here
+    // could not be freed safely before the caller materializes).
+    val deltaStore = new java.io.File(storeRoot, "sigs_delta")
+      .getAbsolutePath
+    minhashBands(d.filter(col("doc_id") > cut))
+      .write.mode("overwrite").parquet(deltaStore)
+    val deltaSigs = s.read
+      .schema("doc_id BIGINT, band_id INT, band_hash STRING")
+      .parquet(deltaStore)
+    val deltaDocs = deltaSigs.select("doc_id").distinct()
+    val hitsBase = deltaSigs
+      .join(stored.select("band_id", "band_hash"),
+        Seq("band_id", "band_hash"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("fb", lit(1))
+    val minDelta = deltaSigs.groupBy("band_id", "band_hash")
+      .agg(min("doc_id").as("m"))
+    val hitsDelta = deltaSigs
+      .join(minDelta, Seq("band_id", "band_hash"))
+      .filter(col("doc_id") > col("m"))
+      .select("doc_id").distinct()
+      .withColumn("fd", lit(1))
+    deltaDocs
+      .join(hitsBase, Seq("doc_id"), "left")
+      .join(hitsDelta, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("fb"), lit(0)).as("dup_of_base"),
+        coalesce(col("fd"), lit(0)).as("dup_in_delta"),
+        (coalesce(col("fb"), lit(0)) === 0 &&
+          coalesce(col("fd"), lit(0)) === 0)
+          .cast("int").as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** The d24 oracle: bands for BOTH eras restated via the shared
+    * [[sqlBandsCte]] chain, the same median-id cut, base-hit semi
+    * and per-band min-id election in SQL.
+    */
+  // lazy: declared after `all`, which captures it at object init.
+  private[graft] lazy val sqlIncrementalDedup: String =
+    s"""
+      $sqlBandsCte,
+      cutv AS (
+        SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut
+        FROM documents WHERE text IS NOT NULL),
+      bb AS (SELECT b.* FROM bands b, cutv WHERE b.doc_id <= cut),
+      db AS (SELECT b.* FROM bands b, cutv WHERE b.doc_id > cut),
+      hitsb AS (
+        SELECT DISTINCT d.doc_id FROM db d
+        JOIN bb ON d.band_id = bb.band_id
+               AND d.band_hash = bb.band_hash),
+      mind AS (
+        SELECT band_id, band_hash, MIN(doc_id) AS m
+        FROM db GROUP BY band_id, band_hash),
+      hitsd AS (
+        SELECT DISTINCT d.doc_id FROM db d
+        JOIN mind m ON d.band_id = m.band_id
+                   AND d.band_hash = m.band_hash
+                   AND d.doc_id > m.m)
+      SELECT dd.doc_id,
+        CAST(hb.doc_id IS NOT NULL AS INT) AS dup_of_base,
+        CAST(hd.doc_id IS NOT NULL AS INT) AS dup_in_delta,
+        CAST(hb.doc_id IS NULL AND hd.doc_id IS NULL AS INT)
+          AS admitted
+      FROM (SELECT DISTINCT doc_id FROM db) dd
+      LEFT JOIN hitsb hb ON dd.doc_id = hb.doc_id
+      LEFT JOIN hitsd hd ON dd.doc_id = hd.doc_id
+      ORDER BY dd.doc_id"""
 
   /** Exact-substring passage dedup (d22) — the published standard for
     * training-corpus passage removal (Lee et al. 2022, "Deduplicating

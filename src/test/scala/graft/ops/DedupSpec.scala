@@ -574,4 +574,31 @@ class DedupSpec extends SparkSpec {
     assert(out("srcB") ===
       ((1L, 0L, uniq.length.toLong, 0L, 0.0)), out.toString)
   }
+
+  test("d24 incremental dedup: a delta clone of a STORED base doc is " +
+      "flagged against the signature store, delta-internal clones " +
+      "elect the min id, fresh content is admitted") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // ids 1..6 → cut = 3: base {1, 2, 3}, delta {4, 5, 6}.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "lorem ipsum dolor sit amet consectetur"),
+      (4L, "alpha beta gamma delta epsilon zeta"), // clone of base 1
+      (5L, "totally fresh unique content nothing else"),
+      (6L, "totally fresh unique content nothing else")) // clone of 5
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSeq
+    // Only the DELTA is judged (base docs are the corpus, never
+    // re-examined): 4 hits the store, 6 loses to 5 inside the delta,
+    // 5 is admitted.
+    assert(out == Seq(
+      (4L, 1, 0, 0),
+      (5L, 0, 0, 1),
+      (6L, 0, 1, 0)), out)
+  }
 }
