@@ -1115,4 +1115,30 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
   }
+
+  test("d23: duplicate-window counting is a map-side-combined groupBy " +
+    "+ semi-join, never a count-over-window on the fingerprint") {
+    val p = plan("d23_exact_substring_fast")
+    // The skew-safe shape (r18): partial_count before the shuffle,
+    // flagged rows via LeftSemi back onto the gram stream.
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("LeftSemi"), p)
+    // The ONLY window execs are the per-document island unions — a
+    // window keyed on the fingerprint would re-introduce the
+    // single-task hot-key materialization the groupBy shape removes.
+    assert(!p.contains("windowspecdefinition(g#") &&
+      !p.contains("windowspecdefinition(g,"),
+      s"window keyed on the fingerprint:\n$p")
+  }
+
+  test("d24: the signature store joins back as a LeftSemi and the " +
+    "delta keeper election combines map-side") {
+    val p = plan("d24_incremental_dedup")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // Both sides of the admission screen read the PERSISTED signature
+    // parquet — today's pass never re-reads document text.
+    assert(p.contains("sigs"), p)
+  }
 }
