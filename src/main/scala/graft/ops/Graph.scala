@@ -1149,13 +1149,34 @@ object Graph {
     var labels = cp(labels0)
     var r = 0
     while (r < maxRounds) {
-      val next = cp(relaxRounds(edges, labels, 1, identity))
-      val moved = next
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).limit(1).count() > 0
-      if (!moved) return next
-      labels = next
-      r += 1
+      // TWO chained relaxation rounds per materialization (the q88
+      // every-3rd-round checkpoint rule adapted to a probed loop):
+      // the probe needs a materialized frame, so each stride pays ONE
+      // cluster job + a block-local count for two rounds of progress,
+      // with the stride-START label kept beside the result. Sound
+      // because labels only DECREASE under min-relaxation — no
+      // oscillation, so "unchanged across the stride" ⟺ both rounds
+      // were no-ops ⟺ fixpoint; at worst one already-converged round
+      // is computed inside the last stride.
+      // One lazy relaxation step that CARRIES the stride-start label
+      // ([[relaxRounds]]'s recurrence; that helper drops extra
+      // columns, so prev is threaded here).
+      def step(l: DataFrame): DataFrame =
+        l.join(edges.join(l.select(col("node"), col("label")),
+            col("src") === col("node"))
+            .select(col("dst"), col("label").as("cand"))
+            .groupBy("dst").agg(min("cand").as("nl")),
+          col("node") === col("dst"), "left")
+          .select(col("node"), col("prev"),
+            least(col("label"), coalesce(col("nl"), col("label")))
+              .as("label"))
+      val stepped =
+        cp(step(step(labels.withColumn("prev", col("label")))))
+      val moved = stepped.filter(col("label") =!= col("prev"))
+        .limit(1).count() > 0
+      labels = stepped.select("node", "label")
+      if (!moved) return labels
+      r += 2
     }
     throw new IllegalStateException(
       s"wcc relaxation still moving after $maxRounds rounds")
