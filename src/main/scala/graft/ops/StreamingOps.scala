@@ -897,6 +897,55 @@ object StreamingOps {
       // observed fixpoint, so the hash match proves the in-stream
       // incremental maintenance ≡ the batch recompute through every
       // storage boundary.
-      Some(Graph.sqlConnectedComponents(rounds = 10)))
+      Some(Graph.sqlConnectedComponents(rounds = 10))),
+    // ------------------------------------------------------------------
+    Q(
+      "st35_stream_sigstore_admission",
+      (s, dir) => DocumentStream.runStreamSigstoreAdmission(s, dir),
+      // d24's incremental dedup run from inside foreachBatch (see
+      // [[DocumentStream.SigStoreLake]]): each micro-batch hashed
+      // once, judged against the lake-resident signature store read
+      // back from disk, its signatures appended. Batches are
+      // id-contiguous slices streamed in order, so the streaming
+      // verdicts equal this pure batch statement -- slice arithmetic
+      // from the doc_id span plus two per-band MIN aggregations
+      // (never in-bucket pair expansion).
+      Some(s"""
+        ${Dedup.sqlBandsCte},
+        mm AS (
+          SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+          FROM documents WHERE text IS NOT NULL),
+        sl AS (
+          SELECT b.doc_id, b.band_id, b.band_hash,
+            CAST(((b.doc_id - mm.mn) * 6) // (mm.mx - mm.mn + 1)
+              AS INT) AS slice
+          FROM bands b, mm),
+        bm AS (
+          SELECT band_id, band_hash, MIN(slice) AS ms
+          FROM sl GROUP BY band_id, band_hash),
+        bsm AS (
+          SELECT band_id, band_hash, slice, MIN(doc_id) AS m
+          FROM sl GROUP BY band_id, band_hash, slice),
+        hitp AS (
+          SELECT DISTINCT s.doc_id FROM sl s
+          JOIN bm ON s.band_id = bm.band_id
+                 AND s.band_hash = bm.band_hash
+                 AND bm.ms < s.slice),
+        hitb AS (
+          SELECT DISTINCT s.doc_id FROM sl s
+          JOIN bsm ON s.band_id = bsm.band_id
+                  AND s.band_hash = bsm.band_hash
+                  AND s.slice = bsm.slice
+                  AND bsm.m < s.doc_id),
+        dd AS (SELECT DISTINCT doc_id FROM sl)
+        SELECT dd.doc_id,
+          CAST(hitp.doc_id IS NOT NULL AS INT) AS dup_prior,
+          CAST(hitb.doc_id IS NOT NULL AS INT) AS dup_in_batch,
+          CAST(hitp.doc_id IS NULL AND hitb.doc_id IS NULL AS INT)
+            AS admitted
+        FROM dd
+        LEFT JOIN hitp ON dd.doc_id = hitp.doc_id
+        LEFT JOIN hitb ON dd.doc_id = hitb.doc_id
+        ORDER BY dd.doc_id"""))
   )
 }

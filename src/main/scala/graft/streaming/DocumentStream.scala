@@ -453,4 +453,157 @@ object DocumentStream {
         java.time.Duration.ofSeconds(horizonSeconds)))
       .distinct().orderBy("doc_a", "doc_b")
   }
+
+  // ------------------------------------------------------------------
+  // st35: streaming dedup admission against a lake-resident
+  // signature store.
+  // ------------------------------------------------------------------
+
+  /** d24's incremental dedup run from INSIDE foreachBatch (st35) —
+    * the crawl front-door: each micro-batch of documents is hashed
+    * ONCE, its MinHash band signatures are committed to the
+    * signature STORE (parquet in the lake — storage, not the state
+    * store, which is what distinguishes this from the
+    * flatMapGroupsWithState admission ops st08/st09: the store
+    * survives restarts, is readable by any other job, and is
+    * signature-sized forever), and the batch's verdicts come from
+    * the store read BACK from disk:
+    *
+    *   - `dup_prior`: the doc shares a (band_id, band_hash) with any
+    *     PREVIOUS commit's doc — one semi-join against the store.
+    *   - `dup_in_batch`: it shares a band with a smaller-id doc of
+    *     the SAME batch — the d24 min-id election, linear per band.
+    *   - `admitted`: neither.
+    *
+    * Because the feed slices documents into id-contiguous files and
+    * streams them in order, "previous commit" ⟺ "smaller slice", so
+    * the streaming verdicts equal a pure BATCH statement over the
+    * whole corpus (slice arithmetic from the doc_id span + two
+    * per-band MIN aggregations) — the DuckDB oracle, which therefore
+    * proves the store round trip and the cadence split exact.
+    *
+    * Scale shape: per batch, one signature pass over the BATCH
+    * (explode → codegen projections → min-agg), one band-keyed
+    * semi-join whose right side is 8 band hashes per stored doc
+    * (signature-sized, never corpus-sized), one map-side-combining
+    * per-band MIN inside the batch, and one signature-sized append.
+    * No state store; nothing ever re-reads earlier text.
+    */
+  final class SigStoreLake(spark: SparkSession, root: String) {
+    private val storeDir = new java.io.File(root, "sigs")
+    private val verdictDir = new java.io.File(root, "verdicts")
+    storeDir.mkdirs(); verdictDir.mkdirs()
+    // Commit paths keyed by the stream's batchId: a failure-retried
+    // batch REWRITES its own commit and verdict directories
+    // (mode=overwrite) instead of appending a duplicate — replay
+    // idempotency by construction (the st28 rule).
+    private var commits = Map.empty[Long, String]
+    private val sigSchema = "doc_id BIGINT, band_id INT, band_hash STRING"
+
+    /** One micro-batch: hash, judge against the store, append.
+      * Idempotent in `batchId`.
+      */
+    def append(batch: DataFrame, batchId: Long): Unit = {
+      val docs = batch.select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      if (docs.isEmpty) return
+      val commit = new java.io.File(storeDir, f"b$batchId%05d")
+        .getAbsolutePath
+      graft.ops.Dedup.minhashBands(docs)
+        .write.mode("overwrite").parquet(commit)
+      // Judge from the STORE's files (read back from disk), so the
+      // emitted verdicts are what any later consumer would recompute.
+      val mySigs = spark.read.schema(sigSchema).parquet(commit)
+      val prior = commits.filter(_._1 < batchId).values.toSeq.sorted
+      val hitsPrior =
+        if (prior.isEmpty)
+          mySigs.select("doc_id").limit(0)
+        else mySigs
+          .join(spark.read.schema(sigSchema)
+            .parquet(prior: _*)
+            .select("band_id", "band_hash"),
+            Seq("band_id", "band_hash"), "left_semi")
+          .select("doc_id").distinct()
+      val bsMin = mySigs.groupBy("band_id", "band_hash")
+        .agg(min("doc_id").as("m"))
+      val hitsBatch = mySigs
+        .join(bsMin, Seq("band_id", "band_hash"))
+        .filter(col("doc_id") > col("m"))
+        .select("doc_id").distinct()
+      mySigs.select("doc_id").distinct()
+        .join(hitsPrior.withColumn("fp", lit(1)), Seq("doc_id"), "left")
+        .join(hitsBatch.withColumn("fb", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(batchId).as("commit_idx"),
+          coalesce(col("fp"), lit(0)).as("dup_prior"),
+          coalesce(col("fb"), lit(0)).as("dup_in_batch"),
+          (coalesce(col("fp"), lit(0)) === 0 &&
+            coalesce(col("fb"), lit(0)) === 0)
+            .cast("int").as("admitted"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(verdictDir, f"v$batchId%05d")
+          .getAbsolutePath)
+      commits += batchId -> commit
+    }
+
+    /** Every emitted verdict, read back from the lake. */
+    def verdicts(): DataFrame =
+      spark.read
+        .schema("doc_id BIGINT, commit_idx BIGINT, dup_prior INT, " +
+          "dup_in_batch INT, admitted INT")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(verdictDir.getAbsolutePath)
+  }
+
+  /** Streaming dedup admission end-to-end (st35): documents sliced
+    * into 6 id-contiguous files, streamed one per trigger, each batch
+    * judged against and appended to the lake-resident signature
+    * store — see [[SigStoreLake]].
+    */
+  def runStreamSigstoreAdmission(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = graft.ops.SourceSinks.tmp("graft_st35")
+    val input = new java.io.File(base, "input").getAbsolutePath
+    val root = new java.io.File(base, "lake").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val b = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .collect()(0) // 1-row bounded fetch
+    val lake = new SigStoreLake(spark, root)
+    if (!b.isNullAt(0)) {
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val slices = 6
+      val sliced = docs.withColumn("slice", expr(
+        s"CAST(((doc_id - ${mn}L) * $slices) DIV ${mx - mn + 1}L AS INT)"))
+        .localCheckpoint() // the 6 slice filters reuse one scan
+      for (i <- 0 until slices)
+        sliced.filter(col("slice") === i)
+          .select("doc_id", "text")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$input/s$i")
+      graft.ops.Similarity.freeCheckpoint(sliced)
+      EventStream.withStreamShufflePartitions(spark, 8) {
+        val q = spark.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(input)
+          .writeStream
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+              lake.append(batch.toDF(), bid)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    lake.verdicts()
+      .select("doc_id", "dup_prior", "dup_in_batch", "admitted")
+      .orderBy("doc_id")
+  }
 }

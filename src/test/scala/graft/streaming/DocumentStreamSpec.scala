@@ -224,4 +224,61 @@ class DocumentStreamSpec extends SparkSpec {
     assert(keptTotal < total,
       s"scrub vacuous at this SF: kept $keptTotal of $total chunks")
   }
+
+  test("st35 signature-store admission: a later batch's clone is " +
+      "flagged against the STORE, within-batch clones elect the min " +
+      "id, and a replayed batch leaves the verdicts bit-identical") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("st35_spec_")
+      .resolve("lake").toString
+    val lake = new DocumentStream.SigStoreLake(spark, root)
+    def verdictRows(): Seq[(Long, Long, Int, Int, Int)] =
+      lake.verdicts().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getInt(4)))
+        .sortBy(_._1).toSeq
+    // Batch 0: two fresh docs — both admitted.
+    lake.append(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text"), batchId = 0L)
+    assert(verdictRows() == Seq(
+      (1L, 0L, 0, 0, 1), (2L, 0L, 0, 0, 1)), verdictRows())
+    // Batch 1: 3 clones batch-0's doc 1 (dup_prior, via the store
+    // read back from disk); 4 is fresh; 5 clones 4 within the batch
+    // (min-id election: 4 admitted, 5 flagged).
+    val b1 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally fresh unique content nothing else"),
+      (5L, "totally fresh unique content nothing else"))
+      .toDF("doc_id", "text")
+    lake.append(b1, batchId = 1L)
+    val after = verdictRows()
+    assert(after == Seq(
+      (1L, 0L, 0, 0, 1), (2L, 0L, 0, 0, 1),
+      (3L, 1L, 1, 0, 0), (4L, 1L, 0, 0, 1), (5L, 1L, 0, 1, 0)), after)
+    // Replay of batch 1 (failure-retry): commits are keyed by
+    // batchId and rewritten in place — verdicts cannot move and the
+    // store gains no duplicate signatures.
+    lake.append(b1, batchId = 1L)
+    assert(verdictRows() == after, "replay moved the verdicts")
+    assert(new java.io.File(root, "sigs").listFiles().length == 2,
+      "replay appended a duplicate commit")
+    // End-to-end on testdata: every doc judged exactly once, the
+    // admitted/flagged split covers the corpus, and at least one
+    // verdict of each kind exists at this SF (the documents table
+    // carries exact clones).
+    val dir = "/root/testdata/sf0.001"
+    val got = DocumentStream.runStreamSigstoreAdmission(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val nDocs = graft.Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .count()
+    assert(got.length == nDocs, s"${got.length} verdicts for $nDocs docs")
+    assert(got.forall { case (_, p, b, a) =>
+      (a == 1) == (p == 0 && b == 0) }, "admitted flag inconsistent")
+    assert(got.exists(_._4 == 1), "nothing admitted")
+  }
 }
