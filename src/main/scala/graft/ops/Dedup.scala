@@ -1710,7 +1710,18 @@ object Dedup {
         // stored corpus or a smaller-id delta doc. The q88/q89
         // discipline applied to the dedup tier.
         incrementalDedup(docs(s, dir)),
-      Some(sqlIncrementalDedup))
+      Some(sqlIncrementalDedup)),
+    // ----------------------------------------------------------------
+    Q(
+      "d25_incremental_dedup_verified",
+      (s, dir) =>
+        // d24's store screen composed with d03's exact-Jaccard verify
+        // tier (see [[incrementalDedupVerified]]): band hits against
+        // the persisted signature store become candidate PAIRS, each
+        // confirmed by exact shingle-set Jaccard >= 0.8 before the
+        // document is rejected — a band false positive is re-admitted.
+        incrementalDedupVerified(docs(s, dir)),
+      Some(sqlIncrementalDedupVerified))
   )
 
   /** Incremental dedup maintenance (d24) — the q88/q89 seeded-refresh
@@ -1805,6 +1816,155 @@ object Dedup {
           .cast("int").as("admitted"))
       .orderBy("doc_id")
   }
+
+  /** Incremental dedup with exact-verify admission (d25) — the
+    * composition d24's scaladoc gestures at, closing the
+    * false-positive-rejection story: the reference-grade pipeline
+    * never rejects a document on a band hit alone, because a full
+    * minhash band CAN collide for docs that are merely similar-ish
+    * (or, rarely, not similar at all); it confirms each screen hit
+    * with exact Jaccard on the candidate pair (d03's verify tier)
+    * and re-admits the false positives.
+    *
+    * Same median-id cut and persisted band-signature store as d24;
+    * the differences are downstream of the screen:
+    *
+    *   - the store join is an INNER join producing candidate
+    *     (delta doc, base doc) PAIRS instead of d24's left-semi
+    *     verdict — `screened` = the doc hit ≥ 1 stored band,
+    *     `n_candidates` = how many distinct base docs it collided
+    *     with;
+    *   - each pair is verified by exact shingle-set Jaccard ≥ 0.8,
+    *     computed as the INTEGER cross-multiplication
+    *     10·|A∩B| ≥ 8·|A∪B| (no FP division crosses the engine
+    *     boundary); `confirmed_dup` = some candidate passed;
+    *   - `admitted` = NOT confirmed — a screen hit whose best exact
+    *     Jaccard falls short is a band false positive and the doc
+    *     enters the corpus after all.
+    *
+    * Scale shape: everything up to the screen is d24 (delta-only
+    * hashing, band-keyed store join — signature-sized, never
+    * corpus-sized). The verify tier re-reads TEXT only for docs the
+    * screen actually touched (candidate delta docs + their base
+    * candidates — a left-semi onto documents), ships 16-hex-hashed
+    * shingle SETS through the pair join (d03's discipline), and the
+    * pair count is band-candidate-bounded: only near-identical docs
+    * collide on a full band, so fan-out stays tiny — this is
+    * precisely the byte-budget the d24 scaladoc's "when byte-budgets
+    * allow" clause prices.
+    */
+  def incrementalDedupVerified(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val d = documents.filter(col("text").isNotNull)
+    val b = d.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .collect()(0) // 1-row bounded fetch
+    if (b.isNullAt(0))
+      return Seq.empty[(Long, Int, Long, Int, Int)]
+        .toDF("doc_id", "screened", "n_candidates", "confirmed_dup",
+          "admitted")
+    val cut = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    // Yesterday's artifact + today's delta signatures, persisted and
+    // read back — d24's storage discipline, shared verbatim.
+    val storeRoot = graft.ops.SourceSinks.tmp("graft_d25")
+    val store = new java.io.File(storeRoot, "sigs").getAbsolutePath
+    minhashBands(d.filter(col("doc_id") <= cut))
+      .write.mode("overwrite").parquet(store)
+    val stored = s.read
+      .schema("doc_id BIGINT, band_id INT, band_hash STRING")
+      .parquet(store)
+    val deltaStore = new java.io.File(storeRoot, "sigs_delta")
+      .getAbsolutePath
+    minhashBands(d.filter(col("doc_id") > cut))
+      .write.mode("overwrite").parquet(deltaStore)
+    val deltaSigs = s.read
+      .schema("doc_id BIGINT, band_id INT, band_hash STRING")
+      .parquet(deltaStore)
+    val deltaDocs = deltaSigs.select("doc_id").distinct()
+    // The SCREEN, as candidate pairs: one band-keyed shuffle join
+    // whose right side is the signature-sized store.
+    val cand = deltaSigs
+      .join(stored.select(col("band_id"), col("band_hash"),
+        col("doc_id").as("base_id")), Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("base_id")).distinct()
+      .localCheckpoint() // feeds the touched-doc semi AND the verify
+    // The VERIFY: shingle sets ONLY for docs the screen touched.
+    val touched = cand.select("doc_id")
+      .unionByName(cand.select(col("base_id").as("doc_id")))
+      .distinct()
+    val sets = shingleRows(d.join(touched, Seq("doc_id"), "left_semi"))
+      .groupBy("doc_id")
+      .agg(collect_set(substring(md5(col("t")), 1, 16)).as("sl"))
+      .localCheckpoint() // both sides of the pair join read it
+    val per = cand
+      .join(sets.select(col("doc_id").as("da"), col("sl").as("sla")),
+        col("doc_id") === col("da"))
+      .join(sets.select(col("doc_id").as("db"), col("sl").as("slb")),
+        col("base_id") === col("db"))
+      .withColumn("inter",
+        size(array_intersect(col("sla"), col("slb"))))
+      .select(col("doc_id"),
+        (col("inter") * 10 >=
+          (size(col("sla")) + size(col("slb")) - col("inter")) * 8)
+          .cast("int").as("ok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"), max("ok").as("confirmed"))
+    deltaDocs.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_candidates").isNotNull.cast("int").as("screened"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("confirmed"), lit(0)).as("confirmed_dup"),
+        (coalesce(col("confirmed"), lit(0)) === 0)
+          .cast("int").as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** The d25 oracle: d24's cut/band CTEs + d03's hashed shingle-set
+    * restatement, the screen as candidate pairs, the verify as the
+    * same integer cross-multiplication.
+    */
+  // lazy: declared after `all`, which captures it at object init.
+  private[graft] lazy val sqlIncrementalDedupVerified: String =
+    s"""
+      $sqlBandsCte,
+      cutv AS (
+        SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut
+        FROM documents WHERE text IS NOT NULL),
+      bb AS (SELECT b.* FROM bands b, cutv WHERE b.doc_id <= cut),
+      db AS (SELECT b.* FROM bands b, cutv WHERE b.doc_id > cut),
+      cand AS (
+        SELECT DISTINCT d.doc_id, b.doc_id AS base_id
+        FROM db d JOIN bb b ON d.band_id = b.band_id
+                           AND d.band_hash = b.band_hash),
+      shd AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            CASE WHEN len(tl) >= 3
+              THEN list_transform(range(1, len(tl) - 1),
+                     i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+              ELSE [array_to_string(tl, ' ')] END,
+            t -> substr(md5(t), 1, 16))) AS sl
+        FROM toks),
+      pj AS (
+        SELECT c.doc_id,
+          CASE WHEN 10 * len(list_intersect(sa.sl, sb.sl)) >=
+            8 * (len(sa.sl) + len(sb.sl)
+                 - len(list_intersect(sa.sl, sb.sl)))
+          THEN 1 ELSE 0 END AS ok
+        FROM cand c
+        JOIN shd sa ON c.doc_id = sa.doc_id
+        JOIN shd sb ON c.base_id = sb.doc_id),
+      per AS (
+        SELECT doc_id, COUNT(*) AS n_candidates, MAX(ok) AS confirmed
+        FROM pj GROUP BY doc_id)
+      SELECT dd.doc_id,
+        CAST(per.doc_id IS NOT NULL AS INT) AS screened,
+        CAST(COALESCE(per.n_candidates, 0) AS BIGINT) AS n_candidates,
+        CAST(COALESCE(per.confirmed, 0) AS INT) AS confirmed_dup,
+        CAST(COALESCE(per.confirmed, 0) = 0 AS INT) AS admitted
+      FROM (SELECT DISTINCT doc_id FROM db) dd
+      LEFT JOIN per ON dd.doc_id = per.doc_id
+      ORDER BY dd.doc_id"""
 
   /** The d24 oracle: bands for BOTH eras restated via the shared
     * [[sqlBandsCte]] chain, the same median-id cut, base-hit semi

@@ -226,7 +226,7 @@ object Graph {
   /** Bounded top-k materialization of a (node, r) rank frame in the
     * q77 output shape — TakeOrderedAndProject then a k-row window.
     */
-  private def prTopK(ranks: DataFrame, k: Int)
+  private[graft] def prTopK(ranks: DataFrame, k: Int)
       : Seq[(Int, String, Long, Long)] =
     ranks.orderBy(col("r").desc, col("node")).limit(k)
       .withColumn("rnk",
@@ -1148,7 +1148,10 @@ object Graph {
       cp: DataFrame => DataFrame): DataFrame = {
     var labels = cp(labels0)
     var r = 0
-    while (r < maxRounds) {
+    // Stride guard is r + 2 <= maxRounds (r18 ADVICE): an odd
+    // maxRounds budget rounds DOWN to the last full stride rather
+    // than overshooting by one round past the stated cap.
+    while (r + 2 <= maxRounds) {
       // TWO chained relaxation rounds per materialization (the q88
       // every-3rd-round checkpoint rule adapted to a probed loop):
       // the probe needs a materialized frame, so each stride pays ONE
@@ -1179,7 +1182,8 @@ object Graph {
       r += 2
     }
     throw new IllegalStateException(
-      s"wcc relaxation still moving after $maxRounds rounds")
+      s"wcc relaxation still moving after $r executed rounds " +
+        s"(cap $maxRounds)")
   }
 
   /** Rounds of min-label relaxation until nothing changes — the
@@ -1494,6 +1498,107 @@ object Graph {
         SELECT node, r,
           ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rnk
         FROM s$deltaIters)
+      WHERE rnk <= $k
+      ORDER BY rnk"""
+  }
+
+  /** The st36 oracle: the ENTIRE streamed rank-maintenance recurrence
+    * unrolled — the dated pairs split into `slices` first-trade-day
+    * slices (st35's slice arithmetic; null-day pairs route to slice
+    * 0), then one ERA per refresh cadence point (slice prefixes
+    * 2, 4, …, `slices` at every=2): era 0 is the cold backfill
+    * (`baseIters` uniform-start rounds), each later era re-seeds from
+    * the PREVIOUS era's final vector rescaled by the exact integer
+    * node-count ratio (q89's split) with the teleport re-based to the
+    * era's node count. q89's oracle convention throughout — integer
+    * PageRank is start-dependent, so the oracle pins the exact
+    * pipeline and the incremental-≈-batch claim is spec-carried.
+    */
+  private[graft] def sqlStreamIncrementalPageRank(slices: Int,
+      baseIters: Int, deltaIters: Int, k: Int): String = {
+    def steps(prefix: String, edges: String, nodes: String,
+        tele: String, iters: Int): String =
+      (1 to iters).map { it =>
+        s"""$prefix$it AS MATERIALIZED (
+        SELECT n.node,
+          $tele +
+          (85 * COALESCE(i.insum, 0)) // 100 AS r
+        FROM $nodes n LEFT JOIN (
+          -- CAST: DuckDB's SUM(BIGINT) is HUGEINT (the q77 rule).
+          SELECT e.dst AS node,
+            CAST(SUM(r.r // e.outdeg) AS BIGINT) AS insum
+          FROM $edges e JOIN $prefix${it - 1} r ON r.node = e.src
+          GROUP BY e.dst) i ON i.node = n.node)"""
+      }.mkString(",\n        ")
+    // One era per refresh: the graph over slice prefix `maxSlice`,
+    // seeded by `seedSql`, run for `iters` rounds.
+    def era(e: Int, maxSlice: Int, iters: Int, seedSql: String): String =
+      s"""e${e}p AS (SELECT sk, ck FROM sl WHERE slice <= $maxSlice),
+      e${e}edges0 AS (
+        SELECT sk * 2 AS src, ck * 2 + 1 AS dst FROM e${e}p
+        UNION ALL
+        SELECT ck * 2 + 1 AS src, sk * 2 AS dst FROM e${e}p),
+      e${e}od AS (
+        SELECT src, COUNT(*) AS outdeg FROM e${e}edges0 GROUP BY src),
+      e${e}edges AS MATERIALIZED (
+        SELECT x.src, x.dst, od.outdeg FROM e${e}edges0 x
+        JOIN e${e}od od ON od.src = x.src),
+      e${e}nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM e${e}edges),
+      e${e}nb AS (SELECT COUNT(*) AS n_cnt,
+        1000000000000 // NULLIF(COUNT(*), 0) AS base FROM e${e}nodes),
+      e${e}r0 AS MATERIALIZED ($seedSql),
+      ${steps(s"e${e}r", s"e${e}edges", s"e${e}nodes",
+        s"(15 * (SELECT base FROM e${e}nb)) // 100", iters)}"""
+    // Era e ≥ 1 seed: previous era's final vector rescaled by
+    // n_{e-1}/n_e (q89's exact integer split — nodes only accumulate,
+    // so n_{e-1} <= n_e and every term stays under the 10^12 bound);
+    // nodes new to this era start at the re-based uniform rank.
+    def seed(e: Int, prevFinal: String): String =
+      s"""
+        SELECT n.node,
+          CASE WHEN p.r IS NULL THEN (SELECT base FROM e${e}nb)
+               ELSE (p.r // (SELECT n_cnt FROM e${e}nb))
+                      * (SELECT n_cnt FROM e${e - 1}nb)
+                    + ((p.r % (SELECT n_cnt FROM e${e}nb))
+                      * (SELECT n_cnt FROM e${e - 1}nb))
+                      // (SELECT n_cnt FROM e${e}nb)
+          END AS r
+        FROM e${e}nodes n LEFT JOIN $prevFinal p ON p.node = n.node"""
+    val nEras = slices / 2
+    val eras = (0 until nEras).map { e =>
+      if (e == 0)
+        era(0, 1, baseIters,
+          "SELECT node, (SELECT base FROM e0nb) AS r FROM e0nodes")
+      else {
+        val prevFinal =
+          s"e${e - 1}r${if (e == 1) baseIters else deltaIters}"
+        era(e, 2 * e + 1, deltaIters, seed(e, prevFinal))
+      }
+    }.mkString(",\n      ")
+    val last = s"e${nEras - 1}r${if (nEras == 1) baseIters else deltaIters}"
+    s"""
+      WITH dated AS (
+        SELECT l.l_suppkey AS sk, o.o_custkey AS ck,
+          MIN(CAST(date_diff('day', DATE '1970-01-01',
+            CAST(o.o_orderdate AS DATE)) AS BIGINT)) AS d0
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      mmv AS (SELECT MIN(d0) AS mn, MAX(d0) AS mx FROM dated),
+      sl AS (
+        SELECT sk, ck,
+          COALESCE(CAST(((d0 - mn) * $slices) // (mx - mn + 1) AS INT),
+            0) AS slice
+        FROM dated, mmv),
+      $eras
+      SELECT CAST(rnk AS INT) AS rnk,
+        CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+          AS node_type,
+        node // 2 AS node_id, CAST(r AS BIGINT) AS r
+      FROM (
+        SELECT node, r,
+          ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rnk
+        FROM $last)
       WHERE rnk <= $k
       ORDER BY rnk"""
   }

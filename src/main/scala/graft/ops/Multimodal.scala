@@ -1278,8 +1278,196 @@ object Multimodal {
           CAST(COALESCE(list_sum(list_transform(range(1, len(v)),
             i -> CASE WHEN (v[i] < 0) <> (v[i+1] < 0) THEN 1 ELSE 0
                  END)), 0) AS BIGINT) AS zero_crossings
-        FROM sm ORDER BY doc_id"""))
+        FROM sm ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m16_bmp_decode",
+      (s, dir) => {
+        // The image tier's honest end-to-end decode (r18 verdict —
+        // m15's pattern applied to the perceptual family's
+        // container): a REAL uncompressed 24-bit BMP is built around
+        // each document's bytes — every 3rd row-order-flipped
+        // (top-down, negative height) and every 5th with a junk gap
+        // before the pixel array (bfOffBits > 54), so a parser that
+        // hard-coded the canonical layout, ignored the height sign,
+        // or assumed offset 54 would misread exactly those rows —
+        // then [[BmpCodec.parse]] reads the headers byte-for-byte,
+        // honors the row STRIDE padding (width 25 ⇒ 75-byte rows
+        // padded to 76), and the integer-exact features come off the
+        // reconstructed LOGICAL pixel grid. The oracle recomputes the
+        // same features straight from the document bytes — the hash
+        // match proves the container round trip (headers, offset,
+        // stride, row-order normalization, channel order) lossless.
+        // Same mapPartitions batch boundary as m02/m15; a Left here
+        // is a builder/parser drift and must be LOUD, never a row.
+        val spark = s
+        import spark.implicits._
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .filter(col("payload").isNotNull)
+          .as[Blob]
+          .mapPartitions(_.grouped(64).flatMap(_.map { b =>
+            val bmp = BmpCodec.build(b.payload,
+              topDown = b.doc_id % 3 == 0,
+              gap = if (b.doc_id % 5 == 0) 16 else 0)
+            BmpCodec.parse(bmp) match {
+              case Right(img) =>
+                val (sb, sg, sr, ws) = BmpCodec.features(img)
+                BmpRow(b.doc_id, img.width, img.height, sb, sg, sr, ws)
+              case Left(err) => throw new IllegalStateException(
+                s"m16: doc ${b.doc_id} failed to decode: $err")
+            }
+          }))
+          .toDF()
+          .orderBy("doc_id")
+      },
+      // Pixels are the text's UTF-8 bytes row-major at width 25
+      // (trailing partial row dropped; short docs zero-padded — zeros
+      // are feature-inert); byte i is pixel i//3 channel i%3 (B,G,R),
+      // at x=(i//3)%25, y=(i//3)//25. All features integer folds.
+      Some("""
+        WITH hx AS (
+          SELECT doc_id, octet_length(encode(text)) AS nb,
+            hex(encode(text)) AS h
+          FROM documents WHERE text IS NOT NULL),
+        dims AS (
+          SELECT doc_id, h,
+            GREATEST(nb // 75, 1) AS ht,
+            LEAST(nb, 75 * GREATEST(nb // 75, 1)) AS used
+          FROM hx),
+        px AS (
+          SELECT doc_id, ht,
+            list_transform(range(0, used),
+              i -> {'v': CAST(('0x' || substr(h, CAST(2*i + 1 AS INT),
+                       2)) AS INT),
+                    'x': (i // 3) % 25,
+                    'y': (i // 3) // 25,
+                    'c': i % 3}) AS ps
+          FROM dims)
+        SELECT doc_id,
+          CAST(25 AS INT) AS width,
+          CAST(ht AS INT) AS height,
+          CAST(COALESCE(list_sum(list_transform(
+            list_filter(ps, p -> p.c = 0), p -> p.v)), 0) AS BIGINT)
+            AS sum_b,
+          CAST(COALESCE(list_sum(list_transform(
+            list_filter(ps, p -> p.c = 1), p -> p.v)), 0) AS BIGINT)
+            AS sum_g,
+          CAST(COALESCE(list_sum(list_transform(
+            list_filter(ps, p -> p.c = 2), p -> p.v)), 0) AS BIGINT)
+            AS sum_r,
+          CAST(COALESCE(list_sum(list_transform(ps, p ->
+            (p.y + 1) * (p.x + 1) *
+            (CASE p.c WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) * p.v)),
+            0) AS BIGINT) AS wsum
+        FROM px ORDER BY doc_id""")),
+    // ----------------------------------------------------------------
+    Q(
+      "m17_perceptual_ahash",
+      (s, dir) => {
+        // The perceptual family made honest end to end (the r18
+        // verdict's arc): m07/m08's perceptual signature was a
+        // byte-hash stand-in behind fakeDecodeBatch; here the aHash
+        // comes off the REAL [[BmpCodec]] decode — container parse,
+        // row-order normalization, stride removal, THEN the 8x8
+        // sample/threshold — and the oracle recomputes the identical
+        // integer pipeline straight from the document bytes, so the
+        // hash match certifies decode + perceptual signature
+        // together. Same layout variants and mapPartitions batch
+        // boundary as m16; a Left is LOUD.
+        val spark = s
+        import spark.implicits._
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .filter(col("payload").isNotNull)
+          .as[Blob]
+          .mapPartitions(_.grouped(64).flatMap(_.map { b =>
+            val bmp = BmpCodec.build(b.payload,
+              topDown = b.doc_id % 3 == 0,
+              gap = if (b.doc_id % 5 == 0) 16 else 0)
+            BmpCodec.parse(bmp) match {
+              case Right(img) =>
+                val (mean, lo, hi) = BmpCodec.ahash(img)
+                AhashRow(b.doc_id, mean, lo, hi)
+              case Left(err) => throw new IllegalStateException(
+                s"m17: doc ${b.doc_id} failed to decode: $err")
+            }
+          }))
+          .toDF()
+          .orderBy("doc_id")
+      },
+      // Same pixel mapping as m16 (width 25, byte i → pixel i//3,
+      // channel i%3); luma = B + 2G + 4R at the 8x8 sample points
+      // (y = gy*H//8, x = gx*25//8), mean-thresholded into two
+      // 32-bit halves (bit 63 in a signed BIGINT would hinge on
+      // shift-overflow semantics — the split avoids the class).
+      // Samples beyond a short doc's bytes are the builder's zero
+      // padding in BOTH engines.
+      Some("""
+        WITH hx AS (
+          SELECT doc_id, octet_length(encode(text)) AS nb,
+            hex(encode(text)) AS h
+          FROM documents WHERE text IS NOT NULL),
+        dims AS (
+          SELECT doc_id, h, nb, GREATEST(nb // 75, 1) AS ht
+          FROM hx),
+        bs AS (
+          SELECT doc_id, h, nb,
+            list_transform(range(0, 64), k ->
+              ((((k // 8) * ht) // 8) * 25 + ((k % 8) * 25) // 8) * 3)
+              AS bases
+          FROM dims),
+        lm AS (
+          SELECT doc_id,
+            list_transform(bases, b ->
+                (CASE WHEN b < nb THEN CAST('0x' ||
+                   substr(h, CAST(2*b + 1 AS INT), 2) AS BIGINT)
+                 ELSE 0 END)
+              + 2 * (CASE WHEN b + 1 < nb THEN CAST('0x' ||
+                   substr(h, CAST(2*b + 3 AS INT), 2) AS BIGINT)
+                 ELSE 0 END)
+              + 4 * (CASE WHEN b + 2 < nb THEN CAST('0x' ||
+                   substr(h, CAST(2*b + 5 AS INT), 2) AS BIGINT)
+                 ELSE 0 END)) AS ls
+          FROM bs),
+        mv AS (
+          SELECT doc_id, ls,
+            CAST(list_sum(ls) // 64 AS BIGINT) AS mean
+          FROM lm)
+        SELECT doc_id, mean AS mean_luma,
+          CAST(COALESCE(list_sum(list_transform(range(0, 32), k ->
+            CASE WHEN ls[CAST(k + 1 AS INT)] > mean
+              THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)), 0)
+            AS BIGINT) AS h_lo,
+          CAST(COALESCE(list_sum(list_transform(range(32, 64), k ->
+            CASE WHEN ls[CAST(k + 1 AS INT)] > mean
+              THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)), 0)
+            AS BIGINT) AS h_hi
+        FROM mv ORDER BY doc_id"""))
   )
+
+  /** m16 output row: logical dimensions + integer-exact pixel
+    * features off the decoded grid.
+    */
+  final case class BmpRow(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_b: Long,
+      sum_g: Long,
+      sum_r: Long,
+      wsum: Long)
+
+  /** m17 output row: sample-grid mean luma + the 64-bit aHash split
+    * into two non-negative 32-bit halves.
+    */
+  final case class AhashRow(
+      doc_id: Long,
+      mean_luma: Long,
+      h_lo: Long,
+      h_hi: Long)
 
   /** m15 output row: header fields + integer-exact sample features. */
   final case class WavRow(

@@ -947,5 +947,20 @@ object StreamingOps {
         LEFT JOIN hitp ON dd.doc_id = hitp.doc_id
         LEFT JOIN hitb ON dd.doc_id = hitb.doc_id
         ORDER BY dd.doc_id"""))
+    ,
+    // ------------------------------------------------------------------
+    Q(
+      "st36_stream_pagerank_maintenance",
+      (s, dir) => EventStream.runStreamPagerankMaintenance(s, dir),
+      // Streaming rank maintenance (see [[EventStream.RankLake]]):
+      // q89's seeded PageRank refresh run from INSIDE foreachBatch
+      // every 2nd pair-delta commit, the rank vector living in the
+      // lake — cold backfill on the first cadence point, 4-round
+      // seeded refreshes after. Integer PageRank is start-dependent
+      // (q89's argument), so the oracle restates the ENTIRE streamed
+      // recurrence: slice arithmetic, one era per refresh, the exact
+      // integer node-count rescale between eras.
+      Some(Graph.sqlStreamIncrementalPageRank(slices = 6,
+        baseIters = 10, deltaIters = 4, k = 25)))
   )
 }

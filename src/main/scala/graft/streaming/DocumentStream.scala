@@ -496,8 +496,17 @@ object DocumentStream {
     // Commit paths keyed by the stream's batchId: a failure-retried
     // batch REWRITES its own commit and verdict directories
     // (mode=overwrite) instead of appending a duplicate — replay
-    // idempotency by construction (the st28 rule).
-    private var commits = Map.empty[Long, String]
+    // idempotency by construction (the st28 rule). The commit
+    // REGISTRY is the store directory itself (the b%05d commit dirs),
+    // never driver memory: a SigStoreLake constructed over an
+    // existing root sees every earlier commit, so a RESTARTED stream
+    // (or any other job opening the lake) keeps rejecting known
+    // duplicates — the disk is authoritative (r18 verdict fix).
+    private def priorCommits(batchId: Long): Seq[String] =
+      Option(storeDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("b\\d{5}")
+          && f.getName.stripPrefix("b").toLong < batchId)
+        .map(_.getAbsolutePath).sorted.toSeq
     private val sigSchema = "doc_id BIGINT, band_id INT, band_hash STRING"
 
     /** One micro-batch: hash, judge against the store, append.
@@ -514,7 +523,7 @@ object DocumentStream {
       // Judge from the STORE's files (read back from disk), so the
       // emitted verdicts are what any later consumer would recompute.
       val mySigs = spark.read.schema(sigSchema).parquet(commit)
-      val prior = commits.filter(_._1 < batchId).values.toSeq.sorted
+      val prior = priorCommits(batchId)
       val hitsPrior =
         if (prior.isEmpty)
           mySigs.select("doc_id").limit(0)
@@ -542,7 +551,6 @@ object DocumentStream {
         .write.mode("overwrite")
         .parquet(new java.io.File(verdictDir, f"v$batchId%05d")
           .getAbsolutePath)
-      commits += batchId -> commit
     }
 
     /** Every emitted verdict, read back from the lake. */
@@ -584,6 +592,14 @@ object DocumentStream {
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$input/s$i")
       graft.ops.Similarity.freeCheckpoint(sliced)
+      // The stream≡batch oracle argument needs "earlier commit ⟺
+      // smaller slice", and FileStreamSource orders files by
+      // MODIFICATION TIME with unspecified tie-breaking — two slices
+      // landing in the same clock tick could reorder micro-batches
+      // and flip dup_prior/dup_in_batch. Pin the order explicitly:
+      // each slice's data files get a strictly increasing mtime
+      // (r18 ADVICE fix; [[EventStream.pinSliceOrder]]).
+      EventStream.pinSliceOrder(input, slices)
       EventStream.withStreamShufflePartitions(spark, 8) {
         val q = spark.readStream
           .schema("doc_id BIGINT, text STRING")

@@ -70,6 +70,29 @@ object EventStream {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Pin the micro-batch DISCOVERY ORDER of a sliced file feed:
+    * FileStreamSource orders unseen files by modification time with
+    * unspecified tie-breaking, so two slice files written within one
+    * filesystem clock tick could be picked up out of slice order —
+    * fatal to any operator whose oracle argument needs "earlier
+    * commit ⟺ smaller slice" (st35/st36; st32/st33/st34's oracles
+    * are order-independent). Each slice directory's data files get
+    * an explicitly strictly increasing lastModified (2 s apart —
+    * far above any filesystem's timestamp granularity).
+    */
+  private[graft] def pinSliceOrder(input: String, slices: Int): Unit = {
+    val t0 = System.currentTimeMillis()
+    for (i <- 0 until slices) {
+      val d = new java.io.File(s"$input/s$i")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          require(f.setLastModified(t0 + i * 2000L),
+            s"could not pin mtime on $f")
+        }
+    }
+  }
+
   /** Latest total state-store row count reported by `q`'s (single)
     * stateful operator, or -1 before any stateful progress — the one
     * progress-sampling idiom shared by the ScaleSmoke stream modes and
@@ -1251,7 +1274,14 @@ object EventStream {
       */
     def vacuum(keepVersions: Int): Int = {
       val keepFrom = math.max(1, version - keepVersions + 1)
+      // Existence-filter the retained range too (r18 ADVICE): a later
+      // vacuum with a LARGER keepVersions than an earlier call reaches
+      // back into manifests that earlier call already expired — those
+      // are gone from disk (and their data files with them), so they
+      // contribute nothing to the live set rather than throwing.
       val live = (keepFrom to version)
+        .filter(v => new java.io.File(manifestDir, f"v$v%05d.txt")
+          .exists())
         .flatMap(v => manifestFiles(v).map(_._2)).toSet
       val expired = (1 until keepFrom)
         .map(v => (v, new java.io.File(manifestDir, f"v$v%05d.txt")))
@@ -1409,7 +1439,6 @@ object EventStream {
     private val pairsDir = new java.io.File(root, "pairs")
     private val labelsDir = new java.io.File(root, "labels")
     pairsDir.mkdirs()
-    private var seq = 0
     private var pendingSinceRefresh = 0
     /** Spec meter: completed label refreshes. */
     private[graft] var refreshes = 0
@@ -1429,16 +1458,21 @@ object EventStream {
         .parquet(labelsDir.getAbsolutePath)
 
     /** One micro-batch of (sk, ck) pair deltas: append to the pair
-      * lake under a fresh commit directory, refresh on cadence.
+      * lake under a commit directory KEYED BY THE STREAM'S batchId
+      * (the st28/SigStoreLake rule, r18 ADVICE fix) — a
+      * failure-retried micro-batch REWRITES its own commit in place
+      * instead of appending duplicate pairs, and replay cannot
+      * double-count the refresh cadence (the replay's commit dir
+      * already exists, so `pendingSinceRefresh` stays put). Refresh
+      * on cadence.
       */
-    def append(batch: DataFrame): Unit = {
+    def append(batch: DataFrame, batchId: Long): Unit = {
       val delta = batch.select(col("sk"), col("ck"))
       if (delta.isEmpty) return
-      seq += 1
-      delta.write.mode("overwrite")
-        .parquet(new java.io.File(pairsDir, f"b$seq%05d")
-          .getAbsolutePath)
-      pendingSinceRefresh += 1
+      val commit = new java.io.File(pairsDir, f"b$batchId%05d")
+      val replay = commit.exists()
+      delta.write.mode("overwrite").parquet(commit.getAbsolutePath)
+      if (!replay) pendingSinceRefresh += 1
       if (pendingSinceRefresh >= every) refresh()
     }
 
@@ -1543,8 +1577,8 @@ object EventStream {
           .parquet(input)
           .writeStream
           .foreachBatch {
-            (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-              lake.append(batch.toDF())
+            (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+              lake.append(batch.toDF(), bid)
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
@@ -1554,6 +1588,210 @@ object EventStream {
       lake.refreshIfPending() // commits after the last cadence point
     }
     lake.labelsHistogram()
+  }
+
+  // ------------------------------------------------------------------
+  // st36: streaming rank maintenance — PageRank refreshed in-stream.
+  // ------------------------------------------------------------------
+
+  /** Streaming PageRank maintenance (st36) — q89's seeded rank
+    * refresh composed into st34's in-stream maintenance pattern: the
+    * last incremental artifact that still lived batch-only. Trade-pair
+    * deltas arrive as micro-batches; the pair set and the rank VECTOR
+    * both live in the lake (parquet, read back before every use — the
+    * q86/q88 storage boundary); every `every`-th commit a refresh
+    * re-converges the ranks: the FIRST refresh is the cold backfill
+    * (`baseIters` uniform-start rounds — no store exists yet), every
+    * later refresh runs only `deltaIters` rounds SEEDED from the
+    * stored vector rescaled by the exact integer node-count ratio
+    * nPrev/n (q89's split — nodes only accumulate, so nPrev ≤ n and
+    * every term stays under the 10¹² mass bound), with the teleport
+    * re-based to the era's node count. Seeding near the previous
+    * equilibrium means the 0.85 contraction only has to close the
+    * DELTA's perturbation — the steady-state daily cost is
+    * `deltaIters` rounds plus one rank-store read, never the cold
+    * `baseIters` recompute (ScaleSmoke `incpr` meters exactly this
+    * for q89; the spec's stream≡batch compare pins the cadence).
+    *
+    * Replay/restart: pair commits are KEYED BY batchId and rewritten
+    * in place (the st28/SigStoreLake rule) — a failure-retried batch
+    * cannot append duplicate pairs (which would corrupt outdeg) or
+    * double-count the cadence. Unlike WCC (start-independent
+    * fixpoint), the rank vector is cadence-dependent, so the oracle
+    * restates the whole streamed recurrence era by era
+    * ([[graft.ops.Graph.sqlStreamIncrementalPageRank]]) — which is
+    * also why the CADENCE must be deterministic: empty micro-batches
+    * still advance it (an empty commit is written), and the slice
+    * feed's discovery order is mtime-pinned ([[pinSliceOrder]]).
+    *
+    * Scale shape: per-refresh cost is `deltaIters` rounds of one |E|
+    * join + a node-sized LONG sum (q77's per-round shape); the rank
+    * store read/write is node-sized; commits between refreshes cost
+    * one bounded append. At 100 TB the pair lake would be st32's
+    * bucketed manifest table and the refresh cadence amortizes the
+    * rank rebuild over `every` commits exactly as st32 amortizes its
+    * OPTIMIZE.
+    */
+  final class RankLake(spark: SparkSession, root: String,
+      every: Int = 2, baseIters: Int = 10, deltaIters: Int = 4) {
+    private val pairsDir = new java.io.File(root, "pairs")
+    private val ranksDir = new java.io.File(root, "ranks")
+    pairsDir.mkdirs()
+    private var pendingSinceRefresh = 0
+    /** Spec meter: completed rank refreshes. */
+    private[graft] var refreshes = 0
+
+    private def readPairs(): DataFrame =
+      spark.read.schema("sk BIGINT, ck BIGINT")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(pairsDir.getAbsolutePath)
+
+    private def readRanks(): DataFrame =
+      spark.read.schema("node BIGINT, r BIGINT")
+        .parquet(ranksDir.getAbsolutePath)
+
+    /** One micro-batch of (sk, ck) pair deltas: commit keyed by the
+      * stream's batchId (replay rewrites in place), refresh on
+      * cadence. An EMPTY batch still writes its (empty) commit and
+      * advances the cadence — the refresh ERAS are what the unrolled
+      * oracle restates, so they must depend only on the batch index,
+      * never on slice occupancy.
+      */
+    def append(batch: DataFrame, batchId: Long): Unit = {
+      val commit = new java.io.File(pairsDir, f"b$batchId%05d")
+      val replay = commit.exists()
+      batch.select(col("sk"), col("ck"))
+        .write.mode("overwrite").parquet(commit.getAbsolutePath)
+      if (!replay) pendingSinceRefresh += 1
+      if (pendingSinceRefresh >= every) refresh()
+    }
+
+    /** Re-converge the rank store over the full accumulated pair set:
+      * cold `baseIters` backfill when no store exists, else
+      * `deltaIters` rounds seeded from the stored vector (rescaled,
+      * teleport re-based). The converged frame is checkpointed before
+      * the write, so overwriting the storage it was seeded from is
+      * safe.
+      */
+    def refresh(): Unit = {
+      val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      def cp(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(); cps += c; c
+      }
+      try {
+        val edges0 = graft.ops.Graph.bipartiteEdges(readPairs())
+        val outdeg = edges0.groupBy("src")
+          .agg(count(lit(1)).as("outdeg"))
+        val edges = cp(edges0.join(outdeg, "src"))
+        val nodes = cp(edges.select(col("src").as("node")).distinct())
+        val n = nodes.count() // 1-row bounded fetch (node count)
+        if (n == 0L) { pendingSinceRefresh = 0; return }
+        val base = 1000000000000L / n
+        val teleport = (15L * base) / 100L
+        val (seed, iters) =
+          if (!ranksDir.exists())
+            (cp(nodes.select(col("node"), lit(base).as("r"))), baseIters)
+          else {
+            val stored = readRanks()
+            val nPrev = stored.count() // node-sized store, bounded
+            (cp(nodes
+              .join(stored.withColumnRenamed("node", "bn")
+                .withColumnRenamed("r", "br"),
+                col("node") === col("bn"), "left")
+              .select(col("node"),
+                coalesce(
+                  expr(s"(br div ${n}L) * ${nPrev}L + " +
+                    s"((br % ${n}L) * ${nPrev}L) div ${n}L"),
+                  lit(base)).as("r"))), deltaIters)
+          }
+        val ranks = graft.ops.Graph.prRounds(edges, nodes, seed,
+          teleport, iters, cp) // final round is cp'd by prRounds
+        ranks.write.mode("overwrite").parquet(ranksDir.getAbsolutePath)
+        refreshes += 1
+        pendingSinceRefresh = 0
+      } finally cps.foreach(graft.ops.Similarity.freeCheckpoint)
+    }
+
+    /** Refresh only if commits landed since the last one — the
+      * stream-end flush.
+      */
+    def refreshIfPending(): Unit =
+      if (pendingSinceRefresh > 0) refresh()
+
+    /** Top-`k` of the rank STORE read back from disk — what a
+      * downstream consumer of the lake actually sees.
+      */
+    def topK(k: Int): DataFrame = {
+      import spark.implicits._
+      if (!ranksDir.exists())
+        return Seq.empty[(Int, String, Long, Long)]
+          .toDF("rnk", "node_type", "node_id", "r")
+      graft.ops.Graph.prTopK(readRanks(), k)
+        .toDF("rnk", "node_type", "node_id", "r")
+    }
+  }
+
+  /** Streaming PageRank maintenance end-to-end (st36): the dated
+    * trade pairs (q89's pair set) split into `slices` first-trade-day
+    * slices (null-day pairs route to slice 0 — the st32 rule),
+    * discovery order mtime-PINNED (the oracle is cadence-dependent),
+    * streamed one file per trigger → 6 commits → 3 in-stream rank
+    * refreshes (cold backfill + 2 seeded). The result is the final
+    * rank store's top-25; the oracle restates the whole streamed
+    * recurrence — see [[RankLake]].
+    */
+  def runStreamPagerankMaintenance(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = graft.ops.SourceSinks.tmp("graft_st36")
+    val input = new java.io.File(base, "input").getAbsolutePath
+    val root = new java.io.File(base, "lake").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val dated = graft.ops.Graph.datedTradePairs(
+      graft.Tables.load(spark, dir, "lineitem"),
+      graft.Tables.load(spark, dir, "orders"))
+    val b = dated.agg(min("d0").as("mn"), max("d0").as("mx"),
+      count(lit(1)).as("n")).collect()(0) // 1-row bounded fetch
+    val lake = new RankLake(spark, root, every = 2)
+    if (b.getLong(2) > 0) {
+      val slices = 6
+      val sliceExpr =
+        if (b.isNullAt(0)) lit(0)
+        else {
+          val (mn, mx) = (b.getLong(0), b.getLong(1))
+          coalesce(expr(
+            s"CAST(((d0 - ${mn}L) * $slices) DIV ${mx - mn + 1}L AS INT)"),
+            lit(0))
+        }
+      val sliced = dated.withColumn("slice", sliceExpr)
+        .localCheckpoint() // the 6 slice filters reuse one scan
+      for (i <- 0 until slices)
+        sliced.filter(col("slice") === i)
+          .select("sk", "ck")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$input/s$i")
+      graft.ops.Similarity.freeCheckpoint(sliced)
+      pinSliceOrder(input, slices) // oracle needs batch i ⟺ slice i
+      withStreamShufflePartitions(spark, 8) {
+        val q = spark.readStream
+          .schema("sk BIGINT, ck BIGINT")
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(input)
+          .writeStream
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+              lake.append(batch.toDF(), bid)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      lake.refreshIfPending() // commits after the last cadence point
+    }
+    lake.topK(25)
   }
 
   /** st23's per-user state: the first view seen so far plus ONLY the

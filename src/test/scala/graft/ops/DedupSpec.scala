@@ -601,4 +601,59 @@ class DedupSpec extends SparkSpec {
       (5L, 0, 0, 1),
       (6L, 0, 1, 0)), out)
   }
+
+  test("d25 verified admission: a confirmed clone is rejected, a band " +
+      "FALSE POSITIVE (shared band, exact Jaccard below threshold) is " +
+      "re-admitted, fresh content never reaches the verify tier") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Manufacture a genuine band false positive: a catalog of
+    // partial mutations of one base text, screened by the REAL
+    // banding machinery (lshCandidatePairs at threshold 0 = every
+    // shared-band pair with its exact Jaccard) — the first pair whose
+    // band collides while its exact Jaccard < 0.8 is the specimen.
+    // Deterministic: the md5-derived minhash family is fixed, so the
+    // same variant collides on every run.
+    val baseToks = (0 until 20).map(i => s"w$i")
+    val variants = (1 to 40).map { i =>
+      val keep = 20 - (4 + i % 6)
+      (i.toLong,
+        (baseToks.take(keep) ++
+          (keep until 20).map(j => s"x${i}_$j")).mkString(" "))
+    }
+    val catalog = ((0L, baseToks.mkString(" ")) +: variants)
+      .toDF("doc_id", "text")
+    val fp = Dedup.lshCandidatePairs(catalog, minJaccard = 0.0)
+      .filter(col("doc_a") === 0L && col("jaccard") < 0.8)
+      .orderBy("doc_b")
+      .collect()
+    assert(fp.nonEmpty, "no band false positive in 40 variants — " +
+      "mutation catalog needs widening")
+    val fpText = variants(fp.head.getLong(1).toInt - 1)._2
+    // ids 1..20 → cut = 10: base {1, 2, 3}, delta {11, 12, 13}.
+    val docs = Seq(
+      (1L, baseToks.mkString(" ")),                  // FP's base side
+      (2L, "one two three four five six seven"),
+      (3L, "lorem ipsum dolor sit amet consectetur"),
+      (11L, "one two three four five six seven"),    // clone of base 2
+      (12L, fpText),                                 // band FP vs base 1
+      (13L, "totally fresh unique content nothing"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedupVerified(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4)))
+      .toSeq
+    // 11: screened AND confirmed (J = 1) → rejected. 12: screened but
+    // the exact verify fails → RE-ADMITTED (the whole point of d25 —
+    // d24 would have rejected it). 13: never screened.
+    assert(out.map(t => (t._1, t._2, t._4, t._5)) == Seq(
+      (11L, 1, 1, 0), (12L, 1, 0, 1), (13L, 0, 0, 1)), out)
+    assert(out.find(_._1 == 11L).get._3 >= 1L)
+    // And d24's screen-only verdict indeed rejects doc 12 — the
+    // difference IS the verify tier.
+    val screenOnly = Dedup.incrementalDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(screenOnly(12L) == 1, "specimen no longer collides")
+  }
 }

@@ -464,4 +464,91 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.samples.isEmpty &&
       WavCodec.features(empty) == ((0L, 0L, 0L, 0L)))
   }
+
+  test("m16 BMP codec: the parser round-trips the builder through " +
+      "bottom-up, top-down and gapped layouts, honors the row " +
+      "stride, and malformed containers fail with typed reasons") {
+    // 2 full rows at width 2 (12 bytes) + 3 trailing bytes (dropped):
+    // logical grid row 0 = bytes 0..5, row 1 = bytes 6..11.
+    val raw = (1 to 15).map(_.toByte).toArray
+    val canonical = BmpCodec.build(raw, width = 2)
+    // width 2 ⇒ 6-byte rows padded to stride 8; bottom-up storage
+    // puts logical row 1 FIRST physically — total 14+40+2*8.
+    assert(canonical.length == 54 + 16)
+    val img = BmpCodec.parse(canonical).toOption.get
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq == raw.take(12).toSeq,
+      "bottom-up storage not normalized back to logical order")
+    // Top-down and gapped layouts hold the SAME logical image through
+    // different physical layouts (a parser that ignored the height
+    // sign or assumed bfOffBits = 54 would misread exactly these).
+    for (v <- Seq(BmpCodec.build(raw, width = 2, topDown = true),
+        BmpCodec.build(raw, width = 2, gap = 16),
+        BmpCodec.build(raw, width = 2, topDown = true, gap = 16))) {
+      val p = BmpCodec.parse(v).toOption.get
+      assert(p.pixels.toSeq == img.pixels.toSeq &&
+        p.width == 2 && p.height == 2, "layout variant diverged")
+    }
+    // Integer features: per-channel sums over bytes 1..12 by i%3 and
+    // the position-weighted checksum — computed here BY HAND so a
+    // shared features/oracle bug cannot self-certify.
+    //   sum_b = 1+4+7+10, sum_g = 2+5+8+11, sum_r = 3+6+9+12
+    //   wsum  = Σ (y+1)(x+1)w(c)v over the logical grid
+    val byHand = (0 until 12).map { i =>
+      val (p, c, v) = (i / 3, i % 3, (i + 1).toLong)
+      (p / 2 + 1).toLong * (p % 2 + 1).toLong * (1L << c) * v
+    }.sum
+    assert(BmpCodec.features(img) == ((22L, 26L, 30L, byHand)))
+    // Short input zero-pads to one full row — zeros are feature-inert.
+    val short = BmpCodec.parse(BmpCodec.build(Array[Byte](5), width = 2))
+      .toOption.get
+    assert(short.height == 1 && short.pixels.length == 6)
+    assert(BmpCodec.features(short) == ((5L, 0L, 0L, 5L)))
+    // Typed failures.
+    assert(BmpCodec.parse(Array[Byte](1, 2, 3)) ==
+      Left("truncated header"))
+    assert(BmpCodec.parse("XX".getBytes("US-ASCII") ++
+      canonical.drop(2)) == Left("not a BM container"))
+    assert(BmpCodec.parse(canonical.dropRight(1)) ==
+      Left("truncated container"))
+    val bad8 = canonical.clone(); bad8(28) = 8
+    assert(BmpCodec.parse(bad8) == Left("unsupported depth 8 (want 24)"))
+    val rle = canonical.clone(); rle(30) = 1
+    assert(BmpCodec.parse(rle) == Left("unsupported compression 1"))
+    val zeroW = canonical.clone(); zeroW(18) = 0
+    assert(BmpCodec.parse(zeroW) == Left("bad dimensions 0x2"))
+    // Declared pixel array overrunning the file: shrink bfSize is
+    // caught first, so instead declare a LARGER height than the file
+    // holds while keeping bfSize honest about the (truncated) bytes.
+    val tall = BmpCodec.build(raw, width = 2)
+    java.nio.ByteBuffer.wrap(tall)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, 5)
+    assert(BmpCodec.parse(tall) == Left("truncated pixel array"))
+  }
+
+  test("m17 aHash: hand-computed bits on a known quadrant image, and " +
+      "the hash is invariant across every physical container layout") {
+    // 2x2 logical image from bytes 1..12: lumas (B+2G+4R) per pixel
+    // are 17, 38 / 59, 80. At width=height=2 the 8x8 sample grid
+    // collapses onto quadrants: 16 samples each. mean = 194/4 = 48;
+    // only the bottom row (59, 80 — sample rows gy >= 4, i.e. bits
+    // 32..63) exceeds it, so h_lo = 0 and h_hi = 2^32 - 1.
+    val raw = (1 to 12).map(_.toByte).toArray
+    val img = BmpCodec.parse(BmpCodec.build(raw, width = 2)).toOption.get
+    assert(BmpCodec.ahash(img) == ((48L, 0L, 4294967295L)))
+    // The PERCEPTUAL signature must see the logical image, not the
+    // container: bottom-up, top-down and gapped layouts of the same
+    // pixels hash identically — this is exactly what the byte-hash
+    // stand-in (m07's fakeDecodeBatch tier) could never certify.
+    for (v <- Seq(BmpCodec.build(raw, width = 2, topDown = true),
+        BmpCodec.build(raw, width = 2, gap = 16),
+        BmpCodec.build(raw, width = 2, topDown = true, gap = 16)))
+      assert(BmpCodec.ahash(BmpCodec.parse(v).toOption.get) ==
+        ((48L, 0L, 4294967295L)), "layout changed the perceptual hash")
+    // A genuinely different image hashes differently (non-vacuity):
+    // swap the bright and dark rows.
+    val flipped = BmpCodec.parse(BmpCodec.build(
+      raw.slice(6, 12) ++ raw.slice(0, 6), width = 2)).toOption.get
+    assert(BmpCodec.ahash(flipped) == ((48L, 4294967295L, 0L)))
+  }
 }

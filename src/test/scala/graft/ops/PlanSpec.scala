@@ -1141,4 +1141,24 @@ class PlanSpec extends SparkSpec {
     // parquet — today's pass never re-reads document text.
     assert(p.contains("sigs"), p)
   }
+
+  test("d25: the pair verify joins hash-keyed with BROADCAST shingle " +
+    "sets (no cartesian), per-doc confirmation combines map-side, and " +
+    "the roster derives from the persisted delta store") {
+    // (The candidate-bounded LeftSemi text re-read sits ABOVE the
+    // `sets` localCheckpoint boundary, so it is not in this final
+    // lazy plan; DedupSpec's d25 fixture pins that tier's semantics —
+    // a doc the screen never touched is never verified.)
+    val p = plan("d25_incremental_dedup_verified")
+    assert(!p.contains("CartesianProduct"), p)
+    // Both verify sides are broadcast builds of the candidate-bounded
+    // hashed shingle sets — the pair join never shuffles the corpus.
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins\n$p")
+    // The delta-doc roster reads the PERSISTED signature store back
+    // from parquet (d24's storage discipline, shared).
+    assert(p.contains("sigs_delta"), p)
+    // Per-doc candidate/confirm aggregation combines map-side.
+    assert(p.contains("partial_count"), p)
+  }
 }

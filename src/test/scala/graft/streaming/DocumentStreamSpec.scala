@@ -265,6 +265,16 @@ class DocumentStreamSpec extends SparkSpec {
     assert(verdictRows() == after, "replay moved the verdicts")
     assert(new java.io.File(root, "sigs").listFiles().length == 2,
       "replay appended a duplicate commit")
+    // Restart (r18 verdict fix): a FRESH SigStoreLake over the same
+    // root derives the commit registry from the store DIRECTORY, not
+    // driver memory — a post-restart batch cloning batch-0's doc 1 is
+    // still rejected against the prior commits.
+    val lake2 = new DocumentStream.SigStoreLake(spark, root)
+    lake2.append(Seq(
+      (6L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text"), batchId = 2L)
+    assert(verdictRows() == after :+ ((6L, 2L, 1, 0, 0)),
+      "restarted lake forgot prior commits: " + verdictRows())
     // End-to-end on testdata: every doc judged exactly once, the
     // admitted/flagged split covers the corpus, and at least one
     // verdict of each kind exists at this SF (the documents table

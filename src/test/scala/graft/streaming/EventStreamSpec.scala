@@ -870,18 +870,25 @@ class EventStreamSpec extends SparkSpec {
     def hist(): Set[(Long, Long)] = lake.labelsHistogram()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // Commit 1: two disjoint pairs — below the cadence, no refresh.
-    lake.append(Seq((1L, 1L), (2L, 2L)).toDF("sk", "ck"))
+    lake.append(Seq((1L, 1L), (2L, 2L)).toDF("sk", "ck"), batchId = 0L)
     assert(lake.refreshes == 0)
+    // Replay of commit 1 (failure-retry): the commit is keyed by
+    // batchId and rewritten in place — the pair lake gains no
+    // duplicate commit and the refresh cadence does not advance.
+    lake.append(Seq((1L, 1L), (2L, 2L)).toDF("sk", "ck"), batchId = 0L)
+    assert(lake.refreshes == 0, "replayed commit advanced the cadence")
+    assert(new java.io.File(root, "pairs").listFiles().length == 1,
+      "replay appended a duplicate pair commit")
     // Commit 2: s1-c2 merges the two components; the cadence fires
     // and the STORE (read back from disk) shows one 4-node component
     // mid-stream — the labels crossed the pre-existing component
     // boundary, so only a seeded re-converge can have produced them.
-    lake.append(Seq((1L, 2L)).toDF("sk", "ck"))
+    lake.append(Seq((1L, 2L)).toDF("sk", "ck"), batchId = 1L)
     assert(lake.refreshes == 1)
     assert(hist() == Set((4L, 1L)), hist())
     // Commit 3: a new isolated pair lands; between cadence points the
     // store is one commit stale BY DESIGN.
-    lake.append(Seq((5L, 5L)).toDF("sk", "ck"))
+    lake.append(Seq((5L, 5L)).toDF("sk", "ck"), batchId = 2L)
     assert(lake.refreshes == 1 && hist() == Set((4L, 1L)))
     // Stream-end flush picks up the pending commit.
     lake.refreshIfPending()
@@ -898,6 +905,99 @@ class EventStreamSpec extends SparkSpec {
       graft.Tables.load(spark, dir, "customer"),
       graft.Tables.load(spark, dir, "supplier"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed $streamed != batch $batch")
+  }
+
+  test("st36 rank lake: cold backfill then seeded refresh on the " +
+      "cadence, empty batches still advance it, replayed commits are " +
+      "idempotent, and the stream equals the batch restatement of the " +
+      "same recurrence") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("st36_spec_")
+      .resolve("lake").toString
+    val lake = new EventStream.RankLake(spark, root, every = 2,
+      baseIters = 2, deltaIters = 1)
+    // Commit 0: below the cadence, no refresh, no store.
+    lake.append(Seq((1L, 1L), (2L, 2L)).toDF("sk", "ck"), batchId = 0L)
+    assert(lake.refreshes == 0 && lake.topK(10).isEmpty)
+    // Replay of commit 0 (failure-retry): keyed by batchId, rewritten
+    // in place — no duplicate pairs (outdeg would corrupt), cadence
+    // does not advance.
+    lake.append(Seq((1L, 1L), (2L, 2L)).toDF("sk", "ck"), batchId = 0L)
+    assert(lake.refreshes == 0, "replayed commit advanced the cadence")
+    assert(new java.io.File(root, "pairs").listFiles().length == 1,
+      "replay appended a duplicate pair commit")
+    // Commit 1: cadence fires — COLD backfill (no store existed).
+    lake.append(Seq((1L, 2L)).toDF("sk", "ck"), batchId = 1L)
+    assert(lake.refreshes == 1)
+    // 4 nodes: suppliers 1,2 + customers 1,2.
+    assert(lake.topK(10).count() == 4L)
+    // Commit 2, EMPTY: no pairs, but the cadence still advances — the
+    // unrolled oracle's eras depend only on the batch index, never on
+    // slice occupancy.
+    lake.append(Seq.empty[(Long, Long)].toDF("sk", "ck"), batchId = 2L)
+    assert(lake.refreshes == 1)
+    // Commit 3: cadence fires again — this refresh is SEEDED from the
+    // store (1 round; a cold 1-round start could not rank the new
+    // isolated pair below the connected component, the seeded one
+    // keeps the old equilibrium).
+    lake.append(Seq((9L, 9L)).toDF("sk", "ck"), batchId = 3L)
+    assert(lake.refreshes == 2)
+    val top = lake.topK(10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(top.length == 6, top.mkString(","))
+    assert(top.map(_._4).toSeq == top.map(_._4).sorted.reverse.toSeq,
+      "ranks not descending")
+    // End-to-end: the streamed maintenance over the sliced testdata
+    // feed equals an independent BATCH restatement of the same
+    // recurrence (era prefixes at the cadence points, cold 10-round
+    // backfill, rescaled 4-round seeded refreshes) built from the
+    // Graph primitives directly — no lake, no stream, no storage.
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.runStreamPagerankMaintenance(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val dated = graft.ops.Graph.datedTradePairs(
+      graft.Tables.load(spark, dir, "lineitem"),
+      graft.Tables.load(spark, dir, "orders")).localCheckpoint()
+    val mm = dated.agg(min("d0"), max("d0")).collect()(0)
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val sliced = dated.withColumn("slice",
+      coalesce(expr(s"CAST(((d0 - ${mn}L) * 6) DIV ${mx - mn + 1}L " +
+        "AS INT)"), lit(0)))
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    var nPrev = 0L
+    for ((maxSlice, iters) <- Seq((1, 10), (3, 4), (5, 4))) {
+      val edges0 = graft.ops.Graph.bipartiteEdges(
+        sliced.filter(col("slice") <= maxSlice).select("sk", "ck"))
+      val edges = edges0.join(
+        edges0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      val n = nodes.count()
+      val base = 1000000000000L / n
+      val seed = store match {
+        case None => nodes.select(col("node"), lit(base).as("r"))
+        case Some(prev) => nodes
+          .join(prev.withColumnRenamed("node", "bn")
+            .withColumnRenamed("r", "br"),
+            col("node") === col("bn"), "left")
+          .select(col("node"), coalesce(
+            expr(s"(br div ${n}L) * ${nPrev}L + " +
+              s"((br % ${n}L) * ${nPrev}L) div ${n}L"),
+            lit(base)).as("r"))
+      }
+      store = Some(graft.ops.Graph.prRounds(edges, nodes,
+        seed.localCheckpoint(), (15L * base) / 100L, iters,
+        df => df.localCheckpoint()))
+      nPrev = n
+    }
+    val batch = graft.ops.Graph.prTopK(store.get, 25)
+      .map(t => (t._1, t._2, t._3, t._4))
     assert(streamed == batch && streamed.nonEmpty,
       s"streamed $streamed != batch $batch")
   }
