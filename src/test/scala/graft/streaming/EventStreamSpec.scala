@@ -1002,6 +1002,32 @@ class EventStreamSpec extends SparkSpec {
       s"streamed $streamed != batch $batch")
   }
 
+  test("pinSliceOrder: slice data files written within one clock tick " +
+      "come out with strictly increasing mtimes, so FileStreamSource " +
+      "discovery order IS the slice order") {
+    // The failure mode being pinned: sequentially written slices can
+    // land on the same filesystem timestamp, and FileStreamSource's
+    // mtime ordering breaks ties unspecified — st35/st36's oracles
+    // (order-dependent by construction) would flake. After pinning,
+    // the global mtime order across slices is total and matches the
+    // slice index order.
+    val input = java.nio.file.Files.createTempDirectory("pin_spec_")
+      .toString
+    val t0 = System.currentTimeMillis()
+    for (i <- 0 until 3) {
+      val d = new java.io.File(s"$input/s$i"); d.mkdirs()
+      val f = new java.io.File(d, s"part-0000$i.parquet")
+      java.nio.file.Files.write(f.toPath, Array[Byte](1))
+      f.setLastModified(t0) // force the tie
+    }
+    EventStream.pinSliceOrder(input, 3)
+    val mtimes = (0 until 3).map(i =>
+      new java.io.File(s"$input/s$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max)
+    assert(mtimes == mtimes.sorted && mtimes.distinct.size == 3,
+      s"mtimes not strictly increasing: $mtimes")
+  }
+
   test("st28 merge: re-applying the same batch leaves the lake " +
       "bit-identical (replay idempotency)") {
     val root = java.nio.file.Files.createTempDirectory("st28_idem_")
