@@ -790,8 +790,102 @@ object SourceSinks {
             / CAST(COUNT(*) AS DOUBLE) AS avg_price
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderstatus
-        ORDER BY o.o_orderstatus"""))
+        ORDER BY o.o_orderstatus""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q90_avro_roundtrip",
+      (s, dir) => {
+        // A REAL Avro container round trip over the core avro library
+        // (see [[AvroCodec]] — the fixed classpath has no spark-avro
+        // DATASOURCE, but the FORMAT jar is present, so the container
+        // machinery is driven per-partition like every spark.write
+        // sink): one snappy-compressed container per partition written
+        // from foreachPartition, read back by parallelizing the file
+        // list (one container per task) and streaming blocks. Money
+        // rides as scaled-LONG cents — no FP crosses the format.
+        val spark = s
+        import spark.implicits._
+        val files = writeCustomerAvro(s, dir, "graft_q90")
+        s.createDataset(files)
+          .repartition(math.max(1, files.size))
+          .flatMap(AvroCodec.readFile _)
+          .toDF("c_custkey", "c_mktsegment", "cents")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            max(col("c_custkey")).as("max_key"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+            AS BIGINT)) AS BIGINT) AS sum_cents,
+          MAX(c_custkey) AS max_key
+        FROM customer
+        WHERE c_acctbal > 0
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+    // ----------------------------------------------------------------
+    Q(
+      "q91_avro_evolution",
+      (s, dir) => {
+        // Avro READER-SCHEMA EVOLUTION (the format's hallmark and the
+        // reason a 100 TB lake keeps containers it cannot rewrite):
+        // the same writer containers re-read through a reader schema
+        // that DROPS c_mktsegment, REORDERS the surviving fields and
+        // ADDS loyalty_tier with a default — all three resolved by
+        // the avro decoder, not application code
+        // ([[AvroCodec.readFileEvolved]]). The aggregate pins that
+        // the surviving values pass through resolution untouched and
+        // the default materializes on every row.
+        val spark = s
+        import spark.implicits._
+        val files = writeCustomerAvro(s, dir, "graft_q91")
+        s.createDataset(files)
+          .repartition(math.max(1, files.size))
+          .flatMap(AvroCodec.readFileEvolved _)
+          .toDF("cents", "c_custkey", "loyalty_tier")
+          .groupBy((col("c_custkey") % 4).as("bucket"),
+            col("loyalty_tier"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .orderBy("bucket")
+      },
+      Some("""
+        SELECT c_custkey % 4 AS bucket, 'unrated' AS loyalty_tier,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+            AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM customer
+        WHERE c_acctbal > 0
+        GROUP BY c_custkey % 4
+        ORDER BY bucket"""))
   )
+
+  /** The shared q90/q91 write side: the filtered customer projection
+    * (custkey, mktsegment, DECIMAL-exact cents) written as one
+    * snappy Avro container per partition from foreachPartition;
+    * returns the container paths (bounded by the partition count).
+    */
+  private def writeCustomerAvro(s: SparkSession, dir: String,
+      tag: String): Seq[String] = {
+    import s.implicits._
+    val out = new File(tmp(tag), "customer_avro")
+    out.mkdirs()
+    val outPath = out.getAbsolutePath
+    t(s, dir)("customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      .as[(Long, String, Long)]
+      .foreachPartition { (it: Iterator[(Long, String, Long)]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        AvroCodec.writePartition(
+          new File(outPath, f"part-$pid%05d.avro"), it)
+      }
+    out.listFiles().filter(_.getName.endsWith(".avro"))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
 
   /** Lake vacuum execution (q75) — see the q75 entry for the story;
     * factored so specs can point it at their own directory and

@@ -795,4 +795,33 @@ class JoinsAndSourcesSpec extends SparkSpec {
       ("customer", 1) -> 1L, ("customer", 3) -> 1L), got.toString)
   }
 
+  test("q90/q91 avro: the container round-trips snappy-compressed " +
+      "blocks, and reader-schema resolution drops, reorders and " +
+      "defaults fields inside the avro decoder") {
+    val d = java.nio.file.Files.createTempDirectory("avro_spec_")
+    val f = new java.io.File(d.toFile, "p0.avro")
+    AvroCodec.writePartition(f, Iterator(
+      (1L, "BUILDING", 12345L), (2L, "MACHINERY", -50L)))
+    // The container really is the avro format with the snappy codec —
+    // not a renamed row dump.
+    val rd = new org.apache.avro.file.DataFileReader(f,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    assert(rd.getMetaString("avro.codec") == "snappy")
+    rd.close()
+    // Writer-schema read: every field, every value.
+    assert(AvroCodec.readFile(f.getAbsolutePath).toSeq == Seq(
+      (1L, "BUILDING", 12345L), (2L, "MACHINERY", -50L)))
+    // Evolved read: c_mktsegment is GONE (the decoder skips it),
+    // cents/custkey arrive through the REORDERED reader schema, and
+    // loyalty_tier materializes from the schema DEFAULT — the
+    // resolution rules, not application code.
+    assert(AvroCodec.readFileEvolved(f.getAbsolutePath).toSeq == Seq(
+      (12345L, 1L, "unrated"), (-50L, 2L, "unrated")))
+    // An empty partition's container round-trips to zero rows.
+    val fe = new java.io.File(d.toFile, "p1.avro")
+    AvroCodec.writePartition(fe, Iterator.empty)
+    assert(AvroCodec.readFile(fe.getAbsolutePath).isEmpty)
+  }
+
 }
