@@ -800,6 +800,16 @@ class EventStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
       .sortBy(_._1).toSeq
     assert(resolvedAfter == resolved, "sweepOrphans moved the state")
+    // A later vacuum with a LARGER keepVersions than any earlier call
+    // reaches back into manifests those earlier calls already expired
+    // and deleted — the retained-range computation existence-filters
+    // them (r19 ADVICE fix) and degrades gracefully: nothing thrown,
+    // nothing reclaimed, the live state untouched.
+    assert(lake.vacuum(10) == 0, "widened retention reclaimed a file")
+    assert(lake.currentFiles.forall { case (_, p) =>
+      new java.io.File(p).exists()
+    }, "widened vacuum touched a live file")
+    assert(lake.resolvedCurrent().collect().length == resolved.length)
   }
 
   test("st32/st33 null-ts routing: a null-ts event flows through the " +
