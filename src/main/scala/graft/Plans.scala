@@ -110,6 +110,10 @@ object Plans {
         case t: Throwable =>
           println(s"PLANS FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
       }
+      // The execution-listener bus is asynchronous; give it a moment
+      // to drain so a query's last plans don't land in the next
+      // query's file.
+      Thread.sleep(500)
     }
     spark.stop()
   }

@@ -10,9 +10,11 @@ object Verify {
       sys.exit(1)
     }
     val Array(sfDir, outDir) = args.take(2)
-    // Dev-only: restrict to queries whose name contains the filter
-    // (the driver always calls with 2 args → full run).
-    val nameFilter = args.lift(2)
+    // Dev-only: restrict to queries whose name contains ANY of the
+    // comma-separated filter terms — Bench's SPARK_GRAFT_BENCH_FILTER
+    // semantics (the driver always calls with 2 args → full run).
+    val filterTerms = args.lift(2).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,7 +37,8 @@ object Verify {
       case ps => ps.foreach(p => System.err.println(s"[canary] CONTRACT DRIFT: $p"))
     }
     SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) =>
+        filterTerms.isEmpty || filterTerms.exists(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -49,7 +49,38 @@ object Graph {
     * [[invalidateTradePairs]] is the explicit path for that case.
     */
   private val pairsMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Long, DataFrame)]
+    .empty[(SparkSession, String, String), (Long, DataFrame)]
+
+  /** Per-round join-strategy pick for the iterative primitives (guide
+    * §3.1: pick the strategy deliberately; §2.4: a broadcast join
+    * replaces a shuffle of the large side). Every round of every
+    * graph iteration joins the EDGE list (large) with a NODE-sized
+    * rank/label/score frame (small): under plain AQE the node frame
+    * comes from a localCheckpoint'd RDD with unknown stats, so the
+    * initial plan is a sort-merge join that hash-exchanges the edge
+    * list AND sorts it once per round — AQE's runtime conversion only
+    * rescues rounds whose build side is an already-materialized
+    * shuffle stage (measured r19: q77's 3-round checkpoint job ran 1
+    * BHJ + 2 SMJ rounds, each SMJ re-sorting 1.17M edge rows, with a
+    * 35.8 MB edge exchange in every checkpoint job). Broadcasting the
+    * node frame explicitly removes the edge exchange and the
+    * per-round sorts outright.
+    *
+    * The decision is size-guarded, never unconditional: callers pass
+    * the node count (or a cheap upper bound — every candidate frame
+    * is keyed by node, so |frame| ≤ nodes) and the frame is broadcast
+    * only below `spark.graft.graph.broadcastNodes` (default 8M rows ≈
+    * 130-200 MB at 16-24 B/row — inside the guide's "a few hundred MB
+    * is usually fine", far from the 8 GB / 512M-row broadcast cap).
+    * Past the cap, or when the count is unknown (-1), the plan is the
+    * unchanged shuffle form — the 100 TB degradation path. The hint
+    * only affects join strategy, never results.
+    */
+  private[graft] def bcastIf(df: DataFrame, nNodes: Long): DataFrame =
+    if (nNodes >= 0L && nNodes <= df.sparkSession.conf
+        .get("spark.graft.graph.broadcastNodes", "8000000").toLong)
+      broadcast(df)
+    else df
 
   /** Driver-side listing fingerprint of the tables the pair scan
     * reads. Sorted before folding so FS listing order can't flip it.
@@ -91,10 +122,14 @@ object Graph {
     * would leak the losing checkpoint's blocks).
     */
   private val pairsLocks = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Object]
+    .empty[(SparkSession, String, String), Object]
 
-  def tradePairs(s: SparkSession, dir: String): DataFrame = {
-    val key = (s, dir)
+  /** The shared memo body — one checkpointed artifact per (session,
+    * dir, kind), fingerprint-invalidated; see [[pairsMemo]].
+    */
+  private def memoizedPairs(s: SparkSession, dir: String, kind: String)
+      (build: => DataFrame): DataFrame = {
+    val key = (s, dir, kind)
     val lock = pairsLocks.synchronized {
       // Stopped sessions: drop their memo entries (the checkpointed
       // blocks died with the session — nothing to free) and their
@@ -113,21 +148,43 @@ object Graph {
           stale.foreach { case (_, df) =>
             Similarity.freeCheckpoint(df)
           }
-          val built = derivePairs(Tables.load(s, dir, "lineitem"),
-            Tables.load(s, dir, "orders")).localCheckpoint()
+          val built = build.localCheckpoint()
           pairsMemo.put(key, (fp, built))
           built
       }
     }
   }
 
-  /** Drop (and free) this session's memoized pair table for `dir` —
+  /** The distinct pair table, derived from [[datedTradePairsCached]]'s
+    * memo instead of a second lineitem⋈orders pass: the dated table
+    * is already grouped by (sk, ck), so projecting away d0 IS the
+    * distinct — one shared scan+shuffle feeds the whole graph family
+    * (r19 optimization; previously the undated and dated pair tables
+    * were built separately, two full lineitem⋈orders passes per
+    * session).
+    */
+  def tradePairs(s: SparkSession, dir: String): DataFrame =
+    datedTradePairsCached(s, dir).select("sk", "ck")
+
+  /** Per-(session, dir) memo of the checkpointed DATED pair table —
+    * the [[tradePairs]] discipline extended to q88/q89/st34/st36's
+    * shared (sk, ck, d0) scan (r19: previously each of the four
+    * rebuilt it per bench pass).
+    */
+  def datedTradePairsCached(s: SparkSession, dir: String): DataFrame =
+    memoizedPairs(s, dir, "dated")(
+      datedTradePairs(Tables.load(s, dir, "lineitem"),
+        Tables.load(s, dir, "orders")))
+
+  /** Drop (and free) this session's memoized pair tables for `dir` —
     * the explicit invalidation path (`Pipeline.invalidateGate`'s
     * rule).
     */
   def invalidateTradePairs(s: SparkSession, dir: String): Unit =
-    pairsMemo.remove((s, dir))
-      .foreach { case (_, df) => Similarity.freeCheckpoint(df) }
+    Seq("pairs", "dated").foreach { kind =>
+      pairsMemo.remove((s, dir, kind))
+        .foreach { case (_, df) => Similarity.freeCheckpoint(df) }
+    }
 
   /** The family's shared symmetric edge encoding: disjoint node ids
     * (supplier 2k, customer 2k+1), one edge per direction. Factored
@@ -187,7 +244,7 @@ object Graph {
     val teleport = (15L * base) / 100L
     val ranks = prRounds(edges, nodes,
       cp(nodes.select(col("node"), lit(base).as("r"))),
-      teleport, iters, cp)
+      teleport, iters, cp, n)
     // The result is bounded (k rows): materialize it and FREE every
     // checkpoint block — a bench/session running many queries must
     // not inherit this op's working set.
@@ -208,13 +265,19 @@ object Graph {
     */
   private[graft] def prRounds(edges: DataFrame, nodes: DataFrame,
       ranks0: DataFrame, teleport: Long, iters: Int,
-      cp: DataFrame => DataFrame): DataFrame = {
+      cp: DataFrame => DataFrame, nNodes: Long = -1L): DataFrame = {
     var ranks = ranks0
     for (it <- 1 to iters) {
-      val insum = edges.join(ranks, col("src") === col("node"))
+      // Both joins build on a node-sized side (ranks; the insum
+      // aggregate) — broadcast under the size guard ([[bcastIf]]) so
+      // a round costs one |E| scan + ONE node-sized exchange, never
+      // an edge-list exchange or per-round sort.
+      val insum = edges.join(bcastIf(ranks, nNodes),
+          col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("insum"))
-      ranks = nodes.join(insum, col("node") === col("dst"), "left")
+      ranks = nodes.join(bcastIf(insum, nNodes),
+          col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"${teleport}L + (85 * coalesce(insum, 0L)) div 100")
             .as("r"))
@@ -317,6 +380,11 @@ object Graph {
       val c = df.localCheckpoint(); cps += c; c
     }
     val edges = cp(edges0)
+    // Node-count bound for the per-round broadcast guard: every
+    // frame below is keyed by node and |nodes| ≤ |edges| (each node
+    // has an out-edge by construction); counting the checkpointed
+    // edge list is block-local.
+    val nBound = edges.count()
     val seeds = supplier.filter(col("s_nationkey") < 5)
       .select((col("s_suppkey") * 2).as("node"))
     val nodes = edges.select(col("src").as("node")).distinct()
@@ -325,10 +393,12 @@ object Graph {
       .select(col("node"),
         coalesce(col("z"), lit(999)).as("dist"))
     for (it <- 1 to rounds) {
-      val relaxed = edges.join(dist, col("src") === col("node"))
+      val relaxed = edges.join(bcastIf(dist, nBound),
+          col("src") === col("node"))
         .select(col("dst"), (col("dist") + 1).as("cand"))
         .groupBy("dst").agg(min("cand").as("reach"))
-      dist = dist.join(relaxed, col("node") === col("dst"), "left")
+      dist = dist.join(bcastIf(relaxed, nBound),
+          col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("dist"), coalesce(col("reach"), lit(999)))
             .as("dist"))
@@ -424,7 +494,12 @@ object Graph {
     val nodes = cp(edges.select(col("src").as("node")).distinct()
       .join(broadcast(seedIds.withColumn("z", lit(1))), Seq("node"), "left")
       .select(col("node"), coalesce(col("z"), lit(0)).as("is_seed")))
-    val nSeeds = nodes.filter(col("is_seed") === 1).count()
+    // One bounded fetch for BOTH counts (seed count for the teleport
+    // base, node count for the per-round broadcast guard).
+    val cnts = nodes.agg(count(lit(1)).as("n"),
+      sum("is_seed").as("ns")).collect()(0)
+    val n = cnts.getLong(0)
+    val nSeeds = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
     if (nSeeds == 0L) {
       cps.foreach(Similarity.freeCheckpoint)
       return Seq.empty[(Int, String, Long, Long)]
@@ -435,10 +510,14 @@ object Graph {
     var ranks = cp(nodes.select(col("node"),
       (col("is_seed") * base).as("r")))
     for (it <- 1 to iters) {
-      val insum = edges.join(ranks, col("src") === col("node"))
+      // Node-sized build sides broadcast under the size guard — the
+      // [[prRounds]] round shape.
+      val insum = edges.join(bcastIf(ranks, n),
+          col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("insum"))
-      ranks = nodes.join(insum, col("node") === col("dst"), "left")
+      ranks = nodes.join(bcastIf(insum, n),
+          col("node") === col("dst"), "left")
         .select(col("node"), col("is_seed"),
           expr(s"is_seed * ${teleport}L + " +
             "(85 * coalesce(insum, 0L)) div 100").as("r"))
@@ -557,6 +636,10 @@ object Graph {
     }
     val edges = cp(pairs
       .select(col("sk").as("src"), col("ck").as("dst")))
+    // Broadcast-guard bound for the per-half-round score frames:
+    // both are keyed by a node of the bipartite pair graph, so each
+    // is ≤ the (block-local-counted) pair count.
+    val nBound = edges.count()
     val nh = edges.select("src").distinct().count()
     if (nh == 0L) {
       cps.foreach(Similarity.freeCheckpoint)
@@ -593,11 +676,15 @@ object Graph {
       .select(col("node"), lit(1000000000000L / nh).as("score")))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val araw = cp(edges.join(hubs, col("src") === col("node"))
+      // Node-sized score frames broadcast under the size guard — the
+      // [[prRounds]] round shape applied to each half-round.
+      val araw = cp(edges.join(bcastIf(hubs, nBound),
+          col("src") === col("node"))
         .groupBy("dst")
         .agg(sum(col("score").cast("decimal(38,0)")).as("raw")))
       auth = normalize(araw, "dst")
-      val hraw = cp(edges.join(auth, col("dst") === col("node"))
+      val hraw = cp(edges.join(bcastIf(auth, nBound),
+          col("dst") === col("node"))
         .groupBy("src")
         .agg(sum(col("score").cast("decimal(38,0)")).as("raw")))
       hubs = normalize(hraw, "src")
@@ -789,13 +876,16 @@ object Graph {
     val edges = cp(bipartiteEdges(pairs))
     var core = cp(edges.groupBy("src").agg(count(lit(1)).as("c"))
       .select(col("src").as("node"), col("c")))
+    // Node count for the per-round broadcast guard — block-local
+    // count of the checkpointed node-sized frame.
+    val n = core.count()
     for (it <- 1 to rounds) {
-      val h = edges.join(core, col("src") === col("node"))
+      val h = edges.join(bcastIf(core, n), col("src") === col("node"))
         .select(col("dst"), col("c").as("nc"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("dst").orderBy(col("nc").desc)))
         .groupBy("dst").agg(max(least(col("rn"), col("nc"))).as("h"))
-      core = core.join(h, col("node") === col("dst"), "left")
+      core = core.join(bcastIf(h, n), col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("c"), coalesce(col("h"), lit(0L))).as("c"))
       if (it % 3 == 0 || it == rounds) core = cp(core)
@@ -905,7 +995,9 @@ object Graph {
     val edges = cp(bipartiteEdges(pairs))
     val nodes = edges.select(col("src").as("node")).distinct()
     val labels = relaxRounds(edges,
-      nodes.select(col("node"), col("node").as("label")), rounds, cp)
+      nodes.select(col("node"), col("node").as("label")), rounds, cp,
+      // |nodes| ≤ |edges|: block-local bound for the broadcast guard.
+      edges.count())
     // Bounded (size → count) histogram out; free the working set.
     val out = labels.groupBy("label").agg(count(lit(1)).as("c_size"))
       .groupBy("c_size").agg(count(lit(1)).as("n_components"))
@@ -924,13 +1016,18 @@ object Graph {
     * flattened through `cp` every 3rd round.
     */
   private[graft] def relaxRounds(edges: DataFrame, labels0: DataFrame,
-      rounds: Int, cp: DataFrame => DataFrame): DataFrame = {
+      rounds: Int, cp: DataFrame => DataFrame,
+      nNodes: Long = -1L): DataFrame = {
     var labels = labels0
     for (it <- 1 to rounds) {
-      val relaxed = edges.join(labels, col("src") === col("node"))
+      // Node-sized build sides broadcast under the size guard
+      // ([[bcastIf]]) — same round shape as [[prRounds]].
+      val relaxed = edges.join(bcastIf(labels, nNodes),
+          col("src") === col("node"))
         .select(col("dst"), col("label").as("cand"))
         .groupBy("dst").agg(min("cand").as("nl"))
-      labels = labels.join(relaxed, col("node") === col("dst"), "left")
+      labels = labels.join(bcastIf(relaxed, nNodes),
+          col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label")))
             .as("label"))
@@ -996,8 +1093,7 @@ object Graph {
   def incrementalWcc(s: SparkSession, dir: String,
       baseRounds: Int = 10, deltaRounds: Int = 6): DataFrame =
     incrementalWccFrom(
-      datedTradePairs(Tables.load(s, dir, "lineitem"),
-        Tables.load(s, dir, "orders")),
+      datedTradePairsCached(s, dir),
       Tables.load(s, dir, "customer"),
       Tables.load(s, dir, "supplier"),
       baseRounds, deltaRounds)
@@ -1016,11 +1112,12 @@ object Graph {
     * pair has a date (or the graph is empty) the base is empty and
     * the seeded pass IS a from-scratch run, so it gets the batch
     * round budget, not the delta one. Returns (edges, seeded,
-    * rounds).
+    * rounds, nNodes) — the node count feeds the per-round broadcast
+    * guard and is a block-local count of the checkpointed seed frame.
     */
   private def q88Seed(dated: DataFrame, customer: DataFrame,
       supplier: DataFrame, baseRounds: Int, deltaRounds: Int,
-      cp: DataFrame => DataFrame): (DataFrame, DataFrame, Int) = {
+      cp: DataFrame => DataFrame): (DataFrame, DataFrame, Int, Long) = {
     val s = dated.sparkSession
     val pairs = cp(dated
       .join(broadcast(supplier.select(col("s_suppkey"),
@@ -1046,7 +1143,9 @@ object Graph {
     val baseNodes = baseEdges.select(col("src").as("node")).distinct()
     val baseLabels = relaxRounds(baseEdges,
       baseNodes.select(col("node"), col("node").as("label")),
-      baseRounds, cp)
+      baseRounds, cp,
+      // |nodes| ≤ |edges|: block-local bound for the broadcast guard.
+      baseEdges.count())
     val store = new java.io.File(SourceSinks.tmp("graft_q88"),
       "labels").getAbsolutePath
     baseLabels.write.mode("overwrite").parquet(store)
@@ -1061,7 +1160,7 @@ object Graph {
         col("node") === col("bn"), "left")
       .select(col("node"),
         coalesce(col("bl"), col("node")).as("label")))
-    (edges, seeded, rounds)
+    (edges, seeded, rounds, seeded.count())
   }
 
   def incrementalWccFrom(dated: DataFrame, customer: DataFrame,
@@ -1074,16 +1173,16 @@ object Graph {
       val c = df.localCheckpoint(); cps += c; c
     }
     try {
-      val (edges, seeded, rounds) =
+      val (edges, seeded, rounds, n) =
         q88Seed(dated, customer, supplier, baseRounds, deltaRounds, cp)
-      val labels = relaxRounds(edges, seeded, rounds, cp)
+      val labels = relaxRounds(edges, seeded, rounds, cp, n)
       // Convergence guard (the r17 verdict's insurance): the fixed
       // `deltaRounds` budget is sound only while the delta's change
       // diameter stays under it — a production delta that exceeds it
       // would otherwise SILENTLY emit a non-fixpoint histogram. One
       // extra relaxation round plus a bounded changed-row probe turns
       // that into a loud error for the cost of one |E|-join job.
-      val extra = relaxRounds(edges, labels, 1, cp)
+      val extra = relaxRounds(edges, labels, 1, cp, n)
       val moved = extra
         .join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") =!= col("prev")).limit(1).count()
@@ -1123,7 +1222,7 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val (edges, seeded, _) =
+    val (edges, seeded, _, _) =
       q88Seed(dated, customer, supplier, baseRounds, 6, cp)
     val scratch = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -1147,39 +1246,48 @@ object Graph {
       labels0: DataFrame, maxRounds: Int,
       cp: DataFrame => DataFrame): DataFrame = {
     var labels = cp(labels0)
+    // Node count for the per-round broadcast guard — block-local
+    // count of the just-checkpointed label frame.
+    val n = labels.count()
     var r = 0
-    // Stride guard is r + 2 <= maxRounds (r18 ADVICE): an odd
-    // maxRounds budget rounds DOWN to the last full stride rather
-    // than overshooting by one round past the stated cap.
-    while (r + 2 <= maxRounds) {
-      // TWO chained relaxation rounds per materialization (the q88
-      // every-3rd-round checkpoint rule adapted to a probed loop):
-      // the probe needs a materialized frame, so each stride pays ONE
-      // cluster job + a block-local count for two rounds of progress,
-      // with the stride-START label kept beside the result. Sound
-      // because labels only DECREASE under min-relaxation — no
-      // oscillation, so "unchanged across the stride" ⟺ both rounds
-      // were no-ops ⟺ fixpoint; at worst one already-converged round
-      // is computed inside the last stride.
+    // Stride guard is r + 3 <= maxRounds (r18 ADVICE rule): a budget
+    // that is not a multiple of the stride rounds DOWN to the last
+    // full stride rather than overshooting past the stated cap.
+    while (r + 3 <= maxRounds) {
+      // THREE chained relaxation rounds per materialization (the q88
+      // every-3rd-round checkpoint rule applied to the probed loop —
+      // r19: previously two, but each stride pays one cluster job +
+      // one probe regardless of depth, and the probed loop dominates
+      // st34's job count): the probe needs a materialized frame, so
+      // each stride pays ONE cluster job + a block-local count for
+      // three rounds of progress, with the stride-START label kept
+      // beside the result. Sound because labels only DECREASE under
+      // min-relaxation — no oscillation, so "unchanged across the
+      // stride" ⟺ all three rounds were no-ops ⟺ fixpoint; at worst
+      // two already-converged rounds are computed inside the last
+      // stride.
       // One lazy relaxation step that CARRIES the stride-start label
       // ([[relaxRounds]]'s recurrence; that helper drops extra
-      // columns, so prev is threaded here).
+      // columns, so prev is threaded here). Node-sized build sides
+      // broadcast under the size guard — the [[relaxRounds]] round
+      // shape.
       def step(l: DataFrame): DataFrame =
-        l.join(edges.join(l.select(col("node"), col("label")),
-            col("src") === col("node"))
-            .select(col("dst"), col("label").as("cand"))
-            .groupBy("dst").agg(min("cand").as("nl")),
+        l.join(bcastIf(
+            edges.join(bcastIf(l.select(col("node"), col("label")), n),
+              col("src") === col("node"))
+              .select(col("dst"), col("label").as("cand"))
+              .groupBy("dst").agg(min("cand").as("nl")), n),
           col("node") === col("dst"), "left")
           .select(col("node"), col("prev"),
             least(col("label"), coalesce(col("nl"), col("label")))
               .as("label"))
       val stepped =
-        cp(step(step(labels.withColumn("prev", col("label")))))
+        cp(step(step(step(labels.withColumn("prev", col("label"))))))
       val moved = stepped.filter(col("label") =!= col("prev"))
         .limit(1).count() > 0
       labels = stepped.select("node", "label")
       if (!moved) return labels
-      r += 2
+      r += 3
     }
     throw new IllegalStateException(
       s"wcc relaxation still moving after $r executed rounds " +
@@ -1271,8 +1379,7 @@ object Graph {
   def incrementalPageRank(s: SparkSession, dir: String,
       baseIters: Int = 10, deltaIters: Int = 4, k: Int = 25): DataFrame =
     incrementalPageRankFrom(
-      datedTradePairs(Tables.load(s, dir, "lineitem"),
-        Tables.load(s, dir, "orders")), baseIters, deltaIters, k)
+      datedTradePairsCached(s, dir), baseIters, deltaIters, k)
 
   def incrementalPageRankFrom(dated0: DataFrame, baseIters: Int = 10,
       deltaIters: Int = 4, k: Int = 25): DataFrame = {
@@ -1289,7 +1396,7 @@ object Graph {
         return Seq.empty[(Int, String, Long, Long)]
           .toDF("rnk", "node_type", "node_id", "r")
       val ranks = prRounds(edges, nodes, seeded, teleport,
-        deltaIters, cp)
+        deltaIters, cp, n)
       prTopK(ranks, k).toDF("rnk", "node_type", "node_id", "r")
     } finally cps.foreach(Similarity.freeCheckpoint)
   }
@@ -1333,7 +1440,7 @@ object Graph {
         val bb = 1000000000000L / nBase
         prRounds(baseEdges, baseNodes,
           cp(baseNodes.select(col("node"), lit(bb).as("r"))),
-          (15L * bb) / 100L, baseIters, cp)
+          (15L * bb) / 100L, baseIters, cp, nBase)
       }
     val store = new java.io.File(SourceSinks.tmp("graft_q89"),
       "ranks").getAbsolutePath

@@ -1536,9 +1536,7 @@ object EventStream {
     val input = new java.io.File(base, "input").getAbsolutePath
     val root = new java.io.File(base, "lake").getAbsolutePath
     val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
-    val dated = graft.ops.Graph.datedTradePairs(
-        graft.Tables.load(spark, dir, "lineitem"),
-        graft.Tables.load(spark, dir, "orders"))
+    val dated = graft.ops.Graph.datedTradePairsCached(spark, dir)
       .join(broadcast(graft.Tables.load(spark, dir, "supplier")
         .select(col("s_suppkey"), col("s_nationkey").as("sn"))),
         col("sk") === col("s_suppkey"))
@@ -1706,7 +1704,7 @@ object EventStream {
                   lit(base)).as("r"))), deltaIters)
           }
         val ranks = graft.ops.Graph.prRounds(edges, nodes, seed,
-          teleport, iters, cp) // final round is cp'd by prRounds
+          teleport, iters, cp, n) // final round is cp'd by prRounds
         ranks.write.mode("overwrite").parquet(ranksDir.getAbsolutePath)
         refreshes += 1
         pendingSinceRefresh = 0
@@ -1747,9 +1745,7 @@ object EventStream {
     val input = new java.io.File(base, "input").getAbsolutePath
     val root = new java.io.File(base, "lake").getAbsolutePath
     val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
-    val dated = graft.ops.Graph.datedTradePairs(
-      graft.Tables.load(spark, dir, "lineitem"),
-      graft.Tables.load(spark, dir, "orders"))
+    val dated = graft.ops.Graph.datedTradePairsCached(spark, dir)
     val b = dated.agg(min("d0").as("mn"), max("d0").as("mx"),
       count(lit(1)).as("n")).collect()(0) // 1-row bounded fetch
     val lake = new RankLake(spark, root, every = 2)

@@ -31,7 +31,9 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     # Optional 3rd arg: restrict to queries whose name contains it
     # (pairs with Verify's identical dev-only filter).
+    # Comma-OR name filter (Bench/Verify dev-filter semantics).
     name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
+    terms = [t.strip() for t in name_filter.split(",") if t.strip()]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -40,7 +42,8 @@ def main():
         oracles = json.load(f)
 
     n_pass = n_fail = 0
-    for name in sorted(n for n in oracles if name_filter in n):
+    for name in sorted(n for n in oracles
+                       if not terms or any(t in n for t in terms)):
         sql = oracles[name]
         try:
             oracle = con.execute(sql).df()
