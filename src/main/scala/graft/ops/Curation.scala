@@ -1089,7 +1089,17 @@ object Curation {
     * value, the emitted column is round(·, 6) (the repo's
     * emitted-doubles discipline).
     */
-  private def globalFill(scored: DataFrame, rank: String): DataFrame = {
+  private def globalFill(scored0: DataFrame, rank: String): DataFrame = {
+    // Materialize the scored frame ONCE (r19, guide §1.2 "don't
+    // compute things you throw away"): the histogram aggregate, the
+    // boundary-bucket window and the emit join each re-derived the
+    // whole scoring pass — for c21 that is THREE Kneser–Ney passes
+    // per run (measured 3.9–6.5 s), for c20 three classifier scoring
+    // passes. The frame is per-doc NARROW (doc_id, n_tokens, rank,
+    // bucket — never text), so the checkpoint is cheap at any scale;
+    // this is the "a deployment persists it" its scaladoc promised,
+    // done in-query (the p04 intra-query checkpoint convention).
+    val scored = scored0.localCheckpoint()
     val hist = scored.groupBy("bucket").agg(sum("n_tokens").as("mass"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
     val budget = hist.map(_._2).sum / 2
@@ -1234,6 +1244,10 @@ object Curation {
           col("n_stop"), col("n_punct")).as("quality"))
       .withColumn("bucket",
         floor(col("quality") * buckets).cast("int"))
+      // One tokenize+score pass instead of three: the histogram
+      // fetch, the boundary window and the emit join all consume this
+      // narrow per-doc frame ([[globalFill]]'s r19 note).
+      .localCheckpoint()
 
   /** The bounded (source, bucket, token mass) histogram — ≤
     * |sources|·(buckets+1) rows, the driver fetch both budget ops

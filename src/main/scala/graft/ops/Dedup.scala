@@ -2046,7 +2046,19 @@ object Dedup {
   def exactSubstringDedup(documents: DataFrame,
       minLen: Int = 40): DataFrame = {
     val d = docFrame(documents)
+    // Repartition the doc frame BEFORE the window materialization
+    // (guide §2.5: one unsplittable input file → repartition right
+    // after the read): the corpus ships as a single one-row-group
+    // parquet, so this per-row-HEAVIEST pass (each doc expands into
+    // len·minLen characters of window keys) would otherwise run in
+    // ONE task regardless of core count. Parallelism derives from
+    // the session, not a local constant; measured at sf0.1/local[32]
+    // d22 drops 5.7 → 2.4 s (min-of-2), while the same repartition
+    // applied globally LOSES on every lighter pass (d23's native
+    // fingerprints, one-pass tokenizers) — so it lives exactly here,
+    // not in Tables.load.
     val grams = d.filter(col("len") >= minLen)
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(1, len - $minLen + 1), " +
           s"p -> substring(text, p, $minLen))")).as(Seq("off", "g")))
