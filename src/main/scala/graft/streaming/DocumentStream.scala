@@ -583,23 +583,13 @@ object DocumentStream {
     if (!b.isNullAt(0)) {
       val (mn, mx) = (b.getLong(0), b.getLong(1))
       val slices = 6
-      val sliced = docs.withColumn("slice", expr(
-        s"CAST(((doc_id - ${mn}L) * $slices) DIV ${mx - mn + 1}L AS INT)"))
-        .localCheckpoint() // the 6 slice filters reuse one scan
-      for (i <- 0 until slices)
-        sliced.filter(col("slice") === i)
-          .select("doc_id", "text")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$input/s$i")
-      graft.ops.Similarity.freeCheckpoint(sliced)
       // The stream≡batch oracle argument needs "earlier commit ⟺
       // smaller slice", and FileStreamSource orders files by
-      // MODIFICATION TIME with unspecified tie-breaking — two slices
-      // landing in the same clock tick could reorder micro-batches
-      // and flip dup_prior/dup_in_batch. Pin the order explicitly:
-      // each slice's data files get a strictly increasing mtime
-      // (r18 ADVICE fix; [[EventStream.pinSliceOrder]]).
-      EventStream.pinSliceOrder(input, slices)
+      // MODIFICATION TIME with unspecified tie-breaking — writeSlices
+      // pins a strictly increasing per-slice mtime (r18 ADVICE fix).
+      EventStream.writeSlices(docs.select(col("doc_id"), col("text"),
+        expr(s"CAST(((doc_id - ${mn}L) * $slices) DIV " +
+          s"${mx - mn + 1}L AS INT)").as("slice")), slices, input)
       EventStream.withStreamShufflePartitions(spark, 8) {
         val q = spark.readStream
           .schema("doc_id BIGINT, text STRING")

@@ -83,14 +83,51 @@ object EventStream {
   private[graft] def pinSliceOrder(input: String, slices: Int): Unit = {
     val t0 = System.currentTimeMillis()
     for (i <- 0 until slices) {
-      val d = new java.io.File(s"$input/s$i")
-      Option(d.listFiles()).getOrElse(Array.empty)
+      // Both slice-directory conventions: s<i> (per-slice filtered
+      // writes) and slice=<i> ([[writeSlices]]' partitionBy layout).
+      Seq(s"$input/s$i", s"$input/slice=$i")
+        .map(new java.io.File(_)).filter(_.exists())
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
         .filter(_.getName.endsWith(".parquet"))
         .foreach { f =>
           require(f.setLastModified(t0 + i * 2000L),
             s"could not pin mtime on $f")
         }
     }
+  }
+
+  /** Write a sliced feed as one file per slice in ONE distributed job
+    * (r19 — previously every streaming op paid a localCheckpoint plus
+    * one filtered write job PER SLICE): repartitioning BY the slice
+    * value puts each slice wholly into one task, and partitionBy
+    * writes it as a single file under `slice=<i>/`. An EMPTY slice
+    * writes no directory under partitionBy, but the streams' cadence
+    * arguments need exactly `slices` micro-batches (st36's oracle
+    * restates the refresh eras by batch index; the per-slice filtered
+    * writes produced an empty file for an empty slice), so missing
+    * slices get an explicit empty single-file commit. Discovery order
+    * is always mtime-pinned ([[pinSliceOrder]]) — previously only
+    * st35/st36 pinned and the rest relied on sequential-write mtimes
+    * (the r18 ADVICE tie-break hazard); one job makes ties the norm,
+    * so the pin comes with the helper.
+    */
+  private[graft] def writeSlices(sliced: DataFrame, slices: Int,
+      input: String): Unit = {
+    val spark = sliced.sparkSession
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      sliced.schema.filterNot(_.name == "slice"))
+    sliced.repartition(col("slice"))
+      .write.partitionBy("slice").mode("overwrite").parquet(input)
+    for (i <- 0 until slices) {
+      val d = new java.io.File(s"$input/slice=$i")
+      if (!d.exists())
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            dataSchema)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(d.getAbsolutePath)
+    }
+    pinSliceOrder(input, slices)
   }
 
   /** Latest total state-store row count reported by `q`'s (single)
@@ -1374,14 +1411,9 @@ object EventStream {
             s"CAST(((us - ${mn}L) * $slices) DIV ${mx - mn + 1}L AS INT)"),
             lit(0))
         }
-      val sliced = ev.withColumn("slice", sliceExpr)
-        .localCheckpoint() // the 6 slice filters reuse one scan
-      for (i <- 0 until slices)
-        sliced.filter(col("slice") === i)
-          .select("event_id", "user_id", "us", "event_type", "value")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$input/s$i")
-      graft.ops.Similarity.freeCheckpoint(sliced)
+      writeSlices(ev.select(col("event_id"), col("user_id"), col("us"),
+        col("event_type"), col("value"), sliceExpr.as("slice")),
+        slices, input)
       withStreamShufflePartitions(spark, 8) {
         val q = spark.readStream
           .schema("event_id BIGINT, user_id BIGINT, us BIGINT, " +
@@ -1558,14 +1590,8 @@ object EventStream {
             s"CAST(((d0 - ${mn}L) * $slices) DIV ${mx - mn + 1}L AS INT)"),
             lit(0))
         }
-      val sliced = dated.withColumn("slice", sliceExpr)
-        .localCheckpoint() // the 6 slice filters reuse one scan
-      for (i <- 0 until slices)
-        sliced.filter(col("slice") === i)
-          .select("sk", "ck")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$input/s$i")
-      graft.ops.Similarity.freeCheckpoint(sliced)
+      writeSlices(dated.select(col("sk"), col("ck"),
+        sliceExpr.as("slice")), slices, input)
       withStreamShufflePartitions(spark, 8) {
         val q = spark.readStream
           .schema("sk BIGINT, ck BIGINT")
@@ -1759,15 +1785,9 @@ object EventStream {
             s"CAST(((d0 - ${mn}L) * $slices) DIV ${mx - mn + 1}L AS INT)"),
             lit(0))
         }
-      val sliced = dated.withColumn("slice", sliceExpr)
-        .localCheckpoint() // the 6 slice filters reuse one scan
-      for (i <- 0 until slices)
-        sliced.filter(col("slice") === i)
-          .select("sk", "ck")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$input/s$i")
-      graft.ops.Similarity.freeCheckpoint(sliced)
-      pinSliceOrder(input, slices) // oracle needs batch i ⟺ slice i
+      // writeSlices pins the order — the oracle needs batch i ⟺ slice i.
+      writeSlices(dated.select(col("sk"), col("ck"),
+        sliceExpr.as("slice")), slices, input)
       withStreamShufflePartitions(spark, 8) {
         val q = spark.readStream
           .schema("sk BIGINT, ck BIGINT")
