@@ -124,8 +124,16 @@ object Bench {
     // dramatically smaller "total" indistinguishable from a full run.
     val filterField =
       if (nameFilter.isEmpty) "" else s""","filter":"$nameFilter""""
+    // Echo the core-count contract back in the artifact (r19 verdict
+    // item 2): the driver's scaling check compares 8- vs 32-core runs
+    // and, with nothing in the JSON proving which count a run used,
+    // flagged `suspect_cpus_ignored` even though SPARK_GRAFT_CPUS is
+    // honored above. "cpus" is the env contract as parsed;
+    // "parallelism" is what the scheduler actually resolved it to.
+    val cpusField =
+      s""","cpus":$cpus,"parallelism":${spark.sparkContext.defaultParallelism}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed$filterField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed$filterField$cpusField,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line — console tails have truncated the
     // head of long JSON lines in past rounds.
@@ -144,7 +152,7 @@ object Bench {
     val slow = results.filter(_._3).sortBy(-_._2).take(10)
       .map { case (k, v, _, _, _, _) => s""""$k":${d3(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","nqueries":${results.size},"failed":$failed,"slowest":$slow$filterField,"sf":"$sfDir","full":"bench_last.json"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","nqueries":${results.size},"failed":$failed,"slowest":$slow$filterField$cpusField,"sf":"$sfDir","full":"bench_last.json"}""")
     spark.stop()
   }
 }

@@ -42,6 +42,10 @@ object Plans {
     // means the query is bound by driver/job-submission overhead (many
     // tiny jobs), not by executor compute — different fix (guide §1.1).
     val jobs = new AtomicInteger(0)
+    // Per-callsite job counts — names which code path submits the
+    // jobs when a query is job-count-bound.
+    val jobSites = new java.util.concurrent.ConcurrentHashMap[String,
+      AtomicInteger]()
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
@@ -51,7 +55,13 @@ object Plans {
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobs.incrementAndGet(); ()
+          jobs.incrementAndGet()
+          val cs = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("?")
+          jobSites.computeIfAbsent(cs,
+            _ => new AtomicInteger(0)).incrementAndGet()
+          ()
         }
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted)
@@ -70,13 +80,25 @@ object Plans {
           ()
         }
       })
+    // Catalyst phase totals per query (ms) — decomposes the per-query
+    // fixed cost (r19 verdict item 3): wall − taskTime − phase sums =
+    // scheduling/codegen/misc.
+    val phaseMs = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
     val listener = new QueryExecutionListener {
       def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = {
         val i = seq.incrementAndGet()
         val ms = durationNs / 1e6
+        val phases = qe.tracker.phases.map { case (p, t) =>
+          phaseMs.computeIfAbsent(p,
+            _ => new java.util.concurrent.atomic.AtomicLong(0))
+            .addAndGet(t.endTimeMs - t.startTimeMs)
+          f"$p=${t.endTimeMs - t.startTimeMs}ms"
+        }.mkString(" ")
         val body =
-          f"== $current exec #$i%03d via $funcName%s ${ms}%.1f ms ==%n" +
+          f"== $current exec #$i%03d via $funcName%s ${ms}%.1f ms " +
+            f"[$phases] ==%n" +
             qe.explainString(
               org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted")) + "\n\n"
@@ -96,16 +118,31 @@ object Plans {
       seq.set(0)
       jobs.set(0); stages.set(0); tasks.set(0)
       taskMs.set(0); shufR.set(0); shufW.set(0)
+      phaseMs.clear(); jobSites.clear()
       spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
+        // Listener bus is async: drain before reading phase totals so
+        // this query's last executions are counted against it.
+        Thread.sleep(400)
+        val ph = {
+          import scala.jdk.CollectionConverters._
+          phaseMs.asScala.toSeq.sortBy(_._1)
+            .map { case (p, v) => s"$p=${v.get()}ms" }.mkString(" ")
+        }
         println(f"PLANS $name%-40s $t%8.3f s  execs=${seq.get()}%d " +
           f"jobs=${jobs.get()}%d stages=${stages.get()}%d " +
           f"tasks=${tasks.get()}%d taskTime=${taskMs.get() / 1000.0}%.1f s " +
           f"shufR=${shufR.get() / 1048576.0}%.1f MB " +
-          f"shufW=${shufW.get() / 1048576.0}%.1f MB")
+          f"shufW=${shufW.get() / 1048576.0}%.1f MB  [$ph]")
+        val sites = {
+          import scala.jdk.CollectionConverters._
+          jobSites.asScala.toSeq.sortBy(-_._2.get()).take(12)
+            .map { case (s, c) => s"$s×${c.get()}" }.mkString("  ")
+        }
+        println(s"  JOBSITES $name: $sites")
       } catch {
         case t: Throwable =>
           println(s"PLANS FAIL $name: ${t.getClass.getName}: ${t.getMessage}")

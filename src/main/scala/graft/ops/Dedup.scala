@@ -2057,8 +2057,20 @@ object Dedup {
     // applied globally LOSES on every lighter pass (d23's native
     // fingerprints, one-pass tokenizers) — so it lives exactly here,
     // not in Tables.load.
-    val grams = d.filter(col("len") >= minLen)
-      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+    //
+    // GUARDED on the scan's observed parallelism (r19 verdict item
+    // 6): at 100 TB the corpus is thousands of splittable files and
+    // an unconditional round-robin here would shuffle the full
+    // corpus text for nothing. The guard reads the source scan's
+    // partition count (documents is scan-rooted — no exchange below
+    // it, so .rdd plans without materializing AQE stages); only when
+    // the scan cannot feed at least half the session's cores does
+    // the unsplittable-input fix apply.
+    val par = d.sparkSession.sparkContext.defaultParallelism
+    val scanParts = documents.rdd.getNumPartitions
+    val pre0 = d.filter(col("len") >= minLen)
+    val pre = if (scanParts < par / 2) pre0.repartition(par) else pre0
+    val grams = pre
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(1, len - $minLen + 1), " +
           s"p -> substring(text, p, $minLen))")).as(Seq("off", "g")))

@@ -82,6 +82,50 @@ object Graph {
       broadcast(df)
     else df
 
+  /** Materialize an edge list hash-partitioned by `key` with the
+    * partitioning DECLARED on the checkpoint (r20, guide §2.4 "share
+    * one exchange"): every iterative primitive aggregates per round
+    * by the SAME edge key, and plain `localCheckpoint` under AQE
+    * forgets partitioning (GraftCheckpoints scaladoc), which re-grew
+    * one node-sized exchange in EVERY round of every graph query.
+    * One explicit shuffle at materialization now, zero per-round
+    * exchanges after.
+    *
+    * The partition count is SIZE-derived, never the core count
+    * (measured r20: pinning `defaultParallelism` partitions tripled
+    * the family's summed task time at sf0.1 — each of 32 tasks per
+    * round re-deserialized the node-sized broadcast hash relation
+    * that AQE's size-aware coalescing previously amortized over ~5
+    * tasks): `approxBytes / spark.graft.graph.partitionBytes`
+    * (default 8 MB — the in-memory edge-frame analogue of AQE's
+    * small-partition coalescing), floored at 1, capped at
+    * `defaultParallelism` EXCEPT when the input is so large that the
+    * cap would push partitions past 128 MB — then bytes/128MB wins
+    * (guide §2.2's 100 MB–1 GB range), so a 100 TB edge list gets
+    * thousands of partitions, not cores-many.
+    */
+  private[graft] def cpKeyed(df: DataFrame, key: String,
+      approxBytes: Long = -1L): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val target = df.sparkSession.conf
+      .get("spark.graft.graph.partitionBytes", "8000000").toLong
+    val n =
+      if (approxBytes <= 0L) par
+      else {
+        val bySize = ((approxBytes + target - 1) / target).toInt max 1
+        val floor128 = (approxBytes / (128L * 1024 * 1024)).toInt max 1
+        (bySize min par) max floor128
+      }
+    org.apache.spark.sql.GraftCheckpoints.localCheckpointKeyed(
+      df, key, n)
+  }
+
+  /** Unsafe-row size estimate for [[cpKeyed]]'s partition sizing:
+    * `rows` LONG-column rows at 8 B/field + ~16 B row overhead.
+    */
+  private[graft] def rowBytes(rows: Long, cols: Int): Long =
+    rows * (16L + 8L * cols)
+
   /** Driver-side listing fingerprint of the tables the pair scan
     * reads. Sorted before folding so FS listing order can't flip it.
     */
@@ -232,7 +276,14 @@ object Graph {
     }
     val edges0 = bipartiteEdges(pairs)
     val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edges = cp(edges0.join(outdeg, "src"))
+    // dst-keyed materialization: every round's in-sum aggregate
+    // reuses this one exchange ([[cpKeyed]] checkpoints itself; only
+    // register it for the end-of-query free). |edges| = 2·|pairs|
+    // exactly (both directions) — the size hint for partition count.
+    val nPairs = pairs.count()
+    val edges = cpKeyed(edges0.join(outdeg, "src"), "dst",
+      rowBytes(2L * nPairs, 3))
+    cps += edges
     val nodes = cp(edges.select(col("src").as("node")).distinct())
     val n = nodes.count()
     if (n == 0L) {
@@ -257,30 +308,44 @@ object Graph {
     * [[pageRank]]) over a pre-checkpointed edge list carrying outdeg —
     * factored out of [[pageRankFrom]] so the q89 incremental path
     * (base pass + seeded pass with a different teleport) runs the
-    * IDENTICAL per-round plan: one src-keyed |E| join + one dst-keyed
-    * map-side-combining LONG sum; rank frames node-sized; lineage
+    * IDENTICAL per-round plan; rank frames node-sized; lineage
     * flattened through `cp` every 3rd round (per-round eager
     * checkpoints cost a full job each, while three chained rounds
     * plan fine and run as one).
+    *
+    * PRECONDITION (every caller satisfies it by construction): the
+    * edge set is SYMMETRIC-BIPARTITE ([[bipartiteEdges]] — each pair
+    * contributes both directions), so the distinct dst set EQUALS
+    * the distinct src set (= the node set). The round's rank update
+    * rₖ(v) = teleport + (85·insumₖ(v)) DIV 100 depends only on the
+    * in-sum and a constant, and under the precondition the dst-keyed
+    * aggregate already covers every node — so the rank frame IS a
+    * projection of the aggregate and the former `nodes ⋈ insum` left
+    * join (plus its per-round broadcast build) is an identity,
+    * removed in r20 (guide §1.2: don't compute things you throw
+    * away). `nodes` stays in the signature for the seeded callers'
+    * shape and the degrade path's stats, but no longer feeds the
+    * round.
+    *
+    * Round cost with a [[graft.ops.Graph]]-materialized dst-keyed
+    * edge list (GraftCheckpoints.localCheckpointKeyed): ONE broadcast
+    * build of the node-sized rank frame + one |E| map + a same-key
+    * aggregate that needs NO exchange — zero shuffles per round.
     */
   private[graft] def prRounds(edges: DataFrame, nodes: DataFrame,
       ranks0: DataFrame, teleport: Long, iters: Int,
       cp: DataFrame => DataFrame, nNodes: Long = -1L): DataFrame = {
     var ranks = ranks0
     for (it <- 1 to iters) {
-      // Both joins build on a node-sized side (ranks; the insum
-      // aggregate) — broadcast under the size guard ([[bcastIf]]) so
-      // a round costs one |E| scan + ONE node-sized exchange, never
-      // an edge-list exchange or per-round sort.
+      // The rank side broadcasts under the size guard ([[bcastIf]]);
+      // the dst-keyed aggregate reuses the edge list's materialized
+      // partitioning, so a round costs one |E| scan and nothing else.
       val insum = edges.join(bcastIf(ranks, nNodes),
           col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("insum"))
-      ranks = nodes.join(bcastIf(insum, nNodes),
-          col("node") === col("dst"), "left")
-        .select(col("node"),
-          expr(s"${teleport}L + (85 * coalesce(insum, 0L)) div 100")
-            .as("r"))
+      ranks = insum.select(col("dst").as("node"),
+        expr(s"${teleport}L + (85 * insum) div 100").as("r"))
       if (it % 3 == 0 || it == iters) ranks = cp(ranks)
     }
     ranks
@@ -379,12 +444,23 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val edges = cp(edges0)
-    // Node-count bound for the per-round broadcast guard: every
-    // frame below is keyed by node and |nodes| ≤ |edges| (each node
-    // has an out-edge by construction); counting the checkpointed
-    // edge list is block-local.
-    val nBound = edges.count()
+    // dst-keyed materialization with WEIGHTED self-loops (r20, the
+    // [[relaxRounds]] join-free shape adapted to min-plus): a w=0
+    // self-loop per node makes min_{u→v incl. self}(dist(u) + w) =
+    // min(dist(v), min-in(dist + 1)) EXACTLY, so each round is one
+    // src-keyed join + one dst-keyed map-side-combining MIN that
+    // reuses this one exchange — no outer join back onto the
+    // distance frame, no second broadcast build. |edges| = 2·|pairs|
+    // (+|V| self-loops) is both the size hint and the broadcast
+    // bound (|nodes| ≤ |edges|, each node has an out-edge by
+    // construction).
+    val nPairs = pairs.count()
+    val wEdges = edges0.withColumn("w", lit(1))
+      .unionByName(edges0.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"), lit(0).as("w")))
+    val edges = cpKeyed(wEdges, "dst", rowBytes(2L * nPairs, 3))
+    cps += edges
+    val nBound = 2L * nPairs
     val seeds = supplier.filter(col("s_nationkey") < 5)
       .select((col("s_suppkey") * 2).as("node"))
     val nodes = edges.select(col("src").as("node")).distinct()
@@ -393,15 +469,14 @@ object Graph {
       .select(col("node"),
         coalesce(col("z"), lit(999)).as("dist"))
     for (it <- 1 to rounds) {
-      val relaxed = edges.join(bcastIf(dist, nBound),
+      // cand ≤ 1000 and the self-loop contributes dist(v) + 0, so the
+      // min equals the old least(dist, coalesce(min-in, 999)) — the
+      // 999 sentinel can never grow.
+      dist = edges.join(bcastIf(dist, nBound),
           col("src") === col("node"))
-        .select(col("dst"), (col("dist") + 1).as("cand"))
-        .groupBy("dst").agg(min("cand").as("reach"))
-      dist = dist.join(bcastIf(relaxed, nBound),
-          col("node") === col("dst"), "left")
-        .select(col("node"),
-          least(col("dist"), coalesce(col("reach"), lit(999)))
-            .as("dist"))
+        .select(col("dst"), (col("dist") + col("w")).as("cand"))
+        .groupBy("dst").agg(min("cand").as("dist"))
+        .select(col("dst").as("node"), col("dist"))
       if (it % 3 == 0 || it == rounds) dist = cp(dist)
     }
     // Bounded histogram out; free the checkpoint working set (the
@@ -488,7 +563,11 @@ object Graph {
     }
     val edges0 = bipartiteEdges(pairs)
     val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edges = cp(edges0.join(outdeg, "src"))
+    // dst-keyed materialization ([[cpKeyed]]): the per-round in-sum
+    // aggregate reuses this one exchange. |edges| = 2·|pairs|.
+    val edges = cpKeyed(edges0.join(outdeg, "src"), "dst",
+      rowBytes(2L * pairs.count(), 3))
+    cps += edges
     val seedIds = supplier.filter(col("s_nationkey") < 5)
       .select((col("s_suppkey") * 2).as("node"))
     val nodes = cp(edges.select(col("src").as("node")).distinct()
@@ -634,13 +713,25 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val edges = cp(pairs
-      .select(col("sk").as("src"), col("ck").as("dst")))
+    // TWO oriented materializations of the directed edge list (r20):
+    // the authority half-round aggregates by dst, the hub half-round
+    // by src — one dst-keyed and one src-keyed copy ([[cpKeyed]])
+    // lets BOTH aggregates reuse a materialized exchange, removing
+    // 2×iters per-half-round node-sized exchanges for the price of
+    // one extra edge-list copy (the classic both-orientations layout
+    // a deployment persists anyway).
+    val nPairs = pairs.count()
+    val directed = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+    val edgesD = cpKeyed(directed, "dst", rowBytes(nPairs, 2))
+    cps += edgesD
+    val edgesH = cpKeyed(directed, "src", rowBytes(nPairs, 2))
+    cps += edgesH
     // Broadcast-guard bound for the per-half-round score frames:
     // both are keyed by a node of the bipartite pair graph, so each
-    // is ≤ the (block-local-counted) pair count.
-    val nBound = edges.count()
-    val nh = edges.select("src").distinct().count()
+    // is ≤ the pair count.
+    val nBound = nPairs
+    // src-keyed copy: the distinct needs no exchange.
+    val nh = edgesH.select("src").distinct().count()
     if (nh == 0L) {
       cps.foreach(Similarity.freeCheckpoint)
       return Seq.empty[(String, Int, Long, Long)]
@@ -672,18 +763,20 @@ object Graph {
           s"div CAST('$tot' AS DECIMAL(38,0)) AS BIGINT)")
           .as("score"))
     }
-    var hubs = cp(edges.select(col("src").as("node")).distinct()
+    var hubs = cp(edgesH.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000000000L / nh).as("score")))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       // Node-sized score frames broadcast under the size guard — the
-      // [[prRounds]] round shape applied to each half-round.
-      val araw = cp(edges.join(bcastIf(hubs, nBound),
+      // [[prRounds]] round shape applied to each half-round; each
+      // aggregate runs on the matching oriented edge copy, so neither
+      // half-round pays an exchange.
+      val araw = cp(edgesD.join(bcastIf(hubs, nBound),
           col("src") === col("node"))
         .groupBy("dst")
         .agg(sum(col("score").cast("decimal(38,0)")).as("raw")))
       auth = normalize(araw, "dst")
-      val hraw = cp(edges.join(bcastIf(auth, nBound),
+      val hraw = cp(edgesH.join(bcastIf(auth, nBound),
           col("dst") === col("node"))
         .groupBy("src")
         .agg(sum(col("score").cast("decimal(38,0)")).as("raw")))
@@ -873,7 +966,12 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
-    val edges = cp(bipartiteEdges(pairs))
+    // dst-keyed materialization ([[cpKeyed]]): the per-round window
+    // (partitionBy dst) AND the h aggregate (groupBy dst) both reuse
+    // this one exchange — zero per-round shuffles.
+    val edges = cpKeyed(bipartiteEdges(pairs), "dst",
+      rowBytes(2L * pairs.count(), 2))
+    cps += edges
     var core = cp(edges.groupBy("src").agg(count(lit(1)).as("c"))
       .select(col("src").as("node"), col("c")))
     // Node count for the per-round broadcast guard — block-local
@@ -992,11 +1090,21 @@ object Graph {
         col("ck") === col("c_custkey"))
       .filter(col("sn") === col("cn"))
       .select(col("sk"), col("ck"))
-    val edges = cp(bipartiteEdges(pairs))
+    // dst-keyed materialization ([[cpKeyed]]): the per-round min
+    // aggregate reuses this one exchange. Addressing the r19 q80
+    // regression (verdict item 1): the r19 broadcast round shape
+    // lost on q80 because each round STILL paid the dst aggregate
+    // exchange on top of two broadcast builds; with the exchange
+    // removed the broadcast form is strictly cheaper than both r18's
+    // and r19's (A/B'd this round — see OPTIMIZATION_r20.md §1).
+    val edges = cpKeyed(withSelfLoops(bipartiteEdges(pairs)), "dst",
+      // Size hint: the same-nation filter only shrinks the memoized
+      // pair set, so 2·|pairs0| is a sound upper bound.
+      rowBytes(2L * pairs0.count(), 2))
+    cps += edges
     val nodes = edges.select(col("src").as("node")).distinct()
     val labels = relaxRounds(edges,
       nodes.select(col("node"), col("node").as("label")), rounds, cp,
-      // |nodes| ≤ |edges|: block-local bound for the broadcast guard.
       edges.count())
     // Bounded (size → count) histogram out; free the working set.
     val out = labels.groupBy("label").agg(count(lit(1)).as("c_size"))
@@ -1008,29 +1116,47 @@ object Graph {
     out.toSeq.toDF("c_size", "n_components")
   }
 
+  /** Self-loop augmentation for the min-relaxation primitives (r20):
+    * one (v, v) edge per node. With self-loops,
+    * min_{u→v, incl. self} lₖ₋₁(u) = min(lₖ₋₁(v), min-in) — the relax
+    * update becomes a PURE dst-keyed aggregate (the [[prRounds]]
+    * join-free shape): the old `labels ⋈ relaxed` outer join, its
+    * per-round broadcast build, AND the 2^stride plan duplication it
+    * caused inside [[relaxToFixpoint]] (the stride chain referenced
+    * each step's output twice — measured r20: 50 BroadcastExchange
+    * nodes per stride plan in st34) all disappear. |V| extra rows on
+    * an |E|-row list.
+    */
+  private[graft] def withSelfLoops(edges: DataFrame): DataFrame =
+    edges.unionByName(edges.select(col("src")).distinct()
+      .select(col("src"), col("src").as("dst")))
+
   /** One synchronous min-label relaxation pass, `rounds` times:
     * lₖ(v) = min(lₖ₋₁(v), min_{u→v} lₖ₋₁(u)). The shared recurrence
-    * of q80 and q88 — per round one src-keyed join over the
-    * (pre-checkpointed) edge list plus one dst-keyed
-    * map-side-combining MIN; label frames node-sized; lineage
-    * flattened through `cp` every 3rd round.
+    * of q80 and q88.
+    *
+    * PRECONDITION (r20): `edges` INCLUDE the [[withSelfLoops]]
+    * augmentation, so the update is one src-keyed join + one
+    * dst-keyed map-side-combining MIN — min over
+    * in-neighbors-with-self EQUALS least(own, min-in) exactly, and
+    * the aggregate's key set covers every node (each node has its
+    * self-loop), so the old outer join back onto the label frame is
+    * an identity and is gone. With a dst-keyed edge materialization
+    * ([[cpKeyed]]) a round costs ONE broadcast build of the
+    * node-sized label frame and one |E| pass — zero exchanges.
+    * Label frames node-sized; lineage flattened through `cp` every
+    * 3rd round.
     */
   private[graft] def relaxRounds(edges: DataFrame, labels0: DataFrame,
       rounds: Int, cp: DataFrame => DataFrame,
       nNodes: Long = -1L): DataFrame = {
     var labels = labels0
     for (it <- 1 to rounds) {
-      // Node-sized build sides broadcast under the size guard
-      // ([[bcastIf]]) — same round shape as [[prRounds]].
-      val relaxed = edges.join(bcastIf(labels, nNodes),
+      labels = edges.join(bcastIf(labels, nNodes),
           col("src") === col("node"))
-        .select(col("dst"), col("label").as("cand"))
-        .groupBy("dst").agg(min("cand").as("nl"))
-      labels = labels.join(bcastIf(relaxed, nNodes),
-          col("node") === col("dst"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label")))
-            .as("label"))
+        .select(col("dst"), col("label"))
+        .groupBy("dst").agg(min("label").as("nl"))
+        .select(col("dst").as("node"), col("nl").as("label"))
       if (it % 3 == 0 || it == rounds) labels = cp(labels)
     }
     labels
@@ -1117,7 +1243,10 @@ object Graph {
     */
   private def q88Seed(dated: DataFrame, customer: DataFrame,
       supplier: DataFrame, baseRounds: Int, deltaRounds: Int,
-      cp: DataFrame => DataFrame): (DataFrame, DataFrame, Int, Long) = {
+      cp: DataFrame => DataFrame,
+      // Register an ALREADY-materialized frame (cpKeyed checkpoints
+      // itself) for the caller's end-of-query free.
+      reg: DataFrame => DataFrame): (DataFrame, DataFrame, Int, Long) = {
     val s = dated.sparkSession
     val pairs = cp(dated
       .join(broadcast(supplier.select(col("s_suppkey"),
@@ -1138,8 +1267,13 @@ object Graph {
     val rounds = if (allDateless) math.max(baseRounds, deltaRounds)
       else deltaRounds
     // Base fixpoint, batch-style, persisted — yesterday's artifact.
-    val baseEdges = cp(bipartiteEdges(
-      pairs.filter(col("d0") <= cut).select("sk", "ck")))
+    // dst-keyed materializations ([[cpKeyed]]): every relax round's
+    // min aggregate reuses the one exchange, both eras. Size hints
+    // from the materialized same-nation pair count (base ≤ full).
+    val nPairs = pairs.count()
+    val baseEdges = reg(cpKeyed(withSelfLoops(bipartiteEdges(
+      pairs.filter(col("d0") <= cut).select("sk", "ck"))), "dst",
+      rowBytes(2L * nPairs, 2)))
     val baseNodes = baseEdges.select(col("src").as("node")).distinct()
     val baseLabels = relaxRounds(baseEdges,
       baseNodes.select(col("node"), col("node").as("label")),
@@ -1152,11 +1286,16 @@ object Graph {
     val stored = s.read.schema("node BIGINT, label BIGINT")
       .parquet(store)
     // Today's run: full edge set, seeded from the STORED labels.
-    val edges = cp(bipartiteEdges(pairs.select("sk", "ck")))
+    val edges = reg(cpKeyed(
+      withSelfLoops(bipartiteEdges(pairs.select("sk", "ck"))),
+      "dst", rowBytes(2L * nPairs, 2)))
     val nodes = edges.select(col("src").as("node")).distinct()
+    // The stored label frame is node-sized (≤ 2·|pairs| rows) —
+    // broadcast it under the guard instead of sort-merging two
+    // node-sized sides (r20).
     val seeded = cp(nodes
-      .join(stored.withColumnRenamed("node", "bn")
-        .withColumnRenamed("label", "bl"),
+      .join(bcastIf(stored.withColumnRenamed("node", "bn")
+        .withColumnRenamed("label", "bl"), 2L * nPairs),
         col("node") === col("bn"), "left")
       .select(col("node"),
         coalesce(col("bl"), col("node")).as("label")))
@@ -1172,9 +1311,11 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
+    def reg(df: DataFrame): DataFrame = { cps += df; df }
     try {
       val (edges, seeded, rounds, n) =
-        q88Seed(dated, customer, supplier, baseRounds, deltaRounds, cp)
+        q88Seed(dated, customer, supplier, baseRounds, deltaRounds, cp,
+          reg)
       val labels = relaxRounds(edges, seeded, rounds, cp, n)
       // Convergence guard (the r17 verdict's insurance): the fixed
       // `deltaRounds` budget is sound only while the delta's change
@@ -1182,11 +1323,15 @@ object Graph {
       // would otherwise SILENTLY emit a non-fixpoint histogram. One
       // extra relaxation round plus a bounded changed-row probe turns
       // that into a loud error for the cost of one |E|-join job.
+      // Sum compare instead of a join probe (r20): labels only
+      // decrease, so the vector moved iff its LONG sum did — two
+      // block-local aggregates over checkpointed frames instead of a
+      // node-sized join.
+      def lsum(l: DataFrame): Long = l
+        .agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
       val extra = relaxRounds(edges, labels, 1, cp, n)
-      val moved = extra
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).limit(1).count()
-      if (moved > 0)
+      val moved = lsum(extra) != lsum(labels)
+      if (moved)
         throw new IllegalStateException(
           s"q88: labels still moving after $rounds seeded rounds — " +
             "the delta's change diameter exceeds deltaRounds; raise it")
@@ -1222,8 +1367,9 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
+    def reg(df: DataFrame): DataFrame = { cps += df; df }
     val (edges, seeded, _, _) =
-      q88Seed(dated, customer, supplier, baseRounds, 6, cp)
+      q88Seed(dated, customer, supplier, baseRounds, 6, cp, reg)
     val scratch = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     val out = (wccRoundsToFixpoint(edges, seeded),
@@ -1246,47 +1392,38 @@ object Graph {
       labels0: DataFrame, maxRounds: Int,
       cp: DataFrame => DataFrame): DataFrame = {
     var labels = cp(labels0)
-    // Node count for the per-round broadcast guard — block-local
-    // count of the just-checkpointed label frame.
-    val n = labels.count()
+    // One block-local pass yields BOTH the broadcast-guard node count
+    // and the label sum the fixpoint probe compares against.
+    def sumAndCount(l: DataFrame): (Long, Long) = {
+      val row = l.agg(coalesce(sum("label"), lit(0L)).as("s"),
+        count(lit(1)).as("n")).collect()(0)
+      (row.getLong(0), row.getLong(1))
+    }
+    var (lsum, n) = sumAndCount(labels)
     var r = 0
     // Stride guard is r + 3 <= maxRounds (r18 ADVICE rule): a budget
     // that is not a multiple of the stride rounds DOWN to the last
     // full stride rather than overshooting past the stated cap.
     while (r + 3 <= maxRounds) {
       // THREE chained relaxation rounds per materialization (the q88
-      // every-3rd-round checkpoint rule applied to the probed loop —
-      // r19: previously two, but each stride pays one cluster job +
-      // one probe regardless of depth, and the probed loop dominates
-      // st34's job count): the probe needs a materialized frame, so
-      // each stride pays ONE cluster job + a block-local count for
-      // three rounds of progress, with the stride-START label kept
-      // beside the result. Sound because labels only DECREASE under
-      // min-relaxation — no oscillation, so "unchanged across the
-      // stride" ⟺ all three rounds were no-ops ⟺ fixpoint; at worst
-      // two already-converged rounds are computed inside the last
-      // stride.
-      // One lazy relaxation step that CARRIES the stride-start label
-      // ([[relaxRounds]]'s recurrence; that helper drops extra
-      // columns, so prev is threaded here). Node-sized build sides
-      // broadcast under the size guard — the [[relaxRounds]] round
-      // shape.
-      def step(l: DataFrame): DataFrame =
-        l.join(bcastIf(
-            edges.join(bcastIf(l.select(col("node"), col("label")), n),
-              col("src") === col("node"))
-              .select(col("dst"), col("label").as("cand"))
-              .groupBy("dst").agg(min("cand").as("nl")), n),
-          col("node") === col("dst"), "left")
-          .select(col("node"), col("prev"),
-            least(col("label"), coalesce(col("nl"), col("label")))
-              .as("label"))
-      val stepped =
-        cp(step(step(step(labels.withColumn("prev", col("label"))))))
-      val moved = stepped.filter(col("label") =!= col("prev"))
-        .limit(1).count() > 0
-      labels = stepped.select("node", "label")
-      if (!moved) return labels
+      // every-3rd-round checkpoint rule applied to the probed loop):
+      // with the r20 join-free round ([[relaxRounds]] — edges carry
+      // self-loops) the stride plan is LINEAR (one broadcast build
+      // per round; previously the prev-threaded step referenced its
+      // input twice and the 3-deep chain held 50 BroadcastExchange
+      // nodes). The fixpoint probe is a SUM compare: labels only
+      // DECREASE under min-relaxation — no oscillation — so the
+      // node-wise label vector is unchanged across the stride iff
+      // its sum is, and "unchanged across the stride" ⟺ all three
+      // rounds were no-ops ⟺ fixpoint; at worst two
+      // already-converged rounds run inside the last stride. The sum
+      // fits LONG with huge headroom (labels are node ids; Σ ≤
+      // |V|·maxId ≪ 2⁶³ for any graph whose ids fit a LONG join key).
+      val stepped = cp(relaxRounds(edges, labels, 3, identity, n))
+      val (s2, _) = sumAndCount(stepped)
+      labels = stepped
+      if (s2 == lsum) return labels
+      lsum = s2
       r += 3
     }
     throw new IllegalStateException(
@@ -1389,9 +1526,10 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
+    def reg(df: DataFrame): DataFrame = { cps += df; df }
     try {
       val (edges, nodes, n, seeded, teleport) =
-        q89Seed(dated0, baseIters, cp)
+        q89Seed(dated0, baseIters, cp, reg)
       if (n == 0L)
         return Seq.empty[(Int, String, Long, Long)]
           .toDF("rnk", "node_type", "node_id", "r")
@@ -1409,7 +1547,10 @@ object Graph {
     * share one definition.
     */
   private def q89Seed(dated0: DataFrame, baseIters: Int,
-      cp: DataFrame => DataFrame)
+      cp: DataFrame => DataFrame,
+      // Register an ALREADY-materialized frame (cpKeyed checkpoints
+      // itself) for the caller's end-of-query free.
+      reg: DataFrame => DataFrame)
       : (DataFrame, DataFrame, Long, DataFrame, Long) = {
     val s = dated0.sparkSession
     val dated = cp(dated0)
@@ -1426,7 +1567,12 @@ object Graph {
       dated.filter(col("d0") <= cut).select("sk", "ck"))
     val baseOut = baseEdges0.groupBy("src")
       .agg(count(lit(1)).as("outdeg"))
-    val baseEdges = cp(baseEdges0.join(baseOut, "src"))
+    // dst-keyed materializations ([[cpKeyed]]): every rank round's
+    // in-sum aggregate reuses the one exchange, both eras. Size
+    // hints from the materialized dated-pair count (base ≤ full).
+    val nDated = dated.count()
+    val baseEdges = reg(cpKeyed(baseEdges0.join(baseOut, "src"), "dst",
+      rowBytes(2L * nDated, 3)))
     val baseNodes = cp(baseEdges.select(col("src").as("node"))
       .distinct())
     val nBase = baseNodes.count()
@@ -1449,7 +1595,8 @@ object Graph {
     // Today's run: full edge set, seeded from the STORED ranks.
     val edges0 = bipartiteEdges(dated.select("sk", "ck"))
     val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edges = cp(edges0.join(outdeg, "src"))
+    val edges = reg(cpKeyed(edges0.join(outdeg, "src"), "dst",
+      rowBytes(2L * nDated, 3)))
     val nodes = cp(edges.select(col("src").as("node")).distinct())
     val n = nodes.count()
     if (n == 0L) return (edges, nodes, 0L, nodes, 0L)
@@ -1459,8 +1606,10 @@ object Graph {
     // all args non-negative, so div/% truncation = floor in both
     // engines.
     val seeded = cp(nodes
-      .join(stored.withColumnRenamed("node", "bn")
-        .withColumnRenamed("r", "br"),
+      // The stored rank frame is node-sized (nBase ≤ n rows) —
+      // broadcast it under the guard (r20).
+      .join(bcastIf(stored.withColumnRenamed("node", "bn")
+        .withColumnRenamed("r", "br"), n),
         col("node") === col("bn"), "left")
       .select(col("node"),
         coalesce(
@@ -1510,9 +1659,10 @@ object Graph {
     def cp(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); cps += c; c
     }
+    def reg(df: DataFrame): DataFrame = { cps += df; df }
     try {
       val (edges, nodes, n, seeded, teleport) =
-        q89Seed(dated, baseIters, cp)
+        q89Seed(dated, baseIters, cp, reg)
       require(n > 0L, "empty graph")
       val base = 1000000000000L / n
       val tol = math.max(1L, base / tolDivisor)

@@ -111,6 +111,19 @@ object EventStream {
     * (the r18 ADVICE tie-break hazard); one job makes ties the norm,
     * so the pin comes with the helper.
     */
+  /** Total bytes of parquet data files under `d` (recursive, driver
+    * side, no Spark job) — the size hint the in-stream graph
+    * refreshes feed Graph.cpKeyed's partition sizing.
+    */
+  private[graft] def dirParquetBytes(d: java.io.File): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    walk(d)
+  }
+
   private[graft] def writeSlices(sliced: DataFrame, slices: Int,
       input: String): Unit = {
     val spark = sliced.sparkSession
@@ -1519,11 +1532,26 @@ object EventStream {
         val c = df.localCheckpoint(); cps += c; c
       }
       try {
-        val edges = cp(graft.ops.Graph.bipartiteEdges(readPairs()))
+        // dst-keyed materialization (Graph.cpKeyed): every relax
+        // round's min aggregate inside relaxToFixpoint reuses this
+        // one exchange. cpKeyed checkpoints itself — register only.
+        // Size hint: lake parquet bytes × 8 (decode + both-direction
+        // doubling) — a driver-side listing, no job.
+        val edges = graft.ops.Graph.cpKeyed(
+          graft.ops.Graph.withSelfLoops(
+            graft.ops.Graph.bipartiteEdges(readPairs())), "dst",
+          8L * dirParquetBytes(pairsDir))
+        cps += edges
         val nodes = edges.select(col("src").as("node")).distinct()
+        // The label store is node-sized — broadcast it under the
+        // guard; the row bound derives from the store's parquet
+        // bytes (2-LONG rows never compress below ~4 B/row, so
+        // bytes/4 over-estimates rows — conservative).
         val seeded = nodes
-          .join(readLabels().withColumnRenamed("node", "bn")
-            .withColumnRenamed("label", "bl"),
+          .join(graft.ops.Graph.bcastIf(
+            readLabels().withColumnRenamed("node", "bn")
+              .withColumnRenamed("label", "bl"),
+            dirParquetBytes(labelsDir) / 4),
             col("node") === col("bn"), "left")
           .select(col("node"),
             coalesce(col("bl"), col("node")).as("label"))
@@ -1707,7 +1735,14 @@ object EventStream {
         val edges0 = graft.ops.Graph.bipartiteEdges(readPairs())
         val outdeg = edges0.groupBy("src")
           .agg(count(lit(1)).as("outdeg"))
-        val edges = cp(edges0.join(outdeg, "src"))
+        // dst-keyed materialization (Graph.cpKeyed): every rank
+        // round's in-sum aggregate reuses this one exchange. cpKeyed
+        // checkpoints itself — register only. Size hint: lake parquet
+        // bytes × 8 (decode + both-direction doubling), no job.
+        val edges = graft.ops.Graph.cpKeyed(
+          edges0.join(outdeg, "src"), "dst",
+          8L * dirParquetBytes(pairsDir))
+        cps += edges
         val nodes = cp(edges.select(col("src").as("node")).distinct())
         val n = nodes.count() // 1-row bounded fetch (node count)
         if (n == 0L) { pendingSinceRefresh = 0; return }
@@ -1720,8 +1755,10 @@ object EventStream {
             val stored = readRanks()
             val nPrev = stored.count() // node-sized store, bounded
             (cp(nodes
-              .join(stored.withColumnRenamed("node", "bn")
-                .withColumnRenamed("r", "br"),
+              // node-sized store — broadcast under the guard (r20)
+              .join(graft.ops.Graph.bcastIf(
+                stored.withColumnRenamed("node", "bn")
+                  .withColumnRenamed("r", "br"), nPrev),
                 col("node") === col("bn"), "left")
               .select(col("node"),
                 coalesce(
