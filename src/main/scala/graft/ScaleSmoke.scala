@@ -37,7 +37,8 @@ object ScaleSmoke {
       |  classifier [f]  t28 GD fit cost ×1 vs ×f (1-row round shuffles)
       |  autocompact [f]  st32 OPTIMIZE bytes: 1-bucket vs full-lake pass ×f
       |  incwcc [f]    q88 seeded 6-round delta vs 10-round scratch ×f
-      |  incpr [f]     q89 seeded 4-round rank refresh vs 10-round scratch ×f""".stripMargin
+      |  incpr [f]     q89 seeded 4-round rank refresh vs 10-round scratch ×f
+      |  kcore [f]     q85 window vs distinct-value aggregate H form ×1 and ×f""".stripMargin
 
   def scaled(base: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -598,6 +599,91 @@ object ScaleSmoke {
       ops.Graph.kcore(liN, orN)
         .write.format("noop").mode("overwrite").save())
     liN.unpersist(); orN.unpersist(); suAll.unpersist(); cuAll.unpersist()
+  }
+
+  /** q85's per-round H computation, AGGREGATE form (`runMain
+    * graft.ScaleSmoke kcore [f]`): instead of ranking every
+    * neighbor value with a row_number window partitioned by dst
+    * (whose per-neighborhood sort is the skew concern at scale —
+    * r19 verdict item 8), fold the multiset to DISTINCT (dst, value)
+    * counts map-side first, cumulate over the distinct values, and
+    * take H = max(min(cum, v)). Identical recurrence; compared
+    * against the shipped window form at ×1 and ×factor disjoint
+    * copies. Dev measurement only — the registered q85 keeps
+    * whichever form this mode shows winning (numbers in
+    * OPTIMIZATION_r20.md).
+    */
+  def runKcore(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val li1 = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+      .select("l_orderkey", "l_suppkey")
+    val or1 = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      .select("o_orderkey", "o_custkey")
+    def shiftN(df: DataFrame, cols: Seq[String]): DataFrame =
+      (0 until factor).map { i =>
+        cols.foldLeft(df) { (d, c) =>
+          d.withColumn(c, col(c) + lit(i.toLong * 10000000L))
+        }
+      }.reduce(_ unionByName _)
+    val liN = shiftN(li1, Seq("l_orderkey", "l_suppkey")).cache()
+    val orN = shiftN(or1, Seq("o_orderkey", "o_custkey")).cache()
+    println(s"[kcore] lineitem: ${liN.count()} rows (×$factor)")
+
+    def aggForm(lineitem: DataFrame, orders: DataFrame,
+        rounds: Int = 8): DataFrame = {
+      val pairs = lineitem.join(orders,
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .distinct()
+      val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      def cp(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(); cps += c; c
+      }
+      val edges = ops.Graph.cpKeyed(ops.Graph.bipartiteEdges(pairs),
+        "dst", ops.Graph.rowBytes(2L * pairs.count(), 2))
+      cps += edges
+      var core = cp(edges.groupBy("src").agg(count(lit(1)).as("c"))
+        .select(col("src").as("node"), col("c")))
+      val n = core.count()
+      for (it <- 1 to rounds) {
+        val cnt = edges.join(ops.Graph.bcastIf(core, n),
+            col("src") === col("node"))
+          .groupBy(col("dst"), col("c").as("nc"))
+          .agg(count(lit(1)).as("m"))
+        val h = cnt.withColumn("cum",
+            sum("m").over(Window.partitionBy("dst")
+              .orderBy(col("nc").desc)))
+          .groupBy("dst").agg(max(least(col("cum"), col("nc"))).as("h"))
+        core = core.join(ops.Graph.bcastIf(h, n),
+            col("node") === col("dst"), "left")
+          .select(col("node"),
+            least(col("c"), coalesce(col("h"), lit(0L))).as("c"))
+        if (it % 3 == 0 || it == rounds) core = cp(core)
+      }
+      val out = core
+        .select(expr("CASE WHEN node % 2 = 0 THEN 'supplier' " +
+          "ELSE 'customer' END").as("node_type"), col("c").as("coreness"))
+        .groupBy("node_type", "coreness")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("node_type", "coreness")
+      out.write.format("noop").mode("overwrite").save()
+      cps.foreach(ops.Similarity.freeCheckpoint)
+      out
+    }
+    // Interleaved warm passes, then timed (the q56 protocol).
+    time("q85 window form ×1 (warm)")(
+      ops.Graph.kcore(li1, or1)
+        .write.format("noop").mode("overwrite").save())
+    time("q85 agg form ×1 (warm)")(aggForm(li1, or1))
+    time("q85 window form ×1")(
+      ops.Graph.kcore(li1, or1)
+        .write.format("noop").mode("overwrite").save())
+    time("q85 agg form ×1")(aggForm(li1, or1))
+    time(s"q85 window form ×$factor")(
+      ops.Graph.kcore(liN, orN)
+        .write.format("noop").mode("overwrite").save())
+    time(s"q85 agg form ×$factor")(aggForm(liN, orN))
+    liN.unpersist(); orN.unpersist()
   }
 
   /** c17 scale structure (`runMain graft.ScaleSmoke tokenbudget [f]`):
@@ -1500,7 +1586,7 @@ object ScaleSmoke {
       "text", "curation", "multimodal", "containment", "indexmaint",
       "funnel", "timeseries", "dsir", "lakemerge", "tokenbudget", "pca",
       "graph", "lifecycle", "classifier", "autocompact", "incwcc",
-      "incpr")
+      "incpr", "kcore")
     val mode = args.headOption match {
       case Some(m) if modes(m) => m
       case Some(a) if a.nonEmpty && a.forall(_.isDigit) => "scale"
@@ -1538,6 +1624,7 @@ object ScaleSmoke {
         case "tokenbudget" => 20
         case "pca" => 10
         case "graph" => 5
+        case "kcore" => 5
         case "lifecycle" => 20
         case "classifier" => 20
         case "autocompact" => 5
@@ -1578,6 +1665,7 @@ object ScaleSmoke {
     if (mode == "autocompact") { runAutoCompact(spark, factor); spark.stop(); return }
     if (mode == "incwcc") { runIncWcc(spark, factor); spark.stop(); return }
     if (mode == "incpr") { runIncPr(spark, factor); spark.stop(); return }
+    if (mode == "kcore") { runKcore(spark, factor); spark.stop(); return }
 
     val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val docsN = scaled(docs1.select("doc_id", "text"), "doc_id", factor)

@@ -70,7 +70,9 @@ object Tables {
     // no-op for MICROS files. Must stay set for the lifetime of plans
     // scanning a NANOS file (the scan consults SQLConf at action time).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events")).schema
+    // r20: shares the fingerprint-invalidated inference memo — every
+    // streaming query re-derived this per run.
+    memoizedSchema(spark, dir, "events")
   }
 
   /** Per-(session, dir, table) memo of (listing fingerprint, inferred

@@ -945,14 +945,19 @@ object Graph {
     * never depends on it). Output is the bounded
     * (node_type, coreness → n_nodes) histogram.
     *
-    * Scale shape: per round, one src-keyed join pushes each node's
-    * value to its neighbors, then ONE window partitioned by dst ranks
-    * each neighborhood descending and a map-side-combining MAX folds
-    * H = max(min(rank, value)) — |E| log(deg) per round, the classic
-    * distributed formulation; value frames are node-sized and
+    * Scale shape (r20): per round, one src-keyed join pushes each
+    * node's value to its neighbors, a map-side-combining COUNT folds
+    * the neighbor multiset to DISTINCT (dst, value) rows, one window
+    * partitioned by dst cumulates those distinct values descending,
+    * and a map-side-combining MAX folds H = max(min(cum, value)) —
+    * the window's input is the value set, never the neighbor
+    * multiset, so a hub neighborhood costs its value RANGE, not its
+    * degree (the skew-magnet fix of the r19 verdict, ScaleSmoke
+    * `kcore` measured). Value frames are node-sized and
     * lineage-flattened every 3rd round. The h-index is invariant
-    * under permutation of equal values, so the rank's tie order never
-    * reaches the result — both engines agree without a tiebreak.
+    * under permutation of equal values, so neither the fold nor the
+    * cumulation order reaches the result — both engines agree
+    * without a tiebreak.
     */
   def kcore(lineitem: DataFrame, orders: DataFrame,
       rounds: Int = 8): DataFrame =
@@ -978,11 +983,24 @@ object Graph {
     // count of the checkpointed node-sized frame.
     val n = core.count()
     for (it <- 1 to rounds) {
+      // H from DISTINCT neighbor values (r20, ScaleSmoke `kcore`
+      // evidence: ×5 data 16.4 s window form vs 14.4 s this form,
+      // ×1 flat): the neighbor-value multiset folds map-side to
+      // (dst, value) counts BEFORE any per-neighborhood ordering, so
+      // the window's input is the distinct-value set, not every
+      // neighbor row — the hub-neighborhood sort the row_number form
+      // pays at scale (r19 verdict item 8) shrinks to the value
+      // range. Identity: H = max over distinct v of
+      // min(|{u : val(u) ≥ v}|, v) — equal to max(min(rank, value))
+      // over the ranked multiset (ties collapse to the suffix
+      // count), permutation-invariant, so both engines still agree
+      // without a tiebreak.
       val h = edges.join(bcastIf(core, n), col("src") === col("node"))
-        .select(col("dst"), col("c").as("nc"))
-        .withColumn("rn", row_number().over(
+        .groupBy(col("dst"), col("c").as("nc"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("cum", sum("m").over(
           Window.partitionBy("dst").orderBy(col("nc").desc)))
-        .groupBy("dst").agg(max(least(col("rn"), col("nc"))).as("h"))
+        .groupBy("dst").agg(max(least(col("cum"), col("nc"))).as("h"))
       core = core.join(bcastIf(h, n), col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("c"), coalesce(col("h"), lit(0L))).as("c"))

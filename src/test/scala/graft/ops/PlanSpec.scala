@@ -1092,6 +1092,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("(bucket"), p)
   }
 
+  test("graph rounds: under the broadcastNodes cap a relax round is " +
+    "ONE broadcast join + an exchange-free same-key aggregate; past " +
+    "the cap it degrades to the shuffle form (r19 verdict item 7 pin)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = (1 to 400).map(i => (i.toLong % 23, i.toLong % 17))
+      .toDF("sk", "ck").distinct()
+    // The r20 materialization: self-loops + declared dst partitioning.
+    val edges = Graph.cpKeyed(
+      Graph.withSelfLoops(Graph.bipartiteEdges(pairs)), "dst",
+      Graph.rowBytes(800, 2))
+    val labels0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    def roundPlan(): (String, Map[Long, Long]) = {
+      val one = Graph.relaxRounds(edges, labels0, 1, identity,
+        nNodes = 1000L)
+      one.write.format("noop").mode("overwrite").save()
+      (one.queryExecution.executedPlan.toString,
+        one.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    val (p, got) = roundPlan()
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // THE pin: the dst-keyed aggregate reuses the edge checkpoint's
+    // declared partitioning — no exchange anywhere in the round.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-round exchange crept back:\n$p")
+    // Past the cap (conf = 0 rows) the same round must degrade to
+    // the broadcast-free shuffle plan — and compute the same labels.
+    val prev = spark.conf.getOption("spark.graft.graph.broadcastNodes")
+    spark.conf.set("spark.graft.graph.broadcastNodes", "0")
+    try {
+      val (p2, got2) = roundPlan()
+      assert(!p2.contains("BroadcastHashJoin"), p2)
+      assert(got2 == got, "degrade path changed the labels")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.graph.broadcastNodes", v)
+      case None => spark.conf.unset("spark.graft.graph.broadcastNodes")
+    }
+    Similarity.freeCheckpoint(edges)
+    Similarity.freeCheckpoint(labels0)
+  }
+
   test("q84: wedges are enumerated by a ck-keyed join (never a " +
     "cartesian), from the memoized pair checkpoint (never a fresh " +
     "lineitem/orders parquet scan)") {
