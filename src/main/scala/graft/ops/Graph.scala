@@ -281,8 +281,11 @@ object Graph {
     // register it for the end-of-query free). |edges| = 2·|pairs|
     // exactly (both directions) — the size hint for partition count.
     val nPairs = pairs.count()
-    val edges = cpKeyed(edges0.join(outdeg, "src"), "dst",
-      rowBytes(2L * nPairs, 3))
+    // The outdeg side is node-sized (≤ 2·|pairs| rows) — broadcast it
+    // under the guard so the build never exchanges/sorts the edge
+    // list by src (r20).
+    val edges = cpKeyed(edges0.join(bcastIf(outdeg, 2L * nPairs),
+      "src"), "dst", rowBytes(2L * nPairs, 3))
     cps += edges
     val nodes = cp(edges.select(col("src").as("node")).distinct())
     val n = nodes.count()
@@ -565,8 +568,10 @@ object Graph {
     val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // dst-keyed materialization ([[cpKeyed]]): the per-round in-sum
     // aggregate reuses this one exchange. |edges| = 2·|pairs|.
-    val edges = cpKeyed(edges0.join(outdeg, "src"), "dst",
-      rowBytes(2L * pairs.count(), 3))
+    val nPairs = pairs.count()
+    // Node-sized outdeg broadcast under the guard (the pageRank rule).
+    val edges = cpKeyed(edges0.join(bcastIf(outdeg, 2L * nPairs),
+      "src"), "dst", rowBytes(2L * nPairs, 3))
     cps += edges
     val seedIds = supplier.filter(col("s_nationkey") < 5)
       .select((col("s_suppkey") * 2).as("node"))
@@ -1589,7 +1594,8 @@ object Graph {
     // in-sum aggregate reuses the one exchange, both eras. Size
     // hints from the materialized dated-pair count (base ≤ full).
     val nDated = dated.count()
-    val baseEdges = reg(cpKeyed(baseEdges0.join(baseOut, "src"), "dst",
+    val baseEdges = reg(cpKeyed(
+      baseEdges0.join(bcastIf(baseOut, 2L * nDated), "src"), "dst",
       rowBytes(2L * nDated, 3)))
     val baseNodes = cp(baseEdges.select(col("src").as("node"))
       .distinct())
@@ -1613,7 +1619,8 @@ object Graph {
     // Today's run: full edge set, seeded from the STORED ranks.
     val edges0 = bipartiteEdges(dated.select("sk", "ck"))
     val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edges = reg(cpKeyed(edges0.join(outdeg, "src"), "dst",
+    val edges = reg(cpKeyed(
+      edges0.join(bcastIf(outdeg, 2L * nDated), "src"), "dst",
       rowBytes(2L * nDated, 3)))
     val nodes = cp(edges.select(col("src").as("node")).distinct())
     val n = nodes.count()

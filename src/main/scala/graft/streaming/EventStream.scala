@@ -1739,8 +1739,12 @@ object EventStream {
         // round's in-sum aggregate reuses this one exchange. cpKeyed
         // checkpoints itself — register only. Size hint: lake parquet
         // bytes × 8 (decode + both-direction doubling), no job.
+        // Node-sized outdeg broadcast under the guard; the row
+        // bound derives from the pair lake's bytes (2-LONG rows
+        // never compress below ~4 B/row, so bytes/4 over-estimates).
         val edges = graft.ops.Graph.cpKeyed(
-          edges0.join(outdeg, "src"), "dst",
+          edges0.join(graft.ops.Graph.bcastIf(outdeg,
+            dirParquetBytes(pairsDir) / 4), "src"), "dst",
           8L * dirParquetBytes(pairsDir))
         cps += edges
         val nodes = cp(edges.select(col("src").as("node")).distinct())
